@@ -1,0 +1,415 @@
+"""Core relational queries: aggregation, joins, windows, merge semantics.
+
+These exercise the engine surface mapped in SURVEY.md §2.4-§2.7: the
+reference delegates aggregation/joins to pass-through SQL
+(reference Wrap/DB.pm:73, Wrap.pm:372-398); here they are first-class
+DataFrame plans that Catalyst optimizes (pushdown, broadcast, AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_wrap_spark.catalog import register
+from etl_wrap_spark.session import load_tables
+
+
+# ---------------------------------------------------------------- flagship
+# TPC-H Q1-shaped pricing summary. Scale notes: single shuffle on the two
+# low-cardinality group keys; partial (map-side) aggregation makes the
+# shuffle tiny; the date filter and 7-column projection push to the scan.
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,6)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,6)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(38,6)").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------- lookup enrichment (J1)
+# The reference's only join: keyed lookup hash (Wrap/DB.pm:102-130) used for
+# per-row enrichment (Wrap.pm:302-309). Spark-first form: broadcast hash
+# joins of the small dims — no shuffle of the fact side at any scale.
+@register(
+    "q02_lookup_enrichment",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS num_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY nation, region
+    """,
+)
+def q02_lookup_enrichment(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total_acctbal"),
+        )
+        .orderBy("nation", "region")
+    )
+
+
+# ------------------------------------------------- multi-way fact join agg
+# Revenue by nation/year: fact-to-fact join (lineitem ⋈ orders shuffles on
+# orderkey; AQE picks the strategy) + broadcast dims.
+@register(
+    "q03_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY nation, order_year
+    ORDER BY nation, order_year
+    """,
+)
+def q03_revenue_by_nation(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,6)").alias("revenue"))
+        .orderBy("nation", "order_year")
+    )
+
+
+# ----------------------------------------------------- window: top-k per group
+@register(
+    "q04_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    ORDER BY o_custkey, rk
+    """,
+)
+def q04_topk_orders_per_customer(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["orders"])
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    w = Window.partitionBy("o_custkey").orderBy(price.desc(), F.col("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", price.alias("totalprice"), "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+# ------------------------------------------------ previous-row access (§2.6)
+# The reference exposes the previous line to row hooks (Wrap/File.pm:109).
+# Spark form: lag() over an explicit ordering — here per-order by line number.
+@register(
+    "q05_prev_row_delta",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DECIMAL(18,4)) AS qty,
+           CAST(l_quantity AS DECIMAL(18,4))
+             - LAG(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, CAST(l_quantity AS DECIMAL(18,4))) AS qty_delta
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q05_prev_row_delta(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data;
+    # ordering by every projected column makes the lag sequence
+    # deterministic even among duplicate keys.
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", qty)
+    return (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            qty.alias("qty"),
+            (qty - F.lag(qty).over(w)).alias("qty_delta"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ----------------------------------------------------------- upsert (K2/K3)
+# MERGE semantics expressed relationally: "updates" (latest event per user)
+# upserted into a "target" (first event per user) — WHEN MATCHED UPDATE /
+# WHEN NOT MATCHED INSERT. Implemented with the engine's merge operator.
+@register(
+    "q06_upsert_latest_event",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), ranked AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM e
+    )
+    SELECT user_id, event_type AS last_event_type,
+           CAST(value AS DECIMAL(18,4)) AS last_value,
+           ts AS last_ts
+    FROM ranked WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def q06_upsert_latest_event(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        t["events"]
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").cast("decimal(18,4)").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# -------------------------------------------- delete-before-insert (K4) shape
+# Reference deletes target rows matching a selector then inserts
+# (Wrap/DB.pm:337-347). Relational form: anti-join + union ≡ partition
+# overwrite. Here: orders of BUILDING-segment customers get "reloaded" —
+# result is the union of untouched rows and the replacement slice.
+@register(
+    "q07_delete_before_insert",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+    FROM (
+      SELECT o.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment <> 'BUILDING'
+      UNION ALL
+      SELECT o.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def q07_delete_before_insert(spark, sf_dir):
+    from etl_wrap_spark.sinks.merge import delete_before_insert
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    seg = t["customer"].select("c_custkey", "c_mktsegment")
+    orders = t["orders"].join(F.broadcast(seg), F.col("o_custkey") == F.col("c_custkey")).drop("c_custkey")
+    target = orders
+    selector = F.col("c_mktsegment") == "BUILDING"
+    replacement = orders.where(selector & (F.col("o_orderstatus") == "F"))
+    merged = delete_before_insert(target, replacement, selector)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total"),
+    )
+
+
+# ------------------------------------------------------------ set ops (§2.7)
+# Multi-file append in the reference is unionByName across per-file frames
+# (Wrap/File.pm:47). Exercised here plus distinct/except shapes.
+@register(
+    "q08_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey, COUNT(*) AS n FROM (
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 5000
+      UNION
+      SELECT DISTINCT s_nationkey FROM supplier
+    ) t GROUP BY c_nationkey ORDER BY nationkey
+    """,
+)
+def q08_union_distinct(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    a = t["customer"].where(F.col("c_acctbal") > 5000).select("c_nationkey").distinct()
+    b = t["supplier"].select(F.col("s_nationkey").alias("c_nationkey")).distinct()
+    return (
+        a.union(b)
+        .distinct()
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+# ------------------------------------------------------- semi/anti joins
+@register(
+    "q09_semi_anti_join",
+    oracle="""
+    SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS bucket, COUNT(*) AS n FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY bucket
+    """,
+)
+def q09_semi_anti_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    keys = t["orders"].select("o_custkey")
+    semi = t["customer"].join(keys, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+    anti = t["customer"].join(keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        semi.agg(F.count(F.lit(1)).alias("n")).select(F.lit("with_orders").alias("bucket"), "n")
+        .unionByName(anti.agg(F.count(F.lit(1)).alias("n")).select(F.lit("without_orders").alias("bucket"), "n"))
+        .orderBy("bucket")
+    )
+
+
+# ------------------------------------------------------------ rollup (§2.4)
+@register(
+    "q10_rollup_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def q10_rollup_priority(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ------------------------------------------- events: tumbling-window agg
+# Batch form of the streaming extension (SURVEY §2.9): hourly tumbling
+# windows over the events table. The streaming module reuses this plan
+# shape with readStream + watermark.
+@register(
+    "q11_events_tumbling_hourly",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def q11_events_tumbling_hourly(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# -------------------------------------------------- sessionization (window)
+@register(
+    "q12_events_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess,
+             event_id
+      FROM e
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end
+    FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
+    """,
+)
+def q12_events_sessionize(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        t["events"]
+        .withColumn("new_sess", F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(wcum).cast("bigint"))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+        .orderBy("user_id", "sess_id")
+    )

@@ -1,0 +1,103 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference (``Wrap.pm:63-77`` setupETLWrap) builds a process "session"
+from merged config; here the analogue is a SparkSession tuned for the
+workload: AQE on (runtime re-planning, skew-join handling), shuffle
+partitions sized to the cluster, UTC session timezone (parquet timestamps
+compare cleanly against external oracles), and Arrow enabled for the
+Pandas-UDF paths.
+
+At 100 TB these defaults matter: AQE coalesces post-shuffle partitions and
+splits skewed ones, `maxPartitionBytes` keeps scan tasks bounded, and
+broadcast threshold governs the dimension-join strategy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def session_builder(
+    app_name: str = "etl_wrap_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession.Builder:
+    """Return a configured builder; callers may layer more .config() calls."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        # local mode: ~cores; on a real cluster this should be set to
+        # 2-3x total executor cores (or left to AQE coalescing from a
+        # high initial value).
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return b
+
+
+def get_session(app_name: str = "etl_wrap_spark", **kw) -> SparkSession:
+    return session_builder(app_name, **kw).getOrCreate()
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
+    """Read the driver's parquet tables lazily; register temp views.
+
+    Column pruning + predicate pushdown reach the parquet scan because
+    these are plain `spark.read.parquet` DataFrames — no caching or
+    materialization here.
+    """
+    # Defensive: callers (e.g. the verify driver) may pass a session we did
+    # not build. Timestamps must render/compare in UTC to agree with
+    # UTC-naive oracles; both confs are runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {}
+    for name in names:
+        if name == "events":
+            df = _read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _read_events(spark: SparkSession, sf_dir: str):
+    """events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's
+    timestamp type (micros). Read nanos as long and truncate to micros,
+    exactly matching DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) truncation
+    so oracle comparisons agree."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,119 @@
+"""Merge/load semantics as DataFrame algebra (reference K1-K12, SURVEY §2.2).
+
+The reference implements upsert as row-wise INSERT-with-retry-as-UPDATE
+(reference Wrap/DB.pm:389-401), update-then-insert (Wrap/DB.pm:355-383),
+delete-before-insert (Wrap/DB.pm:337-347) and partial-row "incremental"
+updates (Wrap/DB.pm:317-329) — all single-row literal SQL.  Here every one
+of them is a set-level relational rewrite that Catalyst can optimize and
+that commits atomically on write:
+
+    upsert(target, updates, keys)      ≡ MERGE WHEN MATCHED UPDATE
+                                               WHEN NOT MATCHED INSERT
+    delete_before_insert(t, repl, sel) ≡ DELETE WHERE sel; INSERT repl
+    delete_keys(target, keys_df)       ≡ MERGE WHEN MATCHED DELETE
+    update_keys(target, updates, keys) ≡ MERGE WHEN MATCHED UPDATE
+
+All are pure transformations: the caller materializes the result with a
+single atomic write (parquet/Delta overwrite, or JDBC staging + MERGE),
+which is the Spark-era equivalent of the reference's transaction bracket
+(Wrap/DB.pm:38-68).  At scale, `updates` is usually far smaller than
+`target`; these plans shuffle both sides only on the merge keys and AQE
+will broadcast the small side automatically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _key_cond(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> Column:
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (left[k] == right[k])
+    return cond
+
+
+def upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """MERGE: rows of `updates` replace matching `target` rows, else insert.
+
+    If `updates` carries duplicate keys, the caller should pre-dedupe
+    (the reference's ignoreDuplicateErrs, Wrap/DB.pm:403-411, maps to
+    dropDuplicates on the keys).
+    """
+    kept = target.join(updates.select(*keys), on=list(keys), how="left_anti")
+    return kept.unionByName(updates.select(*target.columns))
+
+
+def update_before_insert(target: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Reference's doUpdateBeforeInsert (Wrap/DB.pm:355-383).
+
+    Relationally identical to upsert — MERGE covers both statement orders —
+    kept as a named alias for API parity.
+    """
+    return upsert(target, updates, keys)
+
+
+def delete_before_insert(target: DataFrame, replacement: DataFrame, selector: Column) -> DataFrame:
+    """Delete target rows matching `selector`, then append `replacement`.
+
+    Reference fills the selector from the first data row once per distinct
+    selector (Wrap/DB.pm:337-347); the Spark-idiomatic form is partition
+    overwrite (`replaceWhere`) — this transformation is its logical plan.
+    """
+    return target.where(~F.coalesce(selector, F.lit(False))).unionByName(
+        replacement.select(*target.columns)
+    )
+
+
+def delete_keys(target: DataFrame, delete_df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """deleteFromDB (Wrap/DB.pm:423-450): anti-join on the key set."""
+    return target.join(delete_df.select(*keys).dropDuplicates(), on=list(keys), how="left_anti")
+
+
+def update_keys(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    incremental: bool = False,
+) -> DataFrame:
+    """updateInDB (Wrap/DB.pm:453-508): keyed UPDATE of non-key columns.
+
+    With incremental=True, NULL values in `updates` leave the target value
+    unchanged — the reference's incrementalStore partial-row semantics
+    (Wrap/DB.pm:317-329) — via per-column coalesce(update, existing).
+    """
+    value_cols = [c for c in target.columns if c not in keys]
+    upd = updates.select(*keys, *[F.col(c).alias(f"__u_{c}") for c in value_cols if c in updates.columns])
+    joined = target.join(upd, on=list(keys), how="left")
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for c in value_cols:
+        u = f"__u_{c}"
+        if u not in joined.columns:
+            out_cols.append(F.col(c))
+        elif incremental:
+            out_cols.append(F.coalesce(F.col(u), F.col(c)).alias(c))
+        else:
+            # matched rows take the update value (even NULL); unmatched keep
+            matched = F.lit(False)
+            for k in keys:
+                matched = matched | upd[k].isNotNull()
+            out_cols.append(F.when(F.col(u).isNotNull(), F.col(u)).otherwise(F.col(c)).alias(c))
+    return joined.select(*out_cols)
+
+
+def append_with_constant(df: DataFrame, name: str, value) -> DataFrame:
+    """addID constant column (reference Wrap/DB.pm:200-206)."""
+    return df.withColumn(name, F.lit(value))
+
+
+def drop_identity(df: DataFrame, identity_cols: Sequence[str]) -> DataFrame:
+    """Identity-column exclusion before insert (Wrap/DB.pm:209-217)."""
+    return df.drop(*[c for c in identity_cols if c in df.columns])
+
+
+def dedupe_for_load(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """ignoreDuplicateErrs (Wrap/DB.pm:403-411) → keep one row per key."""
+    return df.dropDuplicates(list(keys))
