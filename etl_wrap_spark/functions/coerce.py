@@ -1,0 +1,138 @@
+"""Type-coercion pipelines — the reference's load-time typing rules
+(reference Wrap/DB.pm:241-311, SURVEY §2.3 P7-P11) as Column expressions.
+
+The reference types data at load time from the target DB dictionary,
+branching per TYPE_NAME and massaging each scalar with Perl regexes.
+Here the same rules are declarative, codegen-friendly expressions a
+caller applies per target-schema column; they run inside the scan
+projection at any scale (no UDF, no driver loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_numerics(col: Column | str, thousandsep: str = ",", decimalsep: str = ".") -> Column:
+    """P2 (reference Wrap/File.pm:427-434): strip thousand separators and
+    normalize the decimal separator to '.', guarded by numeric-shape
+    regexes (incl. scientific notation) so non-numeric strings pass
+    through untouched."""
+    c = F.col(col) if isinstance(col, str) else col
+    ts, ds = "\\" + thousandsep, "\\" + decimalsep
+    num_shape = f"^[+-]?\\d{{1,3}}({ts}\\d{{3}})*({ds}\\d+)?([eE][+-]?\\d+)?$"
+    stripped = F.regexp_replace(c, ts, "")
+    plain_shape = f"^[+-]?\\d+({ds}\\d+)?([eE][+-]?\\d+)?$"
+    dot = F.regexp_replace(stripped, ds, ".")
+    return (
+        F.when(c.rlike(num_shape), dot)
+        .when(c.rlike(plain_shape), F.regexp_replace(c, ds, "."))
+        .otherwise(c)
+    )
+
+
+def coerce_number(col: Column | str) -> Column:
+    """P7 (reference Wrap/DB.pm:244-256): numeric-family load coercion.
+
+    - trailing '.0' tails collapse via cast
+    - SAP postfix minus: '123-' → '-123'
+    - '%' stripped
+    - 'N/A' and non-numeric → NULL
+    - subnormals (<1.79E-308 magnitude) → 0
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    c = F.trim(c)
+    c = F.when(c.rlike(r"^\d+(\.\d+)?-$"), F.concat(F.lit("-"), F.regexp_replace(c, "-$", ""))).otherwise(c)
+    c = F.regexp_replace(c, "%$", "")
+    d = c.try_cast("double")
+    tiny = (F.abs(d) < 1.79e-308) & (F.abs(d) > 0)
+    return F.when(tiny, F.lit(0.0)).otherwise(d)
+
+
+def coerce_bool(col: Column | str) -> Column:
+    """P8 (reference Wrap/DB.pm:258-262): WAHR/TRUE → true, FALSCH/FALSE →
+    false, 0/1 pass through, anything else NULL."""
+    c = F.upper(F.trim((F.col(col) if isinstance(col, str) else col).cast("string")))
+    return (
+        F.when(c.isin("WAHR", "TRUE", "1"), F.lit(True))
+        .when(c.isin("FALSCH", "FALSE", "0"), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def coerce_datetime(col: Column | str, cutoff_yr2000: int = 60) -> Column:
+    """P9 (reference Wrap/DB.pm:264-302): the 12-format date/time thicket →
+    TimestampType (the reference's ODBC canonical YYYY-MM-DD HH:MM:SS).
+
+    Accepted shapes, in the reference's precedence order:
+      DD.MM.YYYY [hh:mm[:ss]]          (German)
+      YYYYMMDDhhmmss                   (SAP; second 60 → 59, Wrap/DB.pm:271)
+      YYYYMMDD / YYYY.MM.DD / YYYY-MM-DD [hh:mm:ss]
+      DD.MM.YY (two-digit year, century via cutoff window, Wrap/DB.pm:279-285)
+      hh:mm[:ss] (bare time → 1900-01-01, Wrap/DB.pm:288-290)
+      zero dates 00000000 / 0.0.0000 → NULL (Wrap/DB.pm:286-287)
+    """
+    raw = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    # SAP second-60 fix before parsing
+    sap = F.when(
+        raw.rlike(r"^\d{14}$") & (F.substring(raw, 13, 2) == "60"),
+        F.concat(F.substring(raw, 1, 12), F.lit("59")),
+    ).otherwise(raw)
+    zero = sap.rlike(r"^0{8}$") | sap.rlike(r"^0\.0\.0{4}$") | (sap == "")
+    # two-digit year: expand century with the cutoff window
+    yy = F.regexp_extract(sap, r"^(\d{1,2})\.(\d{1,2})\.(\d{2})$", 3).try_cast("int")
+    century = F.when(yy >= cutoff_yr2000, F.lit(1900)).otherwise(F.lit(2000))
+    expanded = F.when(
+        sap.rlike(r"^\d{1,2}\.\d{1,2}\.\d{2}$"),
+        F.concat(
+            F.regexp_extract(sap, r"^(\d{1,2})\.(\d{1,2})\.(\d{2})$", 1),
+            F.lit("."),
+            F.regexp_extract(sap, r"^(\d{1,2})\.(\d{1,2})\.(\d{2})$", 2),
+            F.lit("."),
+            (century + yy).cast("string"),
+        ),
+    ).otherwise(sap)
+    baretime = F.when(
+        expanded.rlike(r"^\d{1,2}:\d{2}(:\d{2})?$"),
+        F.concat(F.lit("1900-01-01 "), expanded),
+    ).otherwise(expanded)
+    c = baretime
+    parsed = F.coalesce(
+        F.try_to_timestamp(c, F.lit("d.M.yyyy H:mm:ss")),
+        F.try_to_timestamp(c, F.lit("d.M.yyyy H:mm")),
+        F.try_to_timestamp(c, F.lit("d.M.yyyy")),
+        F.try_to_timestamp(c, F.lit("yyyyMMddHHmmss")),
+        F.try_to_timestamp(c, F.lit("yyyyMMdd")),
+        F.try_to_timestamp(c, F.lit("yyyy.MM.dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy.MM.dd")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd H:mm")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+    )
+    return F.when(zero, F.lit(None).cast("timestamp")).otherwise(parsed)
+
+
+def length_guard(col: Column | str, max_len: int) -> Column:
+    """P10 (reference Wrap/DB.pm:305-308): oversize string → error marker.
+    Returns a boolean 'violation' column; callers route violations to a
+    quarantine frame instead of aborting the whole load (the distributed
+    analogue of the reference's severity-2 abort)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) > max_len
+
+
+def strip_newlines(col: Column | str) -> Column:
+    """P11 newline sanitization (Wrap/DB.pm:309-310); quote doubling is
+    unnecessary under parameterized JDBC writes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"[\r\n]", "")
+
+
+def quarantine_split(df, violations: Column):
+    """P12 (Wrap/DB.pm:232-234): split a frame into (good, quarantined).
+    Both sides stay lazy; callers write them to separate sinks."""
+    flagged = df.withColumn("__viol", violations)
+    good = flagged.where(~F.col("__viol")).drop("__viol")
+    bad = flagged.where(F.col("__viol")).drop("__viol")
+    return good, bad

@@ -164,28 +164,27 @@ def is_nonworking_col(date: Column, cal: str) -> Column:
 
 # Longest possible run of consecutive non-working days across the supported
 # calendars is 4 (e.g. Christmas 24-26 + weekend); 10 offsets give a wide
-# safety margin. The roll is expressed as "first working day at offset k"
-# via coalesce — a LINEAR-size expression tree (a naive unrolled
-# while-loop would nest the candidate into itself and grow exponentially).
+# safety margin. The roll is a higher-order `filter` over the candidate
+# array so the (large) holiday expression appears exactly ONCE per roll —
+# an unrolled coalesce-of-candidates repeats it 11x and multiplies codegen
+# time by the roll width.
 _MAX_ROLL = 10
 
 
 def roll_forward_col(date: Column, cal: str) -> Column:
     """First working day at date+k (k = 0..N), i.e. advance while
     weekend/holiday."""
-    candidates = [
-        F.when(~is_nonworking_col(F.date_add(date, k), cal), F.date_add(date, k))
-        for k in range(_MAX_ROLL + 1)
-    ]
-    return F.coalesce(*candidates)
+    candidates = F.transform(
+        F.sequence(F.lit(0), F.lit(_MAX_ROLL)), lambda k: F.date_add(date, k)
+    )
+    return F.element_at(F.filter(candidates, lambda d: ~is_nonworking_col(d, cal)), 1)
 
 
 def roll_backward_col(date: Column, cal: str) -> Column:
-    candidates = [
-        F.when(~is_nonworking_col(F.date_sub(date, k), cal), F.date_sub(date, k))
-        for k in range(_MAX_ROLL + 1)
-    ]
-    return F.coalesce(*candidates)
+    candidates = F.transform(
+        F.sequence(F.lit(0), F.lit(_MAX_ROLL)), lambda k: F.date_sub(date, k)
+    )
+    return F.element_at(F.filter(candidates, lambda d: ~is_nonworking_col(d, cal)), 1)
 
 
 def add_days_hol_col(date: Column, days, cal: str = "AT") -> Column:
