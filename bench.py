@@ -33,6 +33,9 @@ HEADLINE = [
     "q10_rollup_priority",
     "q11_events_tumbling_hourly",
     "q12_events_sessionize",
+    "q23_minhash_lsh_neardup",
+    "q25_simhash",
+    "q26_ann_bruteforce",
 ]
 
 

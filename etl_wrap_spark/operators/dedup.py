@@ -1,0 +1,238 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash
+(SURVEY §7.1 M9).
+
+Scale design (the point of these over naive pairwise):
+- Exact dedup is one hash-groupBy — a single shuffle on the fingerprint.
+- Candidate generation never enumerates O(n²) pairs: n-gram Jaccard uses
+  a shingle inverted index (self-join on shingle), MinHash-LSH joins on
+  band buckets. Both shuffle on content-derived keys, so work scales
+  with the number of *colliding* pairs, not all pairs.
+- All hashes are md5-derived with constants baked at module import, so
+  an independent engine (the DuckDB oracle) reproduces results exactly.
+
+Pipeline shape at 100 TB: documents → shingle explode (flatMap, no
+shuffle) → minhash agg (one shuffle on doc_id, map-side partial mins) →
+band explode → band-bucket self-join (shuffle on small band keys) →
+exact verify on candidates only.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_wrap_spark.operators.text import fingerprint_md5, hash60, tokens
+
+# MinHash parameters: 32 hashes = 16 bands x 2 rows. With the universal
+# hash h_i(s) = (a_i * H28(s) + b_i) mod P over a 28-bit base hash,
+# products stay < 2^59 (exact in int64 on any engine).
+MINHASH_P = 2_147_483_647
+NUM_HASHES = 32
+BAND_ROWS = 2
+NUM_BANDS = NUM_HASHES // BAND_ROWS
+
+_rng = random.Random(20240813)
+MINHASH_AB: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_P) | 1, _rng.randrange(0, MINHASH_P)) for _ in range(NUM_HASHES)
+]
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct token n-gram shingles of the text → array<string>."""
+    t = tokens(col)
+    cnt = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    )
+
+
+def hash28(col: Column | str) -> Column:
+    """28-bit md5-based base hash (first 7 hex chars) — portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("bigint")
+
+
+def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded frame — the inverted-index building block."""
+    return df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+
+
+def minhash_signatures(sf: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{N-1} from a shingle frame.
+
+    One shuffle on `id_col`; the min aggregates combine map-side.
+    """
+    h = hash28("shingle")
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sf.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs agreeing on at least one LSH band → (id_a, id_b).
+
+    Bands explode to (band, key) rows; the self-join shuffles on the
+    band key — no all-pairs comparison ever happens.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                *[F.col(f"mh{j * BAND_ROWS + r}").alias(f"k{r}") for r in range(BAND_ROWS)],
+            )
+            for j in range(NUM_BANDS)
+        ]
+    )
+    keyed = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band", *[f"b.k{r}" for r in range(BAND_ROWS)]
+    )
+    left = keyed.select(F.col(id_col).alias("id_a"), "band", *[f"k{r}" for r in range(BAND_ROWS)])
+    right = keyed.select(F.col(id_col).alias("id_b"), "band", *[f"k{r}" for r in range(BAND_ROWS)])
+    on = ["band"] + [f"k{r}" for r in range(BAND_ROWS)]
+    return (
+        left.join(right, on=on)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs → (id_a, id_b, inter, uni).
+
+    Integer set sizes only (never a float division) so results are
+    engine-exact; callers filter e.g. 2*inter >= uni for J >= 0.5.
+    """
+    sets = df.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
+    a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).alias("uni"),
+        )
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num: int = 2, den: int = 1
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: shingle → signature →
+    band join → exact verify, keeping pairs with Jaccard >= den/num
+    (e.g. num=2, den=1 → J >= 0.5)."""
+    sf = shingle_frame(df, id_col, text_col, n)
+    sig = minhash_signatures(sf, id_col)
+    cands = lsh_candidate_pairs(sig, id_col)
+    verified = jaccard_verify(cands, df, id_col, text_col, n)
+    return verified.where(F.col("inter") * num >= F.col("uni") * den)
+
+
+def exact_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard via the shingle inverted index (no LSH, no
+    all-pairs): pairs sharing >=1 shingle → (id_a, id_b, inter, uni).
+
+    `max_df` drops shingles occurring in more than that many documents
+    before pairing — the standard guard against quadratic blowup on
+    boilerplate shingles at scale (documented recall tradeoff: a pair
+    sharing ONLY ultra-common shingles is missed).
+    """
+    sf = shingle_frame(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = sf.groupBy("shingle").agg(F.countDistinct(id_col).alias("df")).where(F.col("df") <= max_df)
+        sf = sf.join(keep.select("shingle"), on="shingle")
+    a = sf.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sf.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = df.select(F.col(id_col).alias("__id"), F.size(shingles(text_col, n)).alias("__n"))
+    return (
+        inter.join(sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a")), on="id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b")), on="id_b")
+        .select("id_a", "id_b", "inter", (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("uni"))
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: (fingerprint, n_copies, canonical_id) for
+    fingerprints occurring more than once. One shuffle on the hash."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("canonical_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+SIMHASH_BITS = 60  # 15 hex chars of md5 → exact int64 on every engine
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document over distinct tokens: bit j of the
+    signature is the sign of sum(+/-1 over tokens' hash bit j).
+
+    Explode + one aggregation shuffle; the 60 bit-sums combine map-side.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    h = hash60("tok")
+    sums = [
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3, band_bits: int = 15) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= `max_hamming`.
+
+    Candidate generation by band equality (pigeonhole: distance <= k
+    guarantees an identical band when bits are split into k+1 bands),
+    then exact popcount verify — same no-all-pairs structure as LSH.
+    """
+    nbands = SIMHASH_BITS // band_bits
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), j * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for j in range(nbands)
+        ]
+    )
+    keyed = sig.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
+        id_col, "simhash", "b.band", "b.key"
+    )
+    left = keyed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    right = keyed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    return (
+        left.join(right, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

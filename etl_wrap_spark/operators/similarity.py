@@ -1,0 +1,147 @@
+"""Embedding similarity search (SURVEY §7.1 M9): brute-force cosine
+top-k as the exact baseline, sign-LSH (random hyperplane) bucketing as
+the scale path, and embedding-cosine near-dup detection.
+
+Float determinism: the dot product / norms are generated as EXPLICIT
+left-associated term chains (e[1]*e[1] + e[2]*e[2] + ...), never a
+commutative SUM over exploded rows — IEEE double arithmetic in a fixed
+order is bit-identical across engines, so rankings (and the oracle
+comparison) are exact. Ranked outputs expose ids + integer ranks, not
+raw floats.
+
+Scale path: brute-force is O(|Q| x |C|) — correct but only for small
+query sets; `signlsh_topk` buckets the corpus by hyperplane signs so
+each query only scans its bucket (recall < 1, bounded by bucket
+granularity). At 100 TB the corpus side stays partitioned; the query
+side broadcasts.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DIM = 64
+
+# deterministic hyperplanes for sign-LSH, shared with the SQL oracle
+_rng = random.Random(47_2024)
+NUM_PLANES = 4
+PLANES: list[list[float]] = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)] for _ in range(NUM_PLANES)
+]
+
+
+def dot_expr(a: str, b: str, dim: int = DIM) -> Column:
+    """Explicit, order-fixed dot product of two array<float> columns."""
+    terms = None
+    for i in range(1, dim + 1):
+        t = F.element_at(F.col(a), i).cast("double") * F.element_at(F.col(b), i).cast("double")
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def norm_expr(a: str, dim: int = DIM) -> Column:
+    return F.sqrt(dot_expr(a, a, dim))
+
+
+def cosine_expr(a: str, b: str, dim: int = DIM) -> Column:
+    return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
+
+
+def plane_dot_expr(vec_col: str, plane: list[float]) -> Column:
+    """Dot of an embedding column with a constant hyperplane, same fixed
+    term order."""
+    terms = None
+    for i, w in enumerate(plane, start=1):
+        t = F.element_at(F.col(vec_col), i).cast("double") * F.lit(w)
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def bucket_expr(vec_col: str, planes: list[list[float]] = PLANES) -> Column:
+    """Sign-LSH bucket id: bit j set iff plane_j . v >= 0."""
+    acc = F.lit(0)
+    for j, p in enumerate(planes):
+        acc = acc + F.when(plane_dot_expr(vec_col, p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, id_q: str, id_c: str, vec: str, k: int
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, cos).
+
+    The query side is broadcast (small by contract); the corpus is never
+    shuffled — each partition scores its rows and the per-query top-k
+    reduces via the rank window on (query, cos desc)."""
+    q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv"))
+    c = corpus.select(F.col(id_c).alias("cid"), F.col(vec).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", cosine_expr("qv", "cv").alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def signlsh_topk(
+    queries: DataFrame, corpus: DataFrame, id_q: str, id_c: str, vec: str, k: int,
+    planes: list[list[float]] = PLANES,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's sign-LSH
+    bucket. Same output shape as brute_force_topk; recall depends on the
+    bucket resolution (2^num_planes buckets)."""
+    q = queries.select(
+        F.col(id_q).alias("qid"), F.col(vec).alias("qv"), bucket_expr(vec, planes).alias("bkt")
+    )
+    c = corpus.select(
+        F.col(id_c).alias("cid"), F.col(vec).alias("cv"), bucket_expr(vec, planes).alias("bkt")
+    )
+    scored = c.join(F.broadcast(q), on="bkt").select(
+        "qid", "cid", cosine_expr("qv", "cv").alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    df: DataFrame, id_col: str, vec: str, min_cos_bp: int = 9900,
+    planes: list[list[float]] = PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= min_cos_bp/10000), bucketed
+    by sign-LSH so only same-bucket pairs are compared. Near-identical
+    vectors agree on every hyperplane sign (recall loss only for pairs
+    straddling a plane)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"), bucket_expr(vec, planes).alias("bkt"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"), bucket_expr(vec, planes).alias("bkt"))
+    return (
+        a.join(b, on="bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr("va", "vb").alias("cos"))
+        .where(F.col("cos") * 10000 >= min_cos_bp)
+        .select("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------- SQL generation
+def dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    """The oracle-side mirror of dot_expr (DuckDB 1-based list index)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    )
+
+
+def plane_dot_sql(vec: str, plane: list[float]) -> str:
+    return " + ".join(
+        f"CAST({vec}[{i}] AS DOUBLE) * ({w!r})" for i, w in enumerate(plane, start=1)
+    )
+
+
+def bucket_sql(vec: str, planes: list[list[float]] = PLANES) -> str:
+    parts = [
+        f"(CASE WHEN {plane_dot_sql(vec, p)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(parts) + ")"

@@ -1,0 +1,141 @@
+"""Text analysis operators: tokenization, counting, quality scoring,
+language ID, fingerprinting (SURVEY §7.1 M9).
+
+All pure Column expressions — they run inside the scan projection with
+whole-stage codegen, so a quality-filter pass over 100 TB of documents
+is a single scan with no Python in the hot path.
+
+Determinism contract: every function here has an exactly-equivalent
+ANSI-SQL form (used by the oracle checks in queries_llm.py); hashes are
+md5-derived so independent engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    """Mean token length as an exact decimal (sum of lengths / count)."""
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    return (total.cast("decimal(18,6)") / F.size(t)).cast("decimal(18,6)")
+
+
+# A small English stopword core; callers pass their own lists for other
+# languages. Kept tiny and explicit so the oracle SQL can embed it.
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def stopword_hits(col: Column | str, stopwords=STOPWORDS_EN) -> Column:
+    """Number of tokens that are stopwords (multiset count)."""
+    t = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+
+
+def stopword_ratio_pct(col: Column | str, stopwords=STOPWORDS_EN) -> Column:
+    """Stopword ratio in basis points (integer 0..10000) — exact integer
+    arithmetic so distributed results hash identically to any oracle."""
+    return F.floor(F.lit(10000) * stopword_hits(col, stopwords) / token_count(col)).cast("bigint")
+
+
+def quality_flags(col: Column | str, min_tokens: int = 20, max_tokens: int = 10000) -> Column:
+    """Document quality classification (C4/Gopher-style structural rules,
+    reduced to what's decidable on opaque text): too-short, too-long,
+    low lexical diversity (<50% distinct tokens), no-stopword."""
+    t = tokens(col)
+    n = F.size(t)
+    distinct_ratio_bp = F.floor(F.lit(10000) * F.size(F.array_distinct(t)) / n).cast("bigint")
+    return F.concat_ws(
+        ",",
+        F.when(n < min_tokens, F.lit("too_short")),
+        F.when(n > max_tokens, F.lit("too_long")),
+        F.when(distinct_ratio_bp < 5000, F.lit("low_diversity")),
+        F.when(stopword_hits(col) == 0, F.lit("no_stopwords")),
+    )
+
+
+# --------------------------------------------------------------- language ID
+# Marker-token profiles (high-frequency function words) + a CJK character
+# test. This is the classic cheap n-gram/stopword heuristic: score each
+# language by marker hits, argmax with a fixed priority tiebreak.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "para"),
+}
+_LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    t = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        mk = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(mk, x)))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language: 'zh' if CJK characters present, else argmax of
+    marker-token hits (priority order en>de>fr>es on ties); 'und' when no
+    marker hits at all."""
+    c = _c(col)
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lg] for lg in _LANG_ORDER])
+    pred = F.lit("und")
+    for lg in reversed(_LANG_ORDER):  # earlier languages win ties
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return F.when(c.rlike("[\\u4e00-\\u9fff]"), F.lit("zh")).otherwise(pred)
+
+
+# ------------------------------------------------------------- fingerprints
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact-dup detection: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 hex of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def hash60(col: Column | str) -> Column:
+    """Deterministic 60-bit integer hash (first 15 hex chars of md5) —
+    portable across engines (DuckDB: CAST('0x'||substr(md5(x),1,15) AS
+    BIGINT))."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
+def rolling_fingerprint(col: Column | str, ngram: int = 8) -> Column:
+    """Content-defined document fingerprint: minimum 60-bit hash over the
+    token `ngram`-shingles (a 1-hash MinHash — robust to local edits,
+    unlike whole-text md5)."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - ngram, F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", F.slice(t, i + 1, ngram))  # noqa: E731
+    hashes = F.transform(idx, lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 15), 16, 10).cast("bigint"))
+    return F.array_min(hashes)

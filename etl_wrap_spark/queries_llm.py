@@ -1,7 +1,320 @@
-"""Queries exercising the LLM-data-pipeline extension operators
-(dedup, similarity search, text analysis) over documents/embeddings.
+"""Oracle-checked queries for the LLM-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing) over the
+documents/embeddings tables.
 
-Populated alongside etl_wrap_spark.operators.*.
+Oracle strategy: hashes are md5-derived (portable), float reductions are
+explicit left-associated term chains (IEEE-exact across engines), and
+set arithmetic stays in integers — so DuckDB reproduces the distributed
+results bit-for-bit. Large SQL (60-bit SimHash, 64-dim dot products) is
+*generated* from the same constants the Column expressions use.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_wrap_spark.catalog import register
+from etl_wrap_spark.operators import dedup, multimodal, similarity, text
+from etl_wrap_spark.session import load_tables
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SW = ", ".join(f"'{s}'" for s in text.STOPWORDS_EN)
+
+
+# ------------------------------------------------------------ text analysis
+@register(
+    "q20_text_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, {_TOKS} AS t, length(text) AS nchars FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(t)) AS total_tokens,
+           SUM(nchars) AS total_chars,
+           SUM(len(list_filter(t, x -> x IN ({_SW})))) AS stop_hits,
+           SUM(CASE WHEN len(t) < 50 THEN 1 ELSE 0 END) AS n_short
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q20_text_stats(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count("text")).alias("total_tokens"),
+            F.sum(text.char_count("text")).alias("total_chars"),
+            F.sum(text.stopword_hits("text")).alias("stop_hits"),
+            F.sum(F.when(text.token_count("text") < 50, 1).otherwise(0)).alias("n_short"),
+        )
+        .orderBy("source")
+    )
+
+
+_LANG_SCORE_SQL = {
+    lg: f"len(list_filter({_TOKS}, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+    for lg, ms in text.LANG_MARKERS.items()
+}
+_PRED_SQL = f"""
+    CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+         WHEN greatest({_LANG_SCORE_SQL['en']}, {_LANG_SCORE_SQL['de']}, {_LANG_SCORE_SQL['fr']}, {_LANG_SCORE_SQL['es']}) = 0 THEN 'und'
+         WHEN {_LANG_SCORE_SQL['en']} = greatest({_LANG_SCORE_SQL['en']}, {_LANG_SCORE_SQL['de']}, {_LANG_SCORE_SQL['fr']}, {_LANG_SCORE_SQL['es']}) THEN 'en'
+         WHEN {_LANG_SCORE_SQL['de']} = greatest({_LANG_SCORE_SQL['en']}, {_LANG_SCORE_SQL['de']}, {_LANG_SCORE_SQL['fr']}, {_LANG_SCORE_SQL['es']}) THEN 'de'
+         WHEN {_LANG_SCORE_SQL['fr']} = greatest({_LANG_SCORE_SQL['en']}, {_LANG_SCORE_SQL['de']}, {_LANG_SCORE_SQL['fr']}, {_LANG_SCORE_SQL['es']}) THEN 'fr'
+         ELSE 'es' END
+"""
+
+
+@register(
+    "q21_doc_quality",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, {_TOKS} AS t FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           CAST(floor(10000 * len(list_distinct(t)) / len(t)) AS BIGINT) AS distinct_bp,
+           CAST(floor(10000 * len(list_filter(t, x -> x IN ({_SW}))) / len(t)) AS BIGINT) AS stop_bp,
+           concat_ws(',',
+             CASE WHEN len(t) < 20 THEN 'too_short' END,
+             CASE WHEN len(t) > 10000 THEN 'too_long' END,
+             CASE WHEN CAST(floor(10000 * len(list_distinct(t)) / len(t)) AS BIGINT) < 5000 THEN 'low_diversity' END,
+             CASE WHEN len(list_filter(t, x -> x IN ({_SW}))) = 0 THEN 'no_stopwords' END
+           ) AS flags,
+           {_PRED_SQL} AS pred_lang
+    FROM d ORDER BY doc_id
+    """,
+)
+def q21_doc_quality(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = text.tokens("text")
+    n = F.size(toks)
+    distinct_bp = F.floor(F.lit(10000) * F.size(F.array_distinct(toks)) / n).cast("bigint")
+    return (
+        t["documents"]
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            text.token_count("text").alias("n_tokens"),
+            distinct_bp.alias("distinct_bp"),
+            text.stopword_ratio_pct("text").alias("stop_bp"),
+            text.quality_flags("text").alias("flags"),
+            text.lang_id("text").alias("pred_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------- exact dedup
+@register(
+    "q22_exact_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+    ), fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM corpus
+    )
+    SELECT fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    ORDER BY canonical_id
+    """,
+)
+def q22_exact_dedup(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 2 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.exact_duplicates(corpus, "doc_id", "text").orderBy("canonical_id")
+
+
+# ----------------------------------------------- n-gram Jaccard shared oracle
+_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT id_a, id_b, inter,
+             sa.n + sb.n - inter AS uni
+      FROM inter
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, inter, uni FROM sized
+    WHERE 2 * inter >= uni
+    ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------- MinHash-LSH
+@register("q23_minhash_lsh_neardup", oracle=_JACCARD_ORACLE)
+def q23_minhash_lsh_neardup(spark, sf_dir):
+    """LSH banding (16 bands x 2 rows over 32 MinHashes) generates the
+    candidates; exact Jaccard verifies. The oracle computes ground truth
+    directly — the planted near-dups sit at J>=0.98 with the next pair
+    below 0.14, so band-recall is 1 - 1e-22 at the J>=0.5 cut."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = dedup.near_dup_pairs_minhash(t["documents"], "doc_id", "text", n=3, num=2, den=1)
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), F.col("inter"), F.col("uni")
+    ).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------- exact inverted-index form
+@register("q24_ngram_jaccard_exact", oracle=_JACCARD_ORACLE)
+def q24_ngram_jaccard_exact(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = dedup.exact_jaccard_pairs(t["documents"], "doc_id", "text", n=3)
+    return pairs.where(2 * F.col("inter") >= F.col("uni")).select(
+        "id_a", "id_b", "inter", "uni"
+    ).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------------ SimHash
+def _simhash_oracle() -> str:
+    sums = ",\n             ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(dedup.SIMHASH_BITS)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+      FROM documents WHERE doc_id % 5 = 0
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+    ), s AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {recon} AS simhash FROM s ORDER BY doc_id
+    """
+
+
+@register("q25_simhash", oracle=_simhash_oracle())
+def q25_simhash(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].where(F.col("doc_id") % 5 == 0)
+    return dedup.simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ------------------------------------------------------- ANN: brute force
+def _ann_oracle(bucketed: bool) -> str:
+    dot = similarity.dot_sql("qv", "cv")
+    nq = similarity.dot_sql("qv", "qv")
+    nc = similarity.dot_sql("cv", "cv")
+    bucket_join = ""
+    if bucketed:
+        bq = similarity.bucket_sql("qv")
+        bc = similarity.bucket_sql("cv")
+        bucket_join = f"WHERE {bq} = {bc}"
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS cv, label AS cl FROM embeddings WHERE vec_id % 50 <> 0
+    ), scored AS (
+      SELECT qid, cid,
+             ({dot}) / (sqrt({nq}) * sqrt({nc})) AS cos,
+             CASE WHEN ql = cl THEN 1 ELSE 0 END AS same_label
+      FROM q, c {bucket_join}
+    ), ranked AS (
+      SELECT qid, cid, same_label,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, rank, cid, same_label FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+    """
+
+
+@register("q26_ann_bruteforce", oracle=_ann_oracle(bucketed=False))
+def q26_ann_bruteforce(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    topk = similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3)
+    ql = F.broadcast(q.select(F.col("vec_id").alias("qid"), F.col("label").alias("ql")))
+    cl = c.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl"))
+    return (
+        topk.join(ql, on="qid")
+        .join(cl, on="cid")
+        .select("qid", "rank", "cid", F.when(F.col("ql") == F.col("cl"), 1).otherwise(0).alias("same_label"))
+        .orderBy("qid", "rank")
+    )
+
+
+@register("q27_ann_signlsh", oracle=_ann_oracle(bucketed=True))
+def q27_ann_signlsh(spark, sf_dir):
+    """Scale path: only same-bucket (sign-LSH) pairs are scored. The
+    oracle replicates the identical bucketing, so this checks the
+    bucketed algorithm exactly (not its recall vs brute force)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    topk = similarity.signlsh_topk(q, c, "vec_id", "vec_id", "embedding", k=3)
+    ql = F.broadcast(q.select(F.col("vec_id").alias("qid"), F.col("label").alias("ql")))
+    cl = c.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl"))
+    return (
+        topk.join(ql, on="qid")
+        .join(cl, on="cid")
+        .select("qid", "rank", "cid", F.when(F.col("ql") == F.col("cl"), 1).otherwise(0).alias("same_label"))
+        .orderBy("qid", "rank")
+    )
+
+
+# -------------------------------------------------------- multimodal plumbing
+@register(
+    "q28_multimodal_plumbing",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) AS content_length,
+           sha256(text) AS sha256,
+           CAST((octet_length(CAST(text AS BLOB)) // 1000) // 10 + 1 AS BIGINT) AS n_frames,
+           16 AS feature_dim
+    FROM documents WHERE doc_id % 11 = 0 ORDER BY media_id
+    """,
+)
+def q28_multimodal_plumbing(spark, sf_dir):
+    """Binary-column pipeline: text → binary blob → typed media frame →
+    Arrow-batched mapInPandas decode (deterministic stub) + frame-sample
+    explode. Verifies schema, metadata derivation, and batch plumbing."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].where(F.col("doc_id") % 11 == 0)
+    media = multimodal.media_frame_from_binary(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("blob")), "doc_id", "blob", "image"
+    )
+    feats = multimodal.with_decoded_features(media, fake=True)
+    frames = multimodal.frame_sample_plan(media).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        feats.join(frames, on="media_id")
+        .select(
+            "media_id",
+            "content_length",
+            "sha256",
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            F.size("feature").alias("feature_dim"),
+        )
+        .orderBy("media_id")
+    )

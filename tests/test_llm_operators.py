@@ -1,0 +1,132 @@
+"""Unit tests for the LLM-pipeline operators (text / dedup / similarity /
+multimodal) on handwritten fixtures — the oracle-checked catalog queries
+cover the distributed paths; these pin the scalar semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_wrap_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (3, "completely different content with no overlap whatsoever here at all"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (5, "der hund ist nicht mit der katze und das ist gut"),
+        (6, "le chat est une petite merveille et la vie est belle pour les amis"),
+        (7, "el perro es una maravilla para los amigos y las familias por ahora"),
+        (8, "中文文本在这里"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_and_quality(spark, docs):
+    r = {
+        row["doc_id"]: row
+        for row in docs.select(
+            "doc_id",
+            text.token_count("text").alias("n"),
+            text.stopword_hits("text").alias("sw"),
+            text.quality_flags("text").alias("flags"),
+        ).collect()
+    }
+    assert r[1]["n"] == 14
+    assert r[1]["sw"] == 3  # 'the' x3
+    assert "too_short" in r[8]["flags"]
+
+
+def test_lang_id(spark, docs):
+    r = {row["doc_id"]: row["lang"] for row in docs.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert r[1] == "en"
+    assert r[5] == "de"
+    assert r[6] == "fr"
+    assert r[7] == "es"
+    assert r[8] == "zh"
+    assert r[3] == "und"  # no marker tokens at all
+
+
+def test_exact_duplicates(spark, docs):
+    dups = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(dups) == 1
+    assert dups[0]["n_copies"] == 2 and dups[0]["canonical_id"] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = dedup.near_dup_pairs_minhash(docs, "doc_id", "text", n=3, num=2, den=1)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # 1-token edit
+    assert (1, 4) in got  # exact dup
+    assert (2, 4) in got
+    assert not any(3 in p or 8 in p for p in got)
+
+
+def test_exact_jaccard_matches_python(spark, docs):
+    rows = docs.collect()
+
+    def sh(t):
+        tok = t.split()
+        return {" ".join(tok[i : i + 3]) for i in range(max(len(tok) - 2, 1))}
+
+    expected = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            sa, sb = sh(a["text"]), sh(b["text"])
+            if 2 * len(sa & sb) >= len(sa | sb):
+                expected.add((min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"])))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3)
+        .where(2 * F.col("inter") >= F.col("uni"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_simhash_near_pairs(spark, docs):
+    sig = dedup.simhash_signatures(docs, "doc_id", "text")
+    # short fixture docs flip ~8 bits on a 1-token edit; 5-bit bands give
+    # 12 bands → collision guaranteed for hamming <= 11
+    near = dedup.simhash_near_pairs(sig, "doc_id", max_hamming=8, band_bits=5)
+    got = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    assert (1, 4) in got  # identical text → hamming 0
+    assert (1, 2) in got  # 1-token edit → tiny hamming
+    assert (1, 3) not in got
+
+
+def test_simhash_identical_text_same_signature(spark, docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sig[1] == sig[4]
+    assert sig[1] != sig[3]
+
+
+def test_brute_force_topk_self_nearest(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    # corpus includes the queries themselves → rank-1 neighbor is self, cos ≈ 1
+    top = similarity.brute_force_topk(df.where("vec_id < 3"), df, "vec_id", "vec_id", "embedding", k=1)
+    for r in top.collect():
+        assert r["cid"] == r["qid"] and r["cos"] == pytest.approx(1.0)
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.range(4).select(F.col("id"), F.encode(F.concat(F.lit("payload-"), F.col("id")), "UTF-8").alias("blob"))
+    media = multimodal.media_frame_from_binary(df, "id", "blob", "image")
+    feats = multimodal.with_decoded_features(media, fake=True).collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["content_length"] == len(b"payload-0")
+    # deterministic: same content → same feature
+    again = multimodal.with_decoded_features(media, fake=True).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {r["media_id"]: r["feature"] for r in again}
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...", fake=False)
