@@ -1,0 +1,295 @@
+"""Minimal xlsx codec + readers/writer (SURVEY §2.1 S7-S12, §2.2 K14).
+
+The container has no Excel libraries, and xlsx is just a zip of XML —
+so this implements the subset the reference uses (string/number cells,
+shared strings, worksheet selection by name or 1-based index, declared
+date columns) in pure stdlib. The reference's semantics re-expressed:
+
+- header assertion (S10, Wrap/File.pm:163-165): declared header must
+  equal the header row
+- column projection (S11, format_headerColumns): selected sheet columns
+  by 1-based position
+- stop-on-empty (S12, format_stopOnEmptyValueColumn)
+- date columns (S9, format_dateColumns): Excel serial → YYYYMMDD
+
+Two ingestion paths:
+- `read_xlsx` — driver-side parse of one file → DataFrame (Excel files
+  are small by nature; same stance as the reference).
+- `read_xlsx_distributed` — many files: `binaryFile` source +
+  mapInPandas, each executor parsing whole files from Arrow batches.
+  This is the 100-TB-era shape: parallelism = file count.
+
+Legacy .xls (BIFF) is NOT implemented (no parser available here);
+`read_xls` raises NotImplementedError with the library to install.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import re
+import zipfile
+from collections.abc import Sequence
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+_NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+_REL_NS = {"r": "http://schemas.openxmlformats.org/package/2006/relationships"}
+_RID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+
+
+def _col_index(ref: str) -> int:
+    """'BC12' → 0-based column index."""
+    idx = 0
+    for ch in ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def _cell_value(cell: ET.Element, shared: list[str]) -> str:
+    t = cell.get("t", "n")
+    if t == "inlineStr":
+        node = cell.find("m:is/m:t", _NS)
+        return node.text or "" if node is not None else ""
+    v = cell.find("m:v", _NS)
+    if v is None or v.text is None:
+        return ""
+    if t == "s":
+        return shared[int(v.text)]
+    return v.text
+
+
+def parse_xlsx(data: bytes, worksheet: str | int | None = None) -> list[list[str]]:
+    """xlsx bytes → dense rows of strings (empty string for gaps).
+
+    `worksheet`: sheet name, 1-based index, or None (first sheet).
+    """
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in root.findall("m:si", _NS):
+            shared.append("".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")))
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rel_target = {rel.get("Id"): rel.get("Target") for rel in rels.findall("r:Relationship", _REL_NS)}
+    sheets = []
+    for sh in wb.findall("m:sheets/m:sheet", _NS):
+        target = rel_target[sh.get(_RID)]
+        if not target.startswith("/"):
+            target = "xl/" + target
+        sheets.append((sh.get("name"), target.lstrip("/")))
+    if worksheet is None:
+        _, target = sheets[0]
+    elif isinstance(worksheet, int):
+        _, target = sheets[worksheet - 1]
+    else:
+        matches = [t for n, t in sheets if n == worksheet]
+        if not matches:
+            raise ValueError(f"worksheet {worksheet!r} not found; have {[n for n, _ in sheets]}")
+        target = matches[0]
+    ws = ET.fromstring(zf.read(target))
+    rows: list[list[str]] = []
+    for row in ws.findall("m:sheetData/m:row", _NS):
+        cells: dict[int, str] = {}
+        for i, cell in enumerate(row.findall("m:c", _NS)):
+            ref = cell.get("r")
+            ci = _col_index(ref) if ref else i
+            cells[ci] = _cell_value(cell, shared)
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i, "") for i in range(width)])
+    width = max((len(r) for r in rows), default=0)
+    return [r + [""] * (width - len(r)) for r in rows]
+
+
+_EXCEL_EPOCH = _dt.date(1899, 12, 30)
+
+
+def excel_serial_to_yyyymmdd(value: str) -> str:
+    """S9: Excel date serial (possibly fractional) → YYYYMMDD; non-numeric
+    values pass through (mirrors convertEpochToYYYYMMDD usage,
+    Wrap/File.pm:207-210)."""
+    if not re.fullmatch(r"\d+(\.\d+)?", value or ""):
+        return value
+    return (_EXCEL_EPOCH + _dt.timedelta(days=int(float(value)))).strftime("%Y%m%d")
+
+
+def _shape_rows(
+    rows: list[list[str]],
+    header: Sequence[str] | None,
+    skip: int,
+    header_row: bool,
+    header_columns: Sequence[int] | None,
+    date_columns: Sequence[str] | None,
+    stop_on_empty_column: str | None,
+) -> tuple[list[str], list[list[str]]]:
+    rows = rows[skip:]
+    if header_row:
+        if not rows:
+            raise ValueError("no header row present")
+        actual = rows[0]
+        rows = rows[1:]
+        if header is not None and header_columns is None:
+            declared = list(header)
+            if [a.strip() for a in actual[: len(declared)]] != declared:
+                raise ValueError(f"header mismatch: sheet has {actual}, expected {declared}")
+    if header_columns is not None:
+        if header is None:
+            raise ValueError("header_columns requires a declared header")
+        rows = [[r[i - 1] if i - 1 < len(r) else "" for i in header_columns] for r in rows]
+        names = list(header)
+    else:
+        names = list(header) if header is not None else [f"col{i}" for i in range(len(rows[0]) if rows else 0)]
+    rows = [r[: len(names)] + [""] * (len(names) - len(r)) for r in rows]
+    if stop_on_empty_column is not None:
+        ci = names.index(stop_on_empty_column)
+        cut = len(rows)
+        for i, r in enumerate(rows):
+            if r[ci] == "":
+                cut = i
+                break
+        rows = rows[:cut]
+    if date_columns:
+        idx = [names.index(c) for c in date_columns if c in names]
+        rows = [[excel_serial_to_yyyymmdd(v) if i in idx else v for i, v in enumerate(r)] for r in rows]
+    return names, rows
+
+
+def read_xlsx(
+    spark: SparkSession,
+    path: str,
+    header: Sequence[str] | None = None,
+    worksheet: str | int | None = None,
+    skip: int = 0,
+    header_row: bool = True,
+    header_columns: Sequence[int] | None = None,
+    date_columns: Sequence[str] | None = None,
+    stop_on_empty_column: str | None = None,
+) -> DataFrame:
+    """S7 driver-side single-file read → all-string DataFrame."""
+    with open(path, "rb") as fh:
+        rows = parse_xlsx(fh.read(), worksheet)
+    names, shaped = _shape_rows(rows, header, skip, header_row, header_columns, date_columns, stop_on_empty_column)
+    schema = StructType([StructField(n, StringType()) for n in names])
+    return spark.createDataFrame(shaped, schema)
+
+
+def read_xlsx_distributed(
+    spark: SparkSession,
+    path_glob: str,
+    header: Sequence[str],
+    worksheet: str | int | None = None,
+    skip: int = 0,
+    header_row: bool = True,
+    header_columns: Sequence[int] | None = None,
+    date_columns: Sequence[str] | None = None,
+    stop_on_empty_column: str | None = None,
+) -> DataFrame:
+    """Many xlsx files in parallel: binaryFile scan + per-file parse in
+    executors (Arrow-batched). Adds a `_file` column."""
+    names = list(header)
+    schema = StructType([StructField("_file", StringType())] + [StructField(n, StringType()) for n in names])
+    binaries = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = parse_xlsx(bytes(content), worksheet)
+                _, shaped = _shape_rows(
+                    rows, names, skip, header_row, header_columns, date_columns, stop_on_empty_column
+                )
+                out.extend([path_, *r] for r in shaped)
+            yield pd.DataFrame(out, columns=["_file", *names])
+
+    return binaries.mapInPandas(parse_batches, schema=schema)
+
+
+def read_xls(*_args, **_kwargs):
+    """S8: legacy BIFF .xls — requires xlrd (not in this environment)."""
+    raise NotImplementedError(
+        "legacy .xls (BIFF) parsing requires the xlrd library, which is not "
+        "available here; convert to .xlsx or install xlrd and use "
+        "pandas.read_excel in place of parse_xlsx"
+    )
+
+
+# ----------------------------------------------------------------- writer K14
+def write_xlsx_bytes(header: Sequence[str], rows: list[Sequence[str]], sheet_name: str = "Sheet1") -> bytes:
+    """Rows → minimal xlsx (inline strings, one sheet). Round-trips
+    through parse_xlsx."""
+
+    def esc(s: str) -> str:
+        return (
+            str(s)
+            .replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    def row_xml(r_idx: int, cells: Sequence[str]) -> str:
+        cs = "".join(
+            f'<c t="inlineStr"><is><t xml:space="preserve">{esc(v)}</t></is></c>' for v in cells
+        )
+        return f'<row r="{r_idx}">{cs}</row>'
+
+    sheet_rows = [row_xml(1, header)] + [row_xml(i + 2, r) for i, r in enumerate(rows)]
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_NS["m"]}"><sheetData>{"".join(sheet_rows)}</sheetData></worksheet>'
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_NS["m"]}" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{esc(sheet_name)}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def write_xlsx(df: DataFrame, path: str, columns: Sequence[str], sheet_name: str = "Sheet1") -> None:
+    """K14: DataFrame → one xlsx file (driver-side materialization — the
+    format itself is single-file; same stance as the reference)."""
+    rows = [[("" if row[c] is None else str(row[c])) for c in columns] for row in df.select(*columns).collect()]
+    with open(path, "wb") as fh:
+        fh.write(write_xlsx_bytes(columns, rows, sheet_name))
