@@ -1,0 +1,136 @@
+"""Streaming ingest + windowed aggregation (SURVEY §2.9, M9).
+
+Design notes for scale:
+- The file stream checkpoints processed-file state — this SUBSUMES the
+  reference's markProcessed ledger (Wrap.pm:429-449): exactly-once file
+  handling with no bespoke bookkeeping.
+- `Trigger.AvailableNow` gives batch-equivalent semantics (drain
+  what's there, then stop) — the reference's retry-until-plannedUntil
+  loop without the polling (Wrap.pm:604-631).
+- Watermarks bound state for late events; window state lives in the
+  state store, partitioned by group key — no driver accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    sep: str = "\t",
+    header: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming equivalent of the reference's directory-polling pickup
+    (getLocalFiles + retry loop): new files in `path` become micro-batch
+    input; checkpointing remembers what was processed."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(path)
+
+
+def read_parquet_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming form of
+    catalog q11 (same plan shape; readStream swaps in for read)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        # group on the window STRUCT itself — projecting .start inside the
+        # groupBy severs the watermark association and append mode rejects
+        # the aggregation as unwatermarked
+        .groupBy(F.window(ts_col, window), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), key_col, "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """True streaming sessionization via session_window (state-store
+    backed; the batch catalog q12 is the lag/cumsum equivalent)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            user_col,
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str, fmt: str = "parquet") -> None:
+    """Drain all available input once (batch-equivalent trigger), writing
+    append-mode output; returns after the drain completes."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch(stream_df: DataFrame, checkpoint: str, fn, mode: str = "update"):
+    """Custom-sink bracket: `fn(batch_df, batch_id)` per micro-batch —
+    the idiomatic home for MERGE-style upserts of windowed aggregates."""
+    return (
+        stream_df.writeStream.foreachBatch(fn)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

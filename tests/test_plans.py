@@ -1,0 +1,129 @@
+"""Tests for the config cascade and runner state machine (no Spark)."""
+
+import datetime as dt
+
+import pytest
+
+from etl_wrap_spark.plans.config import (
+    ConfigError,
+    parse_cli_overrides,
+    setup_config_merge,
+    validate,
+)
+from etl_wrap_spark.plans.runner import (
+    ProcessedLedger,
+    RetryPolicy,
+    RunReport,
+    check_files,
+    run_with_retry,
+    should_start,
+)
+
+
+def test_cascade_precedence():
+    site = {"process": {"retrySeconds": 60}, "DB": {"schemaName": "dbo"}}
+    common = {"DB": {"table": "t_common"}}
+    loads = [{"DB": {"table": "t_load"}}, {"File": {"filename": "f.csv"}}]
+    final = setup_config_merge(site, common, loads, ["--load1DB", "table=t_cli"])
+    assert final[0]["DB"]["table"] == "t_load"  # load wins over common
+    assert final[0]["DB"]["schemaName"] == "dbo"  # site survives
+    assert final[1]["DB"]["table"] == "t_cli"  # CLI wins over everything
+    assert final[0]["process"]["retrySeconds"] == 60
+
+
+def test_validation_rejects_unknown_and_mistyped():
+    with pytest.raises(ConfigError, match="unknown key"):
+        validate({"DB": {"nosuchkey": 1}})
+    with pytest.raises(ConfigError, match="expects"):
+        validate({"process": {"retrySeconds": "sixty"}})
+    with pytest.raises(ConfigError, match="unknown config namespace"):
+        validate({"Nope": {}})
+
+
+def test_cli_parse():
+    common, per_load = parse_cli_overrides(
+        ["--DB", "table=x", "--load2File", "format_skip=3", "--process", "interactive=true"]
+    )
+    assert common == {"DB": {"table": "x"}, "process": {"interactive": True}}
+    assert per_load == {2: {"File": {"format_skip": 3}}}
+
+
+def test_should_start_gates():
+    sat = dt.date(2024, 1, 6)
+    assert should_start(sat) is True
+    assert should_start(sat, skip_weekends=True) is False
+    xmas = dt.date(2024, 12, 25)
+    assert should_start(xmas, skip_holidays="AT") is False
+    assert should_start(dt.date(2024, 12, 27), skip_holidays="AT") is True
+    # first business day of Jan 2024 under AT calendar: Jan 1 is a holiday,
+    # so Jan 2 is the first business date
+    assert should_start(dt.date(2024, 1, 2), skip_for_first_business_date="AT") is True
+    assert should_start(dt.date(2024, 1, 3), skip_for_first_business_date="AT") is False
+
+
+def test_retry_until_success():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("boom")
+
+    fake_now = [dt.datetime(2024, 1, 1, 10, 0, 0)]
+
+    def now():
+        return fake_now[0]
+
+    def sleep(s):
+        fake_now[0] += dt.timedelta(seconds=s)
+
+    rep = run_with_retry(flaky, RetryPolicy(retry_seconds=60, planned_until="1200"), now, sleep)
+    assert rep.succeeded and rep.attempts == 3 and len(rep.errors) == 2
+
+
+def test_retry_deadline():
+    def always_fail():
+        raise RuntimeError("nope")
+
+    fake_now = [dt.datetime(2024, 1, 1, 11, 58, 0)]
+
+    def now():
+        return fake_now[0]
+
+    def sleep(s):
+        fake_now[0] += dt.timedelta(seconds=s)
+
+    rep = run_with_retry(always_fail, RetryPolicy(retry_seconds=60, planned_until="1200"), now, sleep)
+    assert not rep.succeeded
+    # 11:58, 11:59 and the 12:00 boundary minute run; 12:01 would exceed
+    assert rep.attempts == 3
+
+
+def test_ledger(tmp_path):
+    f1, f2 = tmp_path / "a.csv", tmp_path / "b.csv"
+    f1.write_text("1")
+    f2.write_text("2")
+    led = ProcessedLedger(str(tmp_path / "ledger.jsonl"))
+    assert sorted(led.unprocessed([str(f1), str(f2)])) == sorted([str(f1), str(f2)])
+    led.mark([str(f1)])
+    assert led.unprocessed([str(f1), str(f2)]) == [str(f2)]
+    # reload from disk → state survives (idempotence across runs)
+    led2 = ProcessedLedger(str(tmp_path / "ledger.jsonl"))
+    assert led2.unprocessed([str(f1)]) == []
+    # modified file counts as new again
+    f1.write_text("1-changed")
+    assert led2.unprocessed([str(f1)]) == [str(f1)]
+
+
+def test_check_files(tmp_path):
+    present = tmp_path / "ok.csv"
+    present.write_text("x")
+    missing = str(tmp_path / "gone.csv")
+    assert check_files([str(present)]) == [str(present)]
+    with pytest.raises(FileNotFoundError):
+        check_files([str(present), missing])
+    assert check_files([str(present), missing], optional={missing}) == [str(present)]
+
+
+def test_run_report_shape():
+    assert RunReport().attempts == 0

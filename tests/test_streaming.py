@@ -1,0 +1,118 @@
+"""Streaming ingest tests: availableNow drain equivalence vs batch, and
+incremental pickup of late-arriving files (the reference's retry-loop
+semantics, checkpoint-subsumed)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from etl_wrap_spark.streaming import ingest
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", IntegerType()),
+        StructField("user_id", IntegerType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _write_events_csv(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("".join(f"{r[0]}\t{r[1]}\t{r[2]}\t{r[3]}\t{r[4]}\n" for r in rows))
+
+
+@pytest.fixture()
+def event_dir(tmp_path):
+    d = tmp_path / "in"
+    _write_events_csv(
+        d / "batch1.csv",
+        [
+            (1, 10, "click", "1.5", "2024-01-01 10:05:00"),
+            (2, 10, "click", "2.0", "2024-01-01 10:20:00"),
+            (3, 11, "view", "0.5", "2024-01-01 11:05:00"),
+        ],
+    )
+    return d
+
+
+def test_available_now_drain_matches_batch(spark, tmp_path, event_dir):
+    stream = ingest.read_csv_stream(spark, str(event_dir), SCHEMA)
+    agg = ingest.tumbling_counts(stream)
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", str(ck))
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    batch = ingest.tumbling_counts(
+        spark.read.schema(SCHEMA).option("sep", "\t").csv(str(event_dir))
+    )
+    # append mode only emits windows the watermark has closed; every
+    # emitted row must match the batch computation exactly
+    emitted = got.collect()
+    batch_rows = {(r["window_start"], r["event_type"]): r for r in batch.collect()}
+    for r in emitted:
+        b = batch_rows[(r["window_start"], r["event_type"])]
+        assert r["n_events"] == b["n_events"] and r["total_value"] == b["total_value"]
+
+
+def test_incremental_file_pickup(spark, tmp_path, event_dir):
+    """Second drain after a new file lands processes ONLY the new data —
+    checkpoint state subsumes the reference's processed-file ledger."""
+    out = tmp_path / "out2"
+    ck = tmp_path / "ck2"
+    stream = ingest.read_csv_stream(spark, str(event_dir), SCHEMA)
+    plain = stream.select("event_id", "user_id", "event_type")
+    ingest.run_available_now(plain, str(ck), str(out))
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 == 3
+    _write_events_csv(event_dir / "batch2.csv", [(4, 12, "click", "9.0", "2024-01-01 12:00:00")])
+    stream2 = ingest.read_csv_stream(spark, str(event_dir), SCHEMA)
+    ingest.run_available_now(stream2.select("event_id", "user_id", "event_type"), str(ck), str(out))
+    ids = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
+    assert ids == [1, 2, 3, 4]  # no reprocessing of batch1
+
+
+def test_session_window_stream(spark, tmp_path, event_dir):
+    _write_events_csv(
+        event_dir / "batch3.csv",
+        [
+            (5, 20, "click", "1.0", "2024-01-01 09:00:00"),
+            (6, 20, "click", "1.0", "2024-01-01 09:10:00"),  # same session (gap 10m)
+            (7, 20, "click", "1.0", "2024-01-01 10:30:00"),  # new session (gap 80m)
+            # sentinel far in the future: advances the watermark past the
+            # sessions above so append mode emits them in this drain
+            (8, 99, "click", "1.0", "2024-01-01 23:00:00"),
+        ],
+    )
+    stream = ingest.read_csv_stream(spark, str(event_dir), SCHEMA)
+    sess = ingest.session_windows(stream, gap="30 minutes")
+    ck = tmp_path / "ck3"
+    out = tmp_path / "out3"
+    q = (
+        sess.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", str(ck))
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r for r in spark.read.parquet(str(out)).collect() if r["user_id"] == 20]
+    # user 20: two sessions — (09:00-09:10+gap, 2 events) and (10:30, 1 event)
+    assert sorted(r["n_events"] for r in rows) == [1, 2]
