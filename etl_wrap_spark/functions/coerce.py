@@ -73,44 +73,48 @@ def coerce_datetime(col: Column | str, cutoff_yr2000: int = 60) -> Column:
       hh:mm[:ss] (bare time → 1900-01-01, Wrap/DB.pm:288-290)
       zero dates 00000000 / 0.0.0000 → NULL (Wrap/DB.pm:286-287)
     """
-    raw = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
-    # SAP second-60 fix before parsing
-    sap = F.when(
-        raw.rlike(r"^\d{14}$") & (F.substring(raw, 13, 2) == "60"),
-        F.concat(F.substring(raw, 1, 12), F.lit("59")),
-    ).otherwise(raw)
-    zero = sap.rlike(r"^0{8}$") | sap.rlike(r"^0\.0\.0{4}$") | (sap == "")
-    # two-digit year: expand century with the cutoff window
-    yy = F.regexp_extract(sap, r"^(\d{1,2})\.(\d{1,2})\.(\d{2})$", 3).try_cast("int")
-    century = F.when(yy >= cutoff_yr2000, F.lit(1900)).otherwise(F.lit(2000))
-    expanded = F.when(
-        sap.rlike(r"^\d{1,2}\.\d{1,2}\.\d{2}$"),
-        F.concat(
-            F.regexp_extract(sap, r"^(\d{1,2})\.(\d{1,2})\.(\d{2})$", 1),
-            F.lit("."),
-            F.regexp_extract(sap, r"^(\d{1,2})\.(\d{1,2})\.(\d{2})$", 2),
-            F.lit("."),
-            (century + yy).cast("string"),
-        ),
-    ).otherwise(sap)
-    baretime = F.when(
-        expanded.rlike(r"^\d{1,2}:\d{2}(:\d{2})?$"),
-        F.concat(F.lit("1900-01-01 "), expanded),
-    ).otherwise(expanded)
-    c = baretime
-    parsed = F.coalesce(
-        F.try_to_timestamp(c, F.lit("d.M.yyyy H:mm:ss")),
-        F.try_to_timestamp(c, F.lit("d.M.yyyy H:mm")),
-        F.try_to_timestamp(c, F.lit("d.M.yyyy")),
-        F.try_to_timestamp(c, F.lit("yyyyMMddHHmmss")),
-        F.try_to_timestamp(c, F.lit("yyyyMMdd")),
-        F.try_to_timestamp(c, F.lit("yyyy.MM.dd HH:mm:ss")),
-        F.try_to_timestamp(c, F.lit("yyyy.MM.dd")),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd H:mm")),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+    # Shape-classify FIRST, then parse each shape with exactly one
+    # formatter. A coalesce-of-10-parsers over a shared preprocessing
+    # subtree replicates that subtree into every branch (Catalyst does
+    # not CSE across try_to_timestamp args) — the expression grew past
+    # janino's 64 KB codegen limit and fell back to interpretation.
+    # The classified when-chain keeps the tree linear and codegen-able.
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    ts = lambda x, fmt: F.try_to_timestamp(x, F.lit(fmt))  # noqa: E731
+    yy = F.substring(c, 7, 2).try_cast("int")  # dd.mm.YY position
+    century = F.when(yy >= cutoff_yr2000, F.lit("19")).otherwise(F.lit("20"))
+    return (
+        # zero dates → NULL (Wrap/DB.pm:286-287)
+        F.when(c.rlike(r"^0{8}$") | c.rlike(r"^0\.0\.0{4}$") | (c == ""), F.lit(None).cast("timestamp"))
+        # German day-first, optional time
+        .when(c.rlike(r"^\d{1,2}\.\d{1,2}\.\d{4} \d{1,2}:\d{2}:\d{2}$"), ts(c, "d.M.yyyy H:mm:ss"))
+        .when(c.rlike(r"^\d{1,2}\.\d{1,2}\.\d{4} \d{1,2}:\d{2}$"), ts(c, "d.M.yyyy H:mm"))
+        .when(c.rlike(r"^\d{1,2}\.\d{1,2}\.\d{4}$"), ts(c, "d.M.yyyy"))
+        # two-digit year with century window (Wrap/DB.pm:279-285)
+        .when(
+            c.rlike(r"^\d{2}\.\d{2}\.\d{2}$"),
+            ts(F.concat(F.substring(c, 1, 6), century, F.substring(c, 7, 2)), "dd.MM.yyyy"),
+        )
+        # SAP 14-digit, second 60 → 59 (Wrap/DB.pm:271)
+        .when(
+            c.rlike(r"^\d{12}60$"),
+            ts(F.concat(F.substring(c, 1, 12), F.lit("59")), "yyyyMMddHHmmss"),
+        )
+        .when(c.rlike(r"^\d{14}$"), ts(c, "yyyyMMddHHmmss"))
+        .when(c.rlike(r"^\d{8}$"), ts(c, "yyyyMMdd"))
+        .when(c.rlike(r"^\d{4}\.\d{2}\.\d{2} \d{2}:\d{2}:\d{2}$"), ts(c, "yyyy.MM.dd HH:mm:ss"))
+        .when(c.rlike(r"^\d{4}\.\d{2}\.\d{2}$"), ts(c, "yyyy.MM.dd"))
+        .when(c.rlike(r"^\d{4}-\d{2}-\d{2} \d{1,2}:\d{2}:\d{2}$"), ts(c, "yyyy-MM-dd H:mm:ss"))
+        .when(c.rlike(r"^\d{4}-\d{2}-\d{2} \d{1,2}:\d{2}$"), ts(c, "yyyy-MM-dd H:mm"))
+        .when(c.rlike(r"^\d{4}-\d{2}-\d{2}$"), ts(c, "yyyy-MM-dd"))
+        # bare time → 1900-01-01 (Wrap/DB.pm:288-290)
+        .when(
+            c.rlike(r"^\d{1,2}:\d{2}:\d{2}$"),
+            ts(F.concat(F.lit("1900-01-01 "), c), "yyyy-MM-dd H:mm:ss"),
+        )
+        .when(c.rlike(r"^\d{1,2}:\d{2}$"), ts(F.concat(F.lit("1900-01-01 "), c), "yyyy-MM-dd H:mm"))
+        .otherwise(F.lit(None).cast("timestamp"))
     )
-    return F.when(zero, F.lit(None).cast("timestamp")).otherwise(parsed)
 
 
 def length_guard(col: Column | str, max_len: int) -> Column:
