@@ -35,12 +35,16 @@ PLANES: list[list[float]] = [
 
 
 def dot_expr(a: str, b: str, dim: int = DIM) -> Column:
-    """Explicit, order-fixed dot product of two array<float> columns."""
-    terms = None
-    for i in range(1, dim + 1):
-        t = F.element_at(F.col(a), i).cast("double") * F.element_at(F.col(b), i).cast("double")
-        terms = t if terms is None else terms + t
-    return terms
+    """Order-fixed dot product of two array<float> columns.
+
+    Implemented with zip_with + a left-fold aggregate: the fold order is
+    the element order, and the 0.0 seed is exact under IEEE addition, so
+    the result is bit-identical to the oracle's explicit
+    a[1]*b[1] + a[2]*b[2] + ... chain — while keeping the expression
+    tree O(1) instead of O(dim) (64-term chains pushed whole-stage
+    codegen past janino's method limit when combined into cosines)."""
+    prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)
 
 
 def norm_expr(a: str, dim: int = DIM) -> Column:
@@ -53,12 +57,10 @@ def cosine_expr(a: str, b: str, dim: int = DIM) -> Column:
 
 def plane_dot_expr(vec_col: str, plane: list[float]) -> Column:
     """Dot of an embedding column with a constant hyperplane, same fixed
-    term order."""
-    terms = None
-    for i, w in enumerate(plane, start=1):
-        t = F.element_at(F.col(vec_col), i).cast("double") * F.lit(w)
-        terms = t if terms is None else terms + t
-    return terms
+    fold order as dot_expr."""
+    planes = F.array(*[F.lit(w) for w in plane])
+    prods = F.zip_with(F.col(vec_col), planes, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)
 
 
 def bucket_expr(vec_col: str, planes: list[list[float]] = PLANES) -> Column:
