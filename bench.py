@@ -36,6 +36,7 @@ HEADLINE = [
     "q23_minhash_lsh_neardup",
     "q25_simhash",
     "q26_ann_bruteforce",
+    "q29_asof_join",
 ]
 
 

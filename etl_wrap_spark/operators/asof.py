@@ -1,0 +1,78 @@
+"""As-of (point-in-time) join — an operator Spark's DataFrame API lacks
+(SURVEY §4.2 'custom operators'): for each left row, attach the latest
+right row with right_ts <= left_ts per key.
+
+Scalable implementation (no range cross-join, no per-key loop): tag and
+UNION both sides, then one window pass ordered by (key, ts) carries the
+most recent right-side payload forward onto each left row — a single
+shuffle on the key, linear work, no pair enumeration. This is the
+standard distributed as-of pattern (pandas merge_asof semantics,
+direction='backward', allow_exact_matches=True).
+
+Right-side ties on (key, ts) must be resolved by the caller (e.g.
+dedupe to the max sequence per timestamp) — like merge_asof, the
+operator requires a unique right frame per (key, ts) for deterministic
+output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join (latest right at-or-before each left row).
+
+    Returns every left row with `right_payload` columns (default: all
+    non-key, non-ts right columns) from the matched right row, NULL when
+    no right row precedes it.
+    """
+    on = list(on)
+    payload = (
+        list(right_payload)
+        if right_payload is not None
+        else [c for c in right.columns if c not in on and c != right_ts]
+    )
+    out_payload = [f"{c}{suffix}" if c in left.columns else c for c in payload]
+    payload_schema = right.select(*payload).schema
+    # tagged union: right rows sort BEFORE left rows at the same ts so
+    # exact matches are visible to them (allow_exact_matches=True).
+    # The payload is carried as ONE struct — a right row whose payload
+    # members are NULL still counts as the match (per-column carries
+    # would incorrectly reach further back for the null members).
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(  # noqa: E741
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_schema).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l).withColumn("__match", F.last("__p", ignorenulls=True).over(w))
+    return carried.where(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__match").getField(c).alias(out_c) for c, out_c in zip(payload, out_payload)],
+    )

@@ -413,3 +413,117 @@ def q12_events_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "sess_id")
     )
+
+
+# ------------------------------------------------- as-of join (custom op)
+# Spark has no as-of join; operators/asof.py implements the scalable
+# union+window form. Oracle: DuckDB's native ASOF LEFT JOIN.
+@register(
+    "q29_asof_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(value AS DECIMAL(18,4)) AS value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rk
+        FROM e WHERE event_type = 'purchase'
+      ) WHERE rk = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def q29_asof_join(spark, sf_dir):
+    from etl_wrap_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].withColumn("value", F.col("value").cast("decimal(18,4)"))
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rk", F.row_number().over(wdedup))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("ts").alias("pts"), "value")
+    )
+    joined = asof_join(clicks, purch, on=["user_id"], left_ts="ts", right_ts="pts",
+                       right_payload=["pts", "value"])
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("pts").alias("purchase_ts"), F.col("value").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+# ------------------------------- scalar-agg subquery join (TPC-H Q17 shape)
+# 'small-quantity' lineitems: qty below 20% of the part's average.
+# Division-free predicate (5*qty*count < sum) keeps decimals exact.
+@register(
+    "q30_small_qty_parts",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_price
+    FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * p.cnt < p.sum_qty
+    """,
+)
+def q30_small_qty_parts(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(per_part), on="l_partkey")
+        .where(F.col("l_quantity").cast("decimal(18,4)") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total_price"),
+        )
+    )
+
+
+# ------------------------------------------------------- non-equi band join
+@register(
+    "q31_price_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0, 930), ('mid', 930, 970), ('high', 970, 100000)
+    )
+    SELECT b.band, COUNT(p.p_partkey) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_retail
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def q31_price_band_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["part"])
+    bands = t["part"].sparkSession.createDataFrame(
+        [("low", 0, 930), ("mid", 930, 970), ("high", 970, 100000)], ["band", "lo", "hi"]
+    )
+    return (
+        t["part"]
+        .join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("p_partkey").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total_retail"),
+        )
+        .orderBy("band")
+    )

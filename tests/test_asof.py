@@ -1,0 +1,40 @@
+"""Unit tests for the as-of join operator (merge_asof backward
+semantics: latest right at-or-before each left row, per key)."""
+
+from etl_wrap_spark.operators.asof import asof_join
+
+
+def _run(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, ["k", "lt", "lval"])
+    right = spark.createDataFrame(right_rows, ["k", "rt", "rval"])
+    out = asof_join(left, right, on=["k"], left_ts="lt", right_ts="rt", right_payload=["rt", "rval"])
+    return {(r["k"], r["lt"]): (r["rt"], r["rval"]) for r in out.collect()}
+
+
+def test_backward_match_and_no_match(spark):
+    got = _run(
+        spark,
+        [(1, 10, "a"), (1, 2, "b"), (2, 5, "c")],
+        [(1, 3, "x"), (1, 7, "y"), (2, 9, "z")],
+    )
+    assert got[(1, 10)] == (7, "y")  # latest at-or-before 10
+    assert got[(1, 2)] == (None, None)  # nothing before 2
+    assert got[(2, 5)] == (None, None)  # right row is after
+
+
+def test_exact_match_included(spark):
+    got = _run(spark, [(1, 7, "a")], [(1, 7, "x"), (1, 5, "w")])
+    assert got[(1, 7)] == (7, "x")
+
+
+def test_null_payload_still_matches(spark):
+    # a right row with NULL payload members IS the match — it must not be
+    # skipped in favor of an older non-null row
+    got = _run(spark, [(1, 10, "a")], [(1, 8, None), (1, 3, "old")])
+    assert got[(1, 10)] == (8, None)
+
+
+def test_all_left_rows_survive(spark):
+    left = [(i % 3, i, f"v{i}") for i in range(30)]
+    right = [(0, 5, "r")]
+    assert len(_run(spark, left, right)) == 30

@@ -127,3 +127,14 @@ def test_check_files(tmp_path):
 
 def test_run_report_shape():
     assert RunReport().attempts == 0
+
+
+def test_sql_render_and_execs():
+    from etl_wrap_spark.sql import render, sql_literal
+
+    assert sql_literal(None) == "NULL"
+    assert sql_literal("O'Brien") == "'O''Brien'"
+    assert sql_literal(True) == "TRUE"
+    assert render("DELETE FROM t WHERE d = :dt AND n > :n", {"dt": "2024-01-01", "n": 5}) == (
+        "DELETE FROM t WHERE d = '2024-01-01' AND n > 5"
+    )
