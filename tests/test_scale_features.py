@@ -1,0 +1,124 @@
+"""Tests for the scale-path features: stateful streaming, salted joins,
+partitioned/bucketed sinks (incl. plan-level pruning assertions)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from etl_wrap_spark.operators import skew
+from etl_wrap_spark.sinks import parquet as pq
+from etl_wrap_spark.streaming import stateful
+
+EV_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _write_ev(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("".join(f"{u}\t{v}\t{t}\n" for u, v, t in rows))
+
+
+def test_stateful_running_totals_across_drains(spark, tmp_path):
+    src = tmp_path / "in"
+    _write_ev(src / "b1.csv", [(1, 2.0, "2024-01-01 10:00:00"), (1, 3.0, "2024-01-01 10:01:00"), (2, 1.0, "2024-01-01 10:02:00")])
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain():
+        stream = spark.readStream.schema(EV_SCHEMA).option("sep", "\t").csv(str(src))
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stateful.running_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    r1 = {r["user_id"]: (r["n_events"], r["total_value"]) for r in spark.read.parquet(out).collect()}
+    assert r1[1] == (2, 5.0) and r1[2] == (1, 1.0)
+    # second drain: state continues from the checkpoint, not from zero
+    _write_ev(src / "b2.csv", [(1, 10.0, "2024-01-01 11:00:00")])
+    drain()
+    rows = [r for r in spark.read.parquet(out).collect() if r["user_id"] == 1]
+    assert (3, 15.0) in {(r["n_events"], r["total_value"]) for r in rows}
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("uid"), (F.col("id") * 2).alias("v")
+    )
+    small = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")], ["k", "name"])
+    plain = big.join(small, on="k").select("uid", "name")
+    salted = skew.salted_join(big, small, on=["k"], big_unique_col="uid", buckets=8).select("uid", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(5000).select((F.col("id") % 4).alias("k"), F.col("id").alias("uid"), F.lit(1).alias("one"))
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in skew.salted_agg_count_sum(df, ["k"], "one", "uid", buckets=8).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["t"])
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("one").alias("t")).collect()
+    }
+    assert got == want
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5).alias("part_key"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "pdata")
+    pq.write_partitioned(df, path, ["part_key"])
+    back = pq.read_pruned(spark, path).where(F.col("part_key") == 2)
+    assert back.count() == 200
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part_key" in plan  # pruning reached the scan
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["id", "pk", "v"])
+    pq.write_partitioned(base, path, ["pk"])
+    # replace ONLY partition 'a'; 'b' must survive
+    repl = spark.createDataFrame([(9, "a", 99)], ["id", "pk", "v"])
+    pq.overwrite_partitions(repl, path, ["pk"])
+    rows = {(r["pk"], r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", 9, 99), ("b", 2, 20)}
+
+
+def test_bucketed_table_join_has_no_shuffle(spark, tmp_path):
+    # saveAsTable uses the session warehouse dir (static conf); tables are
+    # dropped in the finally block so nothing persists
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    try:
+        pq.write_bucketed_table(df, "bt_left", ["k"], 4, sort_by=["k"])
+        pq.write_bucketed_table(df, "bt_right", ["k"], 4, sort_by=["k"])
+        joined = spark.table("bt_left").join(spark.table("bt_right"), on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 1000
+        # co-bucketed join: no Exchange (shuffle) on either side
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
