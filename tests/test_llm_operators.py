@@ -130,3 +130,21 @@ def test_multimodal_decode_plumbing(spark):
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...", fake=False)
+
+
+def test_lookup_enrich_policies(spark):
+    from etl_wrap_spark.operators.lookup import enrich
+
+    facts = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "v"])
+    lk = spark.createDataFrame([(1, "one"), (2, "two"), (2, "dup")], ["key", "name"])
+    kept = enrich(facts, lk, on={"k": "key"})
+    rows = {r["k"]: r["name"] for r in kept.collect()}
+    assert rows[3] is None and rows[1] == "one"
+    dropped = enrich(facts, lk, on={"k": "key"}, missing="drop")
+    assert sorted(r["k"] for r in dropped.collect()) == [1, 2]
+    matched, unmatched = enrich(facts, lk, on={"k": "key"}, missing="quarantine")
+    assert sorted(r["k"] for r in matched.collect()) == [1, 2]
+    assert [r["k"] for r in unmatched.collect()] == [3]
+    # broadcast hint survives into the physical plan
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
