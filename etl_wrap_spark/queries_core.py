@@ -527,3 +527,33 @@ def q31_price_band_join(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------- cube / grouping sets
+@register(
+    "q33_cube_order_stats",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(CAST(CAST(EXTRACT(year FROM o_orderdate) AS INT) AS VARCHAR), '(all)') AS yr,
+           GROUPING(o_orderstatus) * 2 + GROUPING(EXTRACT(year FROM o_orderdate)) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, EXTRACT(year FROM o_orderdate))
+    ORDER BY gid, status, yr
+    """,
+)
+def q33_cube_order_stats(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["orders"])
+    yr = F.year("o_orderdate").cast("int")
+    return (
+        t["orders"]
+        .cube(F.col("o_orderstatus"), yr.alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("(all)")).alias("yr"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "status", "yr")
+    )

@@ -318,3 +318,30 @@ def q28_multimodal_plumbing(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+# ------------------------------------------- embedding-cosine near-dups
+def _neardup_oracle() -> str:
+    dot = similarity.dot_sql("va", "vb")
+    na = similarity.dot_sql("va", "va")
+    nb = similarity.dot_sql("vb", "vb")
+    bkt_a = similarity.bucket_sql("va")
+    bkt_b = similarity.bucket_sql("vb")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {bkt_a.replace('embedding', 'a.embedding')} = {bkt_b.replace('embedding', 'b.embedding')}
+      AND (({dot}) / (sqrt({na}) * sqrt({nb}))) * 10000 >= 4000
+    """.replace("va[", "a.embedding[").replace("vb[", "b.embedding[")
+
+
+@register("q32_embedding_neardup", oracle=_neardup_oracle() + " ORDER BY id_a, id_b")
+def q32_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine high-similarity pairs (cos >= 0.40 — the synthetic
+    corpus has no true near-dups; max pair cosine is 0.51), sign-LSH bucketed;
+    the oracle replicates the identical buckets + fixed-fold cosine, so
+    both engines agree bit-for-bit."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    pairs = similarity.embedding_near_dups(t["embeddings"], "vec_id", "embedding", min_cos_bp=4000)
+    return pairs.orderBy("id_a", "id_b")
