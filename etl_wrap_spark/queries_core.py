@@ -557,3 +557,73 @@ def q33_cube_order_stats(spark, sf_dir):
         )
         .orderBy("gid", "status", "yr")
     )
+
+
+# ----------------------------------- session_window batch form (vs q12)
+@register(
+    "q34_session_window_batch",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess,
+             event_id
+      FROM e
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start
+    """,
+)
+def q34_session_window_batch(spark, sf_dir):
+    """Spark's native session_window in batch mode must agree with the
+    lag/cumsum sessionization spec (q12's oracle) on starts and sizes --
+    the same plan shape streams with a watermark (streaming/ingest.py)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
+# --------------------------------------------------- exact percentiles
+@register(
+    "q35_price_percentiles",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY status ORDER BY status
+    """,
+)
+def q35_price_percentiles(spark, sf_dir):
+    """Exact (not approx) percentiles: Spark's percentile() and DuckDB's
+    quantile_cont share the linear-interpolation definition, so doubles
+    match bit-for-bit."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("status")
+    )
