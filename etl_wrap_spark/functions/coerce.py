@@ -81,7 +81,7 @@ def coerce_datetime(col: Column | str, cutoff_yr2000: int = 60) -> Column:
     # The classified when-chain keeps the tree linear and codegen-able.
     c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
     ts = lambda x, fmt: F.try_to_timestamp(x, F.lit(fmt))  # noqa: E731
-    yy = F.substring(c, 7, 2).try_cast("int")  # dd.mm.YY position
+    yy = F.regexp_extract(c, r"\.(\d{2})$", 1).try_cast("int")
     century = F.when(yy >= cutoff_yr2000, F.lit("19")).otherwise(F.lit("20"))
     return (
         # zero dates → NULL (Wrap/DB.pm:286-287)
@@ -90,10 +90,21 @@ def coerce_datetime(col: Column | str, cutoff_yr2000: int = 60) -> Column:
         .when(c.rlike(r"^\d{1,2}\.\d{1,2}\.\d{4} \d{1,2}:\d{2}:\d{2}$"), ts(c, "d.M.yyyy H:mm:ss"))
         .when(c.rlike(r"^\d{1,2}\.\d{1,2}\.\d{4} \d{1,2}:\d{2}$"), ts(c, "d.M.yyyy H:mm"))
         .when(c.rlike(r"^\d{1,2}\.\d{1,2}\.\d{4}$"), ts(c, "d.M.yyyy"))
-        # two-digit year with century window (Wrap/DB.pm:279-285)
+        # two-digit year with century window (Wrap/DB.pm:279-285);
+        # day/month may be 1-digit like the reference's regex
         .when(
-            c.rlike(r"^\d{2}\.\d{2}\.\d{2}$"),
-            ts(F.concat(F.substring(c, 1, 6), century, F.substring(c, 7, 2)), "dd.MM.yyyy"),
+            c.rlike(r"^\d{1,2}\.\d{1,2}\.\d{2}$"),
+            ts(
+                F.concat(
+                    F.regexp_extract(c, r"^(\d{1,2})\.", 1),
+                    F.lit("."),
+                    F.regexp_extract(c, r"^\d{1,2}\.(\d{1,2})\.", 1),
+                    F.lit("."),
+                    century,
+                    F.regexp_extract(c, r"\.(\d{2})$", 1),
+                ),
+                "d.M.yyyy",
+            ),
         )
         # SAP 14-digit, second 60 → 59 (Wrap/DB.pm:271)
         .when(

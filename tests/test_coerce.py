@@ -27,6 +27,8 @@ def test_datetime_thicket(spark):
         "2023-12-24 10:30:15": dt.datetime(2023, 12, 24, 10, 30, 15),
         "24.12.95": dt.datetime(1995, 12, 24),  # century window: 95 >= 60 → 19xx
         "24.12.05": dt.datetime(2005, 12, 24),  # 05 < 60 → 20xx
+        "4.3.99": dt.datetime(1999, 3, 4),  # 1-digit day/month, 2-digit year
+        "1.2.2023": dt.datetime(2023, 2, 1),  # 1-digit day/month, 4-digit year
         "10:30:15": dt.datetime(1900, 1, 1, 10, 30, 15),  # bare time
         "10:30": dt.datetime(1900, 1, 1, 10, 30),
         "00000000": None,  # zero date

@@ -1,0 +1,54 @@
+"""Scaling probe: times representative catalog queries at sf0.001 /
+sf0.01 / sf0.1 (100x data range) in ONE warmed session, isolating
+data-volume scaling from JVM/codegen constants.
+
+Usage: python tools/scaling_probe.py [query ...]  → markdown table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_wrap_spark import catalog
+from etl_wrap_spark.session import get_session
+
+DEFAULT = [
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q05_prev_row_delta",
+    "q12_events_sessionize",
+    "q23_minhash_lsh_neardup",
+    "q26_ann_bruteforce",
+    "q29_asof_join",
+]
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+def main():
+    names = sys.argv[1:] or DEFAULT
+    spark = get_session("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.queries()
+    # warm: run every probe query once at the smallest sf so codegen and
+    # scan setup are excluded from the measurement
+    for n in names:
+        qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    print("| query | " + " | ".join(SFS) + " | 0.1/0.01 ratio |")
+    print("|" + "---|" * (len(SFS) + 2))
+    for n in names:
+        times = []
+        for sf in SFS:
+            t0 = time.time()
+            qs[n](spark, f"/root/testdata/{sf}").write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        ratio = times[-1] / times[-2] if times[-2] > 0 else float("nan")
+        print(f"| {n} | " + " | ".join(f"{t:.2f}s" for t in times) + f" | {ratio:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
