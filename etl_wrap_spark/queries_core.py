@@ -627,3 +627,70 @@ def q35_price_percentiles(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+# -------------------------------------------------------------- pivot
+@register(
+    "q36_pivot_status_by_year",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY yr ORDER BY yr
+    """,
+)
+def q36_pivot_status_by_year(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("yr")
+    )
+
+
+# ----------------------------------------- SQL pass-through (J2 surface)
+_Q37_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("q37_sql_passthrough", oracle=_Q37_SQL)
+def q37_sql_passthrough(spark, sf_dir):
+    """The reference's pass-through SQL home (J2): the IDENTICAL ANSI
+    string runs on Spark SQL (over registered temp views) and on the
+    DuckDB oracle."""
+    load_tables(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q37_SQL)
+
+
+# ------------------------------------------------- intersect / except
+@register(
+    "q38_intersect_except",
+    oracle="""
+    SELECT 'both' AS bucket, COUNT(*) AS n FROM (
+      SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only', COUNT(*) FROM (
+      SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    ORDER BY bucket
+    """,
+)
+def q38_intersect_except(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    c = t["customer"].select("c_nationkey")
+    s = t["supplier"].select(F.col("s_nationkey").alias("c_nationkey"))
+    both = c.intersect(s).agg(F.count(F.lit(1)).alias("n")).select(F.lit("both").alias("bucket"), "n")
+    # subtract = EXCEPT (set semantics); exceptAll would leave keys whose
+    # multiplicity merely exceeds the supplier side's
+    only = c.subtract(s).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("customer_only").alias("bucket"), "n"
+    )
+    return both.unionByName(only).orderBy("bucket")

@@ -292,3 +292,38 @@ def q19_datetime_coercion(spark, sf_dir):
         )
         .orderBy("shape")
     )
+
+
+# ------------------------- D30/D31: German number formatting round-trip
+@register(
+    "q36_german_number_format",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS base
+      FROM orders WHERE o_orderkey % 211 = 0
+    )
+    SELECT o_orderkey,
+           base,
+           trim(leading '.' FROM reverse(regexp_replace(reverse(string_split(base,'.')[1]), '(...)', '\\1.', 'g')))
+             || ',' || string_split(base,'.')[2] AS german,
+           replace(base, '.', ',') AS comma_form
+    FROM d ORDER BY o_orderkey
+    """,
+)
+def q36_german_number_format(spark, sf_dir):
+    from etl_wrap_spark.functions.dateutil import convert_to_thousend_decimal, convertcomma
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    base = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") % 211 == 0)
+        .select(
+            "o_orderkey",
+            base.alias("base"),
+            convert_to_thousend_decimal(base).alias("german"),
+            convertcomma(base).alias("comma_form"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -345,3 +345,30 @@ def q32_embedding_neardup(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["embeddings"])
     pairs = similarity.embedding_near_dups(t["embeddings"], "vec_id", "embedding", min_cos_bp=4000)
     return pairs.orderBy("id_a", "id_b")
+
+
+# ----------------------------------------- rolling (min-hash) fingerprint
+@register(
+    "q33_rolling_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                            i -> CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15) AS BIGINT)),
+             'min') AS fp
+    FROM toks ORDER BY doc_id
+    """,
+)
+def q33_rolling_fingerprint(spark, sf_dir):
+    """Content-defined fingerprint (min 60-bit hash over 8-gram
+    shingles) — robust to local edits, unlike whole-text md5 (q22)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .where(F.col("doc_id") % 13 == 0)
+        .select("doc_id", text.rolling_fingerprint("text", ngram=8).alias("fp"))
+        .orderBy("doc_id")
+    )
