@@ -138,3 +138,44 @@ def test_sql_render_and_execs():
     assert render("DELETE FROM t WHERE d = :dt AND n > :n", {"dt": "2024-01-01", "n": 5}) == (
         "DELETE FROM t WHERE d = '2024-01-01' AND n > 5"
     )
+
+
+def test_logcheck_frequency_rules():
+    from etl_wrap_spark.plans.logcheck import LogCheck, due
+
+    mk = lambda f: LogCheck("j", "x.log", "started", freq=f)  # noqa: E731
+    tue = dt.datetime(2024, 1, 2, 9, 0)  # Tuesday Jan 2
+    sat = dt.datetime(2024, 1, 6, 9, 0)
+    newyear = dt.datetime(2024, 1, 1, 9, 0)  # AT holiday
+    assert due(mk("B"), tue) and not due(mk("B"), sat) and not due(mk("B"), newyear)
+    assert due(mk("D"), sat)
+    assert due(mk("M1"), newyear) and not due(mk("M1"), tue)
+    assert due(mk("Q"), tue) and not due(mk("Q"), dt.datetime(2024, 1, 1, 9, 0))
+    assert due(mk("Q"), dt.datetime(2024, 4, 1, 9, 0))
+    assert due(mk("ML"), dt.datetime(2024, 1, 31, 9, 0)) and not due(mk("ML"), tue)
+    assert due(mk("W3"), tue) and not due(mk("W3"), sat)  # Tuesday = 3 (1=Sunday)
+    assert due(mk("MW3"), tue)  # first Tuesday of Jan 2024
+    assert not due(mk("MW3"), dt.datetime(2024, 1, 9, 9, 0))  # second Tuesday
+    late = LogCheck("j", "x.log", "p", freq="D", time_to_check="10:00:00")
+    assert not due(late, dt.datetime(2024, 1, 2, 9, 59)) and due(late, dt.datetime(2024, 1, 2, 10, 1))
+
+
+def test_logcheck_scan(tmp_path):
+    from etl_wrap_spark.plans.logcheck import LogCheck, run_checks
+
+    log = tmp_path / "job.log"
+    log.write_text(
+        "2024/01/02 09:00:01\tINFO\tjob started ok\n"
+        "02.01.2024 09:05:00\tINFO\tgerman dialect line\n"
+        "2024-01-01 09:00:00\tINFO\tyesterday started\n"
+    )
+    now = dt.datetime(2024, 1, 2, 12, 0)
+    checks = [
+        LogCheck("ok_job", str(log), "started ok", freq="D"),
+        LogCheck("german", str(log), "german dialect", freq="D"),
+        LogCheck("stale", str(log), "yesterday started", freq="D"),  # wrong date
+        LogCheck("missing", str(tmp_path / "nope.log"), "x", freq="D"),
+    ]
+    res = {r.job: r for r in run_checks(checks, now)}
+    assert res["ok_job"].ok and res["german"].ok
+    assert not res["stale"].ok and not res["missing"].ok
