@@ -44,11 +44,25 @@ _EASTER_OFFSETS = {
 
 # ------------------------------------------------------------- Python side
 def easter_sunday(year: int) -> _dt.date:
-    """Gauss computus as used by the reference (Wrap/DateUtil.pm:149-151)."""
-    d = (((255 - 11 * (year % 19)) - 21) % 30) + 21
-    corr = 1 if d > 48 else 0
-    offset = d + corr + 6 - ((year + year // 4 + d + corr + 1) % 7)
-    return _dt.date(year, 3, 1) + _dt.timedelta(days=offset)
+    """Easter Sunday by Butcher's algorithm (exact for every Gregorian
+    year; property-tested 1900-2099).
+
+    Deliberate divergence from the reference: its simplified Gauss
+    computus (Wrap/DateUtil.pm:149-151) is a week late in the classic
+    exception years (1924, 1981, 1992, 2076 give Apr 26/27 — true
+    Easter 1981 is Apr 19). We implement the *intent* (correct Easter),
+    as with the addDays 25-hour-day bug (SURVEY §2.8 D25)."""
+    a = year % 19
+    b, c = divmod(year, 100)
+    d, e = divmod(b, 4)
+    f = (b + 8) // 25
+    g = (b - f + 1) // 3
+    h = (19 * a + b - d - g + 15) % 30
+    i, k = divmod(c, 4)
+    l = (32 + 2 * e + 2 * i - h - k) % 7  # noqa: E741
+    m = (a + 11 * h + 22 * l) // 451
+    month, day = divmod(h + l - 7 * m + 114, 31)
+    return _dt.date(year, month, day + 1)
 
 
 @lru_cache(maxsize=None)
@@ -121,35 +135,39 @@ def subtract_days_hol_py(date: str, days: int, cal: str = "AT") -> _dt.date:
 
 
 # ------------------------------------------------------------- Column side
-def _easter_sunday_col(year: Column) -> Column:
-    """Easter Sunday as a date Column — the computus in pure arithmetic."""
-    d = (((F.lit(255) - F.lit(11) * (year % 19)) - 21) % 30) + 21
-    corr = F.when(d > 48, F.lit(1)).otherwise(F.lit(0))
-    offset = d + corr + 6 - ((year + F.floor(year / 4) + d + corr + 1) % 7)
-    return F.date_add(F.make_date(year, F.lit(3), F.lit(1)), offset.cast("int"))
+# The calendar is ALWAYS a driver constant (it is config in the
+# reference), so the Column-side holiday test is a literal IN-set
+# generated from the Python model: Catalyst turns >10 literals into an
+# InSet hash probe — O(1) per row, no computus arithmetic in the plan,
+# and the same spec as the generated oracle SQL. Membership is tested on
+# epoch-DAY ints (unix_date) — int literals cross py4j ~3x faster than
+# date literals, and the window default (1950-2060, ~2,100 dates) keeps
+# plan-construction sub-second; widen per call for archival data. For
+# filters over truly wide ranges, broadcast-join holidays_df instead.
+_COL_YEAR_FROM, _COL_YEAR_TO = 1950, 2060
+_EPOCH = _dt.date(1970, 1, 1)
 
 
-def is_holiday_col(date: Column, cal: str) -> Column:
+@lru_cache(maxsize=None)
+def _holiday_dates(cal: str, year_from: int = _COL_YEAR_FROM, year_to: int = _COL_YEAR_TO):
+    return sorted(d for y in range(year_from, year_to + 1) for d in holiday_set(cal, y))
+
+
+@lru_cache(maxsize=None)
+def _holiday_epoch_days(cal: str, year_from: int = _COL_YEAR_FROM, year_to: int = _COL_YEAR_TO):
+    return tuple((d - _EPOCH).days for d in _holiday_dates(cal, year_from, year_to))
+
+
+def is_holiday_col(
+    date: Column, cal: str, year_from: int = _COL_YEAR_FROM, year_to: int = _COL_YEAR_TO
+) -> Column:
     """is_holiday as a pure expression (boolean Column). `cal` is a driver
     constant, matching the reference API where the calendar is config."""
     if cal in ("WE", "NO"):
         return F.lit(False)
     if cal not in _FIXED:
         raise ValueError(f"calendar <{cal}> not implemented")
-    y, m, d = F.year(date), F.month(date), F.dayofmonth(date)
-    cond = F.lit(False)
-    for fm, fd in _FIXED[cal]:
-        cond = cond | ((m == fm) & (d == fd))
-    easter = _easter_sunday_col(y)
-    for off in _EASTER_OFFSETS[cal]:
-        cond = cond | (date == F.date_add(easter, off))
-    if cal == "UK":
-        dow = F.dayofweek(date)  # 2 = Monday
-        is_mon = dow == 2
-        cond = cond | (is_mon & (m == 5) & (d <= 7))  # first Monday of May
-        cond = cond | (is_mon & (m == 5) & (d >= 25))  # last Monday of May
-        cond = cond | (is_mon & (m == 8) & (d >= 25))  # last Monday of August
-    return cond
+    return F.unix_date(date).isin(list(_holiday_epoch_days(cal, year_from, year_to)))
 
 
 def is_weekend_col(date: Column) -> Column:
@@ -197,22 +215,12 @@ def subtract_days_hol_col(date: Column, days, cal: str = "AT") -> Column:
 
 # ------------------------------------------------------- calendar dimension
 def holidays_df(spark: SparkSession, cal: str, year_from: int, year_to: int) -> DataFrame:
-    """Holiday dimension table: one row per holiday date of `cal`.
-
-    Built distributed (sequence+explode over years → holiday expression),
-    so generating centuries of calendar is still a one-stage job. Useful
-    for broadcast joins and as a SQL-visible table.
+    """Holiday dimension table: one row per holiday date of `cal`,
+    generated from the driver-side model (a few rows per year — never
+    big data). Useful for broadcast joins and as a SQL-visible table.
     """
-    years = spark.range(year_from, year_to + 1).select(F.col("id").cast("int").alias("y"))
-    days = years.select(
-        F.explode(
-            F.sequence(
-                F.make_date(F.col("y"), F.lit(1), F.lit(1)),
-                F.make_date(F.col("y"), F.lit(12), F.lit(31)),
-            )
-        ).alias("d")
-    )
-    return days.where(is_holiday_col(F.col("d"), cal)).select(F.col("d").alias("holiday"))
+    dates = [(d,) for d in _holiday_dates(cal, year_from, year_to)]
+    return spark.createDataFrame(dates, ["holiday"])
 
 
 def business_days_df(spark: SparkSession, cal: str, date_from: str, date_to: str) -> DataFrame:

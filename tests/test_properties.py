@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the invariants the golden
+tests can't sweep: date round-trips across the whole calendar,
+business-roll postconditions, holiday-model consistency, MinHash
+similarity estimation, config-merge algebra. The reference has no
+property testing (SURVEY §5) — this goes beyond its strategy.
+
+Spark-side properties batch ALL generated examples into one DataFrame
+per property (a Spark job per example would be minutes per test)."""
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from etl_wrap_spark.functions.holidays import (
+    add_days_hol_py,
+    easter_sunday,
+    holiday_set,
+    is_nonworking_py,
+    subtract_days_hol_py,
+)
+from etl_wrap_spark.plans.config import deep_merge
+
+DATES = st.dates(min_value=dt.date(1960, 1, 1), max_value=dt.date(2099, 12, 31))
+CALS = st.sampled_from(["BS", "BF", "AT", "TG", "UK", "WE"])
+
+
+@given(DATES, st.integers(-40, 40), CALS)
+@settings(max_examples=300, deadline=None)
+def test_business_roll_postconditions(d, n, cal):
+    """Rolls always land on a working day, on the correct side of the
+    shifted date, and never overshoot past an intermediate working day."""
+    ymd = d.strftime("%Y%m%d")
+    fwd = add_days_hol_py(ymd, n, cal)
+    assert not is_nonworking_py(cal, fwd)
+    assert fwd >= d + dt.timedelta(days=n)
+    probe = fwd - dt.timedelta(days=1)
+    while probe >= d + dt.timedelta(days=n):
+        assert is_nonworking_py(cal, probe)  # every skipped day was non-working
+        probe -= dt.timedelta(days=1)
+    back = subtract_days_hol_py(ymd, n, cal)
+    assert not is_nonworking_py(cal, back)
+    assert back <= d - dt.timedelta(days=n)
+
+
+@given(st.integers(1900, 2099))
+@settings(max_examples=200, deadline=None)
+def test_easter_invariants(year):
+    """Gauss computus: Easter is a Sunday between Mar 22 and Apr 25
+    within the formula's 1900-2099 validity window (the reference's
+    century terms are hard-coded for those centuries)."""
+    e = easter_sunday(year)
+    assert e.isoweekday() == 7
+    assert dt.date(year, 3, 22) <= e <= dt.date(year, 4, 25)
+
+
+@given(st.integers(1970, 2100), CALS)
+@settings(max_examples=120, deadline=None)
+def test_holiday_set_sane(year, cal):
+    hs = holiday_set(cal, year)
+    assert all(h.year == year for h in hs)
+    if cal in ("WE",):
+        assert hs == frozenset()
+    if cal == "UK":
+        assert dt.date(year, 12, 25) in hs
+
+
+@given(
+    st.dictionaries(st.sampled_from("abcde"), st.integers() | st.dictionaries(st.sampled_from("xyz"), st.integers()), max_size=4),
+    st.dictionaries(st.sampled_from("abcde"), st.integers() | st.dictionaries(st.sampled_from("xyz"), st.integers()), max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_deep_merge_algebra(a, b):
+    m = deep_merge(a, b)
+    # overlay scalar keys always win; base-only keys survive
+    for k, v in b.items():
+        if not isinstance(v, dict) or not isinstance(a.get(k), dict):
+            assert m[k] == v
+    for k, v in a.items():
+        if k not in b:
+            assert m[k] == v
+    # identity: merging with {} changes nothing
+    assert deep_merge(a, {}) == a and deep_merge({}, b) == b
+
+
+def test_datetime_coercion_roundtrip_sweep(spark):
+    """Whole-calendar sweep (one Spark job): every date 1970-2069 in all
+    five accepted render shapes must parse back to itself."""
+    from pyspark.sql import functions as F
+
+    from etl_wrap_spark.functions.coerce import coerce_datetime
+
+    days = spark.range(0, 36524).select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("id").cast("int")).alias("d")
+    )
+    shapes = {
+        "de": "dd.MM.yyyy",
+        "sap": "yyyyMMddHHmmss",
+        "iso": "yyyy-MM-dd",
+        "dot": "yyyy.MM.dd",
+        "compact": "yyyyMMdd",
+    }
+    df = days
+    for name, fmt in shapes.items():
+        df = df.withColumn(name, coerce_datetime(F.date_format("d", fmt)).cast("date"))
+    bad = df.where(
+        " OR ".join(f"({n} IS NULL OR {n} != d)" for n in shapes)
+    )
+    assert bad.count() == 0
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Band-free property: the 32-hash signature agreement rate must
+    approximate true Jaccard for deterministic shingle sets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_wrap_spark.operators.dedup import NUM_HASHES, minhash_signatures, shingle_frame
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(200)]
+    base = rng.sample(vocab, 120)
+    docs = []
+    for i, keep in enumerate([1.0, 0.9, 0.5, 0.2]):
+        kept = base[: int(120 * keep)] + rng.sample(vocab, int(120 * (1 - keep)))
+        docs.append((i, " ".join(kept)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sig = minhash_signatures(shingle_frame(df, "doc_id", "text", n=1), "doc_id").collect()
+    sigs = {r["doc_id"]: [r[f"mh{i}"] for i in range(NUM_HASHES)] for r in sig}
+    shing = {i: set(t.split()) for i, t in docs}
+    for other in (1, 2, 3):
+        true_j = len(shing[0] & shing[other]) / len(shing[0] | shing[other])
+        est = sum(a == b for a, b in zip(sigs[0], sigs[other])) / NUM_HASHES
+        assert abs(est - true_j) < 0.25  # 32 hashes → coarse but unbiased
