@@ -79,10 +79,12 @@ def brute_force_topk(
     The query side is broadcast (small by contract); the corpus is never
     shuffled — each partition scores its rows and the per-query top-k
     reduces via the rank window on (query, cos desc)."""
-    q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv"))
-    c = corpus.select(F.col(id_c).alias("cid"), F.col(vec).alias("cv"))
+    # norms are precomputed per ROW (not per pair): same IEEE fold →
+    # bit-identical cosine, at a third of the per-pair arithmetic
+    q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv")).withColumn("qn", norm_expr("qv"))
+    c = corpus.select(F.col(id_c).alias("cid"), F.col(vec).alias("cv")).withColumn("cn", norm_expr("cv"))
     scored = c.crossJoin(F.broadcast(q)).select(
-        "qid", "cid", cosine_expr("qv", "cv").alias("cos")
+        "qid", "cid", (dot_expr("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -97,12 +99,12 @@ def signlsh_topk(
     bucket resolution (2^num_planes buckets)."""
     q = queries.select(
         F.col(id_q).alias("qid"), F.col(vec).alias("qv"), bucket_expr(vec, planes).alias("bkt")
-    )
+    ).withColumn("qn", norm_expr("qv"))
     c = corpus.select(
         F.col(id_c).alias("cid"), F.col(vec).alias("cv"), bucket_expr(vec, planes).alias("bkt")
-    )
+    ).withColumn("cn", norm_expr("cv"))
     scored = c.join(F.broadcast(q), on="bkt").select(
-        "qid", "cid", cosine_expr("qv", "cv").alias("cos")
+        "qid", "cid", (dot_expr("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -116,12 +118,16 @@ def embedding_near_dups(
     by sign-LSH so only same-bucket pairs are compared. Near-identical
     vectors agree on every hyperplane sign (recall loss only for pairs
     straddling a plane)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"), bucket_expr(vec, planes).alias("bkt"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"), bucket_expr(vec, planes).alias("bkt"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("va"), bucket_expr(vec, planes).alias("bkt")
+    ).withColumn("na", norm_expr("va"))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("vb"), bucket_expr(vec, planes).alias("bkt")
+    ).withColumn("nb", norm_expr("vb"))
     return (
         a.join(b, on="bkt")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr("va", "vb").alias("cos"))
+        .select("id_a", "id_b", (dot_expr("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"))
         .where(F.col("cos") * 10000 >= min_cos_bp)
         .select("id_a", "id_b")
     )
