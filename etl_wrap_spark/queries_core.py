@@ -694,3 +694,72 @@ def q38_intersect_except(spark, sf_dir):
         F.lit("customer_only").alias("bucket"), "n"
     )
     return both.unionByName(only).orderBy("bucket")
+
+
+# ------------------------------------------ window frames: moving aggregate
+@register(
+    "q40_moving_window_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS day_total,
+             COUNT(*) AS n
+      FROM orders GROUP BY d
+    )
+    SELECT strftime(d, '%Y%m%d') AS date, n, day_total,
+           CAST(SUM(day_total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS total_7d,
+           FIRST_VALUE(day_total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS window_first
+    FROM daily ORDER BY date
+    """,
+)
+def q40_moving_window_frame(spark, sf_dir):
+    """Sliding ROWS frame over a pre-aggregated daily series (the
+    7-day-total pattern). The global orderBy window runs single-partition
+    by design — it operates on the DAILY rollup (bounded rows), never on
+    raw facts; the heavy reduction happens in the partitioned groupBy."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("day_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyyMMdd").alias("date"),
+        "n",
+        "day_total",
+        F.sum("day_total").over(w).cast("decimal(38,6)").alias("total_7d"),
+        F.first("day_total").over(w).alias("window_first"),
+    ).orderBy("date")
+
+
+# ----------------------------------------------------------- histogram
+@register(
+    "q41_price_histogram",
+    oracle="""
+    SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) AS INT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q41_price_histogram(spark, sf_dir):
+    """Fixed-width histogram in one aggregation pass; the bucket id is
+    plain double arithmetic + floor (deterministic on both engines —
+    no log/ntile, whose implementations differ in ulps)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    bucket = F.floor((F.col("o_totalprice") - 0.0) / 25000.0).cast("int")
+    return (
+        t["orders"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -372,3 +372,34 @@ def q33_rolling_fingerprint(spark, sf_dir):
         .select("doc_id", text.rolling_fingerprint("text", ngram=8).alias("fp"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- vocabulary term stats
+@register(
+    "q39_term_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    )
+    SELECT term,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS tf_total
+    FROM toks
+    GROUP BY term
+    HAVING COUNT(DISTINCT doc_id) >= 5
+    ORDER BY df DESC, tf_total DESC, term
+    """,
+)
+def q39_term_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (document frequency + total term
+    frequency) — the exact-integer core of TF-IDF (the idf log factor is
+    a trivial projection left to callers: cross-engine log() differs in
+    ulps, so the checked surface stays integral)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf_total"))
+        .where(F.col("df") >= 5)
+        .orderBy(F.col("df").desc(), F.col("tf_total").desc(), "term")
+    )
