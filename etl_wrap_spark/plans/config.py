@@ -154,3 +154,28 @@ def setup_config_merge(
         validate(cfg, schema)
         final.append(cfg)
     return final
+
+
+def resolve_secrets(cfg: dict, env: dict | None = None) -> dict:
+    """Credential resolution (reference 'sensitive' store lookups,
+    Wrap.pm:98-107): string values of the form ``{{ENV:NAME}}`` are
+    replaced from the environment (or the supplied mapping) at setup —
+    secrets never live in config files. Missing variables are setup-time
+    errors."""
+    import os as _os
+
+    src = env if env is not None else _os.environ
+
+    def walk(v):
+        if isinstance(v, dict):
+            return {k: walk(x) for k, x in v.items()}
+        if isinstance(v, str):
+            def sub(m):
+                name = m.group(1)
+                if name not in src:
+                    raise ConfigError(f"secret reference {{{{ENV:{name}}}}} not set")
+                return src[name]
+            return re.sub(r"\{\{ENV:([A-Za-z_][A-Za-z0-9_]*)\}\}", sub, v)
+        return v
+
+    return walk(cfg)

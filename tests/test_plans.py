@@ -179,3 +179,35 @@ def test_logcheck_scan(tmp_path):
     res = {r.job: r for r in run_checks(checks, now)}
     assert res["ok_job"].ok and res["german"].ok
     assert not res["stale"].ok and not res["missing"].ok
+
+
+def test_resolve_secrets():
+    from etl_wrap_spark.plans.config import ConfigError, resolve_secrets
+
+    cfg = {"DB": {"query": "x", "schemaName": "u={{ENV:ETLW_USER}};p={{ENV:ETLW_PW}}"}}
+    out = resolve_secrets(cfg, {"ETLW_USER": "alice", "ETLW_PW": "s3c"})
+    assert out["DB"]["schemaName"] == "u=alice;p=s3c"
+    assert cfg["DB"]["schemaName"].startswith("u={{")  # input untouched
+    with pytest.raises(ConfigError, match="ETLW_MISSING"):
+        resolve_secrets({"a": {"b": "{{ENV:ETLW_MISSING}}"}}, {})
+
+
+def test_upload_cmd():
+    from etl_wrap_spark.connectors.upload_cmd import execute_upload_cmd
+
+    ok = execute_upload_cmd(["python", "-c", "print('uploaded 3 files')"])
+    assert ok.ok and ok.returncode == 0
+    # exit 0 but error text in log → failure (log scraping wins)
+    bad = execute_upload_cmd(["python", "-c", "print('transfer FAILED: timeout')"])
+    assert not bad.ok and bad.matched_errors
+    nonzero = execute_upload_cmd(["python", "-c", "import sys; sys.exit(3)"])
+    assert not nonzero.ok and nonzero.returncode == 3
+
+
+def test_upload_cmd_cleanup(tmp_path):
+    from etl_wrap_spark.connectors.upload_cmd import execute_upload_cmd
+
+    f = tmp_path / "payload.csv"
+    f.write_text("x")
+    execute_upload_cmd(["python", "-c", "print('done')"], cleanup_files=[str(f)])
+    assert not f.exists()
