@@ -403,3 +403,66 @@ def q39_term_stats(spark, sf_dir):
         .where(F.col("df") >= 5)
         .orderBy(F.col("df").desc(), F.col("tf_total").desc(), "term")
     )
+
+
+# ----------------------------------- corpus cleaning (composed pipeline)
+_QUALITY_SQL = f"""
+      SELECT doc_id, source, text, {_TOKS} AS t FROM documents
+    ), q AS (
+      SELECT doc_id, source, text, len(t) AS n_tokens FROM d0
+      WHERE len(t) >= 20 AND len(t) <= 10000
+        AND floor(10000 * len(list_distinct(t)) / len(t)) >= 5000
+        AND len(list_filter(t, x -> x IN ({_SW}))) > 0
+"""
+
+
+@register(
+    "q42_corpus_clean",
+    oracle=f"""
+    WITH d0 AS ({_QUALITY_SQL}
+    ), toks AS (
+      SELECT doc_id, {_TOKS.replace('text', 'text')} AS t FROM q
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+      WHERE 2 * inter >= sa.n + sb.n - inter
+    ), removed AS (
+      SELECT DISTINCT id_b AS doc_id FROM pairs
+    )
+    SELECT q.source,
+           COUNT(*) AS n_docs,
+           SUM(q.n_tokens) AS total_tokens
+    FROM q LEFT JOIN removed USING (doc_id)
+    WHERE removed.doc_id IS NULL
+    GROUP BY q.source ORDER BY q.source
+    """,
+)
+def q42_corpus_clean(spark, sf_dir):
+    """The composed training-data pipeline: structural quality filter →
+    MinHash-LSH near-dup removal (keep the lower doc_id of each pair) →
+    survivor statistics per source. Each stage is the oracle-checked
+    operator from q21/q23 — this asserts their COMPOSITION."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].where(text.quality_flags("text") == "").select(
+        "doc_id", "source", "text", text.token_count("text").alias("n_tokens")
+    )
+    pairs = dedup.near_dup_pairs_minhash(docs, "doc_id", "text", n=3, num=2, den=1)
+    removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = docs.join(removed, on="doc_id", how="left_anti")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("source")
+    )
