@@ -49,12 +49,20 @@ def read_csv(
     `has_header_row` the first line is consumed (and when `header` is
     also given, validated — the reference's header assertion S10).
     """
-    if skip and not quoted:
+    if skip:
         # Spark's csv source derives the column count from the first line,
         # so leading junk lines must be dropped before parsing: go through
         # the text source with per-file line numbers.
         import re as _re
 
+        if quoted:
+            # line-based skipping is ill-defined when quoted values may
+            # contain the record separator — the reference has the same
+            # constraint (Text::CSV consumes whole records)
+            raise ValueError(
+                "skip is not supported together with quoted csv; strip the "
+                "junk lines upstream or use skip_lines on read_lines"
+            )
         if header is None:
             raise ValueError("skip with unquoted csv requires a declared header")
         lines = drop_empty_lines(skip_lines(read_lines(spark, paths, eol), skip))

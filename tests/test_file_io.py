@@ -273,3 +273,10 @@ def test_xml_namespace_strip(spark, tmp_path):
         spark, str(p), record_xpath="/root/rec", field_xpaths={"v": "v"}, strip_namespaces=True
     )
     assert [r["v"] for r in df.collect()] == ["7"]
+
+
+def test_quoted_with_skip_rejected(spark, tmp_path):
+    p = tmp_path / "qs.csv"
+    p.write_text('junk\n"a","b"\n')
+    with pytest.raises(ValueError, match="skip is not supported"):
+        read_csv(spark, str(p), header=["x", "y"], sep=",", quoted=True, skip=1)
