@@ -134,3 +134,25 @@ def run_foreach_batch(stream_df: DataFrame, checkpoint: str, fn, mode: str = "up
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedupe_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (state for a key expires once the watermark
+    passes it — bounded state, unlike an unbounded dropDuplicates).
+    The streaming form of the dedup operators' exact path."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: list[str], how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: the static (dimension) side is
+    re-read per micro-batch and broadcast — the streaming form of the
+    lookup-enrichment operator (J1)."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on=on, how=how)

@@ -116,3 +116,40 @@ def test_session_window_stream(spark, tmp_path, event_dir):
     rows = [r for r in spark.read.parquet(str(out)).collect() if r["user_id"] == 20]
     # user 20: two sessions — (09:00-09:10+gap, 2 events) and (10:30, 1 event)
     assert sorted(r["n_events"] for r in rows) == [1, 2]
+
+
+def test_stream_dedupe_within_watermark(spark, tmp_path):
+    d = tmp_path / "dd"
+    _write_events_csv(
+        d / "b1.csv",
+        [
+            (1, 10, "click", "1.0", "2024-01-01 10:00:00"),
+            (1, 10, "click", "1.0", "2024-01-01 10:00:30"),  # re-delivery, same event_id
+            (2, 11, "view", "2.0", "2024-01-01 10:05:00"),
+            (2, 11, "view", "2.0", "2024-01-01 10:05:00"),  # exact dup row
+        ],
+    )
+    stream = ingest.read_csv_stream(spark, str(d), SCHEMA)
+    deduped = ingest.dedupe_stream(stream, ["event_id"])
+    out, ck = tmp_path / "out_dd", tmp_path / "ck_dd"
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", str(ck))
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
+    assert ids == [1, 2]
+
+
+def test_stream_static_enrichment(spark, tmp_path, event_dir):
+    dim = spark.createDataFrame([(10, "gold"), (11, "silver")], ["user_id", "tier"])
+    stream = ingest.read_csv_stream(spark, str(event_dir), SCHEMA)
+    enriched = ingest.enrich_stream(stream.select("event_id", "user_id"), dim, on=["user_id"])
+    out, ck = tmp_path / "out_en", tmp_path / "ck_en"
+    ingest.run_available_now(enriched, str(ck), str(out))
+    rows = {r["event_id"]: r["tier"] for r in spark.read.parquet(str(out)).collect()}
+    assert rows[1] == "gold" and rows[3] == "silver"
