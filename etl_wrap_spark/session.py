@@ -95,9 +95,12 @@ def _read_events(spark: SparkSession, sf_dir: str):
     """events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's
     timestamp type (micros). Read nanos as long and truncate to micros,
     exactly matching DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) truncation
-    so oracle comparisons agree."""
+    so oracle comparisons agree. Derived datasets (e.g. the synthetic
+    scale-up) already carry micros timestamps — pass those through."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

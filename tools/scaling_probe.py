@@ -26,25 +26,29 @@ DEFAULT = [
     "q29_asof_join",
 ]
 
+# override with SPARK_GRAFT_PROBE_DIRS=/dir1,/dir2 (absolute paths)
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
 
 def main():
     names = sys.argv[1:] or DEFAULT
+    dirs = os.environ.get("SPARK_GRAFT_PROBE_DIRS")
+    sfs = dirs.split(",") if dirs else [f"/root/testdata/{sf}" for sf in SFS]
     spark = get_session("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = catalog.queries()
     # warm: run every probe query once at the smallest sf so codegen and
     # scan setup are excluded from the measurement
     for n in names:
-        qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    print("| query | " + " | ".join(SFS) + " | 0.1/0.01 ratio |")
-    print("|" + "---|" * (len(SFS) + 2))
+        qs[n](spark, sfs[0]).write.format("noop").mode("overwrite").save()
+    labels = [os.path.basename(p.rstrip("/")) for p in sfs]
+    print("| query | " + " | ".join(labels) + " | last/prev ratio |")
+    print("|" + "---|" * (len(labels) + 2))
     for n in names:
         times = []
-        for sf in SFS:
+        for sf in sfs:
             t0 = time.time()
-            qs[n](spark, f"/root/testdata/{sf}").write.format("noop").mode("overwrite").save()
+            qs[n](spark, sf).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
         ratio = times[-1] / times[-2] if times[-2] > 0 else float("nan")
         print(f"| {n} | " + " | ".join(f"{t:.2f}s" for t in times) + f" | {ratio:.1f}x |")
