@@ -1,13 +1,17 @@
 """Holiday calendars + business-day arithmetic (reference D16/D27/D29/D32).
 
 Re-implements the semantics of ``Wrap/DateUtil.pm:134-171`` (is_holiday:
-fixed lists per calendar BS/BF/AT/TG/UK, Easter via the Gauss computus at
-``Wrap/DateUtil.pm:149-151``, UK first/last-Monday bank-holiday rules at
-``:164-165``) — Spark-first: everything is a *pure Column expression*
-(whole-stage-codegen friendly; no UDF, no join, no broadcast needed), so
-``is_holiday_col`` can sit inside a filter over 100 TB and never leave the
-JVM.  A generated calendar *dimension* DataFrame is also provided for
-join-style usage and for SQL oracles.
+fixed lists per calendar BS/BF/AT/TG/UK, Easter-derived movable feasts,
+UK first/last-Monday bank-holiday rules at ``:164-165``). Easter itself
+uses Butcher's algorithm — a documented intent-over-bug divergence from
+the reference's simplified Gauss computus (see ``easter_sunday``).
+
+Spark-first design: the single Python model (``holiday_set``) feeds
+THREE consumers that therefore always agree — driver-side predicates
+(gating, rolls), the Column expression (``is_holiday_col``: a literal
+epoch-day InSet, an O(1) JVM hash probe per row inside whole-stage
+codegen — no UDF, no join), and the generated oracle SQL literal lists.
+A calendar *dimension* DataFrame is provided for join-style usage.
 
 Calendars: BS, BF, AT, TG (Target2), UK; WE = weekends-only; NO = none.
 """
