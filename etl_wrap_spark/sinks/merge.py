@@ -86,8 +86,13 @@ def update_keys(
     (Wrap/DB.pm:317-329) — via per-column coalesce(update, existing).
     """
     value_cols = [c for c in target.columns if c not in keys]
-    upd = updates.select(*keys, *[F.col(c).alias(f"__u_{c}") for c in value_cols if c in updates.columns])
+    upd = updates.select(
+        *keys,
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(f"__u_{c}") for c in value_cols if c in updates.columns],
+    )
     joined = target.join(upd, on=list(keys), how="left")
+    matched = F.coalesce(F.col("__matched"), F.lit(False))
     out_cols: list[Column] = [F.col(k) for k in keys]
     for c in value_cols:
         u = f"__u_{c}"
@@ -96,11 +101,10 @@ def update_keys(
         elif incremental:
             out_cols.append(F.coalesce(F.col(u), F.col(c)).alias(c))
         else:
-            # matched rows take the update value (even NULL); unmatched keep
-            matched = F.lit(False)
-            for k in keys:
-                matched = matched | upd[k].isNotNull()
-            out_cols.append(F.when(F.col(u).isNotNull(), F.col(u)).otherwise(F.col(c)).alias(c))
+            # matched rows take the update value EVEN when it is NULL
+            # (a null-update is a real update in the reference's UPDATE
+            # statement); only unmatched rows keep the target value
+            out_cols.append(F.when(matched, F.col(u)).otherwise(F.col(c)).alias(c))
     return joined.select(*out_cols)
 
 
