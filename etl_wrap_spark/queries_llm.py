@@ -466,3 +466,49 @@ def q42_corpus_clean(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
         .orderBy("source")
     )
+
+
+# ------------------------------- df-capped inverted-index Jaccard (scale guard)
+@register(
+    "q43_jaccard_df_capped",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), kept AS (
+      SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 50
+    ), exk AS (
+      SELECT ex.doc_id, ex.shingle FROM ex JOIN kept USING (shingle)
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+      FROM inter
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, inter, uni FROM sized
+    WHERE 2 * inter >= uni
+    ORDER BY id_a, id_b
+    """,
+)
+def q43_jaccard_df_capped(spark, sf_dir):
+    """The documented quadratic-blowup guard for exact n-gram Jaccard:
+    shingles occurring in more than 50 documents are dropped BEFORE
+    pairing (intersection counts then undercount by exactly those
+    boilerplate shingles — the oracle asserts that precise semantics,
+    union sizes stay uncapped). On the planted near-dups (J>=0.98 over
+    mostly unique shingles) the capped result equals the exact one."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = dedup.exact_jaccard_pairs(t["documents"], "doc_id", "text", n=3, max_df=50)
+    return pairs.where(2 * F.col("inter") >= F.col("uni")).select(
+        "id_a", "id_b", "inter", "uni"
+    ).orderBy("id_a", "id_b")
