@@ -50,7 +50,7 @@ def main():
             t0 = time.time()
             qs[n](spark, sf).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
-        ratio = times[-1] / times[-2] if times[-2] > 0 else float("nan")
+        ratio = times[-1] / times[-2] if len(times) > 1 and times[-2] > 0 else float("nan")
         print(f"| {n} | " + " | ".join(f"{t:.2f}s" for t in times) + f" | {ratio:.1f}x |")
 
 
