@@ -512,3 +512,95 @@ def q43_jaccard_df_capped(spark, sf_dir):
     return pairs.where(2 * F.col("inter") >= F.col("uni")).select(
         "id_a", "id_b", "inter", "uni"
     ).orderBy("id_a", "id_b")
+
+
+# ------------------------------------ deterministic train/val/test split
+_SPLIT_BUCKET_SQL = "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000"
+
+
+@register(
+    "q44_train_val_test_split",
+    oracle=f"""
+    SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 8000 THEN 'train'
+                WHEN {_SPLIT_BUCKET_SQL} < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def q44_train_val_test_split(spark, sf_dir):
+    """Reproducible 80/10/10 split by salted hash — identical assignment
+    on every run/engine (never rand())."""
+    from etl_wrap_spark.operators.sampling import assign_split
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        assign_split(t["documents"], "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+# ------------------------------------------- exact stratified sampling
+@register(
+    "q45_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, rk FROM ranked WHERE rk <= 5 ORDER BY lang, rk
+    """,
+)
+def q45_stratified_sample(spark, sf_dir):
+    from etl_wrap_spark.operators.sampling import stratified_sample
+    from etl_wrap_spark.operators.text import hash60
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    sampled = stratified_sample(t["documents"], "lang", "doc_id", k=5)
+    h = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return sampled.select("lang", "doc_id", F.row_number().over(w).alias("rk")).orderBy("lang", "rk")
+
+
+# ------------------------------------------------ token-budget packing
+@register(
+    "q46_sequence_packing",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), binned AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS INT) AS bin
+      FROM sized
+    )
+    SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM binned GROUP BY source, bin ORDER BY source, bin
+    """,
+)
+def q46_sequence_packing(spark, sf_dir):
+    """Token-budget sequence packing (2000-token bins per source) via
+    exclusive-prefix-sum window algebra — the batch-shaping step before
+    training, with exact integer semantics on both engines."""
+    from etl_wrap_spark.operators.sampling import pack_sequences
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    sized = t["documents"].select("doc_id", "source", text.token_count("text").alias("n_tokens"))
+    binned = pack_sequences(sized, "source", "doc_id", "n_tokens", bin_capacity=2000)
+    return (
+        binned.groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .orderBy("source", "bin")
+    )

@@ -148,3 +148,38 @@ def test_lookup_enrich_policies(spark):
     # broadcast hint survives into the physical plan
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_assign_split_deterministic_and_complete(spark):
+    from etl_wrap_spark.operators.sampling import assign_split
+
+    df = spark.range(2000).select(F.col("id"))
+    a = assign_split(df, "id")
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert 0.7 < counts["train"] / 2000 < 0.9  # ~80%
+    b = assign_split(df, "id")  # identical on re-run
+    assert a.select("id", "split").subtract(b.select("id", "split")).count() == 0
+    # a different salt draws an independent split
+    c = assign_split(df, "id", salt="other")
+    assert a.select("id", "split").subtract(c.select("id", "split")).count() > 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(df, "id", weights=(("a", 0.5), ("b", 0.2)))
+
+
+def test_pack_sequences_capacity(spark):
+    from etl_wrap_spark.operators.sampling import pack_sequences
+
+    rows = [(1, i, 300) for i in range(20)]  # 20 docs x 300 tokens, one group
+    df = spark.createDataFrame(rows, ["g", "i", "sz"])
+    binned = pack_sequences(df, "g", "i", "sz", bin_capacity=1000)
+    per_bin = {
+        r["bin"]: r["t"]
+        for r in binned.groupBy("bin").agg(F.sum("sz").alias("t")).collect()
+    }
+    # prefix-floor binning: every non-last bin's total sits within one
+    # row size of the capacity (above or below)
+    for b, total in per_bin.items():
+        if b != max(per_bin):  # last bin may be a remainder
+            assert 1000 - 300 < total < 1000 + 300
