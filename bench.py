@@ -49,8 +49,12 @@ def main():
     qs = catalog.queries()
     names = [n for n in HEADLINE if n in qs] + [n for n in sorted(qs) if n not in HEADLINE]
 
-    # JVM/codegen warm-up on a trivial plan
+    # JVM/codegen warm-up: a trivial plan plus one small parquet scan so
+    # the vectorized reader + codegen paths are hot before timing starts
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").selectExpr(
+        "sum(cast(l_quantity as decimal(18,4)))"
+    ).collect()
 
     timings = {}
     for name in names:
