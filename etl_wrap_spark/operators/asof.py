@@ -32,12 +32,15 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str] | None = None,
     suffix: str = "_right",
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """Backward as-of join (latest right at-or-before each left row).
 
     Returns every left row with `right_payload` columns (default: all
     non-key, non-ts right columns) from the matched right row, NULL when
-    no right row precedes it.
+    no right row precedes it. With `tolerance` (an interval Column, e.g.
+    ``F.expr("INTERVAL 2 HOURS")``), a match older than left_ts -
+    tolerance is discarded (pandas merge_asof tolerance semantics).
     """
     on = list(on)
     payload = (
@@ -72,6 +75,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r.unionByName(l).withColumn("__match", F.last("__p", ignorenulls=True).over(w))
+    if tolerance is not None:
+        # the matched right row's own ts rides along to test staleness
+        carried = carried.withColumn(
+            "__match_ts", F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)
+        ).withColumn(
+            "__match",
+            F.when(F.col("__match_ts") >= F.col("__ts") - tolerance, F.col("__match")),
+        )
     return carried.where(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__match").getField(c).alias(out_c) for c, out_c in zip(payload, out_payload)],

@@ -763,3 +763,54 @@ def q41_price_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------- as-of join with tolerance (q47)
+@register(
+    "q47_asof_tolerance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(value AS DECIMAL(18,4)) AS value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rk
+        FROM e WHERE event_type = 'purchase'
+      ) WHERE rk = 1
+    ), matched AS (
+      SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.value AS pvalue
+      FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN pts >= ts - INTERVAL 6 HOUR THEN pts END AS purchase_ts,
+           CASE WHEN pts >= ts - INTERVAL 6 HOUR THEN pvalue END AS purchase_value
+    FROM matched ORDER BY event_id
+    """,
+)
+def q47_asof_tolerance(spark, sf_dir):
+    """q29's as-of join bounded by a 6-hour lookback (merge_asof
+    tolerance semantics): stale matches null out."""
+    from etl_wrap_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].withColumn("value", F.col("value").cast("decimal(18,4)"))
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rk", F.row_number().over(wdedup))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("ts").alias("pts"), "value")
+    )
+    joined = asof_join(
+        clicks, purch, on=["user_id"], left_ts="ts", right_ts="pts",
+        right_payload=["pts", "value"], tolerance=F.expr("INTERVAL 6 HOURS"),
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("pts").alias("purchase_ts"), F.col("value").alias("purchase_value"),
+    ).orderBy("event_id")

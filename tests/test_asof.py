@@ -38,3 +38,17 @@ def test_all_left_rows_survive(spark):
     left = [(i % 3, i, f"v{i}") for i in range(30)]
     right = [(0, 5, "r")]
     assert len(_run(spark, left, right)) == 30
+
+
+def test_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 100, "a"), (1, 10, "b")], ["k", "lt", "lval"])
+    right = spark.createDataFrame([(1, 8, "x")], ["k", "rt", "rval"])
+    out = asof_join(
+        left, right, on=["k"], left_ts="lt", right_ts="rt",
+        right_payload=["rt", "rval"], tolerance=F.lit(5),
+    )
+    got = {r["lt"]: (r["rt"], r["rval"]) for r in out.collect()}
+    assert got[10] == (8, "x")  # within 5
+    assert got[100] == (None, None)  # match exists but is stale
