@@ -156,3 +156,27 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on: list[str], how: str = "
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events
+    of the same key whose timestamp falls in [left_ts - lookback,
+    left_ts]. Both sides carry watermarks so the join state is bounded
+    and old buffered rows expire — the streaming form of a bounded
+    as-of/range join."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {lookback}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, "inner")

@@ -153,3 +153,38 @@ def test_stream_static_enrichment(spark, tmp_path, event_dir):
     ingest.run_available_now(enriched, str(ck), str(out))
     rows = {r["event_id"]: r["tier"] for r in spark.read.parquet(str(out)).collect()}
     assert rows[1] == "gold" and rows[3] == "silver"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    d = tmp_path / "ssj"
+    _write_events_csv(
+        d / "b1.csv",
+        [
+            (1, 10, "click", "1.0", "2024-01-01 10:00:00"),
+            (2, 10, "purchase", "5.0", "2024-01-01 09:30:00"),  # 30m before click
+            (3, 10, "purchase", "9.0", "2024-01-01 07:00:00"),  # 3h before → outside lookback
+            (4, 11, "click", "1.0", "2024-01-01 10:00:00"),  # no purchase for user 11
+        ],
+    )
+    stream = ingest.read_csv_stream(spark, str(d), SCHEMA)
+    clicks = stream.where("event_type = 'click'").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    stream2 = ingest.read_csv_stream(spark, str(d), SCHEMA)
+    purchases = stream2.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    ).withColumnRenamed("p_user", "user_id")
+    joined = ingest.interval_join_streams(clicks, purchases, "user_id", "cts", "pts", lookback="1 HOUR")
+    out, ck = tmp_path / "out_ssj", tmp_path / "ck_ssj"
+    q = (
+        joined.select(clicks["user_id"], "click_id", "purchase_id")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", str(ck))
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r["click_id"], r["purchase_id"]) for r in spark.read.parquet(str(out)).collect()]
+    assert rows == [(1, 2)]  # only the in-window pair; user 11 and the 3h-old purchase drop
