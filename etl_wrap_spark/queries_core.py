@@ -814,3 +814,60 @@ def q47_asof_tolerance(spark, sf_dir):
         "event_id", "user_id", "ts",
         F.col("pts").alias("purchase_ts"), F.col("value").alias("purchase_value"),
     ).orderBy("event_id")
+
+
+# ----------------------------------------- deterministic list aggregation
+@register(
+    "q48_sorted_string_agg",
+    oracle="""
+    SELECT r_name AS region,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY region
+    """,
+)
+def q48_sorted_string_agg(spark, sf_dir):
+    """Order-insensitive collect: sort the collected list before joining
+    so the aggregated string is deterministic under any partitioning
+    (raw collect_list order is partition-dependent)."""
+    t = load_tables(spark, sf_dir, ["nation", "region"])
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("region")
+    )
+
+
+# -------------------------------------------------- regex field extraction
+@register(
+    "q49_regex_extraction",
+    oracle="""
+    SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS src_num,
+           CASE WHEN regexp_matches(p_type, '^STANDARD') THEN 'standard' ELSE 'other' END AS type_class,
+           COUNT(*) AS n
+    FROM documents, part
+    WHERE doc_id % 50 = 0 AND p_partkey % 100 = 0
+    GROUP BY src_num, type_class ORDER BY src_num, type_class
+    """,
+)
+def q49_regex_extraction(spark, sf_dir):
+    """Regex field parsing inside the scan projection (the ETL staple);
+    the deliberate tiny cross join exercises the nested-loop path."""
+    t = load_tables(spark, sf_dir, ["documents", "part"])
+    docs = t["documents"].where(F.col("doc_id") % 50 == 0)
+    parts = t["part"].where(F.col("p_partkey") % 100 == 0)
+    return (
+        docs.crossJoin(parts)
+        .groupBy(
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("src_num"),
+            F.when(F.col("p_type").rlike("^STANDARD"), "standard").otherwise("other").alias("type_class"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("src_num", "type_class")
+    )
