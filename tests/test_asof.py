@@ -52,3 +52,36 @@ def test_tolerance(spark):
     got = {r["lt"]: (r["rt"], r["rval"]) for r in out.collect()}
     assert got[10] == (8, "x")  # within 5
     assert got[100] == (None, None)  # match exists but is stale
+
+
+def test_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof (independent
+    reference implementation, backward direction, exact matches on)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(1234)
+    left_rows = [(rng.randrange(5), rng.randrange(1000), i) for i in range(300)]
+    right_rows = []
+    seen = set()
+    for j in range(200):
+        k, t = rng.randrange(5), rng.randrange(1000)
+        if (k, t) in seen:  # operator contract: unique right (key, ts)
+            continue
+        seen.add((k, t))
+        right_rows.append((k, t, j))
+    left = spark.createDataFrame(left_rows, ["k", "lt", "lid"])
+    right = spark.createDataFrame(right_rows, ["k", "rt", "rid"])
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(left, right, on=["k"], left_ts="lt", right_ts="rt",
+                           right_payload=["rid"]).collect()
+    }
+    lpd = pd.DataFrame(left_rows, columns=["k", "lt", "lid"]).sort_values("lt", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "rt", "rid"]).sort_values("rt", kind="stable")
+    merged = pd.merge_asof(lpd, rpd, left_on="lt", right_on="rt", by="k", direction="backward")
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid)) for r in merged.itertuples()
+    }
+    assert got == want
