@@ -871,3 +871,34 @@ def q49_regex_extraction(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("src_num", "type_class")
     )
+
+
+# ---------------------------------------- salted hot-key aggregation (q50)
+@register(
+    "q50_salted_aggregation",
+    oracle="""
+    SELECT l_returnflag AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+    FROM lineitem GROUP BY k ORDER BY k
+    """,
+)
+def q50_salted_aggregation(spark, sf_dir):
+    """Hot-key aggregation through the two-stage salted path (16-way
+    partial per salt, then final merge): the oracle is the PLAIN group
+    by — asserting that salting changes the physical distribution and
+    nothing else. l_returnflag has 3 values over millions of rows: the
+    textbook skewed groupBy."""
+    from etl_wrap_spark.operators.skew import salted_agg_count_sum
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].select(
+        "l_returnflag", F.col("l_orderkey").alias("uid"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("qty"),
+    )
+    out = salted_agg_count_sum(li, ["l_returnflag"], "qty", "uid", buckets=16)
+    return out.select(
+        F.col("l_returnflag").alias("k"),
+        "n",
+        F.col("total").cast("decimal(38,6)").alias("total"),
+    ).orderBy("k")
