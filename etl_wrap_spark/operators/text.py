@@ -139,3 +139,35 @@ def rolling_fingerprint(col: Column | str, ngram: int = 8) -> Column:
     shingle = lambda i: F.concat_ws(" ", F.slice(t, i + 1, ngram))  # noqa: E731
     hashes = F.transform(idx, lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 15), 16, 10).cast("bigint"))
     return F.array_min(hashes)
+
+
+# ------------------------------------------------------------ PII scrubbing
+# RE2-safe patterns (no lookaround/backrefs) so the oracle SQL uses the
+# literally identical regex. Deliberately conservative: training-data
+# scrubbing favors recall on well-formed identifiers over NLP-grade PII
+# detection (which needs models, not regexes).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\+?\d{1,3}[- ]\d{3,4}[- ]\d{3,4}([- ]\d{3,4})?", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email / phone-shaped / IPv4-shaped substrings with typed
+    placeholder tokens, in a fixed pattern order (emails first so their
+    digits can't be half-eaten by the phone rule)."""
+    c = _c(col)
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_hits(col: Column | str) -> Column:
+    """Number of PII substrings that redaction would replace."""
+    c = _c(col)
+    total = F.lit(0)
+    for pattern, _ in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(_c(col) if False else c, F.lit(pattern), F.lit(0)))
+        c = F.regexp_replace(c, pattern, "")
+    return total

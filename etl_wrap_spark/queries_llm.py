@@ -604,3 +604,55 @@ def q46_sequence_packing(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
         .orderBy("source", "bin")
     )
+
+
+# ------------------------------------------------------------ PII scrubbing
+def _pii_oracle() -> str:
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    # mirror pii_hits: count each pattern on the string with all PRIOR
+    # patterns' matches removed (no double counting)
+    stripped = "dirty"
+    hit_terms = []
+    redacted = "dirty"
+    for pat, token in text.PII_PATTERNS:
+        hit_terms.append(f"len(regexp_extract_all({stripped}, '{q(pat)}'))")
+        stripped = f"regexp_replace({stripped}, '{q(pat)}', '', 'g')"
+        redacted = f"regexp_replace({redacted}, '{q(pat)}', '{token}', 'g')"
+    hits = " + ".join(hit_terms)
+    return f"""
+    WITH d AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS dirty
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM({hits}) AS pii_hits,
+           SUM(CASE WHEN {redacted} LIKE '%@%' THEN 1 ELSE 0 END) AS leaked
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+@register("q51_pii_redaction", oracle=_pii_oracle())
+def q51_pii_redaction(spark, sf_dir):
+    """Training-data PII scrubbing: deterministic email+IP injection,
+    typed-token redaction, and a leakage assertion (no '@' survives).
+    Identical RE2-safe regexes run on both engines."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.1."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    d = t["documents"].select("source", dirty.alias("dirty"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.pii_hits("dirty")).alias("pii_hits"),
+            F.sum(F.when(text.redact_pii("dirty").contains("@"), 1).otherwise(0)).alias("leaked"),
+        )
+        .orderBy("source")
+    )

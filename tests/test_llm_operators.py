@@ -183,3 +183,16 @@ def test_pack_sequences_capacity(spark):
     for b, total in per_bin.items():
         if b != max(per_bin):  # last bin may be a remainder
             assert 1000 - 300 < total < 1000 + 300
+
+
+def test_pii_redaction_unit(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.com or +43 664 123 4567 from 10.0.0.1",),
+            ("no pii here at all",),
+        ],
+        ["t"],
+    )
+    rows = df.select(text.redact_pii("t").alias("r"), text.pii_hits("t").alias("n")).collect()
+    assert rows[0]["r"] == "mail [EMAIL] or [PHONE] from [IP]" and rows[0]["n"] == 3
+    assert rows[1]["r"] == "no pii here at all" and rows[1]["n"] == 0
