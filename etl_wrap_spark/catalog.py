@@ -9,6 +9,17 @@ Determinism rules used throughout (so value-hashes match the oracle):
 - Derive doubles only via deterministic casts/divisions of exact decimals.
 - Alias every computed column identically on both sides.
 - Pin session timezone UTC (session.py) so parquet timestamps agree.
+- Surface DOUBLE (never DECIMAL) in final projections: the driver's typed
+  hash fetches Spark decimals as Python ``Decimal`` objects but DuckDB
+  decimals as float64 — equal values, unequal hashes (the round-1 19-query
+  lesson). Spark's decimal→double cast is correctly rounded; DuckDB's
+  direct decimal→double cast is NOT (measured: ~4% of values 1 ulp off
+  above 2^53 unscaled), so oracles convert via
+  ``CAST(CAST(x AS VARCHAR) AS DOUBLE)`` (strtod is correctly rounded) —
+  both engines then emit identical IEEE bits.
+- Wrap integer SUMs in ``CAST(... AS BIGINT)`` in oracle SQL: DuckDB's
+  SUM(int) is HUGEINT and fetches as float64, Spark's is int64.
+  (Integer *widths* need not match: int32 vs int64 hash alike.)
 """
 
 from __future__ import annotations

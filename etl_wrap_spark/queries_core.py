@@ -23,10 +23,10 @@ from etl_wrap_spark.session import load_tables
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -46,10 +46,10 @@ def q01_pricing_summary(spark, sf_dir):
         .where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,6)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
             (F.sum(qty).cast("double") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -66,7 +66,7 @@ def q01_pricing_summary(spark, sf_dir):
     oracle="""
     SELECT n.n_name AS nation, r.r_name AS region,
            COUNT(*) AS num_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_acctbal
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -83,7 +83,7 @@ def q02_lookup_enrichment(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
             F.count(F.lit(1)).alias("num_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_acctbal"),
         )
         .orderBy("nation", "region")
     )
@@ -97,7 +97,7 @@ def q02_lookup_enrichment(spark, sf_dir):
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -119,7 +119,7 @@ def q03_revenue_by_nation(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("order_year"),
         )
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,6)").alias("revenue"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .orderBy("nation", "order_year")
     )
 
@@ -128,7 +128,8 @@ def q03_revenue_by_nation(spark, sf_dir):
 @register(
     "q04_topk_orders_per_customer",
     oracle="""
-    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice, rk
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS totalprice, rk
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -146,7 +147,7 @@ def q04_topk_orders_per_customer(spark, sf_dir):
         t["orders"]
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", price.alias("totalprice"), "rk")
+        .select("o_custkey", "o_orderkey", price.cast("double").alias("totalprice"), "rk")
         .orderBy("o_custkey", "rk")
     )
 
@@ -158,11 +159,11 @@ def q04_topk_orders_per_customer(spark, sf_dir):
     "q05_prev_row_delta",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DECIMAL(18,4)) AS qty,
-           CAST(l_quantity AS DECIMAL(18,4))
+           CAST(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS qty,
+           CAST(CAST(CAST(l_quantity AS DECIMAL(18,4))
              - LAG(CAST(l_quantity AS DECIMAL(18,4)))
                OVER (PARTITION BY l_orderkey
-                     ORDER BY l_linenumber, CAST(l_quantity AS DECIMAL(18,4))) AS qty_delta
+                     ORDER BY l_linenumber, CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty_delta
     FROM lineitem
     ORDER BY l_orderkey, l_linenumber
     """,
@@ -179,8 +180,8 @@ def q05_prev_row_delta(spark, sf_dir):
         .select(
             "l_orderkey",
             "l_linenumber",
-            qty.alias("qty"),
-            (qty - F.lag(qty).over(w)).alias("qty_delta"),
+            qty.cast("double").alias("qty"),
+            (qty - F.lag(qty).over(w)).cast("double").alias("qty_delta"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -201,7 +202,7 @@ def q05_prev_row_delta(spark, sf_dir):
       FROM e
     )
     SELECT user_id, event_type AS last_event_type,
-           CAST(value AS DECIMAL(18,4)) AS last_value,
+           CAST(CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS last_value,
            ts AS last_ts
     FROM ranked WHERE rk = 1
     ORDER BY user_id
@@ -217,7 +218,7 @@ def q06_upsert_latest_event(spark, sf_dir):
         .select(
             "user_id",
             F.col("event_type").alias("last_event_type"),
-            F.col("value").cast("decimal(18,4)").alias("last_value"),
+            F.col("value").cast("decimal(18,4)").cast("double").alias("last_value"),
             F.col("ts").alias("last_ts"),
         )
         .orderBy("user_id")
@@ -234,7 +235,7 @@ def q06_upsert_latest_event(spark, sf_dir):
     oracle="""
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT o_custkey) AS n_custs,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM (
       SELECT o.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE c.c_mktsegment <> 'BUILDING'
@@ -257,7 +258,7 @@ def q07_delete_before_insert(spark, sf_dir):
     return merged.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_custs"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
     )
 
 
@@ -318,7 +319,7 @@ def q09_semi_anti_join(spark, sf_dir):
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -331,7 +332,7 @@ def q10_rollup_priority(spark, sf_dir):
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
@@ -353,7 +354,7 @@ def q10_rollup_priority(spark, sf_dir):
     SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
@@ -367,7 +368,7 @@ def q11_events_tumbling_hourly(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .orderBy("window_start", "event_type")
     )
@@ -435,7 +436,8 @@ def q12_events_sessionize(spark, sf_dir):
       ) WHERE rk = 1
     )
     SELECT c.event_id, c.user_id, c.ts,
-           p.ts AS purchase_ts, p.value AS purchase_value
+           p.ts AS purchase_ts,
+           CAST(CAST(p.value AS VARCHAR) AS DOUBLE) AS purchase_value
     FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
     ORDER BY c.event_id
     """,
@@ -457,7 +459,8 @@ def q29_asof_join(spark, sf_dir):
                        right_payload=["pts", "value"])
     return joined.select(
         "event_id", "user_id", "ts",
-        F.col("pts").alias("purchase_ts"), F.col("value").alias("purchase_value"),
+        F.col("pts").alias("purchase_ts"),
+        F.col("value").cast("double").alias("purchase_value"),
     ).orderBy("event_id")
 
 
@@ -474,7 +477,7 @@ def q29_asof_join(spark, sf_dir):
       FROM lineitem GROUP BY l_partkey
     )
     SELECT COUNT(*) AS n_small,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_price
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
     WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * p.cnt < p.sum_qty
     """,
@@ -491,7 +494,7 @@ def q30_small_qty_parts(spark, sf_dir):
         .where(F.col("l_quantity").cast("decimal(18,4)") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             F.count(F.lit(1)).alias("n_small"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
         )
     )
 
@@ -504,7 +507,7 @@ def q30_small_qty_parts(spark, sf_dir):
       VALUES ('low', 0, 930), ('mid', 930, 970), ('high', 970, 100000)
     )
     SELECT b.band, COUNT(p.p_partkey) AS n_parts,
-           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_retail
+           CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_retail
     FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
     GROUP BY b.band ORDER BY b.band
     """,
@@ -523,7 +526,7 @@ def q31_price_band_join(spark, sf_dir):
         .groupBy("band")
         .agg(
             F.count("p_partkey").alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total_retail"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double").alias("total_retail"),
         )
         .orderBy("band")
     )
@@ -702,13 +705,14 @@ def q38_intersect_except(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS day_total,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS day_total,
              COUNT(*) AS n
       FROM orders GROUP BY d
     )
-    SELECT strftime(d, '%Y%m%d') AS date, n, day_total,
-           CAST(SUM(day_total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS total_7d,
-           FIRST_VALUE(day_total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS window_first
+    SELECT strftime(d, '%Y%m%d') AS date, n,
+           CAST(CAST(day_total AS VARCHAR) AS DOUBLE) AS day_total,
+           CAST(CAST(SUM(day_total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS total_7d,
+           CAST(CAST(FIRST_VALUE(day_total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS window_first
     FROM daily ORDER BY date
     """,
 )
@@ -722,7 +726,7 @@ def q40_moving_window_frame(spark, sf_dir):
         t["orders"]
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,6)").alias("day_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("day_total"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -730,9 +734,9 @@ def q40_moving_window_frame(spark, sf_dir):
     return daily.select(
         F.date_format("d", "yyyyMMdd").alias("date"),
         "n",
-        "day_total",
-        F.sum("day_total").over(w).cast("decimal(38,6)").alias("total_7d"),
-        F.first("day_total").over(w).alias("window_first"),
+        F.col("day_total").cast("double").alias("day_total"),
+        F.sum("day_total").over(w).cast("double").alias("total_7d"),
+        F.first("day_total").over(w).cast("double").alias("window_first"),
     ).orderBy("date")
 
 
@@ -787,7 +791,7 @@ def q41_price_histogram(spark, sf_dir):
     )
     SELECT event_id, user_id, ts,
            CASE WHEN pts >= ts - INTERVAL 6 HOUR THEN pts END AS purchase_ts,
-           CASE WHEN pts >= ts - INTERVAL 6 HOUR THEN pvalue END AS purchase_value
+           CAST(CAST(CASE WHEN pts >= ts - INTERVAL 6 HOUR THEN pvalue END AS VARCHAR) AS DOUBLE) AS purchase_value
     FROM matched ORDER BY event_id
     """,
 )
@@ -812,7 +816,8 @@ def q47_asof_tolerance(spark, sf_dir):
     )
     return joined.select(
         "event_id", "user_id", "ts",
-        F.col("pts").alias("purchase_ts"), F.col("value").alias("purchase_value"),
+        F.col("pts").alias("purchase_ts"),
+        F.col("value").cast("double").alias("purchase_value"),
     ).orderBy("event_id")
 
 
@@ -879,7 +884,7 @@ def q49_regex_extraction(spark, sf_dir):
     oracle="""
     SELECT l_returnflag AS k,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM lineitem GROUP BY k ORDER BY k
     """,
 )
@@ -900,5 +905,5 @@ def q50_salted_aggregation(spark, sf_dir):
     return out.select(
         F.col("l_returnflag").alias("k"),
         "n",
-        F.col("total").cast("decimal(38,6)").alias("total"),
+        F.col("total").cast("double").alias("total"),
     ).orderBy("k")

@@ -74,11 +74,11 @@ def q13_business_day_shift(spark, sf_dir):
     oracle=f"""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
            COUNT(*) AS n,
-           SUM(CASE WHEN isodow(CAST(o_orderdate AS DATE)) >= 6 THEN 1 ELSE 0 END) AS n_weekend,
-           SUM(CASE WHEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') IN ({_hol_lits("AT")}) THEN 1 ELSE 0 END) AS n_hol_at,
-           SUM(CASE WHEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') IN ({_hol_lits("UK")}) THEN 1 ELSE 0 END) AS n_hol_uk,
-           SUM(CASE WHEN EXTRACT(day FROM o_orderdate) = 1 THEN 1 ELSE 0 END) AS n_first_dom,
-           SUM(CASE WHEN CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) THEN 1 ELSE 0 END) AS n_last_dom
+           CAST(SUM(CASE WHEN isodow(CAST(o_orderdate AS DATE)) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+           CAST(SUM(CASE WHEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') IN ({_hol_lits("AT")}) THEN 1 ELSE 0 END) AS BIGINT) AS n_hol_at,
+           CAST(SUM(CASE WHEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') IN ({_hol_lits("UK")}) THEN 1 ELSE 0 END) AS BIGINT) AS n_hol_uk,
+           CAST(SUM(CASE WHEN EXTRACT(day FROM o_orderdate) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_dom,
+           CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) THEN 1 ELSE 0 END) AS BIGINT) AS n_last_dom
     FROM orders GROUP BY yr ORDER BY yr
     """,
 )
@@ -215,7 +215,7 @@ def q17_format_conversions(spark, sf_dir):
     SELECT shape,
            COUNT(*) AS n,
            COUNT(CASE WHEN shape <> 3 THEN 1 END) AS n_valid,
-           CAST(SUM(CASE WHEN shape = 3 THEN NULL ELSE CAST(base AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS total
+           CAST(CAST(SUM(CASE WHEN shape = 3 THEN NULL ELSE CAST(base AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS total
     FROM dirty GROUP BY shape ORDER BY shape
     """,
 )
@@ -249,7 +249,7 @@ def q18_numeric_coercion(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count("v").alias("n_valid"),
-            F.sum(F.col("v").cast("decimal(18,4)")).cast("decimal(38,6)").alias("total"),
+            F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("total"),
         )
         .orderBy("shape")
     )

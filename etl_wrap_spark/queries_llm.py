@@ -30,10 +30,10 @@ _SW = ", ".join(f"'{s}'" for s in text.STOPWORDS_EN)
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(t)) AS total_tokens,
-           SUM(nchars) AS total_chars,
-           SUM(len(list_filter(t, x -> x IN ({_SW})))) AS stop_hits,
-           SUM(CASE WHEN len(t) < 50 THEN 1 ELSE 0 END) AS n_short
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           CAST(SUM(nchars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(list_filter(t, x -> x IN ({_SW})))) AS BIGINT) AS stop_hits,
+           CAST(SUM(CASE WHEN len(t) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
     FROM d GROUP BY source ORDER BY source
     """,
 )
@@ -443,7 +443,7 @@ _QUALITY_SQL = f"""
     )
     SELECT q.source,
            COUNT(*) AS n_docs,
-           SUM(q.n_tokens) AS total_tokens
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens
     FROM q LEFT JOIN removed USING (doc_id)
     WHERE removed.doc_id IS NULL
     GROUP BY q.source ORDER BY q.source
@@ -586,7 +586,7 @@ def q45_stratified_sample(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS INT) AS bin
       FROM sized
     )
-    SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM binned GROUP BY source, bin ORDER BY source, bin
     """,
 )
@@ -630,8 +630,8 @@ def _pii_oracle() -> str:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM({hits}) AS pii_hits,
-           SUM(CASE WHEN {redacted} LIKE '%@%' THEN 1 ELSE 0 END) AS leaked
+           CAST(SUM({hits}) AS BIGINT) AS pii_hits,
+           CAST(SUM(CASE WHEN {redacted} LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT) AS leaked
     FROM d GROUP BY source ORDER BY source
     """
 
