@@ -49,10 +49,14 @@ def register(name: str, oracle: str | None = None):
 
 
 def queries() -> dict[str, QueryFn]:
-    # import for side effects: modules register their queries
+    # import for side effects: modules register their queries.
+    # Registration ORDER is part of the driver contract: the driver
+    # records the first 50 registrations, so queries_tail (redundant
+    # variants of q12/q23/q29-family operators) must import LAST.
     import etl_wrap_spark.queries_core  # noqa: F401
     import etl_wrap_spark.queries_functions  # noqa: F401
     import etl_wrap_spark.queries_llm  # noqa: F401
+    import etl_wrap_spark.queries_tail  # noqa: F401
 
     return dict(_QUERIES)
 

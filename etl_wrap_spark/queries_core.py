@@ -562,46 +562,6 @@ def q33_cube_order_stats(spark, sf_dir):
     )
 
 
-# ----------------------------------- session_window batch form (vs q12)
-@register(
-    "q34_session_window_batch",
-    oracle="""
-    WITH e AS (
-      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-    ), g AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess,
-             event_id
-      FROM e
-    ), s AS (
-      SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sess_id
-      FROM g
-    )
-    SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
-    FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start
-    """,
-)
-def q34_session_window_batch(spark, sf_dir):
-    """Spark's native session_window in batch mode must agree with the
-    lag/cumsum sessionization spec (q12's oracle) on starts and sizes --
-    the same plan shape streams with a watermark (streaming/ingest.py)."""
-    t = load_tables(spark, sf_dir, ["events"])
-    return (
-        t["events"]
-        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("sess_start"),
-            "n_events",
-        )
-        .orderBy("user_id", "sess_start")
-    )
-
-
 # --------------------------------------------------- exact percentiles
 @register(
     "q35_price_percentiles",
@@ -767,58 +727,6 @@ def q41_price_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
-
-
-# ------------------------------------- as-of join with tolerance (q47)
-@register(
-    "q47_asof_tolerance",
-    oracle="""
-    WITH e AS (
-      SELECT event_id, user_id, event_type,
-             CAST(value AS DECIMAL(18,4)) AS value, CAST(ts AS TIMESTAMP) AS ts
-      FROM events
-    ), clicks AS (
-      SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'
-    ), purch AS (
-      SELECT user_id, ts, value FROM (
-        SELECT user_id, ts, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rk
-        FROM e WHERE event_type = 'purchase'
-      ) WHERE rk = 1
-    ), matched AS (
-      SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.value AS pvalue
-      FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
-    )
-    SELECT event_id, user_id, ts,
-           CASE WHEN pts >= ts - INTERVAL 6 HOUR THEN pts END AS purchase_ts,
-           CAST(CAST(CASE WHEN pts >= ts - INTERVAL 6 HOUR THEN pvalue END AS VARCHAR) AS DOUBLE) AS purchase_value
-    FROM matched ORDER BY event_id
-    """,
-)
-def q47_asof_tolerance(spark, sf_dir):
-    """q29's as-of join bounded by a 6-hour lookback (merge_asof
-    tolerance semantics): stale matches null out."""
-    from etl_wrap_spark.operators.asof import asof_join
-
-    t = load_tables(spark, sf_dir, ["events"])
-    e = t["events"].withColumn("value", F.col("value").cast("decimal(18,4)"))
-    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    purch = (
-        e.where(F.col("event_type") == "purchase")
-        .withColumn("rk", F.row_number().over(wdedup))
-        .where(F.col("rk") == 1)
-        .select("user_id", F.col("ts").alias("pts"), "value")
-    )
-    joined = asof_join(
-        clicks, purch, on=["user_id"], left_ts="ts", right_ts="pts",
-        right_payload=["pts", "value"], tolerance=F.expr("INTERVAL 6 HOURS"),
-    )
-    return joined.select(
-        "event_id", "user_id", "ts",
-        F.col("pts").alias("purchase_ts"),
-        F.col("value").cast("double").alias("purchase_value"),
-    ).orderBy("event_id")
 
 
 # ----------------------------------------- deterministic list aggregation

@@ -296,7 +296,7 @@ def q19_datetime_coercion(spark, sf_dir):
 
 # ------------------------- D30/D31: German number formatting round-trip
 @register(
-    "q36_german_number_format",
+    "q53_german_number_format",
     oracle="""
     WITH d AS (
       SELECT o_orderkey,
@@ -311,7 +311,7 @@ def q19_datetime_coercion(spark, sf_dir):
     FROM d ORDER BY o_orderkey
     """,
 )
-def q36_german_number_format(spark, sf_dir):
+def q53_german_number_format(spark, sf_dir):
     from etl_wrap_spark.functions.dateutil import convert_to_thousend_decimal, convertcomma
 
     t = load_tables(spark, sf_dir, ["orders"])

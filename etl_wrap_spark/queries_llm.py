@@ -175,16 +175,6 @@ def q23_minhash_lsh_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-# ------------------------------------------------- exact inverted-index form
-@register("q24_ngram_jaccard_exact", oracle=_JACCARD_ORACLE)
-def q24_ngram_jaccard_exact(spark, sf_dir):
-    t = load_tables(spark, sf_dir, ["documents"])
-    pairs = dedup.exact_jaccard_pairs(t["documents"], "doc_id", "text", n=3)
-    return pairs.where(2 * F.col("inter") >= F.col("uni")).select(
-        "id_a", "id_b", "inter", "uni"
-    ).orderBy("id_a", "id_b")
-
-
 # ------------------------------------------------------------------ SimHash
 def _simhash_oracle() -> str:
     sums = ",\n             ".join(
@@ -349,7 +339,7 @@ def q32_embedding_neardup(spark, sf_dir):
 
 # ----------------------------------------- rolling (min-hash) fingerprint
 @register(
-    "q33_rolling_fingerprint",
+    "q52_rolling_fingerprint",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 13 = 0
@@ -362,7 +352,7 @@ def q32_embedding_neardup(spark, sf_dir):
     FROM toks ORDER BY doc_id
     """,
 )
-def q33_rolling_fingerprint(spark, sf_dir):
+def q52_rolling_fingerprint(spark, sf_dir):
     """Content-defined fingerprint (min 60-bit hash over 8-gram
     shingles) — robust to local edits, unlike whole-text md5 (q22)."""
     t = load_tables(spark, sf_dir, ["documents"])
