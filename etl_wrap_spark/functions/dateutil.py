@@ -132,12 +132,17 @@ def get_curdate_gen(template: str = "YMD") -> Column:
 
 def get_curdate_dash_plus_x_years(years: int, date: Column | None = None, days_to_subtract: int = 0) -> Column:
     """D8 (Wrap/DateUtil.pm:61-76): optionally from a base date, minus days,
-    plus X years, in DD-MM-YYYY."""
+    plus X years, in DD-MM-YYYY.
+
+    The reference adds X to the *printed* year (sprintf, no calendar
+    validation), so 2024-02-29 + 1y renders "29-02-2025". We reproduce
+    that string arithmetic — composing via make_date would throw under
+    Spark 4's ANSI mode on exactly those inputs."""
     base = _as_date(date) if date is not None else F.current_date()
     if days_to_subtract:
         base = F.date_sub(base, days_to_subtract)
-    shifted = F.make_date(F.year(base) + years, F.month(base), F.dayofmonth(base))
-    return F.date_format(shifted, "dd-MM-yyyy")
+    yr = (F.year(base) + years).cast("string")
+    return F.concat(F.date_format(base, "dd-MM-"), F.lpad(yr, 4, "0"))
 
 
 def get_curtime(fmt: str = "HH:mm:ss") -> Column:
@@ -217,8 +222,9 @@ def convert_date_from_mmm(col: Column | str) -> Column:
 
 
 def convert_date_to_mmm(day: Column, mon: Column, year: Column) -> Column:
-    """D23: (d,m,y) → dd-MMM-yyyy (English)."""
-    d = F.make_date(year, mon, day)
+    """D23: (d,m,y) → dd-MMM-yyyy (English). Invalid (d,m,y) parts yield
+    NULL rather than an ANSI DateTimeException mid-job."""
+    d = _safe_make_date(year, mon, day)
     return F.concat(F.date_format(d, "dd"), F.lit("-"), _month_abbrev(d, False), F.lit("-"), F.date_format(d, "yyyy"))
 
 

@@ -42,7 +42,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join where `big` has skewed keys: join keys become
-    (key..., salt); the hot key's rows spread over `buckets` reducers."""
+    (key..., salt); the hot key's rows spread over `buckets` reducers.
+
+    Only big-side-preserving joins are valid: under right/full outer,
+    every unmatched small-side row survives once PER (key, salt)
+    replica — `buckets` phantom copies."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): the exploded small side makes "
+            f"right/full outer joins emit {buckets} copies of unmatched "
+            f"small-side rows; use one of {sorted(allowed)}"
+        )
     b = with_salt(big, big_unique_col, buckets)
     s = explode_salt(small, buckets)
     return b.join(s, on=[*on, "__salt"], how=how).drop("__salt")

@@ -164,10 +164,15 @@ def redact_pii(col: Column | str) -> Column:
 
 
 def pii_hits(col: Column | str) -> Column:
-    """Number of PII substrings that redaction would replace."""
+    """Number of PII substrings that redact_pii replaces.
+
+    Counts each pattern on the string with prior patterns already
+    replaced by their placeholder TOKENS (not stripped): deleting a
+    match can splice adjacent digit runs into phone/IP shapes that
+    redaction would never touch, so stripping over- or under-counts."""
     c = _c(col)
     total = F.lit(0)
-    for pattern, _ in PII_PATTERNS:
-        total = total + F.size(F.regexp_extract_all(_c(col) if False else c, F.lit(pattern), F.lit(0)))
-        c = F.regexp_replace(c, pattern, "")
+    for pattern, token in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+        c = F.regexp_replace(c, pattern, token)
     return total

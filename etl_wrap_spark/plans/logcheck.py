@@ -59,7 +59,10 @@ def due(check: LogCheck, now: _dt.datetime) -> bool:
         if (d.isoweekday() % 7) + 1 != int(f[1]):
             return False
     if f.startswith("MW"):
-        if (d.isoweekday() % 7) + 1 != int(f[2]) or d.day > 7:
+        # MW<n> goes through the reference's first_week (DateUtil.pm:194-207,
+        # called from checkLogExist.pl:51), whose digit is 0=Sunday..6=Saturday —
+        # NOT the 1-based weekday() convention W<n> uses above.
+        if (d.isoweekday() % 7) != int(f[2]) or d.day > 7:
             return False
     if check.time_to_check and now.strftime("%H:%M:%S") < check.time_to_check:
         return False

@@ -602,13 +602,13 @@ def _pii_oracle() -> str:
         return p.replace("'", "''")
 
     # mirror pii_hits: count each pattern on the string with all PRIOR
-    # patterns' matches removed (no double counting)
+    # patterns replaced by their tokens (exactly what redact_pii sees)
     stripped = "dirty"
     hit_terms = []
     redacted = "dirty"
     for pat, token in text.PII_PATTERNS:
         hit_terms.append(f"len(regexp_extract_all({stripped}, '{q(pat)}'))")
-        stripped = f"regexp_replace({stripped}, '{q(pat)}', '', 'g')"
+        stripped = f"regexp_replace({stripped}, '{q(pat)}', '{token}', 'g')"
         redacted = f"regexp_replace({redacted}, '{q(pat)}', '{token}', 'g')"
     hits = " + ".join(hit_terms)
     return f"""

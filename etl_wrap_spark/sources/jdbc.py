@@ -62,11 +62,19 @@ def read_query(
 
 def read_keyed_lookup(spark: SparkSession, url: str, query: str, keyfield: str, **kw) -> DataFrame:
     """S15 readFromDBHash: keyed lookup — deduplicated on the key like
-    fetchall_hashref (last row per key wins is undefined in the
-    reference; we keep the first deterministically). Intended to be
-    broadcast-joined (J1)."""
+    fetchall_hashref (which-row-wins is undefined in the reference; we
+    keep the row that sorts first over all payload columns, so repeated
+    runs return identical lookups — plain dropDuplicates keeps a
+    partition-order-dependent row). Intended to be broadcast-joined (J1)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     df = read_query(spark, url, query, **kw)
-    return df.dropDuplicates([keyfield])
+    payload = [c for c in df.columns if c != keyfield]
+    if not payload:
+        return df.dropDuplicates([keyfield])
+    w = Window.partitionBy(keyfield).orderBy(*[F.col(c).asc_nulls_last() for c in payload])
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
 def write_table(

@@ -254,6 +254,18 @@ def test_plus_x_years_with_date(spark):
     assert vals == ["01-01-2119", "01-01-2119"]
 
 
+def test_plus_x_years_ansi_safe(spark):
+    # Reference (DateUtil.pm:61-76) does sprintf year arithmetic with no
+    # calendar validation: Feb 29 + 1y prints "29-02-2025". Must not throw
+    # under Spark 4 ANSI mode (make_date would).
+    vals = ev(
+        spark,
+        du.get_curdate_dash_plus_x_years(1, lit("20240229")),
+        du.convert_date_to_mmm(F.lit(31), F.lit(2), F.lit(2024)),  # invalid → NULL
+    )
+    assert vals == ["29-02-2025", None]
+
+
 # ------------------------------------------------------------- formatDate
 def test_format_date(spark):
     vals = ev(

@@ -196,3 +196,13 @@ def test_pii_redaction_unit(spark):
     rows = df.select(text.redact_pii("t").alias("r"), text.pii_hits("t").alias("n")).collect()
     assert rows[0]["r"] == "mail [EMAIL] or [PHONE] from [IP]" and rows[0]["n"] == 3
     assert rows[1]["r"] == "no pii here at all" and rows[1]["n"] == 0
+
+
+def test_pii_hits_mirror_redaction_on_adjacent_pii(spark):
+    # Adjacent identifiers with no separators: counting must see prior
+    # patterns' placeholder TOKENS (as redact_pii does), not deletions
+    # that splice surrounding digit runs together.
+    df = spark.createDataFrame([("a@b.co111.222.333.444 1-234-5678",)], ["t"])
+    row = df.select(text.redact_pii("t").alias("r"), text.pii_hits("t").alias("n")).collect()[0]
+    assert row["r"] == "[EMAIL][IP] [PHONE]"
+    assert row["n"] == 3

@@ -154,8 +154,12 @@ def test_logcheck_frequency_rules():
     assert due(mk("Q"), dt.datetime(2024, 4, 1, 9, 0))
     assert due(mk("ML"), dt.datetime(2024, 1, 31, 9, 0)) and not due(mk("ML"), tue)
     assert due(mk("W3"), tue) and not due(mk("W3"), sat)  # Tuesday = 3 (1=Sunday)
-    assert due(mk("MW3"), tue)  # first Tuesday of Jan 2024
-    assert not due(mk("MW3"), dt.datetime(2024, 1, 9, 9, 0))  # second Tuesday
+    # MW digit is first_week's 0=Sunday..6=Saturday (DateUtil.pm:194-207),
+    # one less than the W digit: first Tuesday of Jan 2024 is MW2, not MW3.
+    assert due(mk("MW2"), tue)  # first Tuesday of Jan 2024
+    assert not due(mk("MW3"), tue)  # MW3 = first WEDNESDAY under first_week
+    assert due(mk("MW3"), dt.datetime(2024, 1, 3, 9, 0))  # first Wednesday
+    assert not due(mk("MW2"), dt.datetime(2024, 1, 9, 9, 0))  # second Tuesday
     late = LogCheck("j", "x.log", "p", freq="D", time_to_check="10:00:00")
     assert not due(late, dt.datetime(2024, 1, 2, 9, 59)) and due(late, dt.datetime(2024, 1, 2, 10, 1))
 

@@ -71,6 +71,16 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_rejects_outer_shapes(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, 10)], ["k", "uid"])
+    small = spark.createDataFrame([(1, "one")], ["k", "name"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(big, small, on=["k"], big_unique_col="uid", how=how)
+
+
 def test_salted_agg_matches_plain(spark):
     df = spark.range(5000).select((F.col("id") % 4).alias("k"), F.col("id").alias("uid"), F.lit(1).alias("one"))
     got = {
