@@ -19,8 +19,8 @@ Two ingestion paths:
   mapInPandas, each executor parsing whole files from Arrow batches.
   This is the 100-TB-era shape: parallelism = file count.
 
-Legacy .xls (BIFF) is NOT implemented (no parser available here);
-`read_xls` raises NotImplementedError with the library to install.
+Legacy .xls (BIFF8) shares the same post-processing; its OLE container
+and record codec live in sources/xls_biff.py.
 """
 
 from __future__ import annotations
@@ -189,12 +189,18 @@ def read_xlsx_distributed(
     header_columns: Sequence[int] | None = None,
     date_columns: Sequence[str] | None = None,
     stop_on_empty_column: str | None = None,
+    excel_format: str = "xlsx",
 ) -> DataFrame:
-    """Many xlsx files in parallel: binaryFile scan + per-file parse in
-    executors (Arrow-batched). Adds a `_file` column."""
+    """Many Excel files in parallel: binaryFile scan + per-file parse in
+    executors (Arrow-batched). Adds a `_file` column.
+    `excel_format`: "xlsx" (default) or "xls" (BIFF8)."""
     names = list(header)
     schema = StructType([StructField("_file", StringType())] + [StructField(n, StringType()) for n in names])
     binaries = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    if excel_format == "xls":
+        from etl_wrap_spark.sources.xls_biff import parse_xls as parser
+    else:
+        parser = parse_xlsx
 
     def parse_batches(batches):
         import pandas as pd
@@ -202,7 +208,7 @@ def read_xlsx_distributed(
         for pdf in batches:
             out = []
             for path_, content in zip(pdf["path"], pdf["content"]):
-                rows = parse_xlsx(bytes(content), worksheet)
+                rows = parser(bytes(content), worksheet)
                 _, shaped = _shape_rows(
                     rows, names, skip, header_row, header_columns, date_columns, stop_on_empty_column
                 )
@@ -212,13 +218,28 @@ def read_xlsx_distributed(
     return binaries.mapInPandas(parse_batches, schema=schema)
 
 
-def read_xls(*_args, **_kwargs):
-    """S8: legacy BIFF .xls — requires xlrd (not in this environment)."""
-    raise NotImplementedError(
-        "legacy .xls (BIFF) parsing requires the xlrd library, which is not "
-        "available here; convert to .xlsx or install xlrd and use "
-        "pandas.read_excel in place of parse_xlsx"
-    )
+def read_xls(
+    spark: SparkSession,
+    path: str,
+    header: Sequence[str] | None = None,
+    worksheet: str | int | None = None,
+    skip: int = 0,
+    header_row: bool = True,
+    header_columns: Sequence[int] | None = None,
+    date_columns: Sequence[str] | None = None,
+    stop_on_empty_column: str | None = None,
+) -> DataFrame:
+    """S8: legacy BIFF8 .xls read (Wrap/File.pm:154-187 cell_handler
+    semantics: worksheet by 1-based index or name, header assertion,
+    date columns, stop-on-empty) via the pure-stdlib codec in
+    sources/xls_biff.py; shares _shape_rows with the xlsx path."""
+    from etl_wrap_spark.sources.xls_biff import parse_xls
+
+    with open(path, "rb") as fh:
+        rows = parse_xls(fh.read(), worksheet)
+    names, shaped = _shape_rows(rows, header, skip, header_row, header_columns, date_columns, stop_on_empty_column)
+    schema = StructType([StructField(n, StringType()) for n in names])
+    return spark.createDataFrame(shaped, schema)
 
 
 # ----------------------------------------------------------------- writer K14
@@ -293,3 +314,13 @@ def write_xlsx(df: DataFrame, path: str, columns: Sequence[str], sheet_name: str
     rows = [[("" if row[c] is None else str(row[c])) for c in columns] for row in df.select(*columns).collect()]
     with open(path, "wb") as fh:
         fh.write(write_xlsx_bytes(columns, rows, sheet_name))
+
+
+def write_xls(df: DataFrame, path: str, columns: Sequence[str], sheet_name: str = "Sheet1") -> None:
+    """K14 xls side (Wrap/File.pm:614-691 writes BOTH formats keyed on
+    format_xlformat): DataFrame → one legacy BIFF8 .xls file."""
+    from etl_wrap_spark.sources.xls_biff import write_xls_bytes
+
+    rows = [[("" if row[c] is None else str(row[c])) for c in columns] for row in df.select(*columns).collect()]
+    with open(path, "wb") as fh:
+        fh.write(write_xls_bytes(columns, rows, sheet_name))
