@@ -140,15 +140,24 @@ def near_dup_pairs_minhash(
 
 
 def exact_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = None
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = 1000
 ) -> DataFrame:
     """Exact n-gram Jaccard via the shingle inverted index (no LSH, no
     all-pairs): pairs sharing >=1 shingle → (id_a, id_b, inter, uni).
 
     `max_df` drops shingles occurring in more than that many documents
-    before pairing — the standard guard against quadratic blowup on
-    boilerplate shingles at scale (documented recall tradeoff: a pair
-    sharing ONLY ultra-common shingles is missed).
+    before pairing — the guard against quadratic blowup on boilerplate
+    shingles. It DEFAULTS ON (1000): each kept shingle contributes at
+    most ~df²/2 ≈ 5e5 candidate pairs regardless of corpus size, so the
+    plan stays near-linear at 100 TB; an uncapped run is a deliberate
+    `max_df=None` opt-out (the exact-baseline posture, quadratic on
+    common shingles — fine for small corpora / ground-truthing only).
+    Recall tradeoff of the cap: a pair sharing ONLY ultra-common
+    shingles is missed; near-dup pairs share their *rare* shingles, so
+    at the J>=0.5 cut the cap is inert in practice (q43's oracle proves
+    exact semantics at max_df=50 on the test corpus). For candidate
+    generation without any exact-count need, prefer the LSH path
+    (near_dup_pairs_minhash).
     """
     sf = shingle_frame(df, id_col, text_col, n)
     if max_df is not None:

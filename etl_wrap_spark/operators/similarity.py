@@ -76,6 +76,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, neighbor_id, cos).
 
+    ROUTING RULE: this is the exact BASELINE — cost is O(|queries| x
+    |corpus|) with the query side broadcast, so it is the right tool
+    only for small query batches (≲10^3) or ground-truth/recall
+    harnesses. For large query sets or repeated lookups route to
+    `signlsh_topk` (bucketed, near-linear; multi-probe for recall) —
+    the 100 TB path.
+
     The query side is broadcast (small by contract); the corpus is never
     shuffled — each partition scores its rows and the per-query top-k
     reduces via the rank window on (query, cos desc)."""
@@ -93,12 +100,31 @@ def brute_force_topk(
 def signlsh_topk(
     queries: DataFrame, corpus: DataFrame, id_q: str, id_c: str, vec: str, k: int,
     planes: list[list[float]] = PLANES,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows in the query's sign-LSH
     bucket. Same output shape as brute_force_topk; recall depends on the
-    bucket resolution (2^num_planes buckets)."""
+    bucket resolution (2^num_planes buckets).
+
+    `probe_radius` enables multi-probe: each query additionally probes
+    every bucket within that Hamming distance of its own (radius 1 → all
+    single-bit flips, +num_planes buckets; radius 2 adds pairwise
+    flips). Neighbors lost to one near-boundary hyperplane sign are
+    recovered at ~(1+nb)x the scoring cost — still bucketed, never the
+    |Q|x|C| cross join. Corpus rows live in exactly one bucket, so
+    probing never duplicates a (query, candidate) pair."""
+    nb = len(planes)
+    if probe_radius < 0 or probe_radius > 2:
+        raise ValueError("probe_radius must be 0, 1, or 2")
+    bkt = bucket_expr(vec, planes)
+    masks = [0]
+    if probe_radius >= 1:
+        masks += [1 << j for j in range(nb)]
+    if probe_radius >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(nb) for j in range(i + 1, nb)]
+    probe_arr = F.array(*[bkt.bitwiseXOR(F.lit(m)) for m in masks])
     q = queries.select(
-        F.col(id_q).alias("qid"), F.col(vec).alias("qv"), bucket_expr(vec, planes).alias("bkt")
+        F.col(id_q).alias("qid"), F.col(vec).alias("qv"), F.explode(probe_arr).alias("bkt")
     ).withColumn("qn", norm_expr("qv"))
     c = corpus.select(
         F.col(id_c).alias("cid"), F.col(vec).alias("cv"), bucket_expr(vec, planes).alias("bkt")

@@ -114,6 +114,30 @@ def test_brute_force_topk_self_nearest(spark):
         assert r["cid"] == r["qid"] and r["cos"] == pytest.approx(1.0)
 
 
+def test_signlsh_multiprobe_recall(spark):
+    """Multi-probe sign-LSH recovers neighbors lost to near-boundary
+    hyperplane signs: recall vs the exact brute-force top-k must rise
+    monotonically with probe radius and reach >=0.85 at radius 2 on the
+    sf0.01 embeddings (measured 0.13 / 0.40 / 0.90 — deterministic:
+    fixed planes, fixed corpus)."""
+    from etl_wrap_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01", ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    truth = {(r["qid"], r["cid"]) for r in
+             similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3).collect()}
+    recalls = []
+    for radius in (0, 1, 2):
+        got = {(r["qid"], r["cid"]) for r in
+               similarity.signlsh_topk(q, c, "vec_id", "vec_id", "embedding", k=3,
+                                       probe_radius=radius).collect()}
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] >= 0.85
+
+
 def test_multimodal_decode_plumbing(spark):
     df = spark.range(4).select(F.col("id"), F.encode(F.concat(F.lit("payload-"), F.col("id")), "UTF-8").alias("blob"))
     media = multimodal.media_frame_from_binary(df, "id", "blob", "image")
