@@ -71,9 +71,26 @@ class LocalTransport(Transport):
 
 
 class SFTPTransport(Transport):
-    """S18: SFTP via paramiko (not installed here)."""
+    """S18: SFTP binding over paramiko (reference Wrap/FTP.pm:258-315
+    login semantics: host/user, optional password or private key file,
+    port defaulting 22, known-hosts verification unless disabled).
 
-    def __init__(self, host: str, user: str, **_kw):
+    The connection opens lazily on first use and is reused; `close()`
+    (or use as a context manager) tears it down. paramiko is optional
+    in this environment — construction raises NotImplementedError when
+    it is absent, and every policy in this module stays testable via
+    LocalTransport."""
+
+    def __init__(
+        self,
+        host: str,
+        user: str,
+        password: str | None = None,
+        port: int = 22,
+        private_key: str | None = None,
+        known_hosts: str | None = None,
+        timeout: float = 30.0,
+    ):
         try:
             import paramiko  # noqa: F401
         except ImportError as e:
@@ -82,6 +99,69 @@ class SFTPTransport(Transport):
                 "available in this environment; use LocalTransport, or land "
                 "remote files in object storage upstream (the 100-TB path)"
             ) from e
+        self._paramiko = paramiko
+        self._opts = dict(hostname=host, username=user, password=password, port=port,
+                          key_filename=private_key, timeout=timeout)
+        self._known_hosts = known_hosts
+        self._client = None
+        self._sftp = None
+
+    def _conn(self):
+        if self._sftp is None:
+            client = self._paramiko.SSHClient()
+            if self._known_hosts:
+                client.load_host_keys(self._known_hosts)  # -hostkey parity (FTP.pm:284)
+            else:
+                client.set_missing_host_key_policy(self._paramiko.AutoAddPolicy())
+            client.connect(**{k: v for k, v in self._opts.items() if v is not None})
+            self._client = client
+            self._sftp = client.open_sftp()
+        return self._sftp
+
+    def close(self) -> None:
+        if self._client is not None:
+            self._client.close()
+            self._client = self._sftp = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def listdir(self, path):
+        return sorted(self._conn().listdir(path))
+
+    def mtime(self, path):
+        return self._conn().stat(path).st_mtime
+
+    def isfile(self, path):
+        import stat as _stat
+
+        try:
+            return _stat.S_ISREG(self._conn().stat(path).st_mode)
+        except FileNotFoundError:
+            return False
+
+    def get(self, remote, local):
+        self._conn().get(remote, local)
+
+    def put(self, local, remote):
+        self._conn().put(local, remote)
+
+    def rename(self, src, dst):
+        sftp = self._conn()
+        try:
+            sftp.posix_rename(src, dst)  # atomic overwrite where the server supports it
+        except OSError:
+            try:
+                sftp.remove(dst)
+            except FileNotFoundError:
+                pass
+            sftp.rename(src, dst)
+
+    def delete(self, path):
+        self._conn().remove(path)
 
 
 @dataclass

@@ -97,6 +97,59 @@ def test_move_to_history_idempotent(tmp_path):
     assert move_to_history([str(f)], str(hist)) == []
 
 
-def test_sftp_is_gated():
-    with pytest.raises(NotImplementedError, match="paramiko"):
-        SFTPTransport("host", "user")
+def test_sftp_gated_or_constructs():
+    """Without paramiko: NotImplementedError with instructions. With it:
+    construction succeeds lazily (no connection until first use)."""
+    try:
+        import paramiko  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="paramiko"):
+            SFTPTransport("host", "user")
+    else:
+        t = SFTPTransport("host", "user", password="pw")
+        assert t._sftp is None  # lazy: nothing dialed yet
+        t.close()
+
+
+def test_sftp_integration(tmp_path):
+    """Real SFTP round-trip (fetch/upload/rename/retention policies over
+    SFTPTransport) — runs only where paramiko AND a local sshd test
+    fixture exist; skipped in this environment."""
+    pytest.importorskip("paramiko")
+    pytest.skip("no sshd fixture in this environment")
+
+
+# ----------------------------------------------------------------- mail
+def test_mailer_throttles_and_reports():
+    from etl_wrap_spark.plans.logcheck import CheckResult
+    from etl_wrap_spark.plans.mail import MailConfig, Mailer
+    from etl_wrap_spark.plans.runner import RunReport
+
+    sent = []
+    cfg = MailConfig(server="smtp.example.invalid", sender="etl@example.invalid",
+                     to=["ops@example.invalid"], subject="ETL error", env="TEST")
+    m = Mailer(cfg, send_fn=lambda _cfg, msg: sent.append(msg))
+
+    # failed report → error mail with env-prefixed subject and context
+    failed = RunReport(attempts=3, succeeded=False, errors=["boom", "still boom"])
+    assert m.report(failed, context="load3") is True
+    assert sent[-1]["Subject"] == "TEST: ETL error, load3"
+    assert "boom" in sent[-1].get_content()
+    # second error in the same run is throttled (MailFilter parity)
+    assert m.error("load3", "another") is False and len(sent) == 1
+    # new run: throttle re-arms
+    m.reset()
+    assert m.error("load3", "again") is True and len(sent) == 2
+
+    # success-after-retry sends the all-clear; clean first-try success is silent
+    m.reset()
+    assert m.report(RunReport(attempts=2, succeeded=True, errors=["transient"])) is True
+    assert "succeeded on attempt 2" in sent[-1].get_content()
+    assert m.report(RunReport(attempts=1, succeeded=True)) is False
+
+    # failed log checks → one summary mail
+    m.reset()
+    res = [CheckResult("jobA", True), CheckResult("jobB", False, "no entry")]
+    assert m.check_results(res) is True
+    assert "jobB" in sent[-1].get_content() and "jobA" not in sent[-1].get_content()
+    assert m.check_results([CheckResult("jobA", True)]) is False
