@@ -5,6 +5,16 @@ local[$SPARK_GRAFT_CPUS] and prints one JSON line.
 Each query is timed as a full action (plan → execute → count via
 collect-less foreach) after a warm-up of the session. Timings include
 Catalyst planning; parquet scans are cold per query.
+
+The "within 2x of the baseline" contract has no absolute anchor (the
+reference publishes no numbers — BASELINE.md), so the harness also
+times every oracle on DuckDB over the same parquet at the same sf and
+emits per-query spark/duckdb ratios. DuckDB is a strong single-node
+columnar engine, so ratio ≈ 1 on local[32] means the Spark plan carries
+no distributed-overhead pathology; regressions become visible
+round-over-round. Disable with SPARK_GRAFT_DUCKDB=0; each oracle is
+interrupt-capped (SPARK_GRAFT_DUCKDB_CAP seconds, default 60) so the
+bench can never hang on a quadratic oracle.
 """
 
 from __future__ import annotations
@@ -13,12 +23,13 @@ import json
 import os
 import re
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_wrap_spark import catalog
-from etl_wrap_spark.session import get_session
+from etl_wrap_spark.session import TABLES, get_session
 
 # headline set: kept to the queries that exercise distinct plan shapes;
 # extend as operators land.
@@ -38,6 +49,34 @@ HEADLINE = [
     "q26_ann_bruteforce",
     "q29_asof_join",
 ]
+
+
+def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float | None]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = catalog.oracle_sql()
+    out: dict[str, float | None] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        timer = threading.Timer(cap, con.interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            out[name] = round(time.time() - t0, 3)
+        except Exception:
+            out[name] = None  # interrupted at cap (or oracle error)
+        finally:
+            timer.cancel()
+        print(f"# duckdb {name}: {out[name]}s", file=sys.stderr)
+    return out
 
 
 def main():
@@ -67,17 +106,28 @@ def main():
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "catalog_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_DUCKDB", "1") != "0":
+        cap = float(os.environ.get("SPARK_GRAFT_DUCKDB_CAP", "60"))
+        duck = time_oracles(sf_dir, names, cap)
+        ratios = {
+            n: round(timings[n] / duck[n], 2)
+            for n in duck
+            if duck[n] and n in timings
+        }
+        timed = [d for d in duck.values() if d is not None]
+        result["duckdb_total"] = round(sum(timed), 3)
+        result["duckdb"] = duck
+        result["spark_vs_duckdb"] = ratios
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
