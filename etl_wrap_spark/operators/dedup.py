@@ -245,3 +245,107 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3, band_b
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------- benchmark contamination
+def contamination_check(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Train/eval n-gram overlap — the benchmark-contamination scan a
+    training-data pipeline runs before every release.
+
+    Long shingles (default n=8 tokens) from BOTH corpora meet in a
+    shingle inverted index (the no-all-pairs structure of
+    exact_jaccard_pairs): work scales with *colliding* shingles, never
+    |train| x |eval|. The eval side is tiny by nature, so Catalyst
+    broadcasts its exploded shingles against the train index. Output per
+    overlapping (train_id, eval_id): matched-shingle count, the eval
+    document's shingle count, and exact integer containment basis
+    points floor(10000 * hits / eval_shingles) — contamination is
+    containment of the EVAL document, not symmetric Jaccard.
+
+    `max_df` (same guard as exact_jaccard_pairs, applied to the TRAIN
+    index) drops boilerplate shingles; with n=8 a shared shingle is
+    8 consecutive identical tokens, so false hits are rare and real
+    leaks (verbatim benchmark rows) hit at containment_bp ~ 10000.
+    """
+    tsf = shingle_frame(train, id_col, text_col, n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    if max_df is not None:
+        keep = tsf.groupBy("shingle").agg(F.countDistinct("train_id").alias("df")).where(
+            F.col("df") <= max_df
+        )
+        tsf = tsf.join(keep.select("shingle"), on="shingle")
+    esf = shingle_frame(evals, id_col, text_col, n).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    esize = esf.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_shingles"))
+    hits = (
+        tsf.join(esf, on="shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return hits.join(F.broadcast(esize), on="eval_id").select(
+        "train_id",
+        "eval_id",
+        "hits",
+        "eval_shingles",
+        F.floor(F.lit(10000) * F.col("hits") / F.col("eval_shingles")).cast("bigint").alias("containment_bp"),
+    )
+
+
+# ---------------------------------------------- dedup connected components
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) labeling of the near-dup graph: component =
+    min node id reachable — the canonicalization step that turns
+    pairwise LSH output into dedup groups.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converged when no label
+    changes. Rounds needed = graph diameter (dedup components are
+    near-cliques, so 2-3 in practice; `max_iter` bounds pathological
+    chains). Each round is one shuffle join + aggregation; the labels
+    frame is persisted per round and lineage is truncated via
+    localCheckpoint so plans don't grow with iterations — the standard
+    shape for iterative algorithms on a cluster. Driver-side work is
+    one scalar count per round (the convergence test), never the data.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))

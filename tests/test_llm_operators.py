@@ -230,3 +230,32 @@ def test_pii_hits_mirror_redaction_on_adjacent_pii(spark):
     row = df.select(text.redact_pii("t").alias("r"), text.pii_hits("t").alias("n")).collect()[0]
     assert row["r"] == "[EMAIL][IP] [PHONE]"
     assert row["n"] == 3
+
+
+def test_contamination_check_verbatim_and_clean(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),            # contains eval 10's full text
+            (2, "totally different words here with no overlap at all"),
+            (3, "x a b c d e f g h i j y z"),      # superset of eval 10
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame([(10, "a b c d e f g h i j")], ["doc_id", "text"])
+    rows = {
+        (r["train_id"], r["eval_id"]): (r["hits"], r["eval_shingles"], r["containment_bp"])
+        for r in dedup.contamination_check(train, evals, "doc_id", "text", n=8).collect()
+    }
+    # eval text has 10 tokens -> 3 distinct 8-gram shingles
+    assert rows[(1, 10)] == (3, 3, 10000)   # verbatim: full containment
+    assert rows[(3, 10)] == (3, 3, 10000)   # superset contains all eval shingles
+    assert (2, 10) not in rows              # clean doc never pairs
+
+
+def test_connected_components_chain_and_singleton_free(spark):
+    # components: {1,2,3,4} via a chain (diameter 3), {7,9}; 100 has no edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 7)], ["id_a", "id_b"]
+    )
+    got = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
