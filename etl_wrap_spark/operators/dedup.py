@@ -34,10 +34,60 @@ NUM_HASHES = 32
 BAND_ROWS = 2
 NUM_BANDS = NUM_HASHES // BAND_ROWS
 
-_rng = random.Random(20240813)
-MINHASH_AB: list[tuple[int, int]] = [
-    (_rng.randrange(1, MINHASH_P) | 1, _rng.randrange(0, MINHASH_P)) for _ in range(NUM_HASHES)
-]
+def minhash_ab(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a odd, b) — the same
+    fixed seed always yields the same prefix, so a 32-hash signature is
+    a prefix of a 64-hash one and oracles can reproduce any size."""
+    rng = random.Random(20240813)
+    return [(rng.randrange(1, MINHASH_P) | 1, rng.randrange(0, MINHASH_P)) for _ in range(num_hashes)]
+
+
+MINHASH_AB: list[tuple[int, int]] = minhash_ab(NUM_HASHES)
+
+
+def tune_lsh_params(
+    threshold: float,
+    num_perm: int = NUM_HASHES,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Choose (bands, rows) for a target Jaccard `threshold`.
+
+    The LSH S-curve gives P(candidate | J=s) = 1 - (1 - s^r)^b. This
+    picks the (b, r) with b*r <= num_perm minimizing the weighted
+    integral of false positives (area under the curve below the
+    threshold) and false negatives (area above it) — the standard
+    tuning rule; the curve's inflection sits near (1/b)^(1/r).
+
+    Raising `threshold` raises the returned r (steeper curve, fewer
+    accidental collisions); loosening it favors more bands. The result
+    plugs into minhash_signatures(num_hashes=b*r) +
+    lsh_candidate_pairs(band_rows=r).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    steps = 1000
+
+    def _prob(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        fp = sum(
+            _prob(threshold * (i + 0.5) / steps, b, r) for i in range(steps)
+        ) * threshold / steps
+        fn = sum(
+            1.0 - _prob(threshold + (1.0 - threshold) * (i + 0.5) / steps, b, r)
+            for i in range(steps)
+        ) * (1.0 - threshold) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -61,7 +111,7 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
 
 
-def minhash_signatures(sf: DataFrame, id_col: str) -> DataFrame:
+def minhash_signatures(sf: DataFrame, id_col: str, num_hashes: int = NUM_HASHES) -> DataFrame:
     """Per-doc MinHash signature columns mh0..mh{N-1} from a shingle frame.
 
     One shuffle on `id_col`; the min aggregates combine map-side.
@@ -69,32 +119,35 @@ def minhash_signatures(sf: DataFrame, id_col: str) -> DataFrame:
     h = hash28("shingle")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_AB)
+        for i, (a, b) in enumerate(minhash_ab(num_hashes))
     ]
     return sf.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS) -> DataFrame:
     """Candidate pairs agreeing on at least one LSH band → (id_a, id_b).
 
     Bands explode to (band, key) rows; the self-join shuffles on the
-    band key — no all-pairs comparison ever happens.
+    band key — no all-pairs comparison ever happens. The band count is
+    len(mh* columns) // band_rows (tune both via tune_lsh_params).
     """
+    num_hashes = sum(1 for c in sig.columns if c.startswith("mh"))
+    num_bands = num_hashes // band_rows
     bands = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                *[F.col(f"mh{j * BAND_ROWS + r}").alias(f"k{r}") for r in range(BAND_ROWS)],
+                *[F.col(f"mh{j * band_rows + r}").alias(f"k{r}") for r in range(band_rows)],
             )
-            for j in range(NUM_BANDS)
+            for j in range(num_bands)
         ]
     )
     keyed = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
-        id_col, "b.band", *[f"b.k{r}" for r in range(BAND_ROWS)]
+        id_col, "b.band", *[f"b.k{r}" for r in range(band_rows)]
     )
-    left = keyed.select(F.col(id_col).alias("id_a"), "band", *[f"k{r}" for r in range(BAND_ROWS)])
-    right = keyed.select(F.col(id_col).alias("id_b"), "band", *[f"k{r}" for r in range(BAND_ROWS)])
-    on = ["band"] + [f"k{r}" for r in range(BAND_ROWS)]
+    left = keyed.select(F.col(id_col).alias("id_a"), "band", *[f"k{r}" for r in range(band_rows)])
+    right = keyed.select(F.col(id_col).alias("id_b"), "band", *[f"k{r}" for r in range(band_rows)])
+    on = ["band"] + [f"k{r}" for r in range(band_rows)]
     return (
         left.join(right, on=on)
         .where(F.col("id_a") < F.col("id_b"))
@@ -127,14 +180,35 @@ def jaccard_verify(
 
 
 def near_dup_pairs_minhash(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num: int = 2, den: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num: int = 2,
+    den: int = 1,
+    auto_tune: bool = False,
+    num_perm: int = NUM_HASHES,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle → signature →
     band join → exact verify, keeping pairs with Jaccard >= den/num
-    (e.g. num=2, den=1 → J >= 0.5)."""
+    (e.g. num=2, den=1 → J >= 0.5).
+
+    With `auto_tune=True` the LSH band/row split is derived from the
+    den/num threshold via tune_lsh_params (using up to `num_perm`
+    hashes) instead of the module's fixed 16x2 — the candidate S-curve
+    then centers on the verify threshold, cutting both wasted verify
+    work (false candidates) and band-misses near the cut. The final
+    exact-verify step makes both configurations return identical pairs
+    UP TO candidate recall; tuning only moves the recall/cost point.
+    """
     sf = shingle_frame(df, id_col, text_col, n)
-    sig = minhash_signatures(sf, id_col)
-    cands = lsh_candidate_pairs(sig, id_col)
+    if auto_tune:
+        bands, rows = tune_lsh_params(den / num, num_perm)
+        sig = minhash_signatures(sf, id_col, num_hashes=bands * rows)
+        cands = lsh_candidate_pairs(sig, id_col, band_rows=rows)
+    else:
+        sig = minhash_signatures(sf, id_col)
+        cands = lsh_candidate_pairs(sig, id_col)
     verified = jaccard_verify(cands, df, id_col, text_col, n)
     return verified.where(F.col("inter") * num >= F.col("uni") * den)
 
@@ -349,3 +423,80 @@ def connected_components(
         if n_changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) labeling via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the scale path when component DIAMETER is unbounded.
+
+    Min-label propagation (connected_components) needs diameter-many
+    rounds: a 10^6-node chain means 10^6 shuffles. The star operations
+    instead rewire edges toward each neighborhood's minimum:
+
+    - large-star: for every node u, connect each strictly-GREATER
+      neighbor v > u to min(N(u) ∪ {u});
+    - small-star: orient edges large→small, connect each neighbor
+      (all <= u) and u itself to that minimum.
+
+    Both keep the partition structure of the graph while halving tree
+    heights, so convergence is O(log^2 n) rounds on ANY topology —
+    dedup chains (A~B~C~... from transitive near-dup links) no longer
+    set the round count. Each round is two self-contained
+    aggregate+join shuffles; lineage is truncated per round via
+    localCheckpoint and the convergence probe pulls two scalars
+    (edge count + checksum), never data, to the driver.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev: tuple[int, int] | None = None
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("minv"))
+            .select("u", F.least("u", "minv").alias("mn"))
+        )
+        edges = (
+            sym.join(mins, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over large→small oriented edges
+        oriented = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = oriented.join(mins, on="u")
+        edges = (
+            joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(joined.select(F.col("u"), F.col("mn").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        state = edges.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("chk")
+        ).first()
+        cur = (state["n"], state["chk"])
+        if cur == prev:
+            break
+        prev = cur
+    # converged edge set points every non-root node at its component root
+    roots = edges.select(F.col("v").alias("id")).distinct().exceptAll(
+        edges.select(F.col("u").alias("id")).distinct()
+    )
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+        .unionByName(roots.select(F.col("id").alias("doc_id"), F.col("id").alias("component")))
+        .distinct()
+    )

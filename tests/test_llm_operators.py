@@ -259,3 +259,60 @@ def test_connected_components_chain_and_singleton_free(spark):
     )
     got = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_tune_lsh_params_properties():
+    # fixed 32-perm split at J>=0.5: the curve's inflection (1/b)^(1/r)
+    # should land near the threshold
+    b, r = dedup.tune_lsh_params(0.5, 32)
+    assert b * r <= 32
+    assert 0.2 < (1.0 / b) ** (1.0 / r) < 0.8
+    # raising the threshold never lowers rows-per-band (steeper curve)
+    rows_at = [dedup.tune_lsh_params(t, 64)[1] for t in (0.2, 0.5, 0.8, 0.95)]
+    assert rows_at == sorted(rows_at)
+    # coefficient prefix property: 32-hash coefficients are a prefix of 64
+    assert dedup.minhash_ab(64)[:32] == dedup.MINHASH_AB
+    with pytest.raises(ValueError):
+        dedup.tune_lsh_params(1.5)
+
+
+def test_near_dup_pairs_auto_tuned_matches_default(spark, docs):
+    default = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs_minhash(docs, "doc_id", "text").collect()
+    }
+    tuned = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs_minhash(
+            docs, "doc_id", "text", auto_tune=True, num_perm=64
+        ).collect()
+    }
+    # exact verify gates both; the tuned variant must keep the known dups
+    assert {(1, 2), (1, 4), (2, 4)} <= tuned
+    assert tuned <= default | {(1, 2), (1, 4), (2, 4)}
+
+
+def test_connected_components_star_matches_minlabel(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 7), (10, 11), (11, 10)], ["id_a", "id_b"]
+    )
+    star = {r["doc_id"]: r["component"] for r in dedup.connected_components_star(pairs).collect()}
+    assert star == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 10: 10, 11: 10}
+
+
+def test_connected_components_star_long_chain(spark):
+    # a 64-node chain: diameter 63 — min-label would need 63 rounds, the
+    # star alternation must finish well inside its default budget
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    got = {r["doc_id"]: r["component"] for r in dedup.connected_components_star(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_connected_components_star_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {r["doc_id"]: r["component"] for r in dedup.connected_components_star(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
