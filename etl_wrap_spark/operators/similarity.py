@@ -159,6 +159,119 @@ def embedding_near_dups(
     )
 
 
+# ------------------------------------------------------------------ IVF ANN
+def ivf_centroids_deterministic(
+    corpus: DataFrame, id_c: str, vec: str, n_cells: int
+) -> DataFrame:
+    """Coarse-quantizer centroids as `n_cells` deterministically sampled
+    corpus rows → (cell, kv). Rows are ranked by md5(id) — a seeded
+    uniform draw both engines reproduce exactly, which is what makes an
+    IVF query oracle-checkable. orderBy+limit compiles to
+    TakeOrderedAndProject (no global sort materialization); the
+    row_number window then runs on n_cells rows only."""
+    h = F.md5(F.col(id_c).cast("string"))
+    picked = (
+        corpus.select(F.col(id_c).alias("__cid"), F.col(vec).alias("kv"), h.alias("__h"))
+        .orderBy("__h", "__cid")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("__h", "__cid")
+    return picked.withColumn("cell", F.row_number().over(w)).select("cell", "kv")
+
+
+def ivf_centroids_kmeans(
+    corpus: DataFrame, vec: str, n_cells: int, seed: int = 20240813, max_iter: int = 10
+) -> DataFrame:
+    """KMeans-refined coarse quantizer (pyspark.ml) → (cell, kv) — the
+    production centroid path: refined cells cut the per-query scan
+    fraction vs the sampled quantizer at equal recall. Deterministic for
+    a fixed seed + partitioning but NOT engine-portable (iterative float
+    means), so oracle-checked queries use ivf_centroids_deterministic;
+    this path is recall-tested against brute force in pytest."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    rows = [(i + 1, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cell int, kv array<double>")
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec: str, centroids: DataFrame) -> DataFrame:
+    """Nearest-cell assignment → (id, cell, __v, __n).
+
+    One broadcast nested-loop join (|df| x n_cells affinities, no
+    shuffle) followed by a max-of-struct aggregation: the struct
+    compares (affinity, -cell) lexicographically, so the winning cell is
+    deterministic under ties and the aggregation combines MAP-SIDE —
+    only one row per id reaches the reduce side, never the n_cells
+    blowup. The row's vector and norm ride inside the struct, so no
+    re-join with the input is needed."""
+    a = df.select(F.col(id_col), F.col(vec).alias("__v")).withColumn("__n", norm_expr("__v"))
+    kn = centroids.withColumn("__kn", norm_expr("kv"))
+    scored = a.crossJoin(F.broadcast(kn)).select(
+        F.col(id_col),
+        F.struct(
+            (dot_expr("__v", "kv") / (F.col("__n") * F.col("__kn"))).alias("aff"),
+            (-F.col("cell")).alias("negcell"),
+            F.col("__v").alias("v"),
+            F.col("__n").alias("n"),
+        ).alias("s"),
+    )
+    return scored.groupBy(id_col).agg(F.max("s").alias("b")).select(
+        F.col(id_col),
+        (-F.col("b.negcell")).alias("cell"),
+        F.col("b.v").alias("__v"),
+        F.col("b.n").alias("__n"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec: str,
+    k: int,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: (qid, rank, cid, cos). Corpus rows live in
+    their single nearest cell; each query probes its `nprobe` highest-
+    affinity cells, so the scan fraction is ~nprobe/n_cells of the
+    corpus instead of all of it — the list-pruning ANN shape that
+    complements sign-LSH bucketing (cells adapt to the data's density
+    rather than to fixed hyperplanes).
+
+    The corpus is assigned once (reusable across query batches when
+    `centroids` is passed in); the query side stays broadcast. A
+    (query, candidate) pair can meet in at most one cell — corpus
+    assignment is unique — so no dedup step is needed."""
+    cent = centroids if centroids is not None else ivf_centroids_deterministic(corpus, id_c, vec, n_cells)
+    c = ivf_assign(corpus, id_c, vec, cent).select(
+        F.col(id_c).alias("cid"), "cell", F.col("__v").alias("cv"), F.col("__n").alias("cn")
+    )
+    kn = cent.withColumn("__kn", norm_expr("kv"))
+    q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv")).withColumn(
+        "qn", norm_expr("qv")
+    )
+    qaff = q.crossJoin(F.broadcast(kn)).select(
+        "qid", "qv", "qn", "cell",
+        (dot_expr("qv", "kv") / (F.col("qn") * F.col("__kn"))).alias("aff"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("aff").desc(), F.col("cell"))
+    qcells = qaff.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe).select(
+        "qid", "qv", "qn", "cell"
+    )
+    scored = c.join(F.broadcast(qcells), on="cell").select(
+        "qid", "cid", (dot_expr("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 # --------------------------------------------------------- SQL generation
 def dot_sql(a: str, b: str, dim: int = DIM) -> str:
     """The oracle-side mirror of dot_expr (DuckDB 1-based list index)."""

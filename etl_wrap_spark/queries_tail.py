@@ -235,3 +235,76 @@ def q55_dedup_components(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["documents"])
     pairs = dedup.near_dup_pairs_minhash(t["documents"], "doc_id", "text", n=3, num=2, den=1)
     return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ IVF ANN (q56)
+def _ivf_oracle(n_cells: int, nprobe: int, k: int) -> str:
+    from etl_wrap_spark.operators import similarity as sim
+
+    d_ck = sim.dot_sql("cv", "kv")
+    n_c = sim.dot_sql("cv", "cv")
+    d_qk = sim.dot_sql("qv", "kv")
+    n_q = sim.dot_sql("qv", "qv")
+    d_qc = sim.dot_sql("qv", "cv")
+    n_k = sim.dot_sql("kv", "kv")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS cv, label AS cl FROM embeddings WHERE vec_id % 50 <> 0
+    ), cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS cell, cv AS kv
+      FROM c ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT {n_cells}
+    ), cass AS (
+      SELECT cid, cv, cl, cell FROM (
+        SELECT cid, cv, cl, cell,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                 ORDER BY ({d_ck}) / (sqrt({n_c}) * sqrt({n_k})) DESC, cell) AS rn
+        FROM c, cent
+      ) WHERE rn = 1
+    ), qcells AS (
+      SELECT qid, qv, ql, cell FROM (
+        SELECT qid, qv, ql, cell,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY ({d_qk}) / (sqrt({n_q}) * sqrt({n_k})) DESC, cell) AS rn
+        FROM q, cent
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT qid, cid, ({d_qc}) / (sqrt({n_q}) * sqrt({n_c})) AS cos,
+             CASE WHEN ql = cl THEN 1 ELSE 0 END AS same_label
+      FROM qcells JOIN cass USING (cell)
+    ), ranked AS (
+      SELECT qid, cid, same_label,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, rank, cid, same_label FROM ranked WHERE rank <= {k} ORDER BY qid, rank
+    """
+
+
+@register("q56_ann_ivf", oracle=_ivf_oracle(n_cells=8, nprobe=2, k=3))
+def q56_ann_ivf(spark, sf_dir):
+    """IVF ANN: corpus rows live in their nearest coarse-quantizer cell
+    (deterministic md5-sampled centroids so the oracle reproduces them);
+    each query probes its 2 best of 8 cells. Complements q27's sign-LSH
+    buckets with density-adaptive list pruning — the per-query scan is
+    ~nprobe/n_cells of the corpus. The production path swaps in
+    ivf_centroids_kmeans (recall-tested in pytest, not oracle-portable)."""
+    from etl_wrap_spark.operators import similarity
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    topk = similarity.ivf_topk(q, c, "vec_id", "vec_id", "embedding", k=3, n_cells=8, nprobe=2)
+    ql = F.broadcast(q.select(F.col("vec_id").alias("qid"), F.col("label").alias("ql")))
+    cl = c.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl"))
+    return (
+        topk.join(ql, on="qid")
+        .join(cl, on="cid")
+        .select(
+            "qid", "rank", "cid",
+            F.when(F.col("ql") == F.col("cl"), 1).otherwise(0).alias("same_label"),
+        )
+        .orderBy("qid", "rank")
+    )

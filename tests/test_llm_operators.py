@@ -316,3 +316,45 @@ def test_connected_components_star_string_ids(spark):
     )
     got = {r["doc_id"]: r["component"] for r in dedup.connected_components_star(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_ivf_topk_recall_and_probe_monotonicity(spark):
+    """IVF list pruning: recall vs exact brute force rises with nprobe
+    and the full probe (nprobe = n_cells) is EXACT — every cell is
+    scanned, so the top-k equals brute force bit-for-bit."""
+    from etl_wrap_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01", ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    truth = {(r["qid"], r["cid"]) for r in
+             similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3).collect()}
+    cent = similarity.ivf_centroids_deterministic(c, "vec_id", "embedding", 8)
+    recalls = []
+    for nprobe in (1, 2, 8):
+        got = {(r["qid"], r["cid"]) for r in
+               similarity.ivf_topk(q, c, "vec_id", "vec_id", "embedding", k=3,
+                                   n_cells=8, nprobe=nprobe, centroids=cent).collect()}
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] == 1.0
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    """The KMeans-refined quantizer is the production path: it must at
+    least run end-to-end through the same assignment/probe machinery
+    and reach reasonable recall at nprobe=2 of 8 cells."""
+    from etl_wrap_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01", ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    truth = {(r["qid"], r["cid"]) for r in
+             similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3).collect()}
+    cent = similarity.ivf_centroids_kmeans(c, "embedding", 8)
+    got = {(r["qid"], r["cid"]) for r in
+           similarity.ivf_topk(q, c, "vec_id", "vec_id", "embedding", k=3,
+                               n_cells=8, nprobe=2, centroids=cent).collect()}
+    assert len(got & truth) / len(truth) >= 0.5
