@@ -110,6 +110,106 @@ def lang_id(col: Column | str) -> Column:
     return F.when(c.rlike("[\\u4e00-\\u9fff]"), F.lit("zh")).otherwise(pred)
 
 
+# ----------------------------------------------- repetition / Gopher signals
+# Structural repetition heuristics in the style of the Gopher/MassiveText
+# quality rules: machine-generated and boilerplate text repeats itself at
+# the line and n-gram level. All ratios are exact integer basis points so
+# any engine reproduces them bit-for-bit.
+
+
+def lines(col: Column | str) -> Column:
+    return F.split(_c(col), "\n")
+
+
+def dup_line_fraction_bp(col: Column | str) -> Column:
+    """Fraction of lines that are repeats of an earlier line, in basis
+    points: 10000 * (n_lines - n_distinct_lines) / n_lines."""
+    ln = lines(col)
+    n = F.size(ln)
+    return F.floor(F.lit(10000) * (n - F.size(F.array_distinct(ln))) / n).cast("bigint")
+
+
+def bullet_line_fraction_bp(col: Column | str) -> Column:
+    """Share of lines starting with a bullet marker ('- ', '* ')."""
+    ln = lines(col)
+    hits = F.size(
+        F.filter(ln, lambda l: l.startswith("- ") | l.startswith("* "))
+    )
+    return F.floor(F.lit(10000) * hits / F.size(ln)).cast("bigint")
+
+
+def ellipsis_line_fraction_bp(col: Column | str) -> Column:
+    """Share of lines ending in '...' (truncated/teaser content)."""
+    ln = lines(col)
+    hits = F.size(F.filter(ln, lambda l: l.endswith("...")))
+    return F.floor(F.lit(10000) * hits / F.size(ln)).cast("bigint")
+
+
+def symbol_ratio_bp(col: Column | str) -> Column:
+    """Symbol-to-word ratio ('#' and '...' occurrences per token) in
+    basis points — high values mark markup/log debris."""
+    c = _c(col)
+    hits = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0)))
+    return F.floor(F.lit(10000) * hits / token_count(col)).cast("bigint")
+
+
+def gopher_flags(
+    col: Column | str,
+    max_symbol_bp: int = 1000,
+    max_dup_line_bp: int = 3000,
+    max_bullet_bp: int = 9000,
+    max_ellipsis_bp: int = 3000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+) -> Column:
+    """Comma-joined structural quality flags (Gopher-rule thresholds):
+    repetitive_lines, high_symbol_ratio, bullet_heavy, ellipsis_heavy,
+    odd_word_length. Empty string = passes all rules. Complements
+    quality_flags (length/diversity/stopwords) — together they form the
+    standard pre-training structural filter bank."""
+    mean_len_ok = avg_token_len(col).between(min_mean_word_len, max_mean_word_len)
+    return F.concat_ws(
+        ",",
+        F.when(dup_line_fraction_bp(col) > max_dup_line_bp, F.lit("repetitive_lines")),
+        F.when(symbol_ratio_bp(col) > max_symbol_bp, F.lit("high_symbol_ratio")),
+        F.when(bullet_line_fraction_bp(col) > max_bullet_bp, F.lit("bullet_heavy")),
+        F.when(ellipsis_line_fraction_bp(col) > max_ellipsis_bp, F.lit("ellipsis_heavy")),
+        F.when(~mean_len_ok, F.lit("odd_word_length")),
+    )
+
+
+def top_ngram_coverage(df, id_col: str, text_col: str, n: int = 2):
+    """Most-repeated token n-gram per document → (id, top_ngram, reps,
+    coverage_bp) where coverage_bp = floor(10000 * reps * n / tokens) —
+    the Gopher "fraction of text in the most common n-gram" signal.
+
+    Explode + count + min-of-struct argmax: one shuffle on (id, gram)
+    with map-side combine, then one on id; ties break to the
+    lexicographically smallest gram so results are engine-exact.
+    """
+    t = tokens(text_col)
+    cnt = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    ex = df.select(F.col(id_col), cnt.alias("__n"), F.explode(grams).alias("gram"))
+    counted = ex.groupBy(id_col, "__n", "gram").agg(F.count(F.lit(1)).alias("reps"))
+    best = (
+        counted.select(
+            F.col(id_col),
+            F.col("__n"),
+            F.struct((-F.col("reps")).alias("nr"), F.col("gram").alias("g")).alias("s"),
+        )
+        .groupBy(id_col, "__n")
+        .agg(F.min("s").alias("b"))
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("b.g").alias("top_ngram"),
+        (-F.col("b.nr")).alias("reps"),
+        F.floor(F.lit(10000) * (-F.col("b.nr")) * n / F.col("__n")).cast("bigint").alias("coverage_bp"),
+    )
+
+
 # ------------------------------------------------------------- fingerprints
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for exact-dup detection: lowercase, collapse

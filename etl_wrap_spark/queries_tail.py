@@ -308,3 +308,54 @@ def q56_ann_ivf(spark, sf_dir):
         )
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------- Gopher repetition signals (q57)
+@register(
+    "q57_gopher_repetition",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+    grams AS (
+      SELECT doc_id, len(t) AS n,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                                   i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+      FROM toks
+    ), counted AS (
+      SELECT doc_id, n, gram, COUNT(*) AS reps FROM grams GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT doc_id, gram AS top_ngram, CAST(reps AS BIGINT) AS reps,
+             CAST(floor(10000.0 * reps * 2 / n) AS BIGINT) AS coverage_bp,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY reps DESC, gram) AS rn
+      FROM counted
+    ), lstats AS (
+      SELECT doc_id,
+             CAST(floor(10000.0 * (len(l) - len(list_distinct(l))) / len(l)) AS BIGINT) AS dup_line_bp,
+             CAST(floor(10000.0 * len(regexp_extract_all(text, '#|\.\.\.'))
+                        / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS symbol_bp
+      FROM (SELECT doc_id, text, string_split(text, chr(10)) AS l FROM d)
+    )
+    SELECT b.doc_id, top_ngram, reps, coverage_bp, dup_line_bp, symbol_bp
+    FROM best b JOIN lstats USING (doc_id) WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def q57_gopher_repetition(spark, sf_dir):
+    """Gopher/MassiveText structural repetition signals: most-repeated
+    bigram coverage (explode + count + argmax, both shuffles map-side
+    combining) joined with per-doc expression-only line/symbol ratios —
+    the filter bank a pre-training pipeline runs before dedup. Flag
+    thresholds (gopher_flags) are pinned by unit fixtures; this query
+    oracle-checks the underlying exact-integer signals."""
+    from etl_wrap_spark.operators import text as T
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].where(F.col("doc_id") % 7 == 0)
+    cov = T.top_ngram_coverage(d, "doc_id", "text", n=2)
+    stats = d.select(
+        "doc_id",
+        T.dup_line_fraction_bp("text").alias("dup_line_bp"),
+        T.symbol_ratio_bp("text").alias("symbol_bp"),
+    )
+    return cov.join(stats, on="doc_id").select(
+        "doc_id", "top_ngram", "reps", "coverage_bp", "dup_line_bp", "symbol_bp"
+    ).orderBy("doc_id")

@@ -358,3 +358,45 @@ def test_ivf_kmeans_centroids_recall(spark):
            similarity.ivf_topk(q, c, "vec_id", "vec_id", "embedding", k=3,
                                n_cells=8, nprobe=2, centroids=cent).collect()}
     assert len(got & truth) / len(truth) >= 0.5
+
+
+def test_gopher_repetition_signals(spark):
+    rows = [
+        (1, "alpha beta\nalpha beta\nalpha beta\ngamma delta"),      # 2 dup lines of 4
+        (2, "- first\n- second\n- third"),                            # all bullets
+        (3, "read more...\nsee details...\nplain line"),              # 2/3 ellipsis
+        (4, "## header ## with ### marks and more...\nbody text here"),
+        (5, "clean prose line one\nclean prose line two"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "body"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            text.dup_line_fraction_bp("body").alias("dup"),
+            text.bullet_line_fraction_bp("body").alias("bullet"),
+            text.ellipsis_line_fraction_bp("body").alias("ell"),
+            text.symbol_ratio_bp("body").alias("sym"),
+            text.gopher_flags("body").alias("flags"),
+        ).collect()
+    }
+    assert got[1]["dup"] == 5000  # 4 lines, 2 distinct
+    assert got[2]["bullet"] == 10000
+    assert got[3]["ell"] == 6666
+    assert got[4]["sym"] > 0
+    assert got[5]["dup"] == 0 and got[5]["flags"] == ""
+    assert "repetitive_lines" in got[1]["flags"]
+    assert "bullet_heavy" in got[2]["flags"]
+    assert "ellipsis_heavy" in got[3]["flags"]
+
+
+def test_top_ngram_coverage_argmax_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y x y z"), (2, "a b c d")], ["doc_id", "body"]
+    )
+    got = {r["doc_id"]: r for r in text.top_ngram_coverage(df, "doc_id", "body", n=2).collect()}
+    # "x y" appears 3 times in 7 tokens -> floor(10000*3*2/7) = 8571
+    assert got[1]["top_ngram"] == "x y" and got[1]["reps"] == 3
+    assert got[1]["coverage_bp"] == 8571
+    # all bigrams tie at 1 -> lexicographically smallest wins
+    assert got[2]["top_ngram"] == "a b" and got[2]["reps"] == 1
