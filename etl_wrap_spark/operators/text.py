@@ -33,6 +33,23 @@ def char_count(col: Column | str) -> Column:
     return F.length(_c(col))
 
 
+# GPT-2-style pre-tokenizer, reduced to an RE2-safe form (no lookaround,
+# no unicode property classes — both Spark's Java regex and DuckDB's RE2
+# run it identically): contraction suffixes, space-prefixed letter runs,
+# digit runs, punctuation runs, residual whitespace.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count under the BPE pre-tokenizer split — the
+    budgeting unit of a training pipeline (context-window packing, cost
+    estimates). Whitespace-only matches are not tokens and are excluded;
+    a pure whole-word count is `token_count`."""
+    c = _c(col)
+    pieces = F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    return F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
+
+
 def avg_token_len(col: Column | str) -> Column:
     """Mean token length as an exact decimal (sum of lengths / count)."""
     t = tokens(col)

@@ -359,3 +359,42 @@ def q57_gopher_repetition(spark, sf_dir):
     return cov.join(stats, on="doc_id").select(
         "doc_id", "top_ngram", "reps", "coverage_bp", "dup_line_bp", "symbol_bp"
     ).orderBy("doc_id")
+
+
+# --------------------------------------------- BPE-ish token budget (q58)
+@register(
+    "q58_bpe_token_budget",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    c AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+             CAST(len(list_filter(
+               regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|\s+'),
+               p -> regexp_matches(p, '\S'))) AS BIGINT) AS bpe_tokens
+      FROM d
+    )
+    SELECT doc_id, chars, ws_tokens, bpe_tokens,
+           CAST(floor(10000.0 * bpe_tokens / ws_tokens) AS BIGINT) AS expansion_bp
+    FROM c ORDER BY doc_id
+    """,
+)
+def q58_bpe_token_budget(spark, sf_dir):
+    """Token-budget accounting: characters, whitespace words, and BPE
+    pre-tokenizer pieces per document, plus the sub-word expansion
+    ratio — the unit a context-window packer (q46) and a cost model
+    both consume. Pure expressions; runs inside the scan projection."""
+    from etl_wrap_spark.operators import text as T
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].where(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        T.char_count("text").cast("bigint").alias("chars"),
+        T.token_count("text").cast("bigint").alias("ws_tokens"),
+        T.bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
+    ).withColumn(
+        "expansion_bp",
+        F.floor(F.lit(10000) * F.col("bpe_tokens") / F.col("ws_tokens")).cast("bigint"),
+    ).orderBy("doc_id")

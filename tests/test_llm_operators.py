@@ -400,3 +400,16 @@ def test_top_ngram_coverage_argmax_deterministic(spark):
     assert got[1]["coverage_bp"] == 8571
     # all bigrams tie at 1 -> lexicographically smallest wins
     assert got[2]["top_ngram"] == "a b" and got[2]["reps"] == 1
+
+
+def test_bpe_token_count_splits(spark):
+    rows = [
+        (1, "hello world"),            # 2 pieces
+        (2, "it's 2024, folks!"),      # it + 's + " 2024" + "," + " folks" + "!"
+        (3, "   "),                    # whitespace only -> 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "body"])
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", text.bpe_token_count("body").alias("n")).collect()}
+    assert got[1] == 2
+    assert got[2] == 6
+    assert got[3] == 0
