@@ -18,6 +18,10 @@ a distinct operator):
 - q54: benchmark-contamination scan (train/eval 8-gram containment).
 - q55: dedup connected components (iterative min-label propagation vs a
   recursive-CTE oracle).
+- q56: IVF ANN (deterministic md5-sampled coarse quantizer + nprobe).
+- q57: Gopher structural repetition signals (top-bigram coverage,
+  line/symbol ratios).
+- q58: BPE pre-tokenizer token budgeting.
 
 All tail queries run under ``tools/check_correctness.py`` (strict local
 gate) and the pytest suite; only the driver-side slot assignment moves.
