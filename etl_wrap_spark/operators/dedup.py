@@ -396,6 +396,10 @@ def connected_components(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
+        # materialized once: every round joins against edges, and without
+        # this the whole upstream pair-generation pipeline (e.g. the LSH
+        # near-dup cascade) would re-execute per round per action
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("id"))

@@ -195,9 +195,7 @@ def q54_contamination_check(spark, sf_dir):
 
 
 # ----------------------------------------- dedup connected components (q55)
-@register(
-    "q55_dedup_components",
-    oracle="""
+_CC_ORACLE = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ), sh AS (
@@ -226,8 +224,10 @@ def q54_contamination_check(spark, sf_dir):
       SELECT e.u, w.r FROM edges e JOIN walk w ON w.id = e.v
     )
     SELECT id AS doc_id, MIN(r) AS component FROM walk GROUP BY id ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("q55_dedup_components", oracle=_CC_ORACLE)
 def q55_dedup_components(spark, sf_dir):
     """Near-dup pairs (MinHash-LSH, J>=0.5) -> connected components ->
     (doc_id, component=min reachable id): the canonicalization that
@@ -402,3 +402,14 @@ def q58_bpe_token_budget(spark, sf_dir):
         "expansion_bp",
         F.floor(F.lit(10000) * F.col("bpe_tokens") / F.col("ws_tokens")).cast("bigint"),
     ).orderBy("doc_id")
+
+
+@register("q59_dedup_components_star", oracle=_CC_ORACLE)
+def q59_dedup_components_star(spark, sf_dir):
+    """Same contract as q55 but labeled via the large-star/small-star
+    alternation (connected_components_star) — oracle-proving that the
+    O(log^2 n)-round scale path computes the identical component map
+    the recursive-CTE ground truth defines."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = dedup.near_dup_pairs_minhash(t["documents"], "doc_id", "text", n=3, num=2, den=1)
+    return dedup.connected_components_star(pairs).orderBy("doc_id")
