@@ -272,6 +272,46 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    n_cells: int = 8,
+    min_cos_bp: int = 9900,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication → (id, keep) for every row:
+    cluster embeddings into coarse cells, compare only within-cell
+    pairs, and keep one canonical representative (lowest id) per
+    near-duplicate group.
+
+    The cell assignment bounds pair generation the same way sign-LSH
+    bucketing does, but cells adapt to the data's density (pass
+    `ivf_centroids_kmeans` output for refined cells; the default
+    deterministic sample keeps the whole operator oracle-reproducible).
+    Grouping is single-link WITHIN a cell: a row is dropped iff some
+    lower-id row in its cell sits above the cosine threshold — the
+    standard keep-first policy, one broadcast-join pass, no iteration."""
+    cent = centroids if centroids is not None else ivf_centroids_deterministic(df, id_col, vec, n_cells)
+    assigned = ivf_assign(df, id_col, vec, cent)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("cell"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("cell"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+    )
+    dropped = (
+        a.join(b, on="cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where((dot_expr("va", "vb") / (F.col("na") * F.col("nb"))) * 10000 >= min_cos_bp)
+        .select(F.col("id_b").alias("__drop"))
+        .distinct()
+    )
+    return df.select(F.col(id_col)).join(
+        dropped, df[id_col] == dropped["__drop"], "left"
+    ).select(F.col(id_col), F.col("__drop").isNull().alias("keep"))
+
+
 # --------------------------------------------------------- SQL generation
 def dot_sql(a: str, b: str, dim: int = DIM) -> str:
     """The oracle-side mirror of dot_expr (DuckDB 1-based list index)."""

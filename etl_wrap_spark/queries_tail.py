@@ -413,3 +413,53 @@ def q59_dedup_components_star(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["documents"])
     pairs = dedup.near_dup_pairs_minhash(t["documents"], "doc_id", "text", n=3, num=2, den=1)
     return dedup.connected_components_star(pairs).orderBy("doc_id")
+
+
+# -------------------------------------------------- semantic dedup (q60)
+def _semdedup_oracle(n_cells: int, min_cos_bp: int) -> str:
+    from etl_wrap_spark.operators import similarity as sim
+
+    d_vk = sim.dot_sql("v", "kv")
+    n_v = sim.dot_sql("v", "v")
+    n_k = sim.dot_sql("kv", "kv")
+    d_ab = sim.dot_sql("a.v", "b.v")
+    n_a = sim.dot_sql("a.v", "a.v")
+    n_b = sim.dot_sql("b.v", "b.v")
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cell, v AS kv
+      FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_cells}
+    ), ass AS (
+      SELECT id, v, cell FROM (
+        SELECT id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY id
+                 ORDER BY ({d_vk}) / (sqrt({n_v}) * sqrt({n_k})) DESC, cell) AS rn
+        FROM e, cent
+      ) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.id AS id
+      FROM ass a JOIN ass b ON a.cell = b.cell AND a.id < b.id
+      WHERE (({d_ab}) / (sqrt({n_a}) * sqrt({n_b}))) * 10000 >= {min_cos_bp}
+    )
+    SELECT e.id AS vec_id, CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM e LEFT JOIN dropped d ON e.id = d.id ORDER BY vec_id
+    """
+
+
+@register("q60_semantic_dedup", oracle=_semdedup_oracle(n_cells=8, min_cos_bp=9900))
+def q60_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embedding column: coarse
+    cells bound pair generation (density-adaptive analogue of q32's
+    sign-LSH buckets), keep-first canonical per near-dup group. The
+    KMeans-refined quantizer slots in via `centroids=`; the oracle uses
+    the deterministic one."""
+    from etl_wrap_spark.operators import similarity
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    out = similarity.semantic_dedup(e, "vec_id", "embedding", n_cells=8, min_cos_bp=9900)
+    return out.select(
+        "vec_id", F.when(F.col("keep"), 1).otherwise(0).cast("bigint").alias("keep")
+    ).orderBy("vec_id")

@@ -413,3 +413,16 @@ def test_bpe_token_count_splits(spark):
     assert got[1] == 2
     assert got[2] == 6
     assert got[3] == 0
+
+
+def test_semantic_dedup_keep_first(spark):
+    # vectors 1 and 2 identical (cos=1), 3 near-orthogonal: keep 1, drop 2
+    base = [1.0] + [0.0] * 63
+    other = [0.0, 1.0] + [0.0] * 62
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], ["vec_id", "embedding"]
+    )
+    got = {r["vec_id"]: r["keep"] for r in
+           similarity.semantic_dedup(df, "vec_id", "embedding", n_cells=2).collect()}
+    assert got[1] is True and got[3] is True
+    assert got[2] is False
