@@ -124,13 +124,10 @@ def minhash_signatures(sf: DataFrame, id_col: str, num_hashes: int = NUM_HASHES)
     return sf.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS) -> DataFrame:
-    """Candidate pairs agreeing on at least one LSH band → (id_a, id_b).
-
-    Bands explode to (band, key) rows; the self-join shuffles on the
-    band key — no all-pairs comparison ever happens. The band count is
-    len(mh* columns) // band_rows (tune both via tune_lsh_params).
-    """
+def band_keys(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS) -> DataFrame:
+    """Exploded LSH band-key rows (id, band, k0..k{r-1}) from a
+    signature frame — the join key surface for both self-join dedup and
+    batch-vs-index incremental dedup."""
     num_hashes = sum(1 for c in sig.columns if c.startswith("mh"))
     num_bands = num_hashes // band_rows
     bands = F.array(
@@ -142,12 +139,23 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS)
             for j in range(num_bands)
         ]
     )
-    keyed = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band", *[f"b.k{r}" for r in range(band_rows)]
     )
-    left = keyed.select(F.col(id_col).alias("id_a"), "band", *[f"k{r}" for r in range(band_rows)])
-    right = keyed.select(F.col(id_col).alias("id_b"), "band", *[f"k{r}" for r in range(band_rows)])
-    on = ["band"] + [f"k{r}" for r in range(band_rows)]
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS) -> DataFrame:
+    """Candidate pairs agreeing on at least one LSH band → (id_a, id_b).
+
+    Bands explode to (band, key) rows; the self-join shuffles on the
+    band key — no all-pairs comparison ever happens. The band count is
+    len(mh* columns) // band_rows (tune both via tune_lsh_params).
+    """
+    keyed = band_keys(sig, id_col, band_rows)
+    kcols = [c for c in keyed.columns if c.startswith("k")]
+    left = keyed.select(F.col(id_col).alias("id_a"), "band", *kcols)
+    right = keyed.select(F.col(id_col).alias("id_b"), "band", *kcols)
+    on = ["band"] + kcols
     return (
         left.join(right, on=on)
         .where(F.col("id_a") < F.col("id_b"))
@@ -318,6 +326,65 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3, band_b
         .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# -------------------------------------------- incremental (indexed) dedup
+def signature_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """The persistable dedup INDEX for a corpus: one row per doc with
+    its MinHash signature columns. Write it partitioned/appended as
+    batches arrive (parquet/foreachBatch); it is ~num_hashes ints per
+    document regardless of text size, so the index for a 100 TB corpus
+    is a few hundred GB that joins by band key — the corpus text is
+    never rescanned."""
+    return minhash_signatures(shingle_frame(df, id_col, text_col, n), id_col)
+
+
+def incremental_near_dups(
+    batch_sig: DataFrame,
+    index_sig: DataFrame,
+    id_col: str,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the EXISTING signature
+    index → (id_new, id_idx, matches, est_j_bp).
+
+    Band keys of both sides meet in a (band, key) equi-join — work
+    scales with colliding band buckets, the batch side is small by
+    nature (Catalyst broadcasts it against the index). Jaccard is
+    ESTIMATED as the matching-minhash fraction (the standard streaming
+    posture: the index holds signatures, not text, so an exact verify
+    would re-read the corpus). With 32 hashes the estimate's std error
+    is ~0.09 at J=0.5; callers route borderline hits to an exact
+    re-check of just those pairs if they need it."""
+    num_hashes = sum(1 for c in batch_sig.columns if c.startswith("mh"))
+    bk = band_keys(batch_sig, id_col, band_rows)
+    ik = band_keys(index_sig, id_col, band_rows)
+    kcols = [c for c in bk.columns if c.startswith("k")]
+    pairs = (
+        bk.select(F.col(id_col).alias("id_new"), "band", *kcols)
+        .join(ik.select(F.col(id_col).alias("id_idx"), "band", *kcols), on=["band"] + kcols)
+        .select("id_new", "id_idx")
+        .distinct()
+    )
+    a = batch_sig.select(
+        F.col(id_col).alias("id_new"), *[F.col(f"mh{i}").alias(f"amh{i}") for i in range(num_hashes)]
+    )
+    b = index_sig.select(
+        F.col(id_col).alias("id_idx"), *[F.col(f"mh{i}").alias(f"bmh{i}") for i in range(num_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, on="id_new")
+        .join(b, on="id_idx")
+        .select(
+            "id_new",
+            "id_idx",
+            matches.cast("bigint").alias("matches"),
+            F.floor(F.lit(10000) * matches / F.lit(num_hashes)).cast("bigint").alias("est_j_bp"),
+        )
     )
 
 

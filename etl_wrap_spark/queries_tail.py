@@ -463,3 +463,57 @@ def q60_semantic_dedup(spark, sf_dir):
     return out.select(
         "vec_id", F.when(F.col("keep"), 1).otherwise(0).cast("bigint").alias("keep")
     ).orderBy("vec_id")
+
+
+# ------------------------------------- incremental (indexed) dedup (q61)
+def _incdedup_oracle() -> str:
+    coef = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.MINHASH_AB))
+    return f"""
+    WITH coef(i, a, b) AS (VALUES {coef}),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                                 i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+      FROM toks
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h FROM sh
+    ), sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS mh FROM h, coef GROUP BY doc_id, i
+    ), arr AS (
+      SELECT doc_id, list(mh ORDER BY i) AS s FROM sig GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, j, s[2 * j + 1] AS k0, s[2 * j + 2] AS k1
+      FROM arr, (SELECT unnest(generate_series(0, 15)) AS j)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_idx
+      FROM bands a JOIN bands b ON a.j = b.j AND a.k0 = b.k0 AND a.k1 = b.k1
+      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+    ), m AS (
+      SELECT id_new, id_idx,
+             CAST(len(list_filter(generate_series(1, 32), i -> sa.s[i] = sb.s[i])) AS BIGINT) AS matches
+      FROM pairs JOIN arr sa ON sa.doc_id = id_new JOIN arr sb ON sb.doc_id = id_idx
+    )
+    SELECT id_new, id_idx, matches,
+           CAST(floor(10000 * matches / 32) AS BIGINT) AS est_j_bp
+    FROM m ORDER BY id_new, id_idx
+    """
+
+
+@register("q61_incremental_dedup", oracle=_incdedup_oracle())
+def q61_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of an arriving batch (every 3rd doc) against
+    the signature INDEX of the standing corpus: band-key equi-join +
+    matching-minhash Jaccard estimate — the index holds ~32 ints per
+    doc, so the corpus text is never rescanned. The oracle recomputes
+    the full MinHash/banding pipeline in SQL from the same
+    coefficients, checking signatures, candidate generation, and the
+    estimate bit-for-bit."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    bsig = dedup.signature_index(batch, "doc_id", "text")
+    isig = dedup.signature_index(corpus, "doc_id", "text")
+    return dedup.incremental_near_dups(bsig, isig, "doc_id").orderBy("id_new", "id_idx")

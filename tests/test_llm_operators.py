@@ -426,3 +426,32 @@ def test_semantic_dedup_keep_first(spark):
            similarity.semantic_dedup(df, "vec_id", "embedding", n_cells=2).collect()}
     assert got[1] is True and got[3] is True
     assert got[2] is False
+
+
+def test_incremental_dedup_against_signature_index(spark, docs, tmp_path):
+    # standing corpus: docs 1-4 indexed as signatures on disk
+    corpus = docs.where("doc_id <= 4")
+    idx_path = str(tmp_path / "sig_index")
+    dedup.signature_index(corpus, "doc_id", "text").write.parquet(idx_path)
+    # arriving batch: doc 9 = near-dup of 1, doc 10 = novel
+    batch = spark.createDataFrame(
+        [
+            (9, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (10, "entirely novel content that matches nothing in the standing corpus"),
+        ],
+        ["doc_id", "text"],
+    )
+    bsig = dedup.signature_index(batch, "doc_id", "text")
+    isig = spark.read.parquet(idx_path)
+    hits = dedup.incremental_near_dups(bsig, isig, "doc_id").collect()
+    by_new = {}
+    for r in hits:
+        by_new.setdefault(r["id_new"], []).append(r)
+    # doc 9 is an exact dup of docs 1 and 4 -> est J = 10000 (all hashes agree)
+    nine = {r["id_idx"]: r["est_j_bp"] for r in by_new[9]}
+    assert nine[1] == 10000 and nine[4] == 10000
+    assert 2 in nine and nine[2] >= 5000  # one-token edit still estimates high
+    assert 10 not in by_new  # novel doc collides with nothing
+    # appending the batch to the index makes the next round see doc 9
+    bsig.write.mode("append").parquet(idx_path)
+    assert spark.read.parquet(idx_path).count() == 6
