@@ -180,3 +180,45 @@ def interval_join_streams(
         & (rw[right_ts] <= lw[left_ts])
     )
     return lw.join(rw, cond, "inner")
+
+
+def streaming_near_dup_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    hits_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_j_bp: int = 5000,
+):
+    """Streaming incremental near-dup detection: each arriving
+    micro-batch of documents is (1) checked against the standing
+    MinHash signature index (band-key join + matching-hash Jaccard
+    estimate → hits_path), then (2) appended to the index — so later
+    batches dedup against everything ingested before them.
+
+    The index holds ~32 ints per document (operators/dedup.py:
+    signature_index); batches are small relative to it, so the band
+    join broadcasts the batch side. foreachBatch gives the
+    read-then-append bracket exactly-once per micro-batch under the
+    checkpoint; within a batch, cross-batch pairs only (intra-batch
+    dups are the batch self-join's job at load time, q23's path).
+    """
+    from etl_wrap_spark.operators import dedup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bsig = dedup.signature_index(batch_df, id_col, text_col)
+        try:
+            isig = spark.read.parquet(index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            hits = dedup.incremental_near_dups(bsig, isig, id_col).where(
+                F.col("est_j_bp") >= min_est_j_bp
+            )
+            hits.write.mode("append").parquet(hits_path)
+        bsig.write.mode("append").parquet(index_path)
+
+    return run_foreach_batch(docs_stream, checkpoint, _process, mode="append")

@@ -188,3 +188,43 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = [(r["click_id"], r["purchase_id"]) for r in spark.read.parquet(str(out)).collect()]
     assert rows == [(1, 2)]  # only the in-window pair; user 11 and the 3h-old purchase drop
+
+
+def test_streaming_near_dup_index_cross_batch(spark, tmp_path):
+    """Two drains: the second batch's exact dup of a first-batch doc is
+    caught by the signature index built during the first drain."""
+    doc_schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    idx = str(tmp_path / "sig_index")
+    hits = str(tmp_path / "dup_hits")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("sep", "\t")
+            .csv(str(src))
+        )
+        ingest.streaming_near_dup_index(
+            stream, idx, hits, ckpt, min_est_j_bp=5000
+        ).awaitTermination()
+
+    (src / "b1.csv").write_text(
+        "1\tthe quick brown fox jumps over the lazy dog near the river bank\n"
+        "2\tcompletely different content with no overlap whatsoever here\n"
+    )
+    _drain()
+    assert spark.read.parquet(idx).count() == 2
+
+    (src / "b2.csv").write_text(
+        "3\tthe quick brown fox jumps over the lazy dog near the river bank\n"
+        "4\tnovel text that resembles nothing ingested before at all\n"
+    )
+    _drain()
+    got = {(r["id_new"], r["id_idx"]): r["est_j_bp"] for r in spark.read.parquet(hits).collect()}
+    assert got[(3, 1)] == 10000           # exact dup across batches
+    assert all(k[0] != 4 for k in got)    # novel doc never pairs
+    assert spark.read.parquet(idx).count() == 4
