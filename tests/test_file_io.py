@@ -344,3 +344,37 @@ def test_quoted_with_skip_rejected(spark, tmp_path):
     p.write_text('junk\n"a","b"\n')
     with pytest.raises(ValueError, match="skip is not supported"):
         read_csv(spark, str(p), header=["x", "y"], sep=",", quoted=True, skip=1)
+
+
+def test_jsonl_read_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from etl_wrap_spark.sources import jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        'this line is not json at all\n'
+        '{"doc_id": 3, "text": "gamma", "extra": "ignored"}\n'
+    )
+    schema = StructType([StructField("doc_id", IntegerType()), StructField("text", StringType())])
+    good, bad = jsonl.read_jsonl(spark, str(p), schema)
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "alpha", 2: "beta", 3: "gamma"}
+    quarantined = [r["raw"] for r in bad.collect()]
+    assert quarantined == ["this line is not json at all"]
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from etl_wrap_spark.sources import jsonl
+
+    schema = StructType([StructField("doc_id", IntegerType()), StructField("text", StringType())])
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], schema=schema)
+    out = str(tmp_path / "out_jsonl")
+    jsonl.write_jsonl(df, out)
+    good, bad = jsonl.read_jsonl(spark, out, schema)
+    assert {(r["doc_id"], r["text"]) for r in good.collect()} == {(1, "alpha"), (2, "beta")}
+    assert bad.count() == 0
