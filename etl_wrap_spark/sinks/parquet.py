@@ -63,3 +63,43 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     """Plain read of a partitioned dataset; filters on partition columns
     prune directories (verify via explain: PartitionFilters)."""
     return spark.read.parquet(path)
+
+
+def dataset_size_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes of a dataset directory (Hadoop FileSystem
+    content summary — works for any fs the session can read)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return fs.getContentSummary(p).getLength()
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a dataset into ~`target_file_mb`
+    files, returning the output file count.
+
+    Streaming sinks and incremental appends (e.g. the signature index)
+    accumulate micro-batch-sized files; at cluster scale the resulting
+    task storm dominates scan cost, so periodic compaction is part of
+    the table's lifecycle. The target count derives from actual
+    on-disk bytes; a partitioned rewrite repartitions by the partition
+    columns so each output partition gets coherent files. Writes to
+    `out_path` (never in place — readers of `path` are unaffected until
+    the caller swaps directories)."""
+    size = dataset_size_bytes(spark, path)
+    n_files = max(1, -(-size // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if partition_by:
+        df.repartition(int(n_files), *partition_by).write.mode("overwrite").partitionBy(
+            *partition_by
+        ).parquet(out_path)
+    else:
+        df.repartition(int(n_files)).write.mode("overwrite").parquet(out_path)
+    return int(n_files)

@@ -132,3 +132,20 @@ def test_bucketed_table_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from etl_wrap_spark.sinks import parquet as pq
+
+    src = str(tmp_path / "fragmented")
+    # simulate an append-accumulated dataset: 16 tiny files
+    spark.range(0, 16000).repartition(16).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*.parquet")) == 16
+    out = str(tmp_path / "compacted")
+    n = pq.compact(spark, src, out, target_file_mb=512)
+    assert n == 1  # 16k longs land far under one 512 MB target file
+    assert len(glob.glob(out + "/part-*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 16000
+    assert pq.dataset_size_bytes(spark, out) > 0
