@@ -496,6 +496,38 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 
+def select_canonicals(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the keeper per dedup component by QUALITY, not by id →
+    (doc_id, component, keep).
+
+    `components` is (doc_id, component) from either connected-components
+    variant; `scores` maps doc_id → a numeric quality score (e.g. the
+    negated flag count from gopher_flags, a classifier logit). Winner is
+    max score, ties to lowest id — one max_by-style aggregation (the
+    (score, -id) struct max combines map-side), one join back. This is
+    the policy layer that turns "drop all but the first" into "drop all
+    but the best", which is what a curation pipeline actually wants."""
+    joined = components.join(scores.select(F.col(id_col), F.col(score_col)), on=id_col)
+    # two-stage argmax (max score, then min id among the maximal rows):
+    # id-type-generic, and both aggregations combine map-side
+    mx = joined.groupBy("component").agg(F.max(score_col).alias("__msc"))
+    best = (
+        joined.join(mx, on="component")
+        .where(F.col(score_col) == F.col("__msc"))
+        .groupBy("component")
+        .agg(F.min(id_col).alias("__winner"))
+    )
+    return (
+        components.join(best, on="component")
+        .select(id_col, "component", (F.col(id_col) == F.col("__winner")).alias("keep"))
+    )
+
+
 def connected_components_star(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
 ) -> DataFrame:

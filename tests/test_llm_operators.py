@@ -455,3 +455,15 @@ def test_incremental_dedup_against_signature_index(spark, docs, tmp_path):
     # appending the batch to the index makes the next round see doc 9
     bsig.write.mode("append").parquet(idx_path)
     assert spark.read.parquet(idx_path).count() == 6
+
+
+def test_select_canonicals_quality_over_id(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], ["doc_id", "component"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (9, 0.1)], ["doc_id", "score"]
+    )
+    got = {r["doc_id"]: r["keep"] for r in dedup.select_canonicals(comps, scores).collect()}
+    # component 1: docs 2 and 3 tie at 0.9 -> lowest id (2) wins, not doc 1
+    assert got == {1: False, 2: True, 3: False, 7: True, 9: False}
