@@ -152,7 +152,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS)
     len(mh* columns) // band_rows (tune both via tune_lsh_params).
     """
     keyed = band_keys(sig, id_col, band_rows)
-    kcols = [c for c in keyed.columns if c.startswith("k")]
+    kcols = [f"k{r}" for r in range(band_rows)]
     left = keyed.select(F.col(id_col).alias("id_a"), "band", *kcols)
     right = keyed.select(F.col(id_col).alias("id_b"), "band", *kcols)
     on = ["band"] + kcols
@@ -360,7 +360,7 @@ def incremental_near_dups(
     num_hashes = sum(1 for c in batch_sig.columns if c.startswith("mh"))
     bk = band_keys(batch_sig, id_col, band_rows)
     ik = band_keys(index_sig, id_col, band_rows)
-    kcols = [c for c in bk.columns if c.startswith("k")]
+    kcols = [f"k{r}" for r in range(band_rows)]
     pairs = (
         bk.select(F.col(id_col).alias("id_new"), "band", *kcols)
         .join(ik.select(F.col(id_col).alias("id_idx"), "band", *kcols), on=["band"] + kcols)

@@ -199,26 +199,33 @@ def streaming_near_dup_index(
 
     The index holds ~32 ints per document (operators/dedup.py:
     signature_index); batches are small relative to it, so the band
-    join broadcasts the batch side. foreachBatch gives the
-    read-then-append bracket exactly-once per micro-batch under the
-    checkpoint; within a batch, cross-batch pairs only (intra-batch
-    dups are the batch self-join's job at load time, q23's path).
+    join broadcasts the batch side. foreachBatch is at-least-once, so
+    both writes are partitioned by batch_id with DYNAMIC partition
+    overwrite: a retried micro-batch replaces its own partition instead
+    of double-appending — making the bracket effectively idempotent.
+    Within a batch, cross-batch pairs only (intra-batch dups are the
+    batch self-join's job at load time, q23's path).
     """
     from etl_wrap_spark.operators import dedup
+    from etl_wrap_spark.sinks.parquet import overwrite_partitions
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        bsig = dedup.signature_index(batch_df, id_col, text_col)
+        bsig = dedup.signature_index(batch_df, id_col, text_col).withColumn(
+            "_batch", F.lit(batch_id)
+        )
         try:
-            isig = spark.read.parquet(index_path)
+            isig = spark.read.parquet(index_path).where(F.col("_batch") < batch_id)
             have_index = True
         except Exception:
             have_index = False
         if have_index:
-            hits = dedup.incremental_near_dups(bsig, isig, id_col).where(
-                F.col("est_j_bp") >= min_est_j_bp
+            hits = dedup.incremental_near_dups(
+                bsig.drop("_batch"), isig.drop("_batch"), id_col
+            ).where(F.col("est_j_bp") >= min_est_j_bp)
+            overwrite_partitions(
+                hits.withColumn("_batch", F.lit(batch_id)), hits_path, ["_batch"]
             )
-            hits.write.mode("append").parquet(hits_path)
-        bsig.write.mode("append").parquet(index_path)
+        overwrite_partitions(bsig, index_path, ["_batch"])
 
     return run_foreach_batch(docs_stream, checkpoint, _process, mode="append")
