@@ -307,8 +307,11 @@ def semantic_dedup(
         .select(F.col("id_b").alias("__drop"))
         .distinct()
     )
+    # dropped is at most the duplicate count — broadcast it (statistics
+    # on a distinct-over-join are opaque to Catalyst, which would
+    # otherwise fall back to a sort-merge join for the anti lookup)
     return df.select(F.col(id_col)).join(
-        dropped, df[id_col] == dropped["__drop"], "left"
+        F.broadcast(dropped), df[id_col] == dropped["__drop"], "left"
     ).select(F.col(id_col), F.col("__drop").isNull().alias("keep"))
 
 
