@@ -1,0 +1,104 @@
+"""End-to-end corpus curation: the composed pipeline a training-data
+team actually runs, wiring the engine's LLM operators in their
+canonical order.
+
+    raw documents
+      → structural quality gate   (text.quality_flags + gopher_flags)
+      → PII redaction             (text.redact_pii)
+      → exact dedup               (dedup.exact_duplicates)
+      → near-dup components       (dedup.near_dup_pairs_minhash
+                                   → connected_components_star)
+      → quality-aware canonicals  (dedup.select_canonicals)
+      → token budgeting           (text.bpe_token_count)
+      → deterministic split       (sampling.assign_split)
+
+Every stage is the already-oracle-checked operator (q21/q51/q22/q23/
+q59/q58/q44); this module contributes the composition contract:
+which frame flows where, what gets quarantined, and what the audit
+trail records. Shuffle budget: quality/redaction/tokens ride the scan
+projection; the dedup stages are the only shuffling steps and each is
+the bounded-candidate form (no all-pairs anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_wrap_spark.operators import dedup, sampling, text
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_num: int = 2,
+    jaccard_den: int = 1,
+    split_weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+) -> dict[str, DataFrame]:
+    """Run the full curation cascade; returns a dict of frames:
+
+    - ``clean``: surviving docs with redacted text, quality metrics,
+      token budget, and a train/val/test split column.
+    - ``quarantine_quality``: structurally rejected docs + their flags.
+    - ``drops_exact``: exact-duplicate docs dropped (with the kept id).
+    - ``drops_neardup``: near-dup docs dropped (with the kept id).
+
+    Deterministic end to end: same input → byte-identical outputs
+    (hash-bucket split, fixed-seed MinHash, min-id/max-quality
+    canonicals) — reruns and backfills are reproducible."""
+    flags = F.concat_ws(
+        ",",
+        F.nullif(text.quality_flags(text_col), F.lit("")),
+        F.nullif(text.gopher_flags(text_col), F.lit("")),
+    )
+    flagged = docs.withColumn("__flags", flags)
+    quarantine = flagged.where(F.col("__flags") != "").select(
+        id_col, text_col, F.col("__flags").alias("flags")
+    )
+    passed = flagged.where(F.col("__flags") == "").drop("__flags")
+
+    redacted = passed.withColumn(text_col, text.redact_pii(text_col))
+
+    # exact dedup: keep the lowest id per fingerprint
+    groups = dedup.exact_duplicates(redacted, id_col, text_col)
+    with_fp = redacted.withColumn("__fp", text.fingerprint_md5(text_col))
+    exact_drops = (
+        with_fp.join(F.broadcast(groups), with_fp["__fp"] == groups["fingerprint"])
+        .where(F.col(id_col) != F.col("canonical_id"))
+        .select(F.col(id_col), F.col("canonical_id").alias("kept_id"))
+    )
+    after_exact = (
+        with_fp.join(F.broadcast(exact_drops.select(id_col)), on=id_col, how="left_anti")
+        .drop("__fp")
+    )
+
+    # near-dup components over the exact-deduped survivors; canonical =
+    # highest lexical diversity (distinct-token ratio), ties to min id
+    pairs = dedup.near_dup_pairs_minhash(
+        after_exact, id_col, text_col, num=jaccard_num, den=jaccard_den
+    )
+    comps = dedup.connected_components_star(pairs)
+    toks = text.tokens(text_col)
+    score = (F.size(F.array_distinct(toks)) / F.size(toks)).alias("score")
+    scores = after_exact.select(F.col(id_col), score)
+    keeps = dedup.select_canonicals(comps, scores, id_col=id_col, score_col="score")
+    near_drops = (
+        keeps.where(~F.col("keep"))
+        .join(keeps.where(F.col("keep")).select("component", F.col(id_col).alias("kept_id")),
+              on="component")
+        .select(id_col, "kept_id")
+    )
+    survivors = after_exact.join(
+        F.broadcast(near_drops.select(id_col)), on=id_col, how="left_anti"
+    )
+
+    clean = survivors.withColumn("bpe_tokens", text.bpe_token_count(text_col))
+    clean = sampling.assign_split(clean, id_col, weights=split_weights)
+
+    return {
+        "clean": clean,
+        "quarantine_quality": quarantine,
+        "drops_exact": exact_drops,
+        "drops_neardup": near_drops,
+    }

@@ -467,3 +467,37 @@ def test_select_canonicals_quality_over_id(spark):
     got = {r["doc_id"]: r["keep"] for r in dedup.select_canonicals(comps, scores).collect()}
     # component 1: docs 2 and 3 tie at 0.9 -> lowest id (2) wins, not doc 1
     assert got == {1: False, 2: True, 3: False, 7: True, 9: False}
+
+
+def test_curate_end_to_end(spark):
+    from etl_wrap_spark import pipelines
+
+    rows = [
+        # survivors: long enough, diverse, stopworded
+        (1, "the river runs through a green valley and the light is soft in the morning hours here today for all of us to see and enjoy quietly"),
+        (2, "a completely different story about markets and the price of grain in the old town where traders argue and settle for less than they hoped"),
+        # exact dup of 1 -> dropped, kept_id=1
+        (3, "the river runs through a green valley and the light is soft in the morning hours here today for all of us to see and enjoy quietly"),
+        # near dup of 2 (one-word edit) -> near-dup drop
+        (4, "a completely different story about markets and the price of grain in the old town where traders argue and settle for more than they hoped"),
+        # too short -> quality quarantine
+        (5, "too short"),
+        # PII carrier, otherwise fine
+        (6, "contact the clerk at ledger@example.com for the archive of the town records and the list of all the names that were entered in it last year"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pipelines.curate(docs)
+    clean_ids = {r["doc_id"] for r in out["clean"].collect()}
+    assert 5 not in clean_ids
+    assert {r["doc_id"] for r in out["quarantine_quality"].collect()} == {5}
+    exact = {(r["doc_id"], r["kept_id"]) for r in out["drops_exact"].collect()}
+    assert exact == {(3, 1)}
+    near = {(r["doc_id"], r["kept_id"]) for r in out["drops_neardup"].collect()}
+    assert near == {(4, 2)}
+    clean = {r["doc_id"]: r for r in out["clean"].collect()}
+    assert set(clean) == {1, 2, 6}
+    assert "[EMAIL]" in clean[6]["text"] and "ledger@example.com" not in clean[6]["text"]
+    assert all(r["bpe_tokens"] > 0 and r["split"] in ("train", "val", "test") for r in clean.values())
+    # determinism: a rerun is byte-identical
+    again = {r["doc_id"]: r for r in pipelines.curate(docs)["clean"].collect()}
+    assert again == clean
