@@ -132,3 +132,56 @@ def test_minhash_estimates_jaccard(spark):
         true_j = len(shing[0] & shing[other]) / len(shing[0] | shing[other])
         est = sum(a == b for a, b in zip(sigs[0], sigs[other])) / NUM_HASHES
         assert abs(est - true_j) < 0.25  # 32 hashes → coarse but unbiased
+
+
+# ---------------------------------------------------- star CC ≡ min-label
+def _py_components(edges):
+    """Reference union-find for ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # component label = min node id in the component
+    out = {}
+    for n in list(parent):
+        out[n] = find(n)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_star_cc_matches_union_find(spark, edge_list):
+    """Both distributed CC variants must equal a driver-side union-find
+    on arbitrary random graphs (batched: 12 graphs, each one Spark run)."""
+    from etl_wrap_spark.operators import dedup
+
+    truth = _py_components(edge_list)
+    pairs = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    star = {r["doc_id"]: r["component"] for r in dedup.connected_components_star(pairs).collect()}
+    assert star == truth
+    minlabel = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs, max_iter=40).collect()}
+    assert minlabel == truth
+
+
+def test_tune_lsh_params_always_within_budget():
+    from etl_wrap_spark.operators import dedup
+
+    for num_perm in (8, 16, 32, 64, 128):
+        for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+            b, r = dedup.tune_lsh_params(t, num_perm)
+            assert 1 <= b and 1 <= r and b * r <= num_perm
