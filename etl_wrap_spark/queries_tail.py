@@ -517,3 +517,47 @@ def q61_incremental_dedup(spark, sf_dir):
     bsig = dedup.signature_index(batch, "doc_id", "text")
     isig = dedup.signature_index(corpus, "doc_id", "text")
     return dedup.incremental_near_dups(bsig, isig, "doc_id").orderBy("id_new", "id_idx")
+
+
+# ---------------------------------------------------- snapshot diff (q62)
+@register(
+    "q62_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 4 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), j AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus ELSE o.o_orderstatus END AS o_orderstatus,
+             CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderpriority ELSE o.o_orderpriority END AS o_orderpriority,
+             CASE
+               WHEN n.o_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 'insert'
+               WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NULL THEN 'delete'
+               WHEN n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                 OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority THEN 'update'
+             END AS change_type
+      FROM new n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, change_type
+    FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey
+    """,
+)
+def q62_snapshot_diff(spark, sf_dir):
+    """CDC-style change feed between two snapshot states of orders
+    (disjoint key filters synthesize inserts/deletes; a planted status
+    mutation synthesizes updates). One co-partitioned full outer join;
+    unchanged rows never leave the join."""
+    from etl_wrap_spark.sinks.merge import snapshot_diff
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"].select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    old = o.where(F.col("o_orderkey") % 4 != 0)
+    new = o.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"]).orderBy("o_orderkey")

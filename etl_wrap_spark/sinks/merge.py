@@ -121,3 +121,52 @@ def drop_identity(df: DataFrame, identity_cols: Sequence[str]) -> DataFrame:
 def dedupe_for_load(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """ignoreDuplicateErrs (Wrap/DB.pm:403-411) → keep one row per key."""
     return df.dropDuplicates(list(keys))
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: Sequence[str], compare: Sequence[str] | None = None
+) -> DataFrame:
+    """CDC-style diff of two table states → all rows with a
+    ``change_type`` column ('insert' | 'update' | 'delete'); unchanged
+    rows are omitted.
+
+    The change feed a backfill validator or an incremental downstream
+    consumes when the source can't emit one itself. One full outer join
+    on the keys (the unavoidable shuffle — both sides co-partition on
+    the same keys, so AQE coalesces; at scale, bucket both snapshots on
+    the keys to eliminate it). Column payload comes from `new` for
+    insert/update and `old` for delete; `compare` limits which columns
+    define "changed" (default: all non-key columns present on both
+    sides). Comparison is null-safe (<=> semantics)."""
+    common = [c for c in new.columns if c in set(old.columns)]
+    payload = [c for c in common if c not in set(keys)]
+    cmp_cols = list(compare) if compare is not None else payload
+    o = old.select(*[F.col(c).alias(f"__o_{c}") for c in common])
+    n = new.select(*common)
+    cond = None
+    for k in keys:
+        c = n[k].eqNullSafe(F.col(f"__o_{k}"))
+        cond = c if cond is None else cond & c
+    j = n.join(o, cond, "full_outer")
+    new_present = None
+    for k in keys:
+        c = n[k].isNotNull()
+        new_present = c if new_present is None else new_present | c
+    old_present = None
+    for k in keys:
+        c = F.col(f"__o_{k}").isNotNull()
+        old_present = c if old_present is None else old_present | c
+    changed = F.lit(False)
+    for c in cmp_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+    change = (
+        F.when(new_present & ~old_present, F.lit("insert"))
+        .when(old_present & ~new_present, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_cols = [
+        F.coalesce(n[c], F.col(f"__o_{c}")).alias(c) if c in set(keys)
+        else F.when(new_present, n[c]).otherwise(F.col(f"__o_{c}")).alias(c)
+        for c in common
+    ]
+    return j.select(*out_cols, change.alias("change_type")).where(F.col("change_type").isNotNull())

@@ -54,3 +54,27 @@ def test_constant_identity_dedupe(spark, target):
     assert "v" not in merge.drop_identity(target, ["v", "nope"]).columns
     dup = target.unionByName(target)
     assert merge.dedupe_for_load(dup, ["k"]).count() == 3
+
+
+def test_snapshot_diff_all_change_types(spark):
+    from etl_wrap_spark.sinks.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        ["k", "val", "num"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 30), (4, "D", 40), (5, "e", 50)],
+        ["k", "val", "num"],
+    )
+    got = {r["k"]: (r["change_type"], r["val"], r["num"])
+           for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert got == {
+        1: ("delete", "a", 10),
+        3: ("update", "c", 30),   # NULL -> 30 counts as change (null-safe)
+        4: ("update", "D", 40),
+        5: ("insert", "e", 50),
+    }  # k=2 unchanged -> absent
+    # compare restricted to `num`: the d->D case-change disappears
+    got2 = {r["k"] for r in snapshot_diff(old, new, keys=["k"], compare=["num"]).collect()}
+    assert got2 == {1, 3, 5}
