@@ -103,3 +103,54 @@ def compact(
     else:
         df.repartition(int(n_files)).write.mode("overwrite").parquet(out_path)
     return int(n_files)
+
+
+def zorder_key(cols: Sequence[str], bits: int = 14) -> "Column":  # noqa: F821
+    """Morton (Z-order) interleaved key from 2-4 non-negative integer
+    columns, `bits` bits each → one bigint.
+
+    Interleaving makes rows close in EVERY dimension also close in the
+    sort order, so parquet min/max column statistics stay narrow for
+    all participating columns at once — a range filter on any of them
+    skips most files (single-column sort only achieves this for the
+    leading column). Callers pre-normalize values to [0, 2^bits)
+    (dates → day numbers, prices → buckets); values are clamped, and
+    2-4 cols x 14 bits keeps the key in exact bigint range."""
+    from pyspark.sql import functions as F
+
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_key interleaves 2-4 columns")
+    n = len(cols)
+    mask = (1 << bits) - 1
+    key = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        v = F.least(F.greatest(F.col(c).cast("bigint"), F.lit(0)), F.lit(mask))
+        for j in range(bits):
+            key = key + (F.shiftright(v, j).bitwiseAND(F.lit(1)) * F.lit(1 << (j * n + i))).cast(
+                "bigint"
+            )
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 14,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-and-write: global range partition + in-partition sort on
+    the Morton key, then drop it — each output file covers a compact
+    hyper-rectangle of the column space, so filters on any zorder
+    column prune files via parquet statistics. The layout-maintenance
+    companion of compact(): run on cold data where multi-dimension
+    point/range lookups dominate."""
+    keyed = df.withColumn("__z", zorder_key(cols, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
