@@ -561,3 +561,88 @@ def q62_snapshot_diff(spark, sf_dir):
         F.when(F.col("o_orderkey") % 13 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
     )
     return snapshot_diff(old, new, keys=["o_orderkey"]).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------- table profile (q63)
+@register(
+    "q63_table_profile",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(c_custkey) AS nulls_k, COUNT(DISTINCT c_custkey) AS nd_k,
+             CAST(CAST(MIN(c_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS min_k,
+             CAST(CAST(MAX(c_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS max_k,
+             COUNT(*) - COUNT(c_name) AS nulls_n, COUNT(DISTINCT c_name) AS nd_n,
+             CAST(MIN(c_name) AS VARCHAR) AS min_n, CAST(MAX(c_name) AS VARCHAR) AS max_n,
+             COUNT(*) - COUNT(c_acctbal) AS nulls_a, COUNT(DISTINCT c_acctbal) AS nd_a,
+             CAST(CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR) AS min_a,
+             CAST(CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR) AS max_a,
+             COUNT(*) - COUNT(c_mktsegment) AS nulls_m, COUNT(DISTINCT c_mktsegment) AS nd_m,
+             CAST(MIN(c_mktsegment) AS VARCHAR) AS min_m, CAST(MAX(c_mktsegment) AS VARCHAR) AS max_m
+      FROM customer
+    )
+    SELECT 'c_custkey' AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(nulls_k AS BIGINT) AS n_nulls, CAST(nd_k AS BIGINT) AS n_distinct,
+           min_k AS min_val, max_k AS max_val FROM a
+    UNION ALL
+    SELECT 'c_name', CAST(n_rows AS BIGINT), CAST(nulls_n AS BIGINT), CAST(nd_n AS BIGINT), min_n, max_n FROM a
+    UNION ALL
+    SELECT 'c_acctbal', CAST(n_rows AS BIGINT), CAST(nulls_a AS BIGINT), CAST(nd_a AS BIGINT), min_a, max_a FROM a
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(n_rows AS BIGINT), CAST(nulls_m AS BIGINT), CAST(nd_m AS BIGINT), min_m, max_m FROM a
+    ORDER BY "column"
+    """,
+)
+def q63_table_profile(spark, sf_dir):
+    """One-pass per-column profile (rows/nulls/exact distinct/rendered
+    min-max) of the customer table — long-form output so validation
+    rules join on the column name. approx=True swaps HLL distincts in
+    for cluster-scale runs (pytest-covered; the oracle checks exact)."""
+    from etl_wrap_spark.operators import profile as P
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    return P.profile(
+        t["customer"], cols=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    ).orderBy("column")
+
+
+# --------------------------------------------------- data contracts (q64)
+@register(
+    "q64_rule_bank",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS v0,
+             SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS v1,
+             SUM(CASE WHEN NOT COALESCE(o_totalprice < 300000, FALSE) THEN 1 ELSE 0 END) AS v2,
+             SUM(CASE WHEN NOT COALESCE(o_orderdate >= DATE '1992-01-01'
+                                        AND o_orderdate < DATE '1999-01-01', FALSE) THEN 1 ELSE 0 END) AS v3
+      FROM orders
+    )
+    SELECT 'price_positive' AS rule, CAST(n_rows AS BIGINT) AS n_rows, CAST(v0 AS BIGINT) AS n_violations FROM a
+    UNION ALL SELECT 'status_domain', CAST(n_rows AS BIGINT), CAST(v1 AS BIGINT) FROM a
+    UNION ALL SELECT 'price_ceiling', CAST(n_rows AS BIGINT), CAST(v2 AS BIGINT) FROM a
+    UNION ALL SELECT 'date_window', CAST(n_rows AS BIGINT), CAST(v3 AS BIGINT) FROM a
+    ORDER BY rule
+    """,
+)
+def q64_rule_bank(spark, sf_dir):
+    """Table-level data contract over orders: four named expectations
+    counted in one aggregation pass (fail-closed on NULL). The
+    per-row annotate_violations form routes failing rows to quarantine
+    (pytest-covered)."""
+    from etl_wrap_spark.operators import validate
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    rules = [
+        ("price_positive", F.col("o_totalprice") > 0),
+        ("status_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("price_ceiling", F.col("o_totalprice") < 300000),
+        (
+            "date_window",
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date")),
+        ),
+    ]
+    return validate.rule_summary(o, rules).orderBy("rule")

@@ -205,3 +205,40 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     assert files_hit_by_y_band(base_files, 0, 15) == len(base_files)
     assert files_hit_by_y_band(files, 0, 15) <= len(files) // 2
     assert spark.read.parquet(out).count() == 4096
+
+
+def test_profile_and_approx_mode(spark):
+    from etl_wrap_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "b", -2.25), (None, None, 0.0)],
+        "k int, s string, v double",
+    )
+    got = {r["column"]: r for r in P.profile(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 1 and got["k"]["n_distinct"] == 3
+    assert got["k"]["min_val"] == "1.00" and got["k"]["max_val"] == "3.00"
+    assert got["s"]["n_distinct"] == 2 and got["s"]["min_val"] == "a"
+    assert got["v"]["min_val"] == "-2.25" and got["v"]["max_val"] == "1.50"
+    approx = {r["column"]: r["n_distinct"] for r in P.profile(df, approx=True).collect()}
+    assert approx["k"] in (2, 3, 4)  # HLL estimate, tiny-set accurate
+
+
+def test_rule_bank_annotation_routes_quarantine(spark):
+    from etl_wrap_spark.functions.coerce import quarantine_split
+    from etl_wrap_spark.operators import validate
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, 10.0, "Z"), (4, None, "F")],
+        "k int, price double, status string",
+    )
+    rules = [
+        ("price_positive", F.col("price") > 0),
+        ("status_domain", F.col("status").isin("O", "F")),
+    ]
+    summary = {r["rule"]: r["n_violations"] for r in validate.rule_summary(df, rules).collect()}
+    assert summary == {"price_positive": 2, "status_domain": 1}  # NULL fails closed
+    ann = validate.annotate_violations(df, rules)
+    good, bad = quarantine_split(ann, F.col("failed_rules") != "")
+    assert {r["k"] for r in good.collect()} == {1}
+    flags = {r["k"]: r["failed_rules"] for r in bad.collect()}
+    assert flags == {2: "price_positive", 3: "status_domain", 4: "price_positive"}
