@@ -77,3 +77,33 @@ def salted_agg_count_sum(
     return partial.groupBy(*keys).agg(
         F.sum("__n").alias("n"), F.sum("__s").alias("total")
     )
+
+
+def skew_report(df: DataFrame, keys: Sequence[str], top_k: int = 10):
+    """Diagnose key skew before a join/groupBy → (top_keys frame,
+    advisory dict).
+
+    One counting aggregation; the advisory pulls THREE scalars to the
+    driver (total, key count, max key count) plus the top-k hot keys —
+    never the data. `suggested_buckets` is the replication factor at
+    which the hottest key's shard equals an average key's load
+    (ceil(max/avg), capped at 64: beyond that the small-side
+    replication in salted_join costs more than residual imbalance).
+    Feed it straight into salted_join/salted_agg_count_sum."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("nkeys"), F.max("n").alias("mx")
+    ).first()
+    total, nkeys, mx = stats["total"] or 0, stats["nkeys"] or 0, stats["mx"] or 0
+    avg = (total / nkeys) if nkeys else 0.0
+    skew_factor = (mx / avg) if avg else 0.0
+    buckets = min(64, max(1, -(-int(mx) // max(1, int(avg))))) if avg else 1
+    top = counts.orderBy(F.col("n").desc(), *keys).limit(top_k)
+    advisory = {
+        "total_rows": int(total),
+        "distinct_keys": int(nkeys),
+        "max_key_rows": int(mx),
+        "skew_factor": round(skew_factor, 2),
+        "suggested_buckets": int(buckets),
+    }
+    return top, advisory

@@ -242,3 +242,20 @@ def test_rule_bank_annotation_routes_quarantine(spark):
     assert {r["k"] for r in good.collect()} == {1}
     flags = {r["k"]: r["failed_rules"] for r in bad.collect()}
     assert flags == {2: "price_positive", 3: "status_domain", 4: "price_positive"}
+
+
+def test_skew_report_advises_salting(spark):
+    # key 0 holds ~91% of rows; keys 1..9 tiny
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 910, 0).otherwise(F.col("id") % 9 + 1).alias("k"),
+        F.col("id").alias("uid"),
+    )
+    top, adv = skew.skew_report(df, ["k"])
+    rows = {r["k"]: r["n"] for r in top.collect()}
+    assert rows[0] == 910 and adv["max_key_rows"] == 910
+    assert adv["distinct_keys"] == 10 and adv["total_rows"] == 1000
+    assert adv["skew_factor"] > 5
+    assert 2 <= adv["suggested_buckets"] <= 64
+    # uniform data advises no salting
+    _, flat = skew.skew_report(spark.range(100).select((F.col("id") % 10).alias("k")), ["k"])
+    assert flat["suggested_buckets"] == 1
