@@ -112,6 +112,10 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # the catalog GROWS round over round; totals are only comparable
+        # through the per-query mean
+        "n_queries": len(timings),
+        "mean_per_query": round(total / len(timings), 3) if timings else 0.0,
     }
 
     if os.environ.get("SPARK_GRAFT_DUCKDB", "1") != "0":

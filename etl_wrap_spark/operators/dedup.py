@@ -603,3 +603,66 @@ def connected_components_star(
         .unionByName(roots.select(F.col("id").alias("doc_id"), F.col("id").alias("component")))
         .distinct()
     )
+
+
+# ------------------------------------------- segment (line/paragraph) dedup
+def drop_repeated_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_docs: int = 2,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """CCNet-style repeated-segment removal: drop every line/paragraph that
+    occurs in >= ``min_docs`` distinct documents (boilerplate headers,
+    navigation chrome, license blocks), then reassemble each document from
+    its surviving segments in original order.
+
+    Returns (id_col, text_col, n_kept, n_dropped); documents whose segments
+    are ALL boilerplate are dropped entirely (the CCNet behavior).
+
+    Scale shape: split is a flatMap (no shuffle); the segment-frequency
+    aggregation shuffles on the segment value with map-side partial
+    counts; the "hot" set (segments with df >= min_docs) is the
+    heavy-hitter tail — bounded by total_segments / min_docs and in
+    practice tiny relative to the corpus — so it broadcasts and the
+    anti-join is shuffle-free. Set ``broadcast_hot=False`` on corpora
+    where boilerplate is a large fraction and let AQE pick the strategy.
+    Reassembly is one shuffle on the document id.
+
+    Reference parity: this is a corpus-curation addition (no ETL-Wrap
+    analogue); semantics follow CCNet's paragraph-hash dedup.
+    """
+    import re as _re
+
+    seg = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim))).alias("__pos", "__seg"),
+    )
+    hot = (
+        seg.groupBy("__seg")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("__seg")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = seg.join(hot, "__seg", "left_anti")
+    totals = seg.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return rebuilt.join(totals, id_col).select(
+        id_col,
+        text_col,
+        "n_kept",
+        (F.col("__total") - F.col("n_kept")).alias("n_dropped"),
+    )

@@ -646,3 +646,67 @@ def q64_rule_bank(spark, sf_dir):
         ),
     ]
     return validate.rule_summary(o, rules).orderBy("rule")
+
+
+# -------------------------------------- segment-level (line) dedup (q65)
+@register(
+    "q65_segment_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), segarr AS (
+      SELECT doc_id,
+             list_transform(
+               range(CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+               i -> array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')
+             ) AS segs
+      FROM w
+    ), seg AS (
+      SELECT doc_id, generate_subscripts(segs, 1) AS segno, unnest(segs) AS segment
+      FROM segarr
+    ), hot AS (
+      SELECT segment FROM (
+        SELECT segment, COUNT(DISTINCT doc_id) AS dfreq FROM seg GROUP BY segment
+      ) WHERE dfreq >= 2
+    ), kept AS (
+      SELECT * FROM seg WHERE segment NOT IN (SELECT segment FROM hot)
+    ), totals AS (
+      SELECT doc_id, len(segs) AS n_total FROM segarr
+    )
+    SELECT k.doc_id,
+           string_agg(k.segment, chr(10) ORDER BY k.segno) AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(t.n_total) - COUNT(*) AS BIGINT) AS n_dropped
+    FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def q65_segment_dedup(spark, sf_dir):
+    """CCNet-style repeated-segment removal. The corpus has no newline
+    structure, so segments are derived as 8-word chunks (same machinery:
+    posexplode -> global frequency -> broadcast anti-join on the hot set
+    -> ordered reassembly). Near-duplicate documents share chunks, so
+    boilerplate runs are stripped while unique content survives."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    ws = F.split("text", " ")
+    nseg = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    chunked = t["documents"].select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.concat_ws(" ", F.slice(ws, i * 8 + 1, 8)),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = dedup.drop_repeated_segments(
+        chunked, "doc_id", "text", delim="\n", min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+    ).orderBy("doc_id")

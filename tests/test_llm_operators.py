@@ -501,3 +501,36 @@ def test_curate_end_to_end(spark):
     # determinism: a rerun is byte-identical
     again = {r["doc_id"]: r for r in pipelines.curate(docs)["clean"].collect()}
     assert again == clean
+
+
+def test_drop_repeated_segments(spark):
+    """Boilerplate lines (shared by >= min_docs docs) are stripped; unique
+    lines survive in order; fully-boilerplate docs vanish (CCNet rule)."""
+    rows = [
+        (1, "COOKIE BANNER\nalpha beta\nNAV MENU\ngamma"),
+        (2, "COOKIE BANNER\ndelta\nNAV MENU"),
+        (3, "COOKIE BANNER\nNAV MENU"),  # all boilerplate -> dropped
+        (4, "epsilon zeta\neta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.drop_repeated_segments(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1]["text"] == "alpha beta\ngamma"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 2)
+    assert out[2]["text"] == "delta"
+    assert out[4]["text"] == "epsilon zeta\neta"
+    assert out[4]["n_dropped"] == 0
+
+
+def test_drop_repeated_segments_min_docs_threshold(spark):
+    """min_docs=3: a line in only 2 docs survives."""
+    rows = [(1, "shared\nuniq1"), (2, "shared\nuniq2"), (3, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.drop_repeated_segments(df, "doc_id", "text", min_docs=3).collect()
+    }
+    assert out == {1: "shared\nuniq1", 2: "shared\nuniq2", 3: "solo"}
