@@ -335,3 +335,214 @@ def bucket_sql(vec: str, planes: list[list[float]] = PLANES) -> str:
         for j, p in enumerate(planes)
     ]
     return "(" + " + ".join(parts) + ")"
+
+
+# ------------------------------------------------------------- IVF-PQ (ADC)
+# Residual product quantization for the in-cell scan (ROADMAP "IVF next
+# step"). Corpus vectors are stored as M per-subspace codeword ids (plus
+# the exact norm); queries score candidates with an asymmetric-distance
+# lookup table (LUT) instead of touching raw vectors. At 100 TB the
+# in-cell scan reads M ints per row instead of DIM floats (~16x less),
+# and the LUT join is a broadcast — the raw-vector column is only needed
+# for the optional exact re-rank of the top-`refine` candidates.
+PQ_M = 4  # subspaces
+PQ_KS = 8  # codewords per subspace
+PQ_SUB = DIM // PQ_M
+
+
+def pq_residual_frame(
+    corpus: DataFrame, id_c: str, vec: str, centroids: DataFrame
+) -> DataFrame:
+    """(id, cell, rv array<double>, cn) — residual to the assigned coarse
+    centroid, plus the exact vector norm (kept so ADC can approximate
+    cosine, the standard IVF-PQ norm-alongside-codes trick)."""
+    a = ivf_assign(corpus, id_c, vec, centroids)
+    j = a.join(F.broadcast(centroids), "cell")
+    rv = F.zip_with("__v", "kv", lambda x, y: x.cast("double") - y.cast("double"))
+    return j.select(F.col(id_c), "cell", rv.alias("rv"), F.col("__n").alias("cn"))
+
+
+def pq_codebooks_deterministic(
+    residuals: DataFrame,
+    id_c: str,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    sub_dim: int = PQ_SUB,
+) -> DataFrame:
+    """Per-subspace codebooks as md5-sampled residual subvectors →
+    (m, j, cw array<double>). The seeded draw (md5 of id||'pq'||m) is
+    independent per subspace and reproducible by the SQL oracle — the
+    same determinism trick as ivf_centroids_deterministic. At cluster
+    scale swap in a KMeans codebook per subspace (pq_codebooks_kmeans);
+    the encode/ADC machinery is codebook-agnostic."""
+    ex = residuals.select(
+        F.col(id_c).alias("__cid"),
+        "rv",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+    )
+    h = F.md5(F.concat(F.col("__cid").cast("string"), F.lit("pq"), F.col("m").cast("string")))
+    w = Window.partitionBy("m").orderBy("__h", "__cid")
+    return (
+        ex.withColumn("__h", h)
+        .withColumn("j", F.row_number().over(w))
+        .where(F.col("j") <= ks)
+        .select(
+            "m",
+            "j",
+            F.slice("rv", F.col("m") * sub_dim + 1, F.lit(sub_dim)).alias("cw"),
+        )
+    )
+
+
+def pq_codebooks_kmeans(
+    residuals: DataFrame, m: int = PQ_M, ks: int = PQ_KS, sub_dim: int = PQ_SUB, seed: int = 7
+) -> DataFrame:
+    """Production codebooks: one KMeans per subspace over the residual
+    subvectors (not oracle-portable; recall-tested in pytest)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    parts = []
+    for mi in range(m):
+        sub = residuals.select(
+            array_to_vector(
+                F.slice("rv", mi * sub_dim + 1, sub_dim).cast("array<double>")
+            ).alias("features")
+        )
+        km = KMeans(k=ks, seed=seed, maxIter=10).fit(sub)
+        spark = residuals.sparkSession
+        rows = [(mi, j + 1, [float(x) for x in c]) for j, c in enumerate(km.clusterCenters())]
+        parts.append(spark.createDataFrame(rows, "m int, j int, cw array<double>"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sub_l2(sub_col: str, cw_col: str) -> Column:
+    """L2² between an already-sliced residual subvector and a codeword,
+    left-fold order (bit-identical to the oracle's explicit chain)."""
+    sq = F.zip_with(F.col(sub_col), F.col(cw_col), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def pq_encode(
+    residuals: DataFrame,
+    id_c: str,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB,
+) -> DataFrame:
+    """(id, cell, cn, m, j): per-subspace nearest codeword (argmin L2 on
+    the residual subvector, ties to the lowest j via lexicographic
+    min-of-struct — map-side combinable, one shuffle on (id, m))."""
+    ex = residuals.select(
+        F.col(id_c),
+        "cell",
+        "cn",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+        F.col("rv"),
+    ).withColumn("sub", F.slice("rv", F.col("m") * sub_dim + 1, F.lit(sub_dim)))
+    cand = ex.join(F.broadcast(codebooks), "m")
+    best = cand.groupBy(id_c, "cell", "cn", "m").agg(
+        F.min(F.struct(_sub_l2("sub", "cw").alias("d"), F.col("j").alias("j"))).alias("b")
+    )
+    return best.select(id_c, "cell", "cn", "m", F.col("b.j").alias("j"))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec: str,
+    k: int,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    refine: int | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN: (qid, rank, cid, adc). Corpus rows are M codeword ids
+    + an exact norm; each query probes `nprobe` cells and scores
+    candidates as adc = (q·centroid + Σ_m LUT[m][code_m]) / (|q|·|v|) —
+    an asymmetric-distance cosine estimate that never reads candidate
+    vectors. With `refine=R`, the top-R ADC candidates are re-ranked by
+    exact cosine (one semi-join back to the raw vectors) before top-k.
+
+    Shuffle shape: encode is one (id, m) aggregation; the scan joins the
+    code table against a BROADCAST LUT (queries × M × Ks doubles) and
+    aggregates M rows per (query, candidate) with a fixed-order sum —
+    map-side combinable, deterministic bits."""
+    sub_dim = DIM // m
+    cent = centroids if centroids is not None else ivf_centroids_deterministic(corpus, id_c, vec, n_cells)
+    res = pq_residual_frame(corpus, id_c, vec, cent)
+    cb = codebooks if codebooks is not None else pq_codebooks_deterministic(res, id_c, m, ks, sub_dim)
+    codes = pq_encode(res, id_c, cb, m, sub_dim)
+
+    kn = cent.withColumn("__kn", norm_expr("kv"))
+    q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv")).withColumn(
+        "qn", norm_expr("qv")
+    )
+    qaff = q.crossJoin(F.broadcast(kn)).select(
+        "qid", "qv", "qn", "cell",
+        (dot_expr("qv", "kv") / (F.col("qn") * F.col("__kn"))).alias("aff"),
+        dot_expr("qv", "kv").alias("qk"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("aff").desc(), F.col("cell"))
+    qcells = qaff.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe).select(
+        "qid", "qv", "qn", "cell", "qk"
+    )
+    lut = qcells.crossJoin(F.broadcast(cb)).select(
+        "qid", "qn", "cell", "qk", "m", "j",
+        F.aggregate(
+            F.zip_with(
+                F.slice("qv", F.col("m") * sub_dim + 1, F.lit(sub_dim)),
+                F.col("cw"),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("pdot"),
+    )
+    parts = (
+        codes.withColumnRenamed(id_c, "cid")
+        .join(lut, ["cell", "m", "j"])
+        .groupBy("qid", "cid")
+        .agg(
+            *[F.sum(F.when(F.col("m") == i, F.col("pdot"))).alias(f"p{i}") for i in range(m)],
+            F.min("qk").alias("qk"),
+            F.min("qn").alias("qn"),
+            F.min("cn").alias("cn"),
+        )
+    )
+    psum = F.col("p0")
+    for i in range(1, m):
+        psum = psum + F.col(f"p{i}")
+    scored = parts.select(
+        "qid", "cid", ((F.col("qk") + psum) / (F.col("qn") * F.col("cn"))).alias("adc")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid"))
+    if refine is None:
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    cand = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= refine)
+    c = corpus.select(F.col(id_c).alias("cid"), F.col(vec).alias("cv")).withColumn(
+        "cn2", norm_expr("cv")
+    )
+    qv = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv2")).withColumn(
+        "qn2", norm_expr("qv2")
+    )
+    exact = (
+        cand.join(c, "cid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid", "cid", "adc",
+            (dot_expr("qv2", "cv") / (F.col("qn2") * F.col("cn2"))).alias("cos"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return exact.withColumn("rank", F.row_number().over(we)).where(F.col("rank") <= k).select(
+        "qid", "rank", "cid", "cos"
+    )

@@ -710,3 +710,122 @@ def q65_segment_dedup(spark, sf_dir):
         F.col("n_kept").cast("bigint").alias("n_kept"),
         F.col("n_dropped").cast("bigint").alias("n_dropped"),
     ).orderBy("doc_id")
+
+
+# ----------------------------------------------- IVF-PQ ADC ANN (q66)
+def _ivfpq_oracle(n_cells: int, nprobe: int, k: int, m: int, ks: int) -> str:
+    from etl_wrap_spark.operators import similarity as sim
+
+    sub = sim.DIM // m
+    d_ck = sim.dot_sql("cv", "kv")
+    n_c = sim.dot_sql("cv", "cv")
+    d_qk = sim.dot_sql("qv", "kv")
+    n_q = sim.dot_sql("qv", "qv")
+    n_k = sim.dot_sql("kv", "kv")
+    # left-assoc chains mirror the Spark zip_with+aggregate folds bit-for-bit
+    l2 = " + ".join(
+        f"(rv[m * {sub} + {i}] - cw[{i}]) * (rv[m * {sub} + {i}] - cw[{i}])"
+        for i in range(1, sub + 1)
+    )
+    pdot = " + ".join(
+        f"CAST(qv[m * {sub} + {i}] AS DOUBLE) * cw[{i}]" for i in range(1, sub + 1)
+    )
+    psum = " + ".join(f"p{i}" for i in range(m))
+    pcols = ",\n             ".join(
+        f"SUM(CASE WHEN l.m = {i} THEN pdot END) AS p{i}" for i in range(m)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS cv, label AS cl FROM embeddings WHERE vec_id % 50 <> 0
+    ), cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS cell, cv AS kv
+      FROM c ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT {n_cells}
+    ), cass AS (
+      SELECT cid, cv, cl, cell, kv FROM (
+        SELECT cid, cv, cl, cell, kv,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                 ORDER BY ({d_ck}) / (sqrt({n_c}) * sqrt({n_k})) DESC, cell) AS rn
+        FROM c, cent
+      ) WHERE rn = 1
+    ), res AS (
+      SELECT cid, cl, cell, sqrt({n_c}) AS cn,
+             list_transform(range(1, {sim.DIM} + 1),
+                            i -> CAST(cv[i] AS DOUBLE) - CAST(kv[i] AS DOUBLE)) AS rv
+      FROM cass
+    ), cb AS (
+      SELECT m, j, list_slice(rv, m * {sub} + 1, (m + 1) * {sub}) AS cw FROM (
+        SELECT r.cid, r.rv, t.m,
+               md5(CAST(r.cid AS VARCHAR) || 'pq' || CAST(t.m AS VARCHAR)) AS h,
+               ROW_NUMBER() OVER (PARTITION BY t.m
+                 ORDER BY md5(CAST(r.cid AS VARCHAR) || 'pq' || CAST(t.m AS VARCHAR)), r.cid) AS j
+        FROM res r, (SELECT unnest(range(0, {m})) AS m) t
+      ) WHERE j <= {ks}
+    ), codes AS (
+      SELECT cid, cell, cn, m, j FROM (
+        SELECT r.cid, r.cell, r.cn, b.m, b.j,
+               ROW_NUMBER() OVER (PARTITION BY r.cid, b.m ORDER BY ({l2}), b.j) AS rn
+        FROM res r JOIN cb b ON TRUE
+      ) WHERE rn = 1
+    ), qcells AS (
+      SELECT qid, qv, ql, cell, qk, qn FROM (
+        SELECT qid, qv, ql, cell, ({d_qk}) AS qk, sqrt({n_q}) AS qn,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY ({d_qk}) / (sqrt({n_q}) * sqrt({n_k})) DESC, cell) AS rn
+        FROM q, cent
+      ) WHERE rn <= {nprobe}
+    ), lut AS (
+      SELECT s.qid, s.ql, s.qn, s.cell, s.qk, b.m, b.j, ({pdot}) AS pdot
+      FROM qcells s JOIN cb b ON TRUE
+    ), parts AS (
+      SELECT l.qid, c2.cid,
+             {pcols},
+             MIN(l.qk) AS qk, MIN(l.qn) AS qn, MIN(c2.cn) AS cn,
+             MIN(l.ql) AS ql, MIN(r2.cl) AS cl
+      FROM codes c2
+      JOIN lut l ON c2.cell = l.cell AND c2.m = l.m AND c2.j = l.j
+      JOIN res r2 ON r2.cid = c2.cid
+      GROUP BY l.qid, c2.cid
+    ), ranked AS (
+      SELECT qid, cid, CASE WHEN ql = cl THEN 1 ELSE 0 END AS same_label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY (qk + {psum}) / (qn * cn) DESC, cid) AS rank
+      FROM parts
+    )
+    SELECT qid, rank, cid, same_label FROM ranked WHERE rank <= {k} ORDER BY qid, rank
+    """
+
+
+@register("q66_ann_ivfpq", oracle=_ivfpq_oracle(n_cells=8, nprobe=2, k=3, m=4, ks=8))
+def q66_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN with asymmetric-distance scoring: corpus rows are M
+    codeword ids + the exact norm (~16x smaller than raw vectors);
+    probed-cell candidates are scored from a broadcast query/codeword
+    LUT without reading any candidate vector. Deterministic md5-sampled
+    codebooks make the whole cascade (residuals -> argmin encode -> ADC
+    rank) oracle-reproducible; the production path swaps in
+    pq_codebooks_kmeans and refine= exact re-ranking (pytest-covered:
+    refine=inf reproduces plain IVF exactly)."""
+    from etl_wrap_spark.operators import similarity
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    topk = similarity.ivfpq_topk(
+        q, c, "vec_id", "vec_id", "embedding", k=3, n_cells=8, nprobe=2, m=4, ks=8
+    )
+    ql = F.broadcast(q.select(F.col("vec_id").alias("qid"), F.col("label").alias("ql")))
+    cl = c.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl"))
+    return (
+        topk.join(ql, "qid")
+        .join(cl, "cid")
+        .select(
+            "qid",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cid",
+            F.when(F.col("ql") == F.col("cl"), 1).otherwise(0).cast("bigint").alias("same_label"),
+        )
+        .orderBy("qid", "rank")
+    )

@@ -534,3 +534,73 @@ def test_drop_repeated_segments_min_docs_threshold(spark):
         for r in dedup.drop_repeated_segments(df, "doc_id", "text", min_docs=3).collect()
     }
     assert out == {1: "shared\nuniq1", 2: "shared\nuniq2", 3: "solo"}
+
+
+def _embeddings(spark):
+    from etl_wrap_spark.session import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.01", ["embeddings"])["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    return q, c
+
+
+def test_ivfpq_refine_reproduces_plain_ivf(spark):
+    """With refine >= candidate count, ADC is only a pre-ranking: the
+    exact re-rank must reproduce plain IVF's top-k exactly (identical
+    probed-cell candidate sets + identical exact-cosine ordering)."""
+    from etl_wrap_spark.operators import similarity as sim
+
+    q, c = _embeddings(spark)
+    cent = sim.ivf_centroids_deterministic(c, "vec_id", "embedding", 8)
+    ivf = {
+        (r["qid"], r["rank"], r["cid"])
+        for r in sim.ivf_topk(
+            q, c, "vec_id", "vec_id", "embedding", k=3, nprobe=2, centroids=cent
+        ).collect()
+    }
+    pq = {
+        (r["qid"], r["rank"], r["cid"])
+        for r in sim.ivfpq_topk(
+            q, c, "vec_id", "vec_id", "embedding", k=3, nprobe=2,
+            refine=10**6, centroids=cent,
+        ).collect()
+    }
+    assert pq == ivf
+
+
+def test_ivfpq_code_shape_and_recall_floor(spark):
+    """Every corpus row gets exactly M codes with j in [1, Ks]; ADC-only
+    recall clears a floor and exact refine only improves it."""
+    from etl_wrap_spark.operators import similarity as sim
+
+    q, c = _embeddings(spark)
+    cent = sim.ivf_centroids_deterministic(c, "vec_id", "embedding", 8)
+    res = sim.pq_residual_frame(c, "vec_id", "embedding", cent)
+    cb = sim.pq_codebooks_deterministic(res, "vec_id")
+    codes = sim.pq_encode(res, "vec_id", cb)
+    n_corpus = c.count()
+    assert codes.count() == n_corpus * sim.PQ_M
+    bad = codes.where((F.col("j") < 1) | (F.col("j") > sim.PQ_KS)).count()
+    assert bad == 0
+
+    exact = {
+        (r["qid"], r["cid"])
+        for r in sim.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3).collect()
+    }
+    adc = {
+        (r["qid"], r["cid"])
+        for r in sim.ivfpq_topk(
+            q, c, "vec_id", "vec_id", "embedding", k=3, nprobe=2, centroids=cent
+        ).collect()
+    }
+    ref = {
+        (r["qid"], r["cid"])
+        for r in sim.ivfpq_topk(
+            q, c, "vec_id", "vec_id", "embedding", k=3, nprobe=2, centroids=cent, refine=20
+        ).collect()
+    }
+    r_adc = len(adc & exact) / len(exact)
+    r_ref = len(ref & exact) / len(exact)
+    assert r_adc >= 0.1  # random-ish synthetic embeddings quantize poorly
+    assert r_ref >= r_adc
