@@ -507,9 +507,11 @@ def ivfpq_topk(
             lambda acc, t: acc + t,
         ).alias("pdot"),
     )
+    # lut is queries x M x Ks rows but derived (statistics-opaque to
+    # Catalyst) — hint it broadcast or the scan join degrades to SMJ.
     parts = (
         codes.withColumnRenamed(id_c, "cid")
-        .join(lut, ["cell", "m", "j"])
+        .join(F.broadcast(lut), ["cell", "m", "j"])
         .groupBy("qid", "cid")
         .agg(
             *[F.sum(F.when(F.col("m") == i, F.col("pdot"))).alias(f"p{i}") for i in range(m)],

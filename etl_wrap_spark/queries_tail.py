@@ -735,26 +735,26 @@ def _ivfpq_oracle(n_cells: int, nprobe: int, k: int, m: int, ks: int) -> str:
         f"SUM(CASE WHEN l.m = {i} THEN pdot END) AS p{i}" for i in range(m)
     )
     return f"""
-    WITH q AS (
+    WITH q AS MATERIALIZED (
       SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings WHERE vec_id % 50 = 0
-    ), c AS (
+    ), c AS MATERIALIZED (
       SELECT vec_id AS cid, embedding AS cv, label AS cl FROM embeddings WHERE vec_id % 50 <> 0
-    ), cent AS (
+    ), cent AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS cell, cv AS kv
       FROM c ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT {n_cells}
-    ), cass AS (
+    ), cass AS MATERIALIZED (
       SELECT cid, cv, cl, cell, kv FROM (
         SELECT cid, cv, cl, cell, kv,
                ROW_NUMBER() OVER (PARTITION BY cid
                  ORDER BY ({d_ck}) / (sqrt({n_c}) * sqrt({n_k})) DESC, cell) AS rn
         FROM c, cent
       ) WHERE rn = 1
-    ), res AS (
+    ), res AS MATERIALIZED (
       SELECT cid, cl, cell, sqrt({n_c}) AS cn,
              list_transform(range(1, {sim.DIM} + 1),
                             i -> CAST(cv[i] AS DOUBLE) - CAST(kv[i] AS DOUBLE)) AS rv
       FROM cass
-    ), cb AS (
+    ), cb AS MATERIALIZED (
       SELECT m, j, list_slice(rv, m * {sub} + 1, (m + 1) * {sub}) AS cw FROM (
         SELECT r.cid, r.rv, t.m,
                md5(CAST(r.cid AS VARCHAR) || 'pq' || CAST(t.m AS VARCHAR)) AS h,
@@ -762,23 +762,23 @@ def _ivfpq_oracle(n_cells: int, nprobe: int, k: int, m: int, ks: int) -> str:
                  ORDER BY md5(CAST(r.cid AS VARCHAR) || 'pq' || CAST(t.m AS VARCHAR)), r.cid) AS j
         FROM res r, (SELECT unnest(range(0, {m})) AS m) t
       ) WHERE j <= {ks}
-    ), codes AS (
+    ), codes AS MATERIALIZED (
       SELECT cid, cell, cn, m, j FROM (
         SELECT r.cid, r.cell, r.cn, b.m, b.j,
                ROW_NUMBER() OVER (PARTITION BY r.cid, b.m ORDER BY ({l2}), b.j) AS rn
         FROM res r JOIN cb b ON TRUE
       ) WHERE rn = 1
-    ), qcells AS (
+    ), qcells AS MATERIALIZED (
       SELECT qid, qv, ql, cell, qk, qn FROM (
         SELECT qid, qv, ql, cell, ({d_qk}) AS qk, sqrt({n_q}) AS qn,
                ROW_NUMBER() OVER (PARTITION BY qid
                  ORDER BY ({d_qk}) / (sqrt({n_q}) * sqrt({n_k})) DESC, cell) AS rn
         FROM q, cent
       ) WHERE rn <= {nprobe}
-    ), lut AS (
+    ), lut AS MATERIALIZED (
       SELECT s.qid, s.ql, s.qn, s.cell, s.qk, b.m, b.j, ({pdot}) AS pdot
       FROM qcells s JOIN cb b ON TRUE
-    ), parts AS (
+    ), parts AS MATERIALIZED (
       SELECT l.qid, c2.cid,
              {pcols},
              MIN(l.qk) AS qk, MIN(l.qn) AS qn, MIN(c2.cn) AS cn,
@@ -787,7 +787,7 @@ def _ivfpq_oracle(n_cells: int, nprobe: int, k: int, m: int, ks: int) -> str:
       JOIN lut l ON c2.cell = l.cell AND c2.m = l.m AND c2.j = l.j
       JOIN res r2 ON r2.cid = c2.cid
       GROUP BY l.qid, c2.cid
-    ), ranked AS (
+    ), ranked AS MATERIALIZED (
       SELECT qid, cid, CASE WHEN ql = cl THEN 1 ELSE 0 END AS same_label,
              ROW_NUMBER() OVER (PARTITION BY qid
                ORDER BY (qk + {psum}) / (qn * cn) DESC, cid) AS rank
