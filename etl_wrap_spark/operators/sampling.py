@@ -83,3 +83,85 @@ def pack_sequences(
     w = Window.partitionBy(group_col).orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     prefix = F.coalesce(F.sum(c).over(w), F.lit(0))
     return df.withColumn(out_col, F.floor(prefix / bin_capacity).cast("int"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights_bp: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: draw the LARGEST corpus
+    whose group proportions exactly match ``weights_bp`` (basis points,
+    must sum to 10000), limited by the scarcest group.
+
+    All arithmetic is integer (n_total = min over groups of
+    avail*10000 div w_bp; take_g = n_total*w_bp div 10000), and
+    per-group selection ranks by (hash60(salt:id), id) — bit-for-bit
+    reproducible by an independent engine, run-to-run stable.
+
+    Scale shape: the counts/quota frames are |groups| rows (broadcast);
+    the only corpus-sized work is one per-group rank shuffle. For
+    corpora where even per-group sorts are unwanted, take
+    rate_g = take_g/avail_g and filter on split_bucket(id) <
+    rate_g*10000 instead — approximate counts, no sort."""
+    if sum(weights_bp.values()) != 10000:
+        raise ValueError(f"weights_bp must sum to 10000, got {sum(weights_bp.values())}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, int(bp)) for g, bp in weights_bp.items()], f"{group_col} string, w_bp long"
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("avail"))
+    quota = counts.join(F.broadcast(wdf), group_col)
+    n_total = quota.agg(
+        F.min(F.expr("(avail * 10000) div w_bp")).alias("n_total")
+    )
+    take = (
+        quota.crossJoin(F.broadcast(n_total))
+        .select(group_col, F.expr("(n_total * w_bp) div 10000").alias("n_take"))
+    )
+    h = hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(take), group_col)
+        .where(F.col("__rk") <= F.col("n_take"))
+        .drop("__rk", "n_take")
+    )
+
+
+def shard_balanced(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+    rank_partitions: int | None = None,
+) -> DataFrame:
+    """Weight-balanced sharding: global-rank rows by (weight desc, id)
+    and deal them round-robin — shard = (rank-1) % n_shards, the LPT
+    heuristic that keeps per-shard totals within one max-row weight of
+    each other (token-balanced output shards for training).
+
+    The global rank is computed DISTRIBUTED: range-repartition on the
+    sort key, local row_numbers, plus a broadcast prefix-offset join
+    (partition counts cumsum) — no single-partition window. The rank is
+    invariant to the sampled range boundaries because (weight desc, id)
+    is a total order."""
+    slim = df.select(F.col(id_col), F.col(weight_col))
+    nparts = rank_partitions or slim.sparkSession.sparkContext.defaultParallelism
+    parted = slim.repartitionByRange(nparts, F.col(weight_col).desc(), F.col(id_col))
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    wl = Window.partitionBy("__pid").orderBy(F.col(weight_col).desc(), F.col(id_col))
+    local = with_pid.withColumn("__lrn", F.row_number().over(wl))
+    sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn("__off", F.coalesce(F.sum("__n").over(wo), F.lit(0))).select(
+        "__pid", "__off"
+    )
+    ranked = local.join(F.broadcast(offsets), "__pid").select(
+        F.col(id_col),
+        ((F.col("__off") + F.col("__lrn") - 1) % n_shards).cast("int").alias(out_col),
+    )
+    return df.join(ranked, id_col)

@@ -829,3 +829,78 @@ def q66_ann_ivfpq(spark, sf_dir):
         )
         .orderBy("qid", "rank")
     )
+
+
+# ------------------------------------------ domain-mixture sampling (q67)
+@register(
+    "q67_mixture_sample",
+    oracle="""
+    WITH w(lang, w_bp) AS (
+      VALUES ('en', CAST(4000 AS BIGINT)), ('de', 2000), ('es', 2000),
+             ('fr', 1000), ('zh', 1000)
+    ), cnt AS (
+      SELECT lang, COUNT(*) AS avail FROM documents GROUP BY lang
+    ), nt AS (
+      SELECT MIN((avail * 10000) // w_bp) AS n_total FROM cnt JOIN w USING (lang)
+    ), take AS (
+      SELECT lang, (n_total * w_bp) // 10000 AS n_take FROM w, nt
+    ), ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked JOIN take USING (lang)
+    WHERE rk <= n_take ORDER BY doc_id
+    """,
+)
+def q67_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixture sampling: the largest corpus whose
+    language proportions are exactly 40/20/20/10/10 bp-wise, limited by
+    the scarcest language; per-group membership is the (hash, id) rank
+    prefix — the mixture-reweighting step of a pretraining pipeline as
+    one reproducible operator."""
+    from etl_wrap_spark.operators.sampling import mixture_sample
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = mixture_sample(
+        t["documents"], "lang", "doc_id",
+        {"en": 4000, "de": 2000, "es": 2000, "fr": 1000, "zh": 1000},
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+# ------------------------------------------ token-balanced shards (q68)
+@register(
+    "q68_balanced_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+    ), ranked AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (ORDER BY tok DESC, doc_id) AS rk
+      FROM toks
+    )
+    SELECT doc_id, CAST(tok AS BIGINT) AS tok,
+           CAST((rk - 1) % 8 AS INT) AS shard
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def q68_balanced_shards(spark, sf_dir):
+    """Token-balanced output sharding: global-rank documents by token
+    count (distributed rank — range repartition + prefix offsets, no
+    single-partition window) and deal round-robin into 8 shards, the
+    LPT heuristic that bounds per-shard token skew by one document."""
+    from etl_wrap_spark.operators.sampling import shard_balanced
+    from etl_wrap_spark.operators.text import token_count
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].select(
+        "doc_id", token_count("text").cast("bigint").alias("tok")
+    )
+    out = shard_balanced(d, "doc_id", "tok", n_shards=8)
+    return out.select("doc_id", "tok", F.col("shard").cast("int").alias("shard")).orderBy(
+        "doc_id"
+    )

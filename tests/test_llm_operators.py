@@ -604,3 +604,51 @@ def test_ivfpq_code_shape_and_recall_floor(spark):
     r_ref = len(ref & exact) / len(exact)
     assert r_adc >= 0.1  # random-ish synthetic embeddings quantize poorly
     assert r_ref >= r_adc
+
+
+def test_mixture_sample_exact_proportions(spark):
+    from etl_wrap_spark.operators.sampling import mixture_sample
+    from etl_wrap_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.01", ["documents"])["documents"]
+    out = mixture_sample(
+        d, "lang", "doc_id", {"en": 4000, "de": 2000, "es": 2000, "fr": 1000, "zh": 1000}
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n = sum(got.values())
+    # proportions exact in basis points; scarcest group (de: 70 avail) binding
+    assert got == {"en": n * 2 // 5, "de": n // 5, "es": n // 5, "fr": n // 10, "zh": n // 10}
+    assert got["de"] == 70  # the binding constraint is fully consumed
+    # determinism: same membership on a rerun
+    again = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == again
+
+
+def test_mixture_sample_rejects_bad_weights(spark):
+    from etl_wrap_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], ["id", "g"])
+    with pytest.raises(ValueError):
+        mixture_sample(df, "g", "id", {"a": 5000})
+
+
+def test_shard_balanced_skew_and_rank_equivalence(spark):
+    from etl_wrap_spark.operators.sampling import shard_balanced
+    from etl_wrap_spark.operators.text import token_count
+    from etl_wrap_spark.session import load_tables
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, "/root/testdata/sf0.01", ["documents"])["documents"]
+    toks = d.select("doc_id", token_count("text").alias("tok"))
+    out = shard_balanced(toks, "doc_id", "tok", n_shards=8, rank_partitions=5)
+    sums = {r["shard"]: r["s"] for r in out.groupBy("shard").agg(F.sum("tok").alias("s")).collect()}
+    assert len(sums) == 8
+    max_w = toks.agg(F.max("tok")).first()[0]
+    assert max(sums.values()) - min(sums.values()) <= max_w  # LPT skew bound
+    # distributed rank == single-window rank
+    naive = toks.withColumn(
+        "shard2",
+        ((F.row_number().over(W.orderBy(F.col("tok").desc(), F.col("doc_id"))) - 1) % 8).cast("int"),
+    )
+    diff = out.join(naive, "doc_id").where(F.col("shard") != F.col("shard2")).count()
+    assert diff == 0
