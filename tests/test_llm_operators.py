@@ -652,3 +652,32 @@ def test_shard_balanced_skew_and_rank_equivalence(spark):
     )
     diff = out.join(naive, "doc_id").where(F.col("shard") != F.col("shard2")).count()
     assert diff == 0
+
+
+def test_quality_model_learns_weak_labels(spark):
+    """The linear model must recover the heuristic signal it was weakly
+    supervised with: held-out AUC well above chance, scores in [0,1],
+    and scoring adds exactly one column."""
+    from etl_wrap_spark.operators import quality_model as qm
+    from etl_wrap_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.01", ["documents"])["documents"]
+    labeled = qm.weak_labels(d)
+    pos = labeled.where(F.col("label") == 1.0).count()
+    assert 0 < pos < labeled.count()  # both classes present
+
+    train = labeled.where(F.col("doc_id") % 5 != 0)
+    test = labeled.where(F.col("doc_id") % 5 == 0)
+    model = qm.train_quality_model(train)
+    scored = qm.score_quality(test, model)
+    assert set(scored.columns) == set(test.columns) | {"quality_score"}
+
+    rows = scored.select("label", "quality_score").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    # rank-based AUC
+    ranked = sorted(rows, key=lambda r: r["quality_score"])
+    n_pos = sum(1 for r in rows if r["label"] == 1.0)
+    n_neg = len(rows) - n_pos
+    rank_sum = sum(i + 1 for i, r in enumerate(ranked) if r["label"] == 1.0)
+    auc = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert auc > 0.8, f"AUC {auc:.3f}"
