@@ -35,12 +35,16 @@ def curate(
     jaccard_num: int = 2,
     jaccard_den: int = 1,
     split_weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    quality_model=None,
+    min_quality: float = 0.5,
 ) -> dict[str, DataFrame]:
     """Run the full curation cascade; returns a dict of frames:
 
     - ``clean``: surviving docs with redacted text, quality metrics,
       token budget, and a train/val/test split column.
     - ``quarantine_quality``: structurally rejected docs + their flags.
+    - ``quarantine_model`` (only when ``quality_model`` is passed):
+      docs the learned filter scored below ``min_quality``.
     - ``drops_exact``: exact-duplicate docs dropped (with the kept id).
     - ``drops_neardup``: near-dup docs dropped (with the kept id).
 
@@ -93,12 +97,25 @@ def curate(
         F.broadcast(near_drops.select(id_col)), on=id_col, how="left_anti"
     )
 
+    out: dict[str, DataFrame] = {}
+    if quality_model is not None:
+        # learned filter AFTER dedup (score once per surviving doc, not
+        # per duplicate); map-only, model broadcast by Spark ML
+        from etl_wrap_spark.operators.quality_model import score_quality
+
+        scored_docs = score_quality(survivors, quality_model, text_col)
+        out["quarantine_model"] = scored_docs.where(
+            F.col("quality_score") < min_quality
+        ).select(id_col, text_col, "quality_score")
+        survivors = scored_docs.where(F.col("quality_score") >= min_quality)
+
     clean = survivors.withColumn("bpe_tokens", text.bpe_token_count(text_col))
     clean = sampling.assign_split(clean, id_col, weights=split_weights)
 
-    return {
+    out.update({
         "clean": clean,
         "quarantine_quality": quarantine,
         "drops_exact": exact_drops,
         "drops_neardup": near_drops,
-    }
+    })
+    return out

@@ -681,3 +681,23 @@ def test_quality_model_learns_weak_labels(spark):
     rank_sum = sum(i + 1 for i, r in enumerate(ranked) if r["label"] == 1.0)
     auc = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
     assert auc > 0.8, f"AUC {auc:.3f}"
+
+
+def test_curate_with_learned_filter(spark):
+    """curate(quality_model=...) adds a model-quarantine frame; clean +
+    quarantine_model partition the no-model clean set."""
+    from etl_wrap_spark import pipelines
+    from etl_wrap_spark.operators import quality_model as qm
+    from etl_wrap_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.01", ["documents"])["documents"]
+    model = qm.train_quality_model(qm.weak_labels(d))
+    base = pipelines.curate(d)
+    out = pipelines.curate(d, quality_model=model, min_quality=0.5)
+    base_ids = {r["doc_id"] for r in base["clean"].select("doc_id").collect()}
+    kept = {r["doc_id"] for r in out["clean"].select("doc_id").collect()}
+    dropped = {r["doc_id"] for r in out["quarantine_model"].select("doc_id").collect()}
+    assert kept | dropped == base_ids
+    assert kept.isdisjoint(dropped)
+    scores = out["quarantine_model"].select("quality_score").collect()
+    assert all(r["quality_score"] < 0.5 for r in scores)
