@@ -904,3 +904,66 @@ def q68_balanced_shards(spark, sf_dir):
     return out.select("doc_id", "tok", F.col("shard").cast("int").alias("shard")).orderBy(
         "doc_id"
     )
+
+
+# ------------------------------------------------- funnel analysis (q69)
+@register(
+    "q69_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT s1.user_id, t1, t2, t3
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ORDER BY s1.user_id
+    """,
+)
+def q69_funnel(spark, sf_dir):
+    """Ordered-funnel progression view -> click -> purchase: t_k is the
+    earliest stage-k event strictly after t_{k-1}, NULL once progression
+    stops. Type filters push into the scan; every stage join/agg shares
+    the user-id key."""
+    from etl_wrap_spark.operators.events_analytics import funnel_stages
+
+    t = load_tables(spark, sf_dir, ["events"])
+    out = funnel_stages(t["events"], ["view", "click", "purchase"])
+    return out.select("user_id", "t1", "t2", "t3").orderBy("user_id")
+
+
+# ---------------------------------------------- cohort retention (q70)
+@register(
+    "q70_cohort_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM e GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM e
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q70_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen week,
+    distinct-active counts per (cohort, week offset)."""
+    from etl_wrap_spark.operators.events_analytics import cohort_retention
+
+    t = load_tables(spark, sf_dir, ["events"])
+    return cohort_retention(t["events"]).orderBy("cohort_week", "week_offset")

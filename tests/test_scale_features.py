@@ -259,3 +259,48 @@ def test_skew_report_advises_salting(spark):
     # uniform data advises no salting
     _, flat = skew.skew_report(spark.range(100).select((F.col("id") % 10).alias("k")), ["k"])
     assert flat["suggested_buckets"] == 1
+
+
+def test_funnel_stage_ordering(spark):
+    """Stage k only counts strictly after stage k-1: a user whose only
+    purchase precedes their click never reaches t3."""
+    import datetime as dt
+
+    from etl_wrap_spark.operators.events_analytics import funnel_stages
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    rows = [
+        # complete funnel
+        (1, "view", ts(1)), (1, "click", ts(2)), (1, "purchase", ts(3)),
+        # purchase BEFORE click: reaches t2, not t3
+        (2, "view", ts(1)), (2, "purchase", ts(2)), (2, "click", ts(3)),
+        # never viewed: absent entirely
+        (3, "click", ts(1)), (3, "purchase", ts(2)),
+        # stops after view
+        (4, "view", ts(5)),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["user_id"]: r for r in funnel_stages(e, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["t3"] == ts(3)
+    assert out[2]["t2"] == ts(3) and out[2]["t3"] is None
+    assert out[4]["t2"] is None and out[4]["t3"] is None
+
+
+def test_cohort_retention_offsets(spark):
+    """Offsets count whole weeks from the user's first-seen week."""
+    import datetime as dt
+
+    from etl_wrap_spark.operators.events_analytics import cohort_retention
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)),   # Monday, cohort week 0
+        (1, dt.datetime(2024, 1, 10)),  # week 1
+        (2, dt.datetime(2024, 1, 2)),   # same cohort week
+        (2, dt.datetime(2024, 1, 17)),  # week 2
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r["week_offset"]): r["n_users"] for r in cohort_retention(e).collect()}
+    assert out == {0: 2, 1: 1, 2: 1}
