@@ -967,3 +967,36 @@ def q70_cohort_retention(spark, sf_dir):
 
     t = load_tables(spark, sf_dir, ["events"])
     return cohort_retention(t["events"]).orderBy("cohort_week", "week_offset")
+
+
+# -------------------------------------- event transition matrix (q71)
+@register(
+    "q71_transition_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM e
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type ORDER BY event_type, next_type
+    """,
+)
+def q71_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts over per-user event paths
+    (lead window on the user key, then one count aggregation) — the
+    path-analysis complement of q69's funnel and q70's retention."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )
