@@ -450,7 +450,10 @@ def q42_corpus_clean(spark, sf_dir):
     )
     pairs = dedup.near_dup_pairs_minhash(docs, "doc_id", "text", n=3, num=2, den=1)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = docs.join(removed, on="doc_id", how="left_anti")
+    # the dropped-id set is pair-count-sized but statistics-opaque
+    # (derived through the LSH cascade) — hint it broadcast or the
+    # anti-join degrades to sort-merge
+    kept = docs.join(F.broadcast(removed), on="doc_id", how="left_anti")
     return (
         kept.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
