@@ -57,6 +57,7 @@ def queries() -> dict[str, QueryFn]:
     import etl_wrap_spark.queries_functions  # noqa: F401
     import etl_wrap_spark.queries_llm  # noqa: F401
     import etl_wrap_spark.queries_tail  # noqa: F401
+    import etl_wrap_spark.queries_extra  # noqa: F401
 
     return dict(_QUERIES)
 

@@ -1,0 +1,332 @@
+"""Round-2 fourth-stretch catalog queries (q72-q78).
+
+Registered after queries_tail (past the driver's 50 recorded slots — see
+queries_tail.py's module docstring): IR/text-curation operators (tf-idf
+keyword extraction, PMI-lift collocations) plus the TPC-H join/agg shapes
+the core catalog didn't yet stress (Q13 outer-join count distribution,
+Q18 group-having semi join, Q21 sole-late-shipper, Q22 dormant-balance
+anti pattern, Q11 value-share having).
+
+Determinism rules are the catalog-wide ones (catalog.py docstring):
+exact DECIMAL internals, DOUBLE-via-VARCHAR surfacing in oracles,
+BIGINT-cast integer sums, integer floor-division for scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_wrap_spark.catalog import register
+from etl_wrap_spark.operators import text as T
+from etl_wrap_spark.session import load_tables
+
+
+# -------------------------------------------- tf-idf keyword extraction (q72)
+@register(
+    "q72_tfidf_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ), ft AS (
+      SELECT doc_id, term FROM toks WHERE len(term) >= 3
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM ft GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf * 1000000 // df AS BIGINT) AS score_bp,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf * 1000000 // df DESC, term) AS rn
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, df, score_bp
+    FROM scored WHERE rn <= 3 ORDER BY doc_id, score_bp DESC, term
+    """,
+)
+def q72_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 keywords by the exact-integer tf-idf surrogate
+    (operators/text.py:tfidf_top_terms). Explode → keyed counts with
+    map-side combine → vocabulary-keyed df join → per-doc ranking
+    window; no float log anywhere so both engines rank identically."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return T.tfidf_top_terms(t["documents"], "doc_id", "text", top_k=3).orderBy(
+        "doc_id", F.col("score_bp").desc(), "term"
+    )
+
+
+# --------------------------------------------- PMI-lift collocations (q73)
+@register(
+    "q73_bigram_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS arr
+      FROM documents
+    ), terms AS (
+      SELECT doc_id, list_filter(arr, t -> len(t) >= 3) AS arr FROM toks
+    ), uni AS (
+      SELECT unnest(arr) AS term FROM terms
+    ), ucnt AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY 1
+    ), total AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM ucnt
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(arr) - 1, 0)),
+                                   i -> {'a': arr[i], 'b': arr[i + 1]})) AS g
+      FROM terms
+    ), ab AS (
+      SELECT g.a AS a, g.b AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+           CAST(n_ab * n_tokens * 10000 // (ua.n * ub.n) AS BIGINT) AS lift_bp
+    FROM ab
+    JOIN ucnt ua ON ab.a = ua.term
+    JOIN ucnt ub ON ab.b = ub.term
+    CROSS JOIN total
+    WHERE n_ab >= 5
+    ORDER BY lift_bp DESC, a, b
+    """,
+)
+def q73_bigram_collocations(spark, sf_dir):
+    """Corpus collocations ranked by exact-integer PMI lift
+    (operators/text.py:bigram_collocations): three keyed aggregations +
+    two vocabulary joins + a broadcast 1-row total. min_count=5 floors
+    the support so low-count noise never reaches the join."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return T.bigram_collocations(t["documents"], "text", min_count=5).orderBy(
+        F.col("lift_bp").desc(), "a", "b"
+    )
+
+
+# ------------------------------- outer-join count distribution (TPC-H Q13)
+@register(
+    "q74_order_count_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderdate >= DATE '2000-08-01'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q74_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join with an ON-clause filter (the
+    filter must NOT become a WHERE — customers with zero matching orders
+    survive with count 0), double aggregation. The join shuffles on the
+    customer key once; both counts combine map-side."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    recent = t["orders"].where(F.col("o_orderdate") >= F.lit("2000-08-01").cast("date"))
+    co = (
+        t["customer"]
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ------------------------------------ large-quantity orders (TPC-H Q18)
+@register(
+    "q75_high_quantity_orders",
+    oracle="""
+    WITH oq AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_name, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+           CAST(CAST(sum_qty AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM oq
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    """,
+)
+def q75_high_quantity_orders(spark, sf_dir):
+    """TPC-H Q18 shape: group-by-having on the fact table feeding a join
+    back to orders + customer. The having-aggregate runs FIRST so only
+    the ~1% qualifying orderkeys reach the joins (semi-join shaped);
+    quantity sums in exact decimal, surfaced as double."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    oq = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        oq.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+    )
+
+
+# ---------------------------------------- sole late shipper (TPC-H Q21)
+@register(
+    "q76_sole_late_shipper",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 1460 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+      FROM ls GROUP BY 1
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM ls JOIN agg USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def q76_sole_late_shipper(spark, sf_dir):
+    """TPC-H Q21 shape (adapted to this schema's shipdate): suppliers who
+    were the ONLY late shipper on a multi-supplier order. Q21's textbook
+    EXISTS + NOT-EXISTS pair is re-expressed as two keyed aggregations
+    (per-(order,supplier) lateness, then per-order supplier/late counts)
+    and one filter — the 100 TB-correct form: a single fact shuffle
+    replaces two correlated-subquery passes, with identical semantics."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
+    # orders is a fact table — shuffle join on the order key (NOT a
+    # broadcast; at 100 TB the orders side is billions of rows), then
+    # both aggregations reuse that partitioning.
+    ls = (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 1460 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    agg = ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        ls.join(agg, "l_orderkey")
+        .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# --------------------------------------- dormant high balances (TPC-H Q22)
+@register(
+    "q77_dormant_high_balance",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_pos
+      FROM customer WHERE c_acctbal > 0
+    ), recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '2000-08-01'
+    )
+    SELECT c_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
+    FROM customer CROSS JOIN pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_pos
+      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q77_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by nation. The global-average threshold is applied
+    by exact-decimal cross-multiplication (bal * n_pos > total_pos) —
+    never a float average, whose last-ulp could flip boundary membership
+    between engines. The scalar aggregate broadcasts; the recent-buyer
+    set is removed with a left_anti join (Q22's NOT EXISTS)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .agg(F.count(F.lit(1)).alias("n_pos"), F.sum(bal).alias("total_pos"))
+    )
+    recent = (
+        t["orders"]
+        .where(F.col("o_orderdate") >= F.lit("2000-08-01").cast("date"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(pos))
+        .where(bal * F.col("n_pos") > F.col("total_pos"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ------------------------------------------ part value share (TPC-H Q11)
+@register(
+    "q78_top_value_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+      FROM lineitem GROUP BY l_partkey
+    ), total AS (
+      SELECT SUM(v) AS tv FROM pv
+    )
+    SELECT l_partkey, CAST(CAST(v AS VARCHAR) AS DOUBLE) AS part_value
+    FROM pv CROSS JOIN total
+    WHERE v * 1500 > tv
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q78_top_value_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part discounted value vs a global-total
+    scalar threshold. Exact-decimal cross-multiplication (v * 1500 > tv)
+    keeps threshold membership engine-exact; the 1-row total broadcasts
+    into the filter, so the plan is one fact shuffle + a broadcast."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    pv = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.sum(price * (F.lit(1) - disc)).alias("v"))
+    )
+    total = pv.agg(F.sum("v").alias("tv"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("v") * 1500 > F.col("tv"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )

@@ -701,3 +701,48 @@ def test_curate_with_learned_filter(spark):
     assert kept.isdisjoint(dropped)
     scores = out["quarantine_model"].select("quality_score").collect()
     assert all(r["quality_score"] < 0.5 for r in scores)
+
+
+def test_tfidf_top_terms(spark):
+    """Exact-integer tf-idf ranking: rare terms outrank common ones at
+    equal tf; ties break lexicographically; score is tf*1e6 div df."""
+    from etl_wrap_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common common"),
+            (3, "cherry common durian durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.tfidf_top_terms(df, "doc_id", "text", top_k=2)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2_000_000; common tf=3 df=3 -> 1_000_000
+    assert rows[(1, "apple")]["score_bp"] == 2_000_000
+    assert rows[(1, "common")]["score_bp"] == 1_000_000
+    assert (1, "banana") not in rows  # banana 500_000 < common
+    # doc 3: durian tf=2 df=1 -> 2_000_000 top; cherry 500_000 vs common
+    # 333_333: cherry second
+    assert rows[(3, "durian")]["score_bp"] == 2_000_000
+    assert rows[(3, "cherry")]["score_bp"] == 500_000
+    assert all(len(g) == 2 for g in [[k for k in rows if k[0] == d] for d in (1, 2, 3)])
+
+
+def test_bigram_collocations(spark):
+    """Lift = n_ab * n_tokens * 1e4 div (n_a * n_b); min_count floors
+    support; bigrams never cross document boundaries."""
+    from etl_wrap_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, "strong coffee fills mugs") for i in range(5)]
+        + [(100 + i, "strong tea fills cups") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out = {(r["a"], r["b"]): r for r in T.bigram_collocations(df, "text", min_count=5).collect()}
+    # 40 tokens total; strong->coffee: n_ab=5, n_a=10, n_b=5
+    r = out[("strong", "coffee")]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (5, 10, 5)
+    assert r["lift_bp"] == 5 * 40 * 10000 // (10 * 5)
+    # fills->mugs rarer pair, higher lift than strong->coffee? same: 5*40e4/(10*5)
+    assert ("coffee", "fills") in out and ("mugs", "strong") not in out
