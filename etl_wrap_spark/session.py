@@ -101,6 +101,13 @@ def _read_events(spark: SparkSession, sf_dir: str):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet timestamp[us] without isAdjustedToUTC infers as NTZ
+        # (spark.sql.parquet.inferTimestampNTZ.enabled default). Session TZ
+        # is UTC, so the cast is wall-clock identity; it restores the
+        # TIMESTAMP type that functions like unix_micros require.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
