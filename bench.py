@@ -106,7 +106,7 @@ def main():
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    result = {
+    detail = {
         "metric": "catalog_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -127,11 +127,42 @@ def main():
             if duck[n] and n in timings
         }
         timed = [d for d in duck.values() if d is not None]
-        result["duckdb_total"] = round(sum(timed), 3)
-        result["duckdb"] = duck
-        result["spark_vs_duckdb"] = ratios
+        detail["duckdb_total"] = round(sum(timed), 3)
+        detail["duckdb"] = duck
+        detail["spark_vs_duckdb"] = ratios
 
-    print(json.dumps(result))
+    # Full detail (long names, duckdb timings, ratios) goes to a side
+    # file; stdout carries ONE COMPACT JSON line. The driver keeps only
+    # the last 2000 chars of stdout (BENCH_r01/r02 `tail`), so the line
+    # must stay well under that — round 2's full dump was ~7 KB and
+    # recorded as parsed:null. qNN prefixes are unique in the catalog
+    # (asserted) and match the spec's {"q1": sec} shape.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+
+    short = {n.split("_")[0]: n for n in timings}
+    assert len(short) == len(timings), "qNN prefixes must be unique"
+    compact = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {p: round(timings[n], 2) for p, n in short.items()},
+        "sf": sf,
+        "n_queries": detail["n_queries"],
+        "mean_per_query": detail["mean_per_query"],
+    }
+    if "duckdb_total" in detail:
+        compact["duckdb_total"] = detail["duckdb_total"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail capture
+        compact["queries"] = {p: round(v, 1) for p, v in compact["queries"].items()}
+        compact.pop("duckdb_total", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
