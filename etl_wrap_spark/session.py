@@ -69,23 +69,42 @@ TABLES = (
 )
 
 
+import weakref
+
+# Per-session memo of source DataFrames: (sf_dir, table) -> DataFrame.
+# A DataFrame is an immutable lazy plan over an immutable input dir, so
+# reuse across the catalog is safe; re-resolving parquet footers for
+# every query cost ~0.3-1 s each in the bench. Keyed weakly by session
+# so a torn-down session cannot serve stale plans to an id()-reused one.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
     """Read the driver's parquet tables lazily; register temp views.
 
     Column pruning + predicate pushdown reach the parquet scan because
     these are plain `spark.read.parquet` DataFrames — no caching or
-    materialization here.
+    materialization here (only the *plan objects* are memoized).
     """
     # Defensive: callers (e.g. the verify driver) may pass a session we did
     # not build. Timestamps must render/compare in UTC to agree with
     # UTC-naive oracles; both confs are runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        cache = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # non-weakrefable session stand-in (mocks)
+        cache = {}
     out = {}
     for name in names:
-        if name == "events":
-            df = _read_events(spark, sf_dir)
-        else:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = cache.get((sf_dir, name))
+        if df is None:
+            if name == "events":
+                df = _read_events(spark, sf_dir)
+            else:
+                df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            cache[(sf_dir, name)] = df
+        # Always (re-)register: callers may alternate sf_dirs within one
+        # session and SQL-passthrough queries resolve views by name.
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
@@ -100,14 +119,25 @@ def _read_events(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # parquet timestamp[us] without isAdjustedToUTC would infer as NTZ
+    # (spark.sql.parquet.inferTimestampNTZ.enabled default true). With
+    # inference OFF, the reader copies the stored epoch micros verbatim
+    # into TIMESTAMP — no timezone math at read OR execution time, so a
+    # later session-TZ change cannot shift values (matches DuckDB's
+    # CAST(ts AS TIMESTAMP) exactly; verified epoch-identical under
+    # UTC and America/New_York).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
-        # parquet timestamp[us] without isAdjustedToUTC infers as NTZ
-        # (spark.sql.parquet.inferTimestampNTZ.enabled default). Session TZ
-        # is UTC, so the cast is wall-clock identity; it restores the
-        # TIMESTAMP type that functions like unix_micros require.
+        # Only reachable for Spark-WRITTEN NTZ files (their footer
+        # metadata overrides the inference conf). The cast resolves the
+        # session TZ lazily at execution, so it is only a wall-clock
+        # identity under UTC — assert rather than silently shift.
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
+            "NTZ->TIMESTAMP normalization requires a UTC session timezone"
+        )
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
