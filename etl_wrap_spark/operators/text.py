@@ -204,12 +204,19 @@ def top_ngram_coverage(df, id_col: str, text_col: str, n: int = 2):
     Explode + count + min-of-struct argmax: one shuffle on (id, gram)
     with map-side combine, then one on id; ties break to the
     lexicographically smallest gram so results are engine-exact.
+
+    The token array is BOUND to a column before the per-element gram
+    transform: a lambda body that references the tokenization expression
+    tree directly would re-run the regex split once per array element
+    (O(tokens²) per document — higher-order functions are interpreted
+    per-element with no subexpression hoisting).
     """
-    t = tokens(text_col)
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    t = F.col("__t")
     cnt = F.size(t)
     idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
-    ex = df.select(F.col(id_col), cnt.alias("__n"), F.explode(grams).alias("gram"))
+    ex = toks.select(F.col(id_col), cnt.alias("__n"), F.explode(grams).alias("gram"))
     counted = ex.groupBy(id_col, "__n", "gram").agg(F.count(F.lit(1)).alias("reps"))
     best = (
         counted.select(
@@ -286,15 +293,22 @@ def bigram_collocations(df, text_col: str, min_count: int = 5, min_len: int = 3)
     extreme corpus sizes the ``n_ab * n_tokens * 10_000`` product can
     exceed int64 (~9.2e18) — upgrade to DECIMAL(38,0) intermediates when
     n_tokens * max(n_ab) * 1e4 approaches that bound.
+
+    Bigrams come from zipping the term array against its own 1-shifted
+    slice — a constant number of evaluations of the tokenization
+    expression per row. (The earlier form indexed the array inside a
+    per-element lambda, which re-ran the regex split once per element:
+    O(tokens²) per document, measured 3.4× slower on the sf0.1 corpus.)
     """
-    t = alpha_terms(text_col, min_len)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.struct(F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b"))
+    toks = df.select(alpha_terms(text_col, min_len).alias("__t"))
+    t = F.col("__t")
+    nshift = F.greatest(F.size(t) - 1, F.lit(0))
+    grams = F.arrays_zip(
+        F.slice(t, 1, nshift).alias("a"), F.slice(t, 2, nshift).alias("b")
     )
-    pairs = df.select(F.explode(grams).alias("g")).select("g.a", "g.b")
+    pairs = toks.select(F.explode(grams).alias("g")).select("g.a", "g.b")
     uni = (
-        df.select(F.explode(t).alias("term"))
+        toks.select(F.explode(t).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -340,13 +354,25 @@ def hash60(col: Column | str) -> Column:
 def rolling_fingerprint(col: Column | str, ngram: int = 8) -> Column:
     """Content-defined document fingerprint: minimum 60-bit hash over the
     token `ngram`-shingles (a 1-hash MinHash — robust to local edits,
-    unlike whole-text md5)."""
-    t = tokens(col)
-    n = F.size(t)
-    idx = F.sequence(F.lit(0), F.greatest(n - ngram, F.lit(0)))
-    shingle = lambda i: F.concat_ws(" ", F.slice(t, i + 1, ngram))  # noqa: E731
-    hashes = F.transform(idx, lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 15), 16, 10).cast("bigint"))
-    return F.array_min(hashes)
+    unlike whole-text md5).
+
+    The token array is let-bound through a 1-element outer transform
+    (``transform(array(tokens), t -> ...)``): the tokenization runs once
+    as the outer transform's argument, and the inner per-shingle lambda
+    references the bound lambda VARIABLE ``t`` — not the expression tree,
+    which would re-split the text once per shingle (O(tokens²))."""
+
+    def _min_shingle_hash(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - ngram, F.lit(0)))
+        hashes = F.transform(
+            idx,
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(t, i + 1, ngram))), 1, 15), 16, 10
+            ).cast("bigint"),
+        )
+        return F.array_min(hashes)
+
+    return F.element_at(F.transform(F.array(tokens(col)), _min_shingle_hash), 1)
 
 
 # ------------------------------------------------------------ PII scrubbing
