@@ -144,15 +144,39 @@ def band_keys(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS) -> DataFr
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    band_rows: int = BAND_ROWS,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Candidate pairs agreeing on at least one LSH band → (id_a, id_b).
 
     Bands explode to (band, key) rows; the self-join shuffles on the
     band key — no all-pairs comparison ever happens. The band count is
     len(mh* columns) // band_rows (tune both via tune_lsh_params).
+
+    ``max_bucket`` drops band buckets holding more than that many docs
+    before the self-join — the analogue of exact_jaccard_pairs'
+    ``max_df``. Boilerplate-heavy corpora concentrate unrelated docs
+    into a few giant buckets (a shared chrome line often wins several
+    of a doc's 32 minhashes): measured on the planted synthetic corpus,
+    the hot-bucket pair count grows QUADRATICALLY with corpus size
+    (3.9e5 candidates at 1e4 docs → 3.4e7 at 1e5) while true near-dup
+    pairs grow linearly. Docs that are genuinely near-duplicates agree
+    on MANY bands, so they still meet in a small bucket; a bucket the
+    size of a boilerplate cohort carries almost no signal. Pair with
+    drop_repeated_segments upstream for the full CCNet-style defense.
     """
     keyed = band_keys(sig, id_col, band_rows)
     kcols = [f"k{r}" for r in range(band_rows)]
+    if max_bucket is not None:
+        sizes = keyed.groupBy("band", *kcols).agg(F.count(F.lit(1)).alias("__bsz"))
+        keyed = (
+            keyed.join(sizes, on=["band"] + kcols)
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     left = keyed.select(F.col(id_col).alias("id_a"), "band", *kcols)
     right = keyed.select(F.col(id_col).alias("id_b"), "band", *kcols)
     on = ["band"] + kcols
@@ -196,6 +220,7 @@ def near_dup_pairs_minhash(
     den: int = 1,
     auto_tune: bool = False,
     num_perm: int = NUM_HASHES,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle → signature →
     band join → exact verify, keeping pairs with Jaccard >= den/num
@@ -208,15 +233,19 @@ def near_dup_pairs_minhash(
     work (false candidates) and band-misses near the cut. The final
     exact-verify step makes both configurations return identical pairs
     UP TO candidate recall; tuning only moves the recall/cost point.
+
+    ``max_bucket`` forwards to lsh_candidate_pairs — the hot-bucket
+    guard for boilerplate-heavy corpora (see there for the measured
+    quadratic candidate growth it prevents).
     """
     sf = shingle_frame(df, id_col, text_col, n)
     if auto_tune:
         bands, rows = tune_lsh_params(den / num, num_perm)
         sig = minhash_signatures(sf, id_col, num_hashes=bands * rows)
-        cands = lsh_candidate_pairs(sig, id_col, band_rows=rows)
+        cands = lsh_candidate_pairs(sig, id_col, band_rows=rows, max_bucket=max_bucket)
     else:
         sig = minhash_signatures(sf, id_col)
-        cands = lsh_candidate_pairs(sig, id_col)
+        cands = lsh_candidate_pairs(sig, id_col, max_bucket=max_bucket)
     verified = jaccard_verify(cands, df, id_col, text_col, n)
     return verified.where(F.col("inter") * num >= F.col("uni") * den)
 
@@ -443,7 +472,11 @@ def contamination_check(
 
 # ---------------------------------------------- dedup connected components
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """(node, component) labeling of the near-dup graph: component =
     min node id reachable — the canonicalization step that turns
@@ -458,6 +491,10 @@ def connected_components(
     localCheckpoint so plans don't grow with iterations — the standard
     shape for iterative algorithms on a cluster. Driver-side work is
     one scalar count per round (the convergence test), never the data.
+
+    ``rounds_out``: optional list that receives one entry per executed
+    round (the changed-label count) — scale probes use it to verify the
+    rounds-vs-diameter claim without re-instrumenting.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -491,6 +528,8 @@ def connected_components(
         updated = updated.localCheckpoint(eager=True)
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.drop("changed")
+        if rounds_out is not None:
+            rounds_out.append(n_changed)
         if n_changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
@@ -529,7 +568,11 @@ def select_canonicals(
 
 
 def connected_components_star(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """(node, component) labeling via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -551,6 +594,10 @@ def connected_components_star(
     aggregate+join shuffles; lineage is truncated per round via
     localCheckpoint and the convergence probe pulls two scalars
     (edge count + checksum), never data, to the driver.
+
+    ``rounds_out``: optional list receiving one entry per executed round
+    (the surviving edge count) — scale probes use it to verify the
+    O(log²n)-rounds claim against planted chain topologies.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -591,6 +638,8 @@ def connected_components_star(
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("chk")
         ).first()
         cur = (state["n"], state["chk"])
+        if rounds_out is not None:
+            rounds_out.append(state["n"])
         if cur == prev:
             break
         prev = cur

@@ -160,6 +160,25 @@ def embedding_near_dups(
 
 
 # ------------------------------------------------------------------ IVF ANN
+IVF_ROWS_PER_CELL = 256
+
+
+def auto_n_cells(df: DataFrame, rows_per_cell: int = IVF_ROWS_PER_CELL) -> int:
+    """Cell count from a rows-per-cell occupancy target: ceil(N/target).
+
+    This is the parameter POLICY that keeps cell-bucketed operators
+    linear as the corpus grows: with bounded occupancy, within-cell pair
+    generation is <= N*target/2 pairs (linear in N) instead of N²/cells,
+    and an IVF probe scans ~nprobe*target rows per query regardless of
+    corpus size. Costs one count() (parquet row-count metadata — no data
+    scan); callers that know N (or reuse centroids) pass n_cells
+    explicitly, and oracle-checked queries pin n_cells for
+    reproducibility."""
+    import math
+
+    return max(1, math.ceil(df.count() / rows_per_cell))
+
+
 def ivf_centroids_deterministic(
     corpus: DataFrame, id_c: str, vec: str, n_cells: int
 ) -> DataFrame:
@@ -234,7 +253,7 @@ def ivf_topk(
     id_c: str,
     vec: str,
     k: int,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -245,10 +264,17 @@ def ivf_topk(
     complements sign-LSH bucketing (cells adapt to the data's density
     rather than to fixed hyperplanes).
 
+    `n_cells=None` (default) derives the cell count from the corpus size
+    via auto_n_cells — bounded per-cell occupancy is what holds the
+    nprobe-scan fraction constant as the corpus grows. Pass it
+    explicitly for oracle-pinned runs.
+
     The corpus is assigned once (reusable across query batches when
     `centroids` is passed in); the query side stays broadcast. A
     (query, candidate) pair can meet in at most one cell — corpus
     assignment is unique — so no dedup step is needed."""
+    if centroids is None and n_cells is None:
+        n_cells = auto_n_cells(corpus)
     cent = centroids if centroids is not None else ivf_centroids_deterministic(corpus, id_c, vec, n_cells)
     c = ivf_assign(corpus, id_c, vec, cent).select(
         F.col(id_c).alias("cid"), "cell", F.col("__v").alias("cv"), F.col("__n").alias("cn")
@@ -276,7 +302,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec: str,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     min_cos_bp: int = 9900,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -289,9 +315,15 @@ def semantic_dedup(
     bucketing does, but cells adapt to the data's density (pass
     `ivf_centroids_kmeans` output for refined cells; the default
     deterministic sample keeps the whole operator oracle-reproducible).
+    `n_cells=None` (default) derives the cell count from the corpus via
+    auto_n_cells: bounded per-cell occupancy keeps the within-cell pair
+    count LINEAR in corpus size (~N*rows_per_cell/2) instead of N²/cells
+    — a fixed n_cells is only for oracle-pinned runs.
     Grouping is single-link WITHIN a cell: a row is dropped iff some
     lower-id row in its cell sits above the cosine threshold — the
     standard keep-first policy, one broadcast-join pass, no iteration."""
+    if centroids is None and n_cells is None:
+        n_cells = auto_n_cells(df)
     cent = centroids if centroids is not None else ivf_centroids_deterministic(df, id_col, vec, n_cells)
     assigned = ivf_assign(df, id_col, vec, cent)
     a = assigned.select(
@@ -457,7 +489,7 @@ def ivfpq_topk(
     id_c: str,
     vec: str,
     k: int,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     nprobe: int = 2,
     m: int = PQ_M,
     ks: int = PQ_KS,
@@ -475,8 +507,13 @@ def ivfpq_topk(
     Shuffle shape: encode is one (id, m) aggregation; the scan joins the
     code table against a BROADCAST LUT (queries × M × Ks doubles) and
     aggregates M rows per (query, candidate) with a fixed-order sum —
-    map-side combinable, deterministic bits."""
+    map-side combinable, deterministic bits.
+
+    `n_cells=None` derives the cell count from the corpus via
+    auto_n_cells (see ivf_topk); pass explicitly for oracle runs."""
     sub_dim = DIM // m
+    if centroids is None and n_cells is None:
+        n_cells = auto_n_cells(corpus)
     cent = centroids if centroids is not None else ivf_centroids_deterministic(corpus, id_c, vec, n_cells)
     res = pq_residual_frame(corpus, id_c, vec, cent)
     cb = codebooks if codebooks is not None else pq_codebooks_deterministic(res, id_c, m, ks, sub_dim)

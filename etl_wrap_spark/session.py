@@ -85,11 +85,25 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
     Column pruning + predicate pushdown reach the parquet scan because
     these are plain `spark.read.parquet` DataFrames — no caching or
     materialization here (only the *plan objects* are memoized).
+
+    Invariant: ``sf_dir`` contents are immutable for the session's
+    lifetime. The memoized plans pin the parquet file listing/schema from
+    first read; a driver that regenerates files in-place at the same path
+    must call ``clear_table_cache(spark)`` (or use a new session).
     """
     # Defensive: callers (e.g. the verify driver) may pass a session we did
     # not build. Timestamps must render/compare in UTC to agree with
-    # UTC-naive oracles; both confs are runtime-settable.
+    # UTC-naive oracles; all three confs are runtime-settable, and they are
+    # set HERE — unconditionally, not on cache miss — so read behavior never
+    # depends on memoization state (round-3 ADVICE on _read_events):
+    # - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), unsupported by
+    #   Spark's micros timestamp type; read the raw int64 and truncate.
+    # - inferTimestampNTZ off: parquet timestamp[us] without isAdjustedToUTC
+    #   must map to TIMESTAMP (epoch-verbatim), not NTZ, so a session-TZ
+    #   change can never shift values (matches DuckDB CAST(ts AS TIMESTAMP)).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     try:
         cache = _TABLE_CACHE.setdefault(spark, {})
     except TypeError:  # non-weakrefable session stand-in (mocks)
@@ -110,23 +124,21 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
     return out
 
 
+def clear_table_cache(spark: SparkSession) -> None:
+    """Drop the memoized source plans for ``spark`` — required after
+    regenerating parquet files in-place at a previously-loaded sf_dir."""
+    _TABLE_CACHE.pop(spark, None)
+
+
 def _read_events(spark: SparkSession, sf_dir: str):
     """events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's
-    timestamp type (micros). Read nanos as long and truncate to micros,
-    exactly matching DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) truncation
-    so oracle comparisons agree. Derived datasets (e.g. the synthetic
-    scale-up) already carry micros timestamps — pass those through."""
+    timestamp type (micros). Read nanos as long (conf set in load_tables)
+    and truncate to micros, exactly matching DuckDB's
+    CAST(TIMESTAMP_NS AS TIMESTAMP) truncation so oracle comparisons
+    agree. Derived datasets (e.g. the synthetic scale-up) already carry
+    micros timestamps — pass those through."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # parquet timestamp[us] without isAdjustedToUTC would infer as NTZ
-    # (spark.sql.parquet.inferTimestampNTZ.enabled default true). With
-    # inference OFF, the reader copies the stored epoch micros verbatim
-    # into TIMESTAMP — no timezone math at read OR execution time, so a
-    # later session-TZ change cannot shift values (matches DuckDB's
-    # CAST(ts AS TIMESTAMP) exactly; verified epoch-identical under
-    # UTC and America/New_York).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
@@ -135,9 +147,12 @@ def _read_events(spark: SparkSession, sf_dir: str):
         # Only reachable for Spark-WRITTEN NTZ files (their footer
         # metadata overrides the inference conf). The cast resolves the
         # session TZ lazily at execution, so it is only a wall-clock
-        # identity under UTC — assert rather than silently shift.
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
-            "NTZ->TIMESTAMP normalization requires a UTC session timezone"
-        )
+        # identity under UTC — raise rather than silently shift (a bare
+        # assert would be stripped under python -O; this guards data
+        # correctness).
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            raise RuntimeError(
+                "NTZ->TIMESTAMP normalization requires a UTC session timezone"
+            )
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -746,3 +746,50 @@ def test_bigram_collocations(spark):
     assert r["lift_bp"] == 5 * 40 * 10000 // (10 * 5)
     # fills->mugs rarer pair, higher lift than strong->coffee? same: 5*40e4/(10*5)
     assert ("coffee", "fills") in out and ("mugs", "strong") not in out
+
+
+def test_auto_n_cells_bounds_within_cell_pairs(spark):
+    # The n_cells=None policy derives ceil(N/rows_per_cell) cells, so the
+    # within-cell pair count (what semantic_dedup/IVF actually generate)
+    # grows LINEARLY with corpus size instead of quadratically. Grow the
+    # corpus 8x and assert pair growth stays ~linear (<= 16x, far below
+    # the 64x a fixed cell count would give).
+    import numpy as np
+
+    def corpus(n):
+        rng = np.random.RandomState(7)
+        rows = [(i, [float(x) for x in rng.rand(64)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def within_cell_pairs(df, n):
+        n_cells = similarity.auto_n_cells(df, rows_per_cell=64)
+        assert n_cells == -(-n // 64)
+        cent = similarity.ivf_centroids_deterministic(df, "vec_id", "embedding", n_cells)
+        assigned = similarity.ivf_assign(df, "vec_id", "embedding", cent)
+        sizes = [r["sz"] for r in assigned.groupBy("cell").count()
+                 .withColumnRenamed("count", "sz").collect()]
+        return sum(s * (s - 1) // 2 for s in sizes)
+
+    small = within_cell_pairs(corpus(128), 128)
+    big = within_cell_pairs(corpus(1024), 1024)
+    assert small > 0
+    assert big <= 16 * small  # linear-ish; a fixed n_cells would be ~64x
+
+
+def test_semantic_dedup_auto_cells_matches_explicit(spark):
+    # n_cells=None must produce the same keep/drop decisions as passing
+    # the derived count explicitly (the default is policy, not behavior).
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.rand(64)]) for i in range(40)]
+    rows.append((100, rows[0][1]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = {r["vec_id"]: r["keep"] for r in
+            similarity.semantic_dedup(df, "vec_id", "embedding").collect()}
+    explicit = {r["vec_id"]: r["keep"] for r in
+                similarity.semantic_dedup(
+                    df, "vec_id", "embedding",
+                    n_cells=similarity.auto_n_cells(df)).collect()}
+    assert auto == explicit
+    assert auto[100] is False and auto[0] is True
