@@ -374,6 +374,7 @@ def incremental_near_dups(
     index_sig: DataFrame,
     id_col: str,
     band_rows: int = BAND_ROWS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against the EXISTING signature
     index → (id_new, id_idx, matches, est_j_bp).
@@ -385,11 +386,24 @@ def incremental_near_dups(
     posture: the index holds signatures, not text, so an exact verify
     would re-read the corpus). With 32 hashes the estimate's std error
     is ~0.09 at J=0.5; callers route borderline hits to an exact
-    re-check of just those pairs if they need it."""
+    re-check of just those pairs if they need it.
+
+    ``max_bucket`` drops INDEX-side band buckets larger than that many
+    docs before the join — the same boilerplate hot-bucket guard as
+    lsh_candidate_pairs (measured on the planted synthetic corpus: a 1%
+    batch vs a 1e5-doc index produced 8.4e5 candidate rows uncapped,
+    ~115x the 1e4-index count, all from boilerplate cohorts)."""
     num_hashes = sum(1 for c in batch_sig.columns if c.startswith("mh"))
     bk = band_keys(batch_sig, id_col, band_rows)
     ik = band_keys(index_sig, id_col, band_rows)
     kcols = [f"k{r}" for r in range(band_rows)]
+    if max_bucket is not None:
+        sizes = ik.groupBy("band", *kcols).agg(F.count(F.lit(1)).alias("__bsz"))
+        ik = (
+            ik.join(sizes, on=["band"] + kcols)
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     pairs = (
         bk.select(F.col(id_col).alias("id_new"), "band", *kcols)
         .join(ik.select(F.col(id_col).alias("id_idx"), "band", *kcols), on=["band"] + kcols)

@@ -1,0 +1,131 @@
+"""Atomic versioned lake table (sinks/lake.py) — the K12 transaction
+bracket parity tests: readers see old-or-new, never partial; failures
+roll back; concurrent commits conflict instead of corrupting.
+
+Reference semantics mirrored: Wrap/DB.pm:38-68 (begin_work / commit /
+rollback on error).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_wrap_spark.sinks.lake import AtomicTable, ConflictError
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return AtomicTable(spark, str(tmp_path / "tbl"))
+
+
+def _rows(t, version=None):
+    return {(r["k"], r["v"]) for r in t.read(version).collect()}
+
+
+def test_write_and_read_roundtrip(spark, table):
+    v1 = table.write(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    assert v1 == 1
+    assert _rows(table) == {(1, "a"), (2, "b")}
+
+
+def test_upsert_and_delete_insert_semantics(spark, table):
+    table.write(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    table.upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"), ["k"])
+    assert _rows(table) == {(1, "a"), (2, "B"), (3, "c")}
+    from pyspark.sql import functions as F
+
+    table.delete_insert(
+        spark.createDataFrame([(9, "z")], "k int, v string"), F.col("k") >= 2
+    )
+    assert _rows(table) == {(1, "a"), (9, "z")}
+
+
+def test_reader_sees_old_until_commit_and_failure_rolls_back(spark, table):
+    df1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    table.write(df1)
+
+    class Boom(RuntimeError):
+        pass
+
+    # failure INSIDE the transaction (mid-write): manifest untouched
+    with pytest.raises(Boom):
+        with table.transaction() as tx:
+            tx.upsert(spark.createDataFrame([(2, "b")], "k int, v string"), ["k"])
+            raise Boom()
+    assert table.current_version() == 1
+    assert _rows(table) == {(1, "a")}
+
+    # failure AT the staging step (injected mid-write): staged files hit
+    # disk but no version dir / manifest move ever happens
+    orig = table._stage
+
+    def exploding_stage(df):
+        orig(df)  # files hit disk in _staging...
+        raise Boom()  # ...but promote never runs
+
+    table._stage = exploding_stage
+    with pytest.raises(Boom):
+        with table.transaction() as tx:
+            tx.upsert(spark.createDataFrame([(3, "c")], "k int, v string"), ["k"])
+    table._stage = orig
+    assert table.current_version() == 1
+    assert _rows(table) == {(1, "a")}
+    assert not os.path.isdir(table._version_dir(2))  # no orphan version
+    table.vacuum()  # sweeps the leaked staging dir
+    assert not os.path.isdir(os.path.join(table.root, "_staging"))
+
+
+def test_transaction_batches_multiple_ops_into_one_version(spark, table):
+    table.write(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    with table.transaction() as tx:
+        tx.upsert(spark.createDataFrame([(3, "c")], "k int, v string"), ["k"])
+        tx.delete_keys(spark.createDataFrame([(1,)], "k int"), ["k"])
+    assert table.current_version() == 2  # ONE version for two ops
+    assert _rows(table) == {(2, "b"), (3, "c")}
+
+
+def test_concurrent_writer_conflict_not_corruption(spark, table):
+    table.write(spark.createDataFrame([(1, "a")], "k int, v string"))
+    slow = table.transaction()
+    slow.__enter__()
+    slow.upsert(spark.createDataFrame([(2, "slow")], "k int, v string"), ["k"])
+    # a fast writer lands first
+    table.upsert(spark.createDataFrame([(3, "fast")], "k int, v string"), ["k"])
+    with pytest.raises(ConflictError):
+        slow.__exit__(None, None, None)
+    # the fast writer's commit is intact; the loser changed nothing
+    assert _rows(table) == {(1, "a"), (3, "fast")}
+
+
+def test_time_travel_and_rollback(spark, table):
+    table.write(spark.createDataFrame([(1, "a")], "k int, v string"))
+    table.write(spark.createDataFrame([(1, "A2")], "k int, v string"))
+    assert _rows(table, version=1) == {(1, "a")}
+    assert _rows(table) == {(1, "A2")}
+    table.rollback(1)
+    assert _rows(table) == {(1, "a")}
+
+
+def test_vacuum_keeps_current_and_recent(spark, table):
+    for i in range(4):
+        table.write(spark.createDataFrame([(i, "x")], "k int, v string"))
+    removed = table.vacuum(keep=2)
+    assert removed == [1, 2]
+    assert _rows(table) == {(3, "x")}
+    assert os.path.isdir(table._version_dir(3))
+    assert not os.path.isdir(table._version_dir(1))
+
+
+def test_replace_where_partition_style(spark, table):
+    table.write(
+        spark.createDataFrame(
+            [(1, "2024-01-01"), (2, "2024-01-02")], "k int, v string"
+        )
+    )
+    table.replace_where(
+        spark.createDataFrame([(9, "2024-01-02")], "k int, v string"),
+        "v = '2024-01-02'",
+    )
+    assert _rows(table) == {(1, "2024-01-01"), (9, "2024-01-02")}

@@ -161,6 +161,10 @@ def probe(spark, corpus_dir: str, n_docs: int) -> dict:
     inc = dedup.incremental_near_dups(bsig, isig, "doc_id")
     out["incremental_rows"] = inc.count()
     out["incremental_wall"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    inc_cap = dedup.incremental_near_dups(bsig, isig, "doc_id", max_bucket=100)
+    out["incremental_rows_capped"] = inc_cap.count()
+    out["incremental_capped_wall"] = round(time.time() - t0, 2)
 
     # ---- repeated-segment removal (10 planted boilerplate lines)
     t0 = time.time()
