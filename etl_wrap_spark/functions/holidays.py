@@ -166,12 +166,29 @@ def is_holiday_col(
     date: Column, cal: str, year_from: int = _COL_YEAR_FROM, year_to: int = _COL_YEAR_TO
 ) -> Column:
     """is_holiday as a pure expression (boolean Column). `cal` is a driver
-    constant, matching the reference API where the calendar is config."""
+    constant, matching the reference API where the calendar is config.
+
+    Dates OUTSIDE the inlined [year_from, year_to] window raise at
+    execution (F.raise_error) instead of silently testing non-holiday —
+    archival data must either widen the window per call or route through
+    a holidays_df broadcast join. NULL dates stay NULL, as before."""
     if cal in ("WE", "NO"):
         return F.lit(False)
     if cal not in _FIXED:
         raise ValueError(f"calendar <{cal}> not implemented")
-    return F.unix_date(date).isin(list(_holiday_epoch_days(cal, year_from, year_to)))
+    ud = F.unix_date(date)
+    lo = (_dt.date(year_from, 1, 1) - _EPOCH).days
+    hi = (_dt.date(year_to, 12, 31) - _EPOCH).days
+    return F.when(
+        (ud < lo) | (ud > hi),
+        F.raise_error(
+            F.format_string(
+                f"is_holiday_col: date %s outside the inlined holiday window "
+                f"{year_from}-{year_to}; widen year_from/year_to or join holidays_df",
+                date.cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(ud.isin(list(_holiday_epoch_days(cal, year_from, year_to))))
 
 
 def is_weekend_col(date: Column) -> Column:

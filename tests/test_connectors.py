@@ -153,3 +153,156 @@ def test_mailer_throttles_and_reports():
     assert m.check_results(res) is True
     assert "jobB" in sent[-1].get_content() and "jobA" not in sent[-1].get_content()
     assert m.check_results([CheckResult("jobA", True)]) is False
+
+
+# --------------------------------------------------------- SFTP via fake wire
+class _FakeSFTPClient:
+    """Duck-typed paramiko.SFTPClient over a local directory. posix_rename
+    is absent on purpose for half the tests (exercises the rename
+    fallback path)."""
+
+    def __init__(self, root_ok=True, posix=True):
+        self.posix = posix
+        self.closed = False
+
+    def listdir(self, path):
+        import os as _os
+
+        return list(_os.listdir(path))  # unsorted: SFTPTransport must sort
+
+    def stat(self, path):
+        import os as _os
+
+        return _os.stat(path)
+
+    def get(self, remote, local):
+        import shutil as _sh
+
+        _sh.copy2(remote, local)
+
+    def put(self, local, remote):
+        import shutil as _sh
+
+        _sh.copy2(local, remote)
+
+    def posix_rename(self, src, dst):
+        import os as _os
+
+        if not self.posix:
+            raise OSError("server does not implement posix-rename@openssh.com")
+        _os.replace(src, dst)
+
+    def rename(self, src, dst):
+        import os as _os
+
+        if _os.path.exists(dst):
+            raise OSError("SFTP RENAME refuses to overwrite")
+        _os.rename(src, dst)
+
+    def remove(self, path):
+        import os as _os
+
+        _os.remove(path)
+
+
+class _FakeSSHClient:
+    last = None
+
+    def __init__(self):
+        self.connected = None
+        self.policy = None
+        self.closed = False
+        _FakeSSHClient.last = self
+
+    def set_missing_host_key_policy(self, policy):
+        self.policy = policy
+
+    def load_host_keys(self, path):
+        self.host_keys = path
+
+    def connect(self, **kw):
+        self.connected = kw
+
+    def open_sftp(self):
+        self.sftp = _FakeSFTPClient(posix=getattr(self, "_posix", True))
+        return self.sftp
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture()
+def fake_paramiko(monkeypatch):
+    """Inject a duck-typed paramiko so SFTPTransport's own code paths run
+    end-to-end (lazy connect, option filtering, rename fallback, close)
+    without the real library/network — the honest maximum in an
+    environment with no paramiko and no sshd."""
+    import sys
+    import types
+
+    mod = types.ModuleType("paramiko")
+    mod.SSHClient = _FakeSSHClient
+    mod.AutoAddPolicy = object
+    monkeypatch.setitem(sys.modules, "paramiko", mod)
+    return mod
+
+
+def test_sftp_transport_full_policy_roundtrip(fake_paramiko, tmp_path):
+    remote = tmp_path / "remote"
+    local = tmp_path / "local"
+    archive = tmp_path / "archive"
+    for d in (remote, local, archive):
+        d.mkdir()
+    (remote / "data_a.csv").write_text("a1\n")
+    (remote / "data_b.csv").write_text("b1\n")
+
+    with SFTPTransport("host", "user", password="pw") as t:
+        assert t._sftp is None  # still lazy
+        # S18 fetch via glob patterns
+        res = fetch_files(t, str(remote), str(local), ["data_*.csv", "missing.txt"],
+                          optional={"missing.txt"})
+        assert sorted(os.path.basename(p) for p in res.fetched) == [
+            "data_a.csv", "data_b.csv"]
+        assert res.missing == ["missing.txt"]  # optional: reported, not fatal
+        assert (local / "data_a.csv").read_text() == "a1\n"
+        # lazy connect happened exactly once, with Nones filtered out
+        conn = _FakeSSHClient.last.connected
+        assert conn["hostname"] == "host" and "key_filename" not in conn
+
+        # K16 upload with temp-rename: final name appears, temp is gone
+        (local / "out.csv").write_text("out\n")
+        final = upload_file(t, str(local / "out.csv"), str(remote))
+        assert os.path.basename(final) == "out.csv"
+        assert (remote / "out.csv").read_text() == "out\n"
+        assert not (remote / "temp.out.csv").exists()
+
+        # K18 archive with fixed timestamp
+        archive_remote_files(t, str(remote), ["data_a.csv"], str(archive),
+                             timestamp=dt.datetime(2024, 1, 2, 3, 4, 5))
+        assert (archive / "data_a_20240102_030405.csv").exists()
+
+        # K19 retention sweep with mtime cutoff + simulate mode
+        old = remote / "stale.csv"
+        old.write_text("old\n")
+        os.utime(old, (1, 1))
+        sim = remove_files_older_than(t, str(remote), days=30, simulate=True)
+        assert sim == ["stale.csv"] and old.exists()
+        real = remove_files_older_than(t, str(remote), days=30)
+        assert real == ["stale.csv"] and not old.exists()
+    assert _FakeSSHClient.last.closed  # context manager tore the session down
+
+
+def test_sftp_rename_fallback_when_posix_rename_unsupported(fake_paramiko, tmp_path):
+    # Overwriting rename on servers without posix-rename@openssh.com:
+    # remove-then-rename fallback must land the new content.
+    t = SFTPTransport("host", "user", password="pw")
+    t._conn()
+    _FakeSSHClient.last.sftp.posix = False
+    src = tmp_path / "src.txt"
+    dst = tmp_path / "dst.txt"
+    src.write_text("new\n")
+    dst.write_text("oldcontent\n")
+    t.rename(str(src), str(dst))
+    assert dst.read_text() == "new\n" and not src.exists()
+    t.close()
+    assert t._sftp is None

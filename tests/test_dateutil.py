@@ -348,3 +348,26 @@ def test_holidays_df_matches_python(spark):
     got = sorted(r.holiday for r in df)
     expect = sorted(hol.holiday_set("AT", 2012))
     assert got == expect
+
+
+def test_is_holiday_col_raises_outside_inlined_window(spark):
+    # Dates outside the 1950-2060 inlined window must FAIL LOUDLY, not
+    # silently report non-holiday (round-3 VERDICT item 8).
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("1890-12-25",)], ["d"]).select(
+        F.col("d").cast("date").alias("d")
+    )
+    with pytest.raises(Exception, match="outside the inlined holiday window"):
+        df.select(hol.is_holiday_col(F.col("d"), "AT").alias("h")).collect()
+    # widening the window per call makes the same date answerable
+    got = df.select(
+        hol.is_holiday_col(F.col("d"), "AT", year_from=1880).alias("h")
+    ).collect()[0]["h"]
+    assert got is True  # Christmas
+    # NULL dates stay NULL (no spurious raise)
+    nulls = spark.createDataFrame([(None,)], "d date").select(
+        hol.is_holiday_col(F.col("d"), "AT").alias("h")
+    ).collect()[0]["h"]
+    assert nulls is None

@@ -124,6 +124,10 @@ def _gen(iterator):
 
 
 def make_corpus(spark, n_docs: int, out_dir: str, partitions: int = 64) -> str:
+    # _gen closes over module-level doc_text: when this file is IMPORTED
+    # (rather than run as __main__), cloudpickle serializes it by
+    # reference, so executors must be able to import the module — ship it.
+    spark.sparkContext.addPyFile(os.path.abspath(__file__))
     df = (
         spark.range(n_docs)
         .repartition(partitions)
