@@ -228,3 +228,56 @@ def test_streaming_near_dup_index_cross_batch(spark, tmp_path):
     assert got[(3, 1)] == 10000           # exact dup across batches
     assert all(k[0] != 4 for k in got)    # novel doc never pairs
     assert spark.read.parquet(idx).count() == 4
+
+
+def test_watermark_drops_late_beyond_and_merges_within(spark, tmp_path):
+    """Late-data semantics of the watermarked tumbling aggregation
+    (§2.9): an event older than the watermark is DROPPED (its closed
+    window is never re-emitted or revised); an out-of-order event still
+    above the watermark is MERGED into its (open) window.
+    """
+    d = tmp_path / "in"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    # drain 1: two clicks in [10:00,11:00), plus a 14:00 event that moves
+    # the watermark to 12:00 (2h lateness), closing the 10:00 window
+    _write_events_csv(
+        d / "b1.csv",
+        [
+            (1, 10, "click", "1.0", "2024-01-01 10:05:00"),
+            (2, 10, "click", "1.0", "2024-01-01 10:20:00"),
+            (3, 11, "view", "1.0", "2024-01-01 14:00:00"),
+        ],
+    )
+    ingest.run_available_now(
+        ingest.tumbling_counts(ingest.read_csv_stream(spark, str(d), SCHEMA)),
+        str(ck),
+        str(out),
+    )
+    # drain 2: event 4 is BEYOND the 12:00 watermark (dropped); event 5
+    # is out-of-order but within (merged into [13:00,14:00)); event 6
+    # advances the watermark to 15:00 so both view windows finalize
+    _write_events_csv(
+        d / "b2.csv",
+        [
+            (4, 12, "click", "1.0", "2024-01-01 10:40:00"),
+            (5, 13, "view", "1.0", "2024-01-01 13:30:00"),
+            (6, 14, "view", "1.0", "2024-01-01 17:00:00"),
+        ],
+    )
+    ingest.run_available_now(
+        ingest.tumbling_counts(ingest.read_csv_stream(spark, str(d), SCHEMA)),
+        str(ck),
+        str(out),
+    )
+    rows = spark.read.parquet(str(out)).collect()
+    by_key = {}
+    for r in rows:
+        key = (str(r["window_start"]), r["event_type"])
+        assert key not in by_key, f"window {key} emitted twice (late revision?)"
+        by_key[key] = r["n_events"]
+    # the closed click window was emitted once, WITHOUT the late event 4
+    assert by_key[("2024-01-01 10:00:00", "click")] == 2
+    # the within-watermark out-of-order event 5 was merged, not dropped
+    assert by_key[("2024-01-01 13:00:00", "view")] == 1
+    assert by_key[("2024-01-01 14:00:00", "view")] == 1
