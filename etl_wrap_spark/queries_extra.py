@@ -330,3 +330,59 @@ def q78_top_value_parts(spark, sf_dir):
         .select("l_partkey", F.col("v").cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
+
+
+# ------------------------------------- atomic lake MERGE bracket (q79)
+@register(
+    "q79_lake_atomic_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_custkey % 4 = 0
+    ), upd AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) + 1000 AS bal
+      FROM customer WHERE c_custkey % 8 = 0 OR c_custkey % 4 = 1
+    ), merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+    )
+    SELECT c_custkey, c_name, CAST(CAST(bal AS VARCHAR) AS DOUBLE) AS bal
+    FROM merged WHERE c_custkey % 16 <> 0 ORDER BY c_custkey
+    """,
+)
+def q79_lake_atomic_upsert(spark, sf_dir):
+    """K2/K4/K12 on the ATOMIC lake table (sinks/lake.py): full write →
+    atomic upsert (MERGE) → a delete inside a transaction bracket, each
+    a manifest-swap commit; returns the final committed state. The
+    oracle recomputes the same MERGE algebra in SQL, so every commit's
+    semantics are value-hash-checked, while the atomicity/rollback
+    properties themselves are pinned by tests/test_lake.py."""
+    import tempfile
+
+    from etl_wrap_spark.sinks.lake import AtomicTable
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    base = t["customer"].where(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey", "c_name", bal.alias("bal")
+    )
+    upd = t["customer"].where(
+        (F.col("c_custkey") % 8 == 0) | (F.col("c_custkey") % 4 == 1)
+    ).select("c_custkey", "c_name", (bal + 1000).alias("bal"))
+
+    table = AtomicTable(spark, tempfile.mkdtemp(prefix="etl_wrap_q79_"))
+    table.write(base)
+    table.upsert(upd, ["c_custkey"])
+    with table.transaction() as tx:
+        tx.delete_keys(
+            t["customer"].where(F.col("c_custkey") % 16 == 0).select("c_custkey"),
+            ["c_custkey"],
+        )
+    table.vacuum(keep=1)  # leave only the final version on disk
+    return (
+        table.read()
+        .select("c_custkey", "c_name", F.col("bal").cast("double").alias("bal"))
+        .orderBy("c_custkey")
+    )
