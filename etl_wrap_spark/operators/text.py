@@ -375,6 +375,82 @@ def rolling_fingerprint(col: Column | str, ngram: int = 8) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), _min_shingle_hash), 1)
 
 
+# ------------------------------------------------- web-text cleanup (markup)
+# RE2-safe tag pattern + the entity set worth decoding without a full
+# HTML parser. Both are cross-engine exact: Spark and DuckDB run the
+# same regex / replace chain, so cleanup is oracle-checkable.
+MARKUP_TAG_PATTERN = r"<[^>]*>"
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: else &amp;lt; would double-decode
+)
+
+
+def strip_markup(col: Column | str) -> Column:
+    """HTML/markup removal for scraped corpora: drop tags, decode the
+    common entities, collapse the whitespace the tags leave behind.
+    A regex strip (not a DOM parse) is the standard pre-training
+    trade-off: script/style CONTENT survives only as text, which the
+    quality filters downstream are responsible for flagging."""
+    c = F.regexp_replace(_c(col), MARKUP_TAG_PATTERN, " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def markup_tag_count(col: Column | str) -> Column:
+    """Number of markup tags in the raw text (a scrape-quality signal:
+    high tag density marks navigation/chrome-heavy pages)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(MARKUP_TAG_PATTERN), F.lit(0)))
+
+
+# ------------------------------------------- mojibake (double-encode) repair
+# UTF-8 bytes re-decoded as Latin-1/cp1252: the most common corruption in
+# web corpora. The repair map covers the high-frequency German/French
+# letters and cp1252 punctuation; chained literal replace() (no regex)
+# is bit-identical across engines. Order matters only in that longer
+# sequences must precede their prefixes (none collide here).
+MOJIBAKE_MAP = (
+    ('Ã¤', 'ä'),
+    ('Ã¶', 'ö'),
+    ('Ã¼', 'ü'),
+    ('Ã„', 'Ä'),
+    ('Ã–', 'Ö'),
+    ('Ãœ', 'Ü'),
+    ('ÃŸ', 'ß'),
+    ('Ã©', 'é'),
+    ('Ã¨', 'è'),
+    ('Ã§', 'ç'),
+    ('â€™', '’'),
+    ('â€œ', '“'),
+    ('â€“', '–'),
+    ('â€”', '—'),
+)
+
+
+def repair_mojibake(col: Column | str) -> Column:
+    """Undo the UTF-8-as-Latin-1 double-decode for the mapped sequences."""
+    c = _c(col)
+    for bad, good in MOJIBAKE_MAP:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+def mojibake_hits(col: Column | str) -> Column:
+    """How many mapped mojibake sequences the text contains — the
+    corpus-health metric that decides whether a source needs re-ingestion
+    with the correct encoding instead of string repair."""
+    c = _c(col)
+    total = F.lit(0)
+    for bad, _ in MOJIBAKE_MAP:
+        total = total + F.size(F.split(c, F.lit(bad), -1)) - 1
+    return total.cast("bigint")
+
+
 # ------------------------------------------------------------ PII scrubbing
 # RE2-safe patterns (no lookaround/backrefs) so the oracle SQL uses the
 # literally identical regex. Deliberately conservative: training-data

@@ -386,3 +386,263 @@ def q79_lake_atomic_upsert(spark, sf_dir):
         .select("c_custkey", "c_name", F.col("bal").cast("double").alias("bal"))
         .orderBy("c_custkey")
     )
+
+
+# ----------------------------------------- web-text cleanup queries (q80-q81)
+def _markup_strip_sql() -> str:
+    from etl_wrap_spark.operators.text import HTML_ENTITIES, MARKUP_TAG_PATTERN
+
+    expr = f"regexp_replace(wrapped, '{MARKUP_TAG_PATTERN}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{rep_sql}')"
+    cleaned = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH wrapped_docs AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 3 = 0 THEN '<p>' || replace(text, chr(10), '</p><p>') || '</p>'
+               WHEN doc_id % 3 = 1 THEN '<a href="#x">' || text || '</a> &amp; &lt;end&gt;'
+               ELSE text
+             END AS wrapped
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(wrapped, '{MARKUP_TAG_PATTERN}')) AS BIGINT) AS tag_count,
+           CAST(length({cleaned}) AS BIGINT) AS cleaned_len,
+           substr({cleaned}, 1, 40) AS cleaned_head
+    FROM wrapped_docs ORDER BY doc_id
+    """
+
+
+@register("q80_markup_strip", oracle=_markup_strip_sql())
+def q80_markup_strip(spark, sf_dir):
+    """Scraped-web cleanup (operators/text.py:strip_markup): tag strip +
+    entity decode + whitespace collapse, all Column expressions inside
+    the scan projection — a markup-removal pass over 100 TB is one scan.
+    The query synthesizes markup deterministically from the documents
+    table so both engines clean IDENTICAL input."""
+    from etl_wrap_spark.operators import text as T
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    wrapped = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<p>"),
+                F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+                F.lit("</p>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit('<a href="#x">'), F.col("text"), F.lit("</a> &amp; &lt;end&gt;")),
+        )
+        .otherwise(F.col("text"))
+    )
+    d = t["documents"].select(F.col("doc_id"), wrapped.alias("wrapped"))
+    cleaned = T.strip_markup("wrapped")
+    return d.select(
+        "doc_id",
+        T.markup_tag_count("wrapped").cast("bigint").alias("tag_count"),
+        F.length(cleaned).cast("bigint").alias("cleaned_len"),
+        F.substring(cleaned, 1, 40).alias("cleaned_head"),
+    ).orderBy("doc_id")
+
+
+def _mojibake_sql() -> str:
+    from etl_wrap_spark.operators.text import MOJIBAKE_MAP
+
+    repaired = "corrupt"
+    for bad, good in MOJIBAKE_MAP:
+        repaired = f"replace({repaired}, '{bad}', '{good}')"
+    hits = " + ".join(
+        f"(length(string_split(corrupt, '{bad}')) - 1)" for bad, _ in MOJIBAKE_MAP
+    )
+    return f"""
+    WITH corrupted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN replace(replace(text, 'a', 'Ã¤'), 'o', 'Ã¶')
+                  ELSE text END AS corrupt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({hits} AS BIGINT) AS mojibake_hits,
+           CAST(length({repaired}) AS BIGINT) AS repaired_len,
+           substr({repaired}, 1, 30) AS repaired_head
+    FROM corrupted ORDER BY doc_id
+    """
+
+
+@register("q81_mojibake_repair", oracle=_mojibake_sql())
+def q81_mojibake_repair(spark, sf_dir):
+    """Encoding-damage repair (operators/text.py:repair_mojibake): undo
+    UTF-8-read-as-cp1252 double-decodes with a chained literal replace —
+    bit-identical across engines. The hits metric is the corpus-health
+    signal that routes a source to re-ingestion instead of repair.
+    Corruption is synthesized deterministically so both engines repair
+    IDENTICAL input."""
+    from etl_wrap_spark.operators import text as T
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    corrupt = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.replace(
+            F.replace(F.col("text"), F.lit("a"), F.lit("Ã¤")),
+            F.lit("o"),
+            F.lit("Ã¶"),
+        ),
+    ).otherwise(F.col("text"))
+    d = t["documents"].select(F.col("doc_id"), corrupt.alias("corrupt"))
+    rep = T.repair_mojibake("corrupt")
+    return d.select(
+        "doc_id",
+        T.mojibake_hits("corrupt").alias("mojibake_hits"),
+        F.length(rep).cast("bigint").alias("repaired_len"),
+        F.substring(rep, 1, 30).alias("repaired_head"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------- nation-pair shipping volume (TPC-H Q7)
+@register(
+    "q82_nation_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+      AND n1.n_nationkey <> n2.n_nationkey
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q82_nation_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the double-nation-role join (supplier's nation vs
+    customer's nation) — the classic alias-sensitive plan. Both nation
+    sides and supplier/customer broadcast (dimensions at any scale);
+    the fact-fact lineitem-orders join shuffles on the order key once.
+    The cross-nation filter applies at the JOIN level, pre-aggregation."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "orders", "customer", "nation"])
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .where((F.col("n1_key") < 3) & (F.col("n2_key") < 3) & (F.col("n1_key") != F.col("n2_key")))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ------------------------------------------- promo revenue share (TPC-H Q14)
+@register(
+    "q83_promo_revenue_share",
+    oracle="""
+    WITH j AS (
+      SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '2000-04-01'
+    )
+    SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_revenue,
+           CAST(FLOOR(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 10000
+                      / SUM(rev)) AS BIGINT) AS promo_bp
+    FROM j
+    """,
+)
+def q83_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregate ratio over a date-windowed
+    fact scan with a broadcast part join. The share is computed in exact
+    decimal cross-division floored to basis points — float division at
+    the end would make the boundary engine-dependent. The date filter
+    reaches the parquet scan (PushedFilters)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    ship = F.col("l_shipdate").cast("date")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        t["lineitem"]
+        .where((ship >= F.lit("2000-01-01").cast("date")) & (ship < F.lit("2000-04-01").cast("date")))
+        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("p_type"), rev.alias("rev"))
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(F.lit(0).cast("decimal(18,2)")))
+    total = F.sum("rev")
+    return j.agg(
+        promo.cast("double").alias("promo_revenue"),
+        total.cast("double").alias("total_revenue"),
+        F.floor(promo * 10000 / total).cast("bigint").alias("promo_bp"),
+    )
+
+
+# --------------------------- disjunctive band-predicate join (TPC-H Q19)
+@register(
+    "q84_disjunctive_band_join",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+           AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+           AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 40)
+    """,
+)
+def q84_disjunctive_band_join(spark, sf_dir):
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+    sides. Catalyst's CNF conversion extracts the single-side residues
+    (p_brand IN (...), p_size <= 50, quantity bounds) and pushes them
+    below the join, so the broadcast build side carries only candidate
+    parts — the classic disjunctive-pushdown optimizer test."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(11, 25) & qty.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(26, 50) & qty.between(20, 40))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

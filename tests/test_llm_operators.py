@@ -793,3 +793,34 @@ def test_semantic_dedup_auto_cells_matches_explicit(spark):
                     n_cells=similarity.auto_n_cells(df)).collect()}
     assert auto == explicit
     assert auto[100] is False and auto[0] is True
+
+
+def test_strip_markup_and_entities(spark):
+    df = spark.createDataFrame(
+        [(1, '<div class="x">Hello <b>world</b> &amp; &lt;friends&gt;</div>'),
+         (2, 'no markup here'),
+         (3, '<p>line one</p><p>line two</p>')],
+        ["doc_id", "raw"],
+    )
+    got = {r["doc_id"]: (r["clean"], r["tags"]) for r in df.select(
+        "doc_id",
+        text.strip_markup("raw").alias("clean"),
+        text.markup_tag_count("raw").alias("tags"),
+    ).collect()}
+    assert got[1] == ("Hello world & <friends>", 4)
+    assert got[2] == ("no markup here", 0)
+    assert got[3] == ("line one line two", 4)
+
+
+def test_mojibake_repair_and_hits(spark):
+    garbled = "GrÃ¶ÃŸe Ã¤ndern â€“ itâ€™s â€œfineâ€œ"
+    expected = "Größe ändern – it’s “fine“"
+    df = spark.createDataFrame([(1, garbled), (2, "clean text")], ["doc_id", "s"])
+    got = {r["doc_id"]: (r["fixed"], r["hits"]) for r in df.select(
+        "doc_id",
+        text.repair_mojibake("s").alias("fixed"),
+        text.mojibake_hits("s").alias("hits"),
+    ).collect()}
+    assert got[1][0] == expected
+    assert got[1][1] == 7  # ö ß ä – ’ + two “
+    assert got[2] == ("clean text", 0)
