@@ -44,6 +44,12 @@ def session_builder(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # HotSpot never JIT-compiles methods over 8000 bytecodes, so a
+        # whole-stage-codegen method past that limit runs as INTERPRETED
+        # BYTECODE — slower than Spark's own interpreted expression path.
+        # Falling back at the JIT limit (the value Spark's docs suggest)
+        # measured 2.4x on the 12-format datetime-coercion plan (q19).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
