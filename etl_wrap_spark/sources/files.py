@@ -96,15 +96,43 @@ def read_csv(
     return df
 
 
+_SINGLE_FILE_WINDOW_WARN_BYTES = 256 * 1024 * 1024
+
+
 def read_lines(spark: SparkSession, paths: str | Sequence[str], eol: str | None = None) -> DataFrame:
     """Raw lines with per-file order identity: (_file, _line_no, value).
 
     The building block for regex-sep / fixed-width / skip-pattern /
-    stop-on-empty semantics."""
+    stop-on-empty semantics.
+
+    Scale note: line numbering windows over ``partitionBy(_file)``, so
+    ONE giant file serializes into one window partition — unavoidable
+    for order-defined semantics (skip-N, stop-on-pattern are defined by
+    file position). This warns when any single input file exceeds
+    256 MB: split such inputs upstream, or use plain ``spark.read`` when
+    order semantics aren't needed."""
     reader = spark.read
     if eol:
         reader = reader.option("lineSep", eol)
-    df = reader.text(list(paths) if not isinstance(paths, str) else paths)
+    path_list = list(paths) if not isinstance(paths, str) else [paths]
+    try:
+        import glob as _glob
+        import os as _os
+        import warnings as _warnings
+
+        for p in path_list:
+            for m in _glob.glob(p) or [p]:
+                if _os.path.isfile(m) and _os.path.getsize(m) > _SINGLE_FILE_WINDOW_WARN_BYTES:
+                    _warnings.warn(
+                        f"read_lines: {m} is "
+                        f"{_os.path.getsize(m) >> 20} MB; per-file line numbering "
+                        "processes each file in a single window partition — "
+                        "split large files upstream for parallelism",
+                        stacklevel=2,
+                    )
+    except OSError:
+        pass  # non-local paths (hdfs/s3): the warning is best-effort only
+    df = reader.text(path_list if len(path_list) > 1 else path_list[0])
     df = df.select(
         F.input_file_name().alias("_file"),
         F.monotonically_increasing_id().alias("_mid"),

@@ -229,3 +229,33 @@ def streaming_near_dup_index(
         overwrite_partitions(bsig, index_path, ["_batch"])
 
     return run_foreach_batch(docs_stream, checkpoint, _process, mode="append")
+
+
+def stream_upsert_to_lake(
+    stream_df: DataFrame,
+    table,
+    keys: list[str],
+    checkpoint: str,
+):
+    """Stream MERGE into an AtomicTable (sinks/lake.py): each micro-batch
+    upserts by key as ONE atomic manifest-swap commit, so concurrent
+    readers of the table see a consistent pre- or post-batch state,
+    never a half-applied batch — the streaming form of the reference's
+    transaction bracket.
+
+    Exactly-once effect: foreachBatch is at-least-once, but the upsert
+    is idempotent per batch (re-applying the same keyed rows replaces
+    them with identical values), so a retried micro-batch converges to
+    the same committed state. Use update/append-less plans upstream;
+    aggregate streams should arrive in update mode.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if table.current_version() is None:
+            table.write(batch_df)
+        else:
+            table.upsert(batch_df, keys)
+
+    return run_foreach_batch(stream_df, checkpoint, _apply, mode="update")

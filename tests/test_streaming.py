@@ -281,3 +281,48 @@ def test_watermark_drops_late_beyond_and_merges_within(spark, tmp_path):
     # the within-watermark out-of-order event 5 was merged, not dropped
     assert by_key[("2024-01-01 13:00:00", "view")] == 1
     assert by_key[("2024-01-01 14:00:00", "view")] == 1
+
+
+def test_stream_upsert_to_lake_atomic_merge(spark, tmp_path):
+    """Micro-batches MERGE into the atomic lake table: later deliveries
+    of the same key replace earlier ones; each batch is one committed
+    version; readers see whole versions only."""
+    from etl_wrap_spark.sinks.lake import AtomicTable
+
+    d = tmp_path / "in"
+    _write_events_csv(
+        d / "b1.csv",
+        [
+            (1, 10, "click", "1.0", "2024-01-01 10:00:00"),
+            (2, 11, "view", "2.0", "2024-01-01 10:01:00"),
+        ],
+    )
+    table = AtomicTable(spark, str(tmp_path / "tbl"))
+    stream = ingest.read_csv_stream(spark, str(d), SCHEMA).select(
+        "event_id", "event_type", "value"
+    )
+    q = ingest.stream_upsert_to_lake(stream, table, ["event_id"], str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    v1 = table.current_version()
+    got = {r["event_id"]: r["value"] for r in table.read().collect()}
+    assert got == {1: "1.0", 2: "2.0"}
+
+    # second drain: event 1 updated, event 3 new — ONE new version
+    _write_events_csv(
+        d / "b2.csv",
+        [
+            (1, 10, "click", "9.9", "2024-01-01 11:00:00"),
+            (3, 12, "buy", "5.0", "2024-01-01 11:01:00"),
+        ],
+    )
+    stream2 = ingest.read_csv_stream(spark, str(d), SCHEMA).select(
+        "event_id", "event_type", "value"
+    )
+    q2 = ingest.stream_upsert_to_lake(stream2, table, ["event_id"], str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    assert table.current_version() == v1 + 1
+    got = {r["event_id"]: r["value"] for r in table.read().collect()}
+    assert got == {1: "9.9", 2: "2.0", 3: "5.0"}
+    # the pre-batch version is still readable (time travel survives)
+    old = {r["event_id"]: r["value"] for r in table.read(version=v1).collect()}
+    assert old == {1: "1.0", 2: "2.0"}
