@@ -646,3 +646,31 @@ def q84_disjunctive_band_join(spark, sf_dir):
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------- corpus heavy hitters (q85)
+@register(
+    "q85_heavy_hitter_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> len(t) >= 3)) AS item
+      FROM documents
+    ), counted AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY item
+    )
+    SELECT item, n FROM counted ORDER BY n DESC, item LIMIT 25
+    """,
+)
+def q85_heavy_hitter_terms(spark, sf_dir):
+    """Exact corpus heavy hitters (operators/frequent.py): explode terms
+    → counted groupBy (map-side combine) → TakeOrderedAndProject top-k
+    (per-partition heap + k-row driver merge — no global sort). The
+    bounded-memory Misra-Gries sketch path for unbounded key domains is
+    pytest-pinned against these exact counts."""
+    from etl_wrap_spark.operators import frequent
+    from etl_wrap_spark.operators.text import alpha_terms
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    terms = t["documents"].select(F.explode(alpha_terms("text", 3)).alias("term"))
+    return frequent.frequent_items(terms, "term", k=25).withColumnRenamed("item", "item")

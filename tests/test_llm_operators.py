@@ -824,3 +824,31 @@ def test_mojibake_repair_and_hits(spark):
     assert got[1][0] == expected
     assert got[1][1] == 7  # ö ß ä – ’ + two “
     assert got[2] == ("clean text", 0)
+
+
+def test_misra_gries_sketch_guarantees(spark):
+    # Planted distribution: item "hot{i}" appears 100*(5-i) times,
+    # 400 singletons as noise. N = 1500+400+...; k=8 counters.
+    rows = []
+    for i in range(5):
+        rows += [(f"hot{i}",)] * (100 * (5 - i))
+    rows += [(f"noise{j}",) for j in range(400)]
+    df = spark.createDataFrame(rows, ["term"]).repartition(8)
+    from etl_wrap_spark.operators import frequent
+
+    exact = {r["item"]: r["n"] for r in frequent.frequent_items(df, "term", k=10).collect()}
+    n_total = len(rows)
+    k = 8
+    sketch = dict(frequent.frequent_items_sketch(df, "term", k=k))
+    # guarantee 1: every item with true count > N/(k+1) is present
+    for item, cnt in exact.items():
+        if cnt > n_total / (k + 1):
+            assert item in sketch, f"{item} (count {cnt}) missing from sketch"
+    # guarantee 2: reported counts are lower bounds within N/k of truth
+    for item, est in sketch.items():
+        true = exact.get(item, rows.count((item,)))
+        assert est <= true
+        assert true - est <= n_total / k + len(sketch)  # partition-merge slack
+    # exact top-k is deterministic and correctly ordered
+    top = frequent.frequent_items(df, "term", k=3).collect()
+    assert [r["item"] for r in top] == ["hot0", "hot1", "hot2"]
