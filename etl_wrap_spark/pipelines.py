@@ -3,6 +3,8 @@ team actually runs, wiring the engine's LLM operators in their
 canonical order.
 
     raw documents
+      → web-text cleanup          (text.strip_markup + repair_mojibake,
+                                   opt-in — scraped sources only)
       → structural quality gate   (text.quality_flags + gopher_flags)
       → PII redaction             (text.redact_pii)
       → exact dedup               (dedup.exact_duplicates)
@@ -37,6 +39,8 @@ def curate(
     split_weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
     quality_model=None,
     min_quality: float = 0.5,
+    clean_markup: bool = False,
+    fix_encoding: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full curation cascade; returns a dict of frames:
 
@@ -51,6 +55,14 @@ def curate(
     Deterministic end to end: same input → byte-identical outputs
     (hash-bucket split, fixed-seed MinHash, min-id/max-quality
     canonicals) — reruns and backfills are reproducible."""
+    # opt-in web-text cleanup FIRST: markup/encoding damage would
+    # otherwise distort every downstream signal (symbol ratios flag tags,
+    # mojibake inflates shingle sets and splits near-dup pairs)
+    if clean_markup:
+        docs = docs.withColumn(text_col, text.strip_markup(text_col))
+    if fix_encoding:
+        docs = docs.withColumn(text_col, text.repair_mojibake(text_col))
+
     flags = F.concat_ws(
         ",",
         F.nullif(text.quality_flags(text_col), F.lit("")),

@@ -674,3 +674,48 @@ def q85_heavy_hitter_terms(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["documents"])
     terms = t["documents"].select(F.explode(alpha_terms("text", 3)).alias("term"))
     return frequent.frequent_items(terms, "term", k=25).withColumnRenamed("item", "item")
+
+
+# --------------------------------- incremental aggregate maintenance (q86)
+@register(
+    "q86_incremental_agg_maintenance",
+    oracle="""
+    SELECT o_custkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_o_totalprice,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    WHERE o_orderstatus <> 'F' AND o_custkey % 10 = 0
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q86_incremental_agg_maintenance(spark, sf_dir):
+    """Materialized-rollup delta maintenance (operators/incremental_agg):
+    the standing state aggregates the historical slice; the CDC delta
+    (inserts of new facts + deletes of status-'F' facts, fact-grain) is
+    aggregated to per-key increments and outer-merged on ONE key shuffle
+    — the history is never rescanned. The oracle recomputes the final
+    state from scratch, so the merge algebra is value-hash-proven equal
+    to full recomputation."""
+    from etl_wrap_spark.operators import incremental_agg as IA
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    orders = t["orders"].where(F.col("o_custkey") % 10 == 0)
+    hist = orders.where(F.col("o_orderdate") < F.lit("2000-01-01").cast("date"))
+    state = IA.aggregate_state(hist, ["o_custkey"], ["o_totalprice"])
+    # CDC: everything later arrives as inserts; all 'F'-status rows
+    # (historical or not) are retracted as deletes
+    inserts = orders.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")).withColumn(
+        "_op", F.lit("insert")
+    )
+    deletes = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderdate") < F.lit("2000-01-01").cast("date"))
+    ).withColumn("_op", F.lit("delete"))
+    # insert-side 'F' rows must never enter: filter them at the source
+    # (equivalently, their insert+delete pair cancels)
+    delta = inserts.where(F.col("o_orderstatus") != "F").unionByName(deletes)
+    new_state = IA.merge_delta(state, delta, ["o_custkey"], ["o_totalprice"])
+    return new_state.select(
+        "o_custkey",
+        F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
+        "n_rows",
+    ).orderBy("o_custkey")

@@ -852,3 +852,26 @@ def test_misra_gries_sketch_guarantees(spark):
     # exact top-k is deterministic and correctly ordered
     top = frequent.frequent_items(df, "term", k=3).collect()
     assert [r["item"] for r in top] == ["hot0", "hot1", "hot2"]
+
+
+def test_curate_with_web_cleanup_stages(spark):
+    """clean_markup/fix_encoding run BEFORE the quality gate: a doc that
+    is only quality-rejected because of markup debris survives once the
+    cleanup stage is on."""
+    from etl_wrap_spark import pipelines
+
+    body = ("the quick brown fox jumps over the lazy dog and runs to the river "
+            "bank it was a fine day for everyone in the village to see it happen")
+    # the '...' inside the hrefs trips the symbol-ratio gopher rule on the
+    # RAW text; stripping removes the tags (and the symbols with them)
+    noisy = ("<a href='...'> " * 8) + body.replace("fox", "fÃ¶x") + (" <img src='...'>" * 8)
+    docs = spark.createDataFrame([(1, noisy), (2, body + " again and again")],
+                                 ["doc_id", "text"])
+    dirty = pipelines.curate(docs)
+    cleaned = pipelines.curate(docs, clean_markup=True, fix_encoding=True)
+    dirty_ids = {r["doc_id"] for r in dirty["clean"].collect()}
+    clean_ids = {r["doc_id"] for r in cleaned["clean"].collect()}
+    assert 1 not in dirty_ids          # symbol-heavy markup fails gopher rules
+    assert 1 in clean_ids              # survives after strip+repair
+    got = {r["doc_id"]: r["text"] for r in cleaned["clean"].collect()}
+    assert "föx" in got[1] and "<" not in got[1] and "..." not in got[1]
