@@ -185,3 +185,81 @@ def test_tune_lsh_params_always_within_budget():
         for t in (0.1, 0.3, 0.5, 0.7, 0.9):
             b, r = dedup.tune_lsh_params(t, num_perm)
             assert 1 <= b and 1 <= r and b * r <= num_perm
+
+
+# ------------------------------------------- incremental agg maintenance
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                    # key
+            st.integers(-1000, 1000),             # value (cents)
+            st.sampled_from(["insert", "delete"]),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(0, 60),                           # split point: history | delta
+)
+@settings(max_examples=40, deadline=None)
+def _check_incremental_agg_merge_equals_recompute(ops, split):
+    """merge_delta(state(history), delta) must equal aggregate_state over
+    the final multiset, for ANY history/delta split of a random CDC
+    sequence — with deletes only retracting rows that exist (the CDC
+    contract: a delete is the image of a previously inserted row)."""
+    import pytest
+
+    spark = _check_incremental_agg_merge_equals_recompute._spark
+    from etl_wrap_spark.operators import incremental_agg as IA
+
+    # build a VALID CDC sequence: a delete must retract a live row
+    live: list = []
+    seq = []
+    for key, val, op in ops:
+        if op == "insert":
+            live.append((key, val))
+            seq.append((key, val, "insert"))
+        elif live:
+            k, v = live.pop(0)
+            seq.append((k, v, "delete"))
+    split = min(split, len(seq))
+    hist_ops, delta_ops = seq[:split], seq[split:]
+    # history must itself be delete-consistent: apply its deletes to its
+    # inserts; any delete of a row inserted AFTER the split is moved to
+    # the delta (CDC order preserves insert-before-delete)
+    hist_multiset: list = []
+    moved: list = []
+    for k, v, op in hist_ops:
+        if op == "insert":
+            hist_multiset.append((k, v))
+        else:
+            if (k, v) in hist_multiset:
+                hist_multiset.remove((k, v))
+            else:
+                moved.append((k, v, "delete"))
+    delta_all = moved + delta_ops
+    final: list = list(hist_multiset)
+    for k, v, op in delta_all:
+        if op == "insert":
+            final.append((k, v))
+        else:
+            final.remove((k, v))
+
+    schema_f = "k int, v int"
+    hist_df = spark.createDataFrame(hist_multiset or [], schema_f)
+    state = IA.aggregate_state(hist_df, ["k"], ["v"])
+    delta_df = spark.createDataFrame(delta_all or [], "k int, v int, _op string")
+    merged = IA.merge_delta(state, delta_df, ["k"], ["v"])
+    got = {r["k"]: (float(r["sum_v"]), r["n_rows"]) for r in merged.collect()}
+
+    expect: dict = {}
+    for k, v in final:
+        s, n = expect.get(k, (0.0, 0))
+        expect[k] = (s + v, n + 1)
+    expect = {k: sn for k, sn in expect.items() if sn[1] > 0}
+    assert got == expect
+
+
+def test_incremental_agg_property_runner(spark):
+    # hypothesis can't take the spark fixture directly; thread it through
+    _check_incremental_agg_merge_equals_recompute._spark = spark
+    _check_incremental_agg_merge_equals_recompute()
