@@ -875,3 +875,24 @@ def test_curate_with_web_cleanup_stages(spark):
     assert 1 in clean_ids              # survives after strip+repair
     got = {r["doc_id"]: r["text"] for r in cleaned["clean"].collect()}
     assert "föx" in got[1] and "<" not in got[1] and "..." not in got[1]
+
+
+def test_est_prefilter_preserves_results(spark, docs):
+    # with a wide margin the estimate gate must pass every band candidate
+    # that exact verify would keep — results identical to no prefilter
+    base = {(r["id_a"], r["id_b"]) for r in dedup.near_dup_pairs_minhash(
+        docs, "doc_id", "text", n=3, num=2, den=1).collect()}
+    pre = {(r["id_a"], r["id_b"]) for r in dedup.near_dup_pairs_minhash(
+        docs, "doc_id", "text", n=3, num=2, den=1,
+        est_prefilter_margin_bp=2500).collect()}
+    assert pre == base and len(base) >= 3
+
+
+def test_estimate_pairs_brackets_true_jaccard(spark, docs):
+    sig = dedup.signature_index(docs, "doc_id", "text")
+    pairs = spark.createDataFrame([(1, 4), (1, 2), (1, 3)], "id_a long, id_b long")
+    est = {(r["id_a"], r["id_b"]): r["est_j_bp"] for r in
+           dedup.estimate_pairs(sig, pairs, "doc_id").collect()}
+    assert est[(1, 4)] == 10000       # identical docs: all hashes match
+    assert est[(1, 2)] >= 5000        # 1-token edit: high estimate
+    assert est[(1, 3)] <= 3000        # unrelated: low estimate
