@@ -295,7 +295,12 @@ def near_dup_pairs_minhash(
 
 
 def exact_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = 1000
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | None = 1000,
+    consistent_cap: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard via the shingle inverted index (no LSH, no
     all-pairs): pairs sharing >=1 shingle → (id_a, id_b, inter, uni).
@@ -307,14 +312,21 @@ def exact_jaccard_pairs(
     plan stays near-linear at 100 TB; an uncapped run is a deliberate
     `max_df=None` opt-out (the exact-baseline posture, quadratic on
     common shingles — fine for small corpora / ground-truthing only).
-    Recall tradeoff of the cap: a pair sharing ONLY ultra-common
-    shingles is missed; near-dup pairs share their *rare* shingles, so
-    at the J>=0.5 cut the cap is inert in practice (q43's oracle proves
-    exact semantics at max_df=50 on the test corpus). For candidate
-    generation without any exact-count need, prefer the LSH path
-    (near_dup_pairs_minhash).
+    Recall tradeoff of the cap (measured at scale, SCALING.md round 4):
+    intersections are counted over CAPPED shingles while union sizes
+    default to the FULL shingle sets, so a pair whose shared shingles
+    cross the df cap has its J biased downward — recall vs planted
+    pairs eroded to 0.74 at 1e5 docs. Near-dup pairs share their *rare*
+    shingles, so at small corpora the cap is inert (q43's oracle proves
+    exact semantics at max_df=50 on the test corpus). Two repairs:
+    ``consistent_cap=True`` computes sizes from the capped frame too —
+    J becomes Jaccard over the rare-shingle subspace (boilerplate
+    excluded on BOTH sides of the ratio; the standard df-filtered
+    similarity, and usually the better near-dup signal) — or route to
+    the LSH path (near_dup_pairs_minhash), which has no such bias.
     """
-    sf = shingle_frame(df, id_col, text_col, n)
+    sf_raw = shingle_frame(df, id_col, text_col, n)
+    sf = sf_raw
     if max_df is not None:
         keep = sf.groupBy("shingle").agg(F.countDistinct(id_col).alias("df")).where(F.col("df") <= max_df)
         sf = sf.join(keep.select("shingle"), on="shingle")
@@ -326,7 +338,12 @@ def exact_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = df.select(F.col(id_col).alias("__id"), F.size(shingles(text_col, n)).alias("__n"))
+    if consistent_cap and max_df is not None:
+        sizes = sf.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n")).select(
+            F.col(id_col).alias("__id"), "__n"
+        )
+    else:
+        sizes = df.select(F.col(id_col).alias("__id"), F.size(shingles(text_col, n)).alias("__n"))
     return (
         inter.join(sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a")), on="id_a")
         .join(sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b")), on="id_b")
