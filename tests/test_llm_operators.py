@@ -896,3 +896,27 @@ def test_estimate_pairs_brackets_true_jaccard(spark, docs):
     assert est[(1, 4)] == 10000       # identical docs: all hashes match
     assert est[(1, 2)] >= 5000        # 1-token edit: high estimate
     assert est[(1, 3)] <= 3000        # unrelated: low estimate
+
+
+def test_consistent_cap_restores_common_shingle_pairs(spark):
+    """A near-dup pair whose shared shingles are df-capped: default cap
+    (sizes from FULL sets) biases J below the cut; consistent_cap
+    computes both sides over the capped subspace and keeps the pair."""
+    # docs 1-4 make every 'common'-prefix shingle exceed the cap (df=6);
+    # docs 5,6 are near-dups whose shared shingles are mostly those
+    # capped common ones plus a few surviving rare-tail shingles
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    df2 = spark.createDataFrame(
+        [(1, common), (2, common), (3, common), (4, common),
+         (5, common + " rare tail shared"), (6, common + " rare tail shared")],
+        ["doc_id", "text"],
+    )
+    inc = {(r["id_a"], r["id_b"]) for r in
+           dedup.exact_jaccard_pairs(df2, "doc_id", "text", n=3, max_df=4)
+           .where(2 * F.col("inter") >= F.col("uni")).collect()}
+    con = {(r["id_a"], r["id_b"]) for r in
+           dedup.exact_jaccard_pairs(df2, "doc_id", "text", n=3, max_df=4,
+                                     consistent_cap=True)
+           .where(2 * F.col("inter") >= F.col("uni")).collect()}
+    assert (5, 6) not in inc   # 3 surviving shared shingles vs 11 full-size union
+    assert (5, 6) in con       # all surviving shingles shared → J_subspace = 1
