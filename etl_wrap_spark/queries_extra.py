@@ -719,3 +719,24 @@ def q86_incremental_agg_maintenance(spark, sf_dir):
         F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
         "n_rows",
     ).orderBy("o_custkey")
+
+
+# ------------------------------ production-path LSH cascade (q87)
+from etl_wrap_spark.queries_llm import _JACCARD_ORACLE as _JACC
+from etl_wrap_spark.operators import dedup as _dedup
+
+
+@register("q87_lsh_production_path", oracle=_JACC)
+def q87_lsh_production_path(spark, sf_dir):
+    """The near-dup cascade exactly as a 100 TB corpus should run it:
+    band join with the hot-bucket guard (max_bucket) AND the signature-
+    estimate prefilter ahead of exact verify (measured 2.5x end-to-end
+    at 1e6 docs, SCALING.md). On this corpus the planted pairs sit at
+    J>=0.98 — far above threshold-margin — so the result is provably
+    identical to q23's exhaustive-verify path and shares its oracle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = _dedup.near_dup_pairs_minhash(
+        t["documents"], "doc_id", "text", n=3, num=2, den=1,
+        max_bucket=100, est_prefilter_margin_bp=2500,
+    )
+    return pairs.select("id_a", "id_b", "inter", "uni").orderBy("id_a", "id_b")
