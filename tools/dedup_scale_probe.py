@@ -124,11 +124,32 @@ def probe(spark, corpus_dir: str, n_docs: int) -> dict:
     out["recall_capped"] = round(hit_cap / len(truth), 4)
     out["capped_wall"] = round(time.time() - t0, 2)
 
-    # ---- df-capped exact Jaccard (production inverted-index path)
+    # ---- df-capped exact Jaccard: inconsistent (historical) vs
+    # consistent sizes (the round-4 recall repair)
     t0 = time.time()
     jp = dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3, max_df=1000)
     out["jaccard_capped_pairs"] = jp.where(2 * F.col("inter") >= F.col("uni")).count()
     out["jaccard_capped_wall"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    jc = dedup.exact_jaccard_pairs(
+        docs, "doc_id", "text", n=3, max_df=1000, consistent_cap=True
+    )
+    out["jaccard_consistent_pairs"] = jc.where(2 * F.col("inter") >= F.col("uni")).count()
+    out["jaccard_consistent_wall"] = round(time.time() - t0, 2)
+
+    # ---- full production cascade: bucket cap + estimate prefilter
+    t0 = time.time()
+    prod = dedup.near_dup_pairs_minhash(
+        docs, "doc_id", "text", n=3, num=2, den=1,
+        max_bucket=100, est_prefilter_margin_bp=2500,
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
+    )
+    out["production_pairs"] = prod.count()
+    out["production_recall"] = round(
+        prod.join(tdf, ["id_a", "id_b"], "inner").count() / len(truth), 4
+    )
+    out["production_wall"] = round(time.time() - t0, 2)
 
     # ---- contamination scan (0.5% eval slice)
     t0 = time.time()
