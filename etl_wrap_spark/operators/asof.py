@@ -87,3 +87,68 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__match").getField(c).alias(out_c) for c, out_c in zip(payload, out_payload)],
     )
+
+
+def resample_ffill(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_cols,
+    step: str = "15 minutes",
+    start=None,
+    end=None,
+):
+    """Per-key time-grid resampling with forward fill → one row per
+    (key, grid_ts) carrying the latest observation at-or-before the
+    grid point — the gap-filling step before joining irregular series
+    (sensor feeds, balances) against regular ones.
+
+    Plan shape: the observation rows and the exploded grid rows union
+    (grid rows carry NULL values), then ONE window pass per key ordered
+    by (ts, is_grid) takes last(value, ignorenulls) — no per-grid-point
+    join, no driver loop. Grid bounds default to each key's own
+    [min(ts), max(ts)] (computed in the same pass via a window) or the
+    explicit `start`/`end` literals. Rows before a key's first
+    observation stay NULL (nothing to fill from). The window partitions
+    by key — skewed keys are bounded by their own series length, and the
+    grid adds ceil(span/step) rows per key.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    value_cols = list(value_cols)
+    obs = df.select(key_col, ts_col, *value_cols)
+    if start is not None and end is not None:
+        bounds = obs.select(key_col).distinct().select(
+            F.col(key_col),
+            F.lit(start).cast("timestamp").alias("__lo"),
+            F.lit(end).cast("timestamp").alias("__hi"),
+        )
+    else:
+        bounds = obs.groupBy(key_col).agg(
+            F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+        )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    ).select(
+        key_col,
+        ts_col,
+        *[F.lit(None).cast(dict(obs.dtypes)[c]).alias(c) for c in value_cols],
+        F.lit(1).alias("__is_grid"),
+    )
+    unioned = obs.select("*", F.lit(0).alias("__is_grid")).unionByName(grid)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("__is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        key_col,
+        ts_col,
+        F.col("__is_grid"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.where(F.col("__is_grid") == 1).drop("__is_grid")

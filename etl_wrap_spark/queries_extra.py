@@ -740,3 +740,121 @@ def q87_lsh_production_path(spark, sf_dir):
         max_bucket=100, est_prefilter_margin_bp=2500,
     )
     return pairs.select("id_a", "id_b", "inter", "uni").orderBy("id_a", "id_b")
+
+
+# ------------------------------------------- SCD2 dimension merge (q88)
+@register(
+    "q88_scd2_dimension_merge",
+    oracle="""
+    WITH dim0 AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_custkey % 3 = 0
+    ), upd AS (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DECIMAL(18,2))
+               + CASE WHEN c_custkey % 4 = 0 THEN 500 ELSE 0 END AS bal
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    -- unmatched current + matched-unchanged stay open at the old date
+    SELECT d.c_custkey, CAST(CAST(d.bal AS VARCHAR) AS DOUBLE) AS bal,
+           '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+           TRUE AS is_current
+    FROM dim0 d LEFT JOIN upd u USING (c_custkey)
+    WHERE u.c_custkey IS NULL OR u.bal = d.bal
+    UNION ALL
+    -- matched-changed: closed old version
+    SELECT d.c_custkey, CAST(CAST(d.bal AS VARCHAR) AS DOUBLE),
+           '2020-01-01', '2021-06-15', FALSE
+    FROM dim0 d JOIN upd u USING (c_custkey) WHERE u.bal <> d.bal
+    UNION ALL
+    -- matched-changed reopened + brand-new keys
+    SELECT u.c_custkey, CAST(CAST(u.bal AS VARCHAR) AS DOUBLE),
+           '2021-06-15', CAST(NULL AS VARCHAR), TRUE
+    FROM upd u LEFT JOIN dim0 d USING (c_custkey)
+    WHERE d.c_custkey IS NULL OR u.bal <> d.bal
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def q88_scd2_dimension_merge(spark, sf_dir):
+    """SCD type-2 maintenance (sinks/merge.py:scd2_apply) — THE classic
+    warehouse dimension operator: changed keys get their current row
+    closed at the batch's effective date and a new open version;
+    unchanged matches produce no spurious versions; unseen keys insert.
+    One key shuffle (current slice x deduped batch). The oracle builds
+    the same three row classes set-algebraically."""
+    from etl_wrap_spark.sinks.merge import scd2_apply
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    dim0 = t["customer"].where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        bal.alias("bal"),
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = t["customer"].where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        (bal + F.when(F.col("c_custkey") % 4 == 0, 500).otherwise(0)).alias("bal"),
+        F.lit("2021-06-15").alias("eff"),
+    )
+    out = scd2_apply(dim0, upd, ["c_custkey"], ["bal"], "eff")
+    return out.select(
+        "c_custkey",
+        F.col("bal").cast("double").alias("bal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).orderBy("c_custkey", "valid_from")
+
+
+# -------------------------------------- time-grid resample + ffill (q89)
+@register(
+    "q89_resample_ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             MAX(CAST(value AS DECIMAL(18,4))) AS v
+      FROM events WHERE user_id % 100 = 7 GROUP BY 1, 2
+    ), grid AS (
+      SELECT u.user_id, g.ts
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 100 = 7) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-30 18:00:00',
+                                      INTERVAL 6 HOUR)) AS ts
+      ) g
+    )
+    SELECT g.user_id AS user_id, CAST(g.ts AS VARCHAR) AS grid_ts,
+           CAST(CAST(o.v AS VARCHAR) AS DOUBLE) AS value
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.ts >= o.ts
+    ORDER BY g.user_id, grid_ts
+    """,
+)
+def q89_resample_ffill(spark, sf_dir):
+    """Per-key time-grid resampling with forward fill
+    (operators/asof.py:resample_ffill): irregular event values become a
+    regular 6-hour series carrying the latest at-or-before observation —
+    union + ONE per-key window pass, no per-grid-point join. The oracle
+    expresses the same semantics as DuckDB's ASOF LEFT JOIN against a
+    generated grid. Observations pre-deduped to MAX(value) per (key, ts)
+    so fill order is engine-exact."""
+    from etl_wrap_spark.operators.asof import resample_ffill
+
+    t = load_tables(spark, sf_dir, ["events"])
+    obs = (
+        t["events"]
+        .where(F.col("user_id") % 100 == 7)
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("value").cast("decimal(18,4)")).alias("v"))
+    )
+    out = resample_ffill(
+        obs, "user_id", "ts", ["v"], step="6 hours",
+        start="2024-01-01 00:00:00", end="2024-01-30 18:00:00",
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").cast("string").alias("grid_ts"),
+        F.col("v").cast("double").alias("value"),
+    ).orderBy("user_id", "grid_ts")

@@ -170,3 +170,82 @@ def snapshot_diff(
         for c in common
     ]
     return j.select(*out_cols, change.alias("change_type")).where(F.col("change_type").isNotNull())
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str],
+    effective: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 maintenance: apply a batch of
+    source rows (effective at column ``effective``) to a versioned
+    dimension, closing changed current rows and opening new versions.
+
+    ``dim`` carries (keys..., compare..., valid_from, valid_to,
+    is_current) with open rows marked ``valid_to IS NULL / is_current``.
+    For each update row:
+
+    - key unseen            → new open row (insert);
+    - current row differs   → close it (valid_to = effective,
+                              is_current = false) and open the new
+                              version at ``effective``;
+    - current row identical → no-op (no spurious versioning).
+
+    History rows (is_current = false) pass through untouched. One key
+    shuffle: the current slice joins the (pre-deduped) update batch on
+    the keys; comparison is null-safe. The batch must carry ONE row per
+    key (callers dedupe to the latest effective — ``dedupe_for_load``
+    plus a max-effective filter); intra-batch multi-versioning is a
+    foreachBatch loop, not one call. At 100 TB partition the dimension
+    by is_current so the closed history never rescans.
+    """
+    history = dim.where(~F.col(is_current))
+    current = dim.where(F.col(is_current))
+
+    upd_cols = list(keys) + list(compare) + [effective]
+    u = updates.select(*[F.col(c).alias(f"__u_{c}") for c in upd_cols])
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+        cond = c if cond is None else cond & c
+    j = current.join(u, cond, "full_outer")
+
+    matched = F.col(f"__u_{keys[0]}").isNotNull() & F.col(keys[0]).isNotNull()
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+
+    # surviving current rows: unmatched old rows + matched-unchanged
+    keep_current = j.where(F.col(f"__u_{keys[0]}").isNull() | (matched & ~changed)).select(
+        *dim.columns
+    )
+    # closed versions of matched-changed current rows
+    closed = (
+        j.where(matched & changed)
+        .select(
+            *[F.col(c) for c in keys],
+            *[F.col(c) for c in compare],
+            F.col(valid_from),
+            F.col(f"__u_{effective}").alias(valid_to),
+            F.lit(False).alias(is_current),
+        )
+        .select(*dim.columns)
+    )
+    # newly opened versions: changed keys + brand-new keys
+    opened = (
+        j.where((matched & changed) | F.col(keys[0]).isNull())
+        .select(
+            *[F.col(f"__u_{k}").alias(k) for k in keys],
+            *[F.col(f"__u_{c}").alias(c) for c in compare],
+            F.col(f"__u_{effective}").alias(valid_from),
+            F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(is_current),
+        )
+        .select(*dim.columns)
+    )
+    return history.unionByName(keep_current).unionByName(closed).unionByName(opened)

@@ -1,6 +1,8 @@
 """Unit tests for the as-of join operator (merge_asof backward
 semantics: latest right at-or-before each left row, per key)."""
 
+from pyspark.sql import functions as F
+
 from etl_wrap_spark.operators.asof import asof_join
 
 
@@ -85,3 +87,36 @@ def test_matches_pandas_merge_asof(spark):
         int(r.lid): (None if pd.isna(r.rid) else int(r.rid)) for r in merged.itertuples()
     }
     assert got == want
+
+
+def test_resample_ffill_semantics(spark):
+    from etl_wrap_spark.operators.asof import resample_ffill
+
+    obs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 10.0),
+            (1, "2024-01-01 01:55:00", 20.0),
+            (2, "2024-01-01 02:05:00", 99.0),
+        ],
+        "k int, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = resample_ffill(
+        obs, "k", "ts", ["v"], step="1 hour",
+        start="2024-01-01 00:00:00", end="2024-01-01 03:00:00",
+    )
+    got = {(r["k"], str(r["ts"])): r["v"] for r in out.collect()}
+    assert got[(1, "2024-01-01 00:00:00")] is None      # before first obs
+    assert got[(1, "2024-01-01 01:00:00")] == 10.0      # ffill
+    assert got[(1, "2024-01-01 02:00:00")] == 20.0      # newer obs wins
+    assert got[(1, "2024-01-01 03:00:00")] == 20.0      # carries forward
+    assert got[(2, "2024-01-01 00:00:00")] is None
+    assert got[(2, "2024-01-01 03:00:00")] == 99.0
+    assert len(got) == 8                                 # 4 points x 2 keys
+
+    # auto bounds: each key spans its own [min, max]
+    auto = resample_ffill(obs, "k", "ts", ["v"], step="1 hour")
+    per_key = {}
+    for r in auto.collect():
+        per_key.setdefault(r["k"], []).append(str(r["ts"]))
+    assert per_key[1][0] == "2024-01-01 00:10:00"        # grid starts at min(ts)
+    assert len(per_key[2]) == 1                          # single-obs key: one point

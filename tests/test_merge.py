@@ -78,3 +78,34 @@ def test_snapshot_diff_all_change_types(spark):
     # compare restricted to `num`: the d->D case-change disappears
     got2 = {r["k"] for r in snapshot_diff(old, new, keys=["k"], compare=["num"]).collect()}
     assert got2 == {1, 3, 5}
+
+
+def test_scd2_two_batch_version_chain(spark):
+    from etl_wrap_spark.sinks.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None, True), (2, "b", "2020-01-01", None, True)],
+        "k int, v string, valid_from string, valid_to string, is_current boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a2", "2021-01-01"), (3, "c", "2021-01-01")], "k int, v string, eff string"
+    )
+    d1 = scd2_apply(dim, b1, ["k"], ["v"], "eff")
+    b2 = spark.createDataFrame(
+        [(1, "a3", "2022-01-01"), (2, "b", "2022-01-01")], "k int, v string, eff string"
+    )
+    d2 = scd2_apply(d1, b2, ["k"], ["v"], "eff")
+    rows = sorted(
+        ((r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in d2.collect())
+    )
+    assert rows == [
+        (1, "a", "2020-01-01", "2021-01-01", False),
+        (1, "a2", "2021-01-01", "2022-01-01", False),
+        (1, "a3", "2022-01-01", None, True),
+        (2, "b", "2020-01-01", None, True),   # unchanged both times: no churn
+        (3, "c", "2021-01-01", None, True),
+    ]
+    # invariant: exactly one current row per key; intervals stitch
+    cur = [r for r in rows if r[4]]
+    assert len({r[0] for r in cur}) == len(cur) == 3
