@@ -80,3 +80,55 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    lookback: str = "6 hours",
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's value is split
+    equally across that user's touch events inside the lookback window
+    → (user, touch_ts, convert_ts, n_touches, attributed_bp).
+
+    attributed_bp = floor(value * 10000 / n_touches) stays in integer
+    arithmetic (exact decimal division rounds differently per engine).
+    Conversions with zero in-window touches drop out (nothing to
+    attribute to — last-touch-or-nothing policy; route them to a
+    'direct' bucket upstream if needed).
+
+    Plan shape: user-key equi join with a range residual (the band-join
+    pattern of q31/q47) — never a cross join; both aggregations combine
+    map-side on (user, convert_ts). At 100 TB the join shuffles both
+    sides on the user key once and AQE handles skewed users (or salt
+    via operators/skew for pathological power users)."""
+    touches = events.where(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("touch_ts")
+    )
+    convs = events.where(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("convert_ts"),
+        F.col(value_col).cast("decimal(18,4)").alias("__v"),
+    )
+    joined = convs.join(touches, on="__u").where(
+        (F.col("touch_ts") < F.col("convert_ts"))
+        & (F.col("touch_ts") >= F.col("convert_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    counted = joined.groupBy("__u", "convert_ts", "__v").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    return (
+        joined.join(counted, on=["__u", "convert_ts", "__v"])
+        .select(
+            F.col("__u").alias(user_col),
+            "touch_ts",
+            "convert_ts",
+            "n_touches",
+            F.floor(F.col("__v") * 10000 / F.col("n_touches")).cast("bigint").alias("attributed_bp"),
+        )
+    )

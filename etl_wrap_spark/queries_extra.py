@@ -858,3 +858,48 @@ def q89_resample_ffill(spark, sf_dir):
         F.col("ts").cast("string").alias("grid_ts"),
         F.col("v").cast("double").alias("value"),
     ).orderBy("user_id", "grid_ts")
+
+
+# ------------------------------------ linear attribution (q90)
+@register(
+    "q90_linear_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+    ), pairs AS (
+      SELECT c.user_id, t.ts AS touch_ts, c.ts AS convert_ts, c.v
+      FROM e c JOIN e t
+        ON t.user_id = c.user_id AND t.event_type = 'click'
+       AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 6 HOUR
+      WHERE c.event_type = 'purchase'
+    ), counted AS (
+      SELECT user_id, convert_ts, v, COUNT(*) AS n FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT p.user_id AS user_id,
+           CAST(SUM(CAST(FLOOR(p.v * 10000 / c.n) AS BIGINT)) AS BIGINT) AS attributed_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints
+    FROM pairs p JOIN counted c
+      ON p.user_id = c.user_id AND p.convert_ts = c.convert_ts AND p.v = c.v
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q90_linear_attribution(spark, sf_dir):
+    """Multi-touch linear attribution (operators/events_analytics.py:
+    linear_attribution): conversions split their value equally across
+    in-window touches via a user-key band join + two map-side-combining
+    aggregations; integer-bp division keeps splits engine-exact. Rolled
+    up per user for a compact oracle surface."""
+    from etl_wrap_spark.operators.events_analytics import linear_attribution
+
+    t = load_tables(spark, sf_dir, ["events"])
+    attr = linear_attribution(t["events"])
+    return (
+        attr.groupBy("user_id")
+        .agg(
+            F.sum("attributed_bp").cast("bigint").alias("attributed_bp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+        )
+        .orderBy("user_id")
+    )

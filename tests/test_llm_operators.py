@@ -920,3 +920,26 @@ def test_consistent_cap_restores_common_shingle_pairs(spark):
            .where(2 * F.col("inter") >= F.col("uni")).collect()}
     assert (5, 6) not in inc   # 3 surviving shared shingles vs 11 full-size union
     assert (5, 6) in con       # all surviving shingles shared → J_subspace = 1
+
+
+def test_linear_attribution_split_semantics(spark):
+    from etl_wrap_spark.operators.events_analytics import linear_attribution
+
+    rows = [
+        # user 1: two in-window clicks then a 10.0 purchase
+        (1, "click", "2024-01-01 09:00:00", "0"),
+        (1, "click", "2024-01-01 10:00:00", "0"),
+        (1, "purchase", "2024-01-01 11:00:00", "10.0"),
+        # user 2: click outside the 6h lookback → conversion unattributed
+        (2, "click", "2024-01-01 01:00:00", "0"),
+        (2, "purchase", "2024-01-01 12:00:00", "8.0"),
+        # user 3: purchase with no clicks at all
+        (3, "purchase", "2024-01-01 12:00:00", "5.0"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "value"]).select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = linear_attribution(df).collect()
+    assert {r["user_id"] for r in got} == {1}
+    assert all(r["n_touches"] == 2 and r["attributed_bp"] == 50000 for r in got)
+    assert len(got) == 2  # one row per touchpoint
