@@ -74,8 +74,14 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
         # systematically flatter Spark (round-3 ADVICE).
         runs: list[float] = []
         for _ in range(2):
-            timer = threading.Timer(cap, con.interrupt)
-            timer.start()
+            # the watchdog is best-effort: under transient thread/memory
+            # pressure Timer creation itself can fail — run uncapped then
+            # rather than aborting the whole bench
+            try:
+                timer = threading.Timer(cap, con.interrupt)
+                timer.start()
+            except (MemoryError, RuntimeError):
+                timer = None
             t0 = time.time()
             try:
                 con.execute(sql).fetchall()
@@ -83,7 +89,8 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
             except Exception:
                 break  # interrupted at cap (or oracle error)
             finally:
-                timer.cancel()
+                if timer is not None:
+                    timer.cancel()
         out[name] = min(runs) if runs else None
         print(f"# duckdb {name}: {out[name]}s", file=sys.stderr)
     return out
