@@ -1,0 +1,135 @@
+"""Fuzzy record linkage — edit-distance join without the cross product.
+
+The entity-resolution operator a curation pipeline needs to reconcile
+dirty string keys (vendor names, titles, near-identical URLs) against a
+reference table.  A naive edit-distance join is O(|L|x|R|) string
+comparisons — the classic scale-killer.  This module does the standard
+two-stage blocked join instead:
+
+1. **q-gram blocking** (inverted index): each side explodes into its
+   set of character q-grams; candidates are pairs sharing at least one
+   q-gram — one shuffle on the gram key, never a cross product.  The
+   count-filter bound makes this LOSSLESS: strings s, t with
+   ``levenshtein(s,t) <= d`` share at least
+   ``min(|s|,|t|) - q + 1 - q*d`` q-grams (each edit destroys at most q
+   grams), so requiring >= 1 shared gram misses nothing whenever every
+   string has ``len >= q + q*d`` — enforced at runtime with
+   ``assert_true`` so a too-short string fails loudly instead of
+   silently losing recall.
+2. **exact verify**: candidates are scored with Spark's built-in
+   ``levenshtein(l, r, threshold)`` (JVM-side, early-exit banded DP) and
+   kept when the distance is within ``max_dist``.
+
+At 100 TB: the gram index is linear in total characters; hot grams (stop
+grams like ``"er"``) can square a bucket, so ``max_df`` drops grams more
+frequent than the cap from the BLOCKING index only — same df-cap
+discipline as operators/dedup.py, opt-in because it trades recall (a
+pair linked ONLY by capped grams is lost; pairs also sharing a rare gram
+survive).  Verification cost is bounded by candidate count, not corpus
+size.
+
+No reference analogue (Wrap.pm has exact keyed lookups only —
+Wrap/DB.pm readFromDBHash); this is the approximate counterpart of
+operators/lookup.py, catalog-checked as q91 against a DuckDB
+``levenshtein`` cross join on the same slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def qgrams(col: Column, q: int) -> Column:
+    """Distinct character q-grams of a string as an array column.
+
+    Strings shorter than ``q`` yield themselves as the single gram so
+    they still participate in blocking.
+    """
+    n = F.greatest(F.length(col) - q + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, q))
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+    max_df: int | None = None,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Blocked edit-distance join.
+
+    Returns ``(left_id, right_id, dist_col)`` for every pair with
+    ``levenshtein(left_col, right_col) <= max_dist`` — callers join
+    payloads back on their own unique ids (ids are required rather than
+    synthesized: ``monotonically_increasing_id`` is not stable across
+    the two plan branches blocking needs).
+
+    Lossless when every string has ``len >= q + q*max_dist`` (enforced)
+    and ``max_df is None``.  ``max_df`` drops grams appearing in more
+    than that many rows (per side) from the blocking index —
+    linearizes hot-gram buckets at a documented recall cost; the verify
+    stage stays exact either way.
+    """
+    if q < 1 or max_dist < 0:
+        raise ValueError("q >= 1 and max_dist >= 0 required")
+    if left_id == right_id:
+        raise ValueError("left_id and right_id must differ (alias one side first)")
+    min_len = q + q * max_dist
+
+    def _prep(df: DataFrame, id_c: str, val_c: str, out_id: str, out_val: str) -> DataFrame:
+        guarded = F.when(
+            F.length(F.col(val_c)) >= min_len, F.col(val_c)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"fuzzy_join: string shorter than q+q*max_dist={min_len}"
+                        " breaks the lossless-blocking bound; lower q: "
+                    ),
+                    F.col(val_c),
+                )
+            )
+        )
+        return df.select(F.col(id_c).alias(out_id), guarded.alias(out_val))
+
+    l_keys = _prep(left, left_id, left_col, "__lid", "__lval")
+    r_keys = _prep(right, right_id, right_col, "__rid", "__rval")
+
+    def _index(keys: DataFrame, id_c: str, val_c: str) -> DataFrame:
+        ix = keys.select(id_c, F.explode(qgrams(F.col(val_c), q)).alias("__gram"))
+        if max_df is not None:
+            hot = (
+                ix.groupBy("__gram")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") > max_df)
+                .select("__gram")
+            )
+            # the hot-gram set is tiny by construction -> broadcast anti-join
+            ix = ix.join(F.broadcast(hot), "__gram", "left_anti")
+        return ix
+
+    cand = (
+        _index(l_keys, "__lid", "__lval")
+        .join(_index(r_keys, "__rid", "__rval"), "__gram")
+        .select("__lid", "__rid")
+        .distinct()
+    )
+    return (
+        cand.join(l_keys, "__lid")
+        .join(r_keys, "__rid")
+        .withColumn("__d", F.levenshtein(F.col("__lval"), F.col("__rval"), max_dist))
+        .where(F.col("__d") >= 0)  # levenshtein(threshold) returns -1 above it
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("__d").alias(dist_col),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Mergeable distinct-count sketches — KMV (K-minimum-values) on pure
+DataFrame ops, plus the DataSketches HLL built-ins as the compact
+production path.
+
+The 100 TB pattern: COUNT(DISTINCT) over petabyte facts is a full
+shuffle of every distinct value; a nightly pipeline wants a SMALL,
+MERGEABLE per-partition/per-day summary it can persist and combine —
+the same posture as operators/incremental_agg.py (algebra over state,
+never a rescan) but for the non-invertible distinct-count aggregate.
+
+KMV keeps the k smallest 64-bit hashes of a set (stored as int64 —
+sorting signed hashes is order-isomorphic to sorting their unsigned
+unit mappings, and integer storage sidesteps any double-rounding
+collision).  Properties that make it the catalog-checkable choice
+(q92/q93):
+
+- **exact below k**: when a group holds fewer than k distinct values
+  the sketch IS the distinct hash set, and the estimator returns the
+  exact count — so at oracle scale the result hash-matches DuckDB's
+  ``COUNT(DISTINCT)`` while the SAME code degrades gracefully to a
+  (k-1)/h_k estimate (~1/sqrt(k-2) relative error) at corpus scale.
+- **mergeable**: union-merge = distinct-union, re-sort, keep k
+  (kmv_merge); sketch(A) merged with sketch(B) equals
+  sketch(A union B) exactly — pinned by pytest, and the basis of the
+  q93 set-algebra query.
+- **set algebra**: |A union B| from the merged sketch; |A intersect B|
+  by inclusion-exclusion — distinct-overlap between corpora without
+  co-shuffling them.
+
+Plan shape: hash -> per-group distinct (one shuffle, map-side partial
+dedup) -> per-group bottom-k via a window rank (sort-based, spills;
+state after the filter is k rows/group) -> collect_list of at most k
+longs.  No driver loops, no UDFs.
+
+Spark's own ``hll_sketch_agg`` / ``hll_union_agg`` (DataSketches HLL,
+~KB-sized binary state, stricter memory bound than KMV's k longs) is
+wrapped alongside as the production estimator; its estimates are not
+engine-portable, so it is pytest-verified (error bound vs exact)
+rather than oracle-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TWO63 = float(2**63)
+_TWO64 = float(2**64)
+
+
+def _unit(h: Column) -> Column:
+    """Signed int64 hash -> uniform (0,1] double (monotone in the signed
+    order, so the k-th smallest signed hash IS the k-th smallest unit)."""
+    return (h.cast("double") + _TWO63 + 1.0) / _TWO64
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 4096,
+) -> DataFrame:
+    """One row per group: ``kmv`` = sorted array of the k smallest
+    distinct xxhash64 values of ``value_col`` (fewer when the group has
+    fewer distinct values)."""
+    groups = list(group_cols)
+    dedup = df.select(*groups, F.xxhash64(F.col(value_col)).alias("__h")).distinct()
+    w = Window.partitionBy(*groups).orderBy("__h")
+    return (
+        dedup.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*groups)
+        .agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
+    )
+
+
+def kmv_estimate(kmv_col: Column | str, k: int) -> Column:
+    """Distinct-count estimate from a KMV array: exact size when the
+    sketch is not full, else the classic (k-1)/h_k estimator."""
+    c = F.col(kmv_col) if isinstance(kmv_col, str) else kmv_col
+    return F.when(F.size(c) < k, F.size(c).cast("double")).otherwise(
+        F.lit(float(k - 1)) / _unit(F.element_at(c, k))
+    )
+
+
+def kmv_merge(a: Column | str, b: Column | str, k: int) -> Column:
+    """Union-merge two KMV arrays: distinct-union, re-sort, keep k.
+    ``kmv_merge(sketch(A), sketch(B)) == sketch(A union B)`` exactly
+    (both are "k smallest of the unioned hash sets")."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
+
+
+def kmv_intersect_estimate(a: Column | str, b: Column | str, k: int) -> Column:
+    """|A intersect B| by inclusion-exclusion over the three estimates.
+    Exact whenever all three sketches are below k (the oracle regime);
+    at scale inherits ~3x the single-sketch error."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return (
+        kmv_estimate(ca, k)
+        + kmv_estimate(cb, k)
+        - kmv_estimate(kmv_merge(ca, cb, k), k)
+    )
+
+
+def distinct_counts_kmv(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 4096,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Per-group distinct counts via the sketch pipeline (exact below
+    k): the drop-in for groupBy().agg(countDistinct(...)) whose state is
+    persistable and mergeable across batches."""
+    return kmv_sketch(df, group_cols, value_col, k).select(
+        *group_cols, F.round(kmv_estimate("kmv", k)).cast("bigint").alias(out_col)
+    )
+
+
+# --------------------------------------------------------------- HLL path
+
+
+def hll_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group DataSketches HLL binary state (``hll`` column) —
+    kilobyte-bounded regardless of cardinality; merge further with
+    ``hll_union_agg``, read with ``hll_sketch_estimate``."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_estimate(hll_col: Column | str) -> Column:
+    c = F.col(hll_col) if isinstance(hll_col, str) else hll_col
+    return F.hll_sketch_estimate(c)

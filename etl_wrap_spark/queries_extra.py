@@ -903,3 +903,134 @@ def q90_linear_attribution(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------ blocked fuzzy linkage (q91)
+@register(
+    "q91_fuzzy_linkage",
+    oracle="""
+    WITH clean AS (
+      SELECT p_partkey AS clean_key, p_name AS clean_name
+      FROM part WHERE p_partkey % 20 = 0
+    ), dirty AS (
+      SELECT p_partkey AS dirty_key,
+             CONCAT(SUBSTR(p_name, 1, 5), SUBSTR(p_name, 7)) AS dirty_name
+      FROM part WHERE p_partkey % 20 = 0
+    )
+    SELECT dirty_key, clean_key,
+           CAST(levenshtein(dirty_name, clean_name) AS BIGINT) AS dist
+    FROM dirty, clean
+    WHERE levenshtein(dirty_name, clean_name) <= 1
+    ORDER BY dirty_key, clean_key
+    """,
+)
+def q91_fuzzy_linkage(spark, sf_dir):
+    """Edit-distance record linkage (operators/linkage.py:fuzzy_join):
+    a deterministically dirtied copy of part names (char 6 deleted) is
+    reconciled against the clean slice with levenshtein <= 1 via
+    LOSSLESS 2-gram blocking (count-filter bound; min name length 7
+    satisfies len >= q + q*d) + exact banded-DP verify — never the
+    O(N^2) cross join the oracle runs. Engine-exact because verify is
+    exact and blocking provably misses nothing at these lengths."""
+    from etl_wrap_spark.operators.linkage import fuzzy_join
+
+    t = load_tables(spark, sf_dir, ["part"])
+    sl = t["part"].where(F.col("p_partkey") % 20 == 0)
+    clean = sl.select(
+        F.col("p_partkey").alias("clean_key"), F.col("p_name").alias("clean_name")
+    )
+    dirty = sl.select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.concat(
+            F.substring("p_name", 1, 5), F.expr("substr(p_name, 7)")
+        ).alias("dirty_name"),
+    )
+    return (
+        fuzzy_join(
+            dirty, clean, "dirty_key", "dirty_name", "clean_key", "clean_name",
+            max_dist=1, q=2,
+        )
+        .select("dirty_key", "clean_key", F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("dirty_key", "clean_key")
+    )
+
+
+# ------------------------------------ KMV distinct sketch (q92)
+@register(
+    "q92_kmv_distinct",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q92_kmv_distinct(spark, sf_dir):
+    """Per-nation distinct customers via the mergeable KMV sketch
+    (operators/sketches.py:distinct_counts_kmv). The sketch is exact
+    below k (k=4096 >> the ~600 distinct/group at sf0.1) so the result
+    hash-matches COUNT(DISTINCT); the SAME pipeline degrades to the
+    (k-1)/h_k estimator at corpus scale, and its per-group state (<= k
+    longs) is persistable and union-mergeable across batches — the
+    distinct-count analogue of q86's incremental aggregate maintenance."""
+    from etl_wrap_spark.operators.sketches import distinct_counts_kmv
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    return distinct_counts_kmv(
+        t["customer"], ["c_nationkey"], "c_custkey", k=4096
+    ).orderBy("c_nationkey")
+
+
+# ------------------------------------ KMV set algebra (q93)
+@register(
+    "q93_kmv_set_algebra",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+    ), n AS (
+      SELECT p, COUNT(*) AS cnt FROM s GROUP BY p
+    ), pairs AS (
+      SELECT na.p AS p_a, nb.p AS p_b, na.cnt AS n_a, nb.cnt AS n_b
+      FROM n na JOIN n nb ON na.p < nb.p
+    ), inter AS (
+      SELECT sa.p AS p_a, sb.p AS p_b, COUNT(*) AS ni
+      FROM s sa JOIN s sb ON sa.c = sb.c AND sa.p < sb.p
+      GROUP BY 1, 2
+    )
+    SELECT p_a, p_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_a + n_b - COALESCE(ni, 0) AS BIGINT) AS n_union,
+           CAST(COALESCE(ni, 0) AS BIGINT) AS n_intersect
+    FROM pairs LEFT JOIN inter USING (p_a, p_b)
+    ORDER BY p_a, p_b
+    """,
+)
+def q93_kmv_set_algebra(spark, sf_dir):
+    """Distinct-customer overlap between order priorities from KMV
+    sketches ALONE (operators/sketches.py): |A|, |B| from each sketch,
+    |A u B| from kmv_merge, |A n B| by inclusion-exclusion — the two
+    fact sets are never co-shuffled; after the per-priority sketch pass
+    everything is algebra over 5 sketch rows (broadcast self-join).
+    k=16384 keeps every sketch below k at oracle SFs, so all four
+    numbers are exact and hash-match the SQL set computation."""
+    from etl_wrap_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    K = 16384
+    t = load_tables(spark, sf_dir, ["orders"])
+    s = kmv_sketch(t["orders"], ["o_orderpriority"], "o_custkey", k=K)
+    a = s.select(F.col("o_orderpriority").alias("p_a"), F.col("kmv").alias("kmv_a"))
+    b = s.select(F.col("o_orderpriority").alias("p_b"), F.col("kmv").alias("kmv_b"))
+    n_a = F.round(kmv_estimate("kmv_a", K)).cast("bigint")
+    n_b = F.round(kmv_estimate("kmv_b", K)).cast("bigint")
+    n_union = F.round(kmv_estimate(kmv_merge("kmv_a", "kmv_b", K), K)).cast("bigint")
+    return (
+        a.join(F.broadcast(b), F.col("p_a") < F.col("p_b"))
+        .select(
+            "p_a", "p_b",
+            n_a.alias("n_a"), n_b.alias("n_b"),
+            n_union.alias("n_union"),
+            (n_a + n_b - n_union).alias("n_intersect"),
+        )
+        .orderBy("p_a", "p_b")
+    )

@@ -1,0 +1,158 @@
+"""Fuzzy linkage (operators/linkage.py) and mergeable distinct sketches
+(operators/sketches.py).
+
+Linkage: the blocked join must equal the brute-force edit-distance join
+(lossless blocking) on data satisfying the length bound; the df-cap is a
+documented recall trade, and too-short strings fail loudly.
+
+Sketches: KMV exactness below k, the merge identity
+sketch(A) (+) sketch(B) == sketch(A u B), bounded estimator error above
+k, and the HLL production path's error bound vs exact.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_wrap_spark.operators.linkage import fuzzy_join
+from etl_wrap_spark.operators.sketches import (
+    distinct_counts_kmv,
+    hll_estimate,
+    hll_sketches,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+NAMES = [
+    "crimson anchor", "crimson anchors", "crimsn anchor", "golden bolt",
+    "golden colt", "silver widget", "silver widgets", "slver widget",
+    "bronze gear", "bronze bear", "copper spring", "copper sprint",
+]
+
+
+@pytest.fixture(scope="module")
+def names_df(spark):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(NAMES)], "lid INT, lname STRING"
+    )
+
+
+def _brute_pairs(max_dist):
+    # reference: O(n^2) Levenshtein in pure Python
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    return {
+        (i, j, lev(a, b))
+        for i, a in enumerate(NAMES)
+        for j, b in enumerate(NAMES)
+        if lev(a, b) <= max_dist
+    }
+
+
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_fuzzy_join_matches_brute_force(spark, names_df, max_dist):
+    right = names_df.select(
+        F.col("lid").alias("rid"), F.col("lname").alias("rname")
+    )
+    got = {
+        (r.lid, r.rid, r.dist)
+        for r in fuzzy_join(
+            names_df, right, "lid", "lname", "rid", "rname",
+            max_dist=max_dist, q=2,
+        ).collect()
+    }
+    assert got == _brute_pairs(max_dist)
+
+
+def test_fuzzy_join_short_string_raises(spark):
+    df = spark.createDataFrame([(1, "ab")], "lid INT, lname STRING")
+    right = df.select(F.col("lid").alias("rid"), F.col("lname").alias("rname"))
+    with pytest.raises(Exception, match="lossless-blocking"):
+        fuzzy_join(df, right, "lid", "lname", "rid", "rname",
+                   max_dist=2, q=3).collect()
+
+
+def test_fuzzy_join_max_df_caps_hot_grams(spark, names_df):
+    # with every gram capped away, blocking yields no candidates -> the
+    # documented recall trade in its extreme; verify never resurrects
+    # pairs blocking dropped.
+    right = names_df.select(
+        F.col("lid").alias("rid"), F.col("lname").alias("rname")
+    )
+    got = fuzzy_join(
+        names_df, right, "lid", "lname", "rid", "rname",
+        max_dist=1, q=2, max_df=0,
+    ).count()
+    assert got == 0
+
+
+# ------------------------------------------------------------- sketches
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") % 700).alias("v")
+    )
+    got = {
+        (r.g, r.n_distinct)
+        for r in distinct_counts_kmv(df, ["g"], "v", k=1024).collect()
+    }
+    # ids 0..4999 cover every (id%5, id%700) residue pair: each group
+    # sees all 700 values -> 140 distinct v per group (700/5 stride).
+    exact = {
+        (r.g, r.n)
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == exact
+
+
+def test_kmv_merge_identity(spark):
+    # sketch(A) (+) sketch(B) == sketch(A u B), including when both are
+    # full (k smaller than either cardinality)
+    k = 64
+    a = spark.range(0, 2000).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    b = spark.range(1500, 3500).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    sa = kmv_sketch(a, ["g"], "v", k=k).collect()[0]["kmv"]
+    sb = kmv_sketch(b, ["g"], "v", k=k).collect()[0]["kmv"]
+    su = kmv_sketch(a.union(b), ["g"], "v", k=k).collect()[0]["kmv"]
+    merged = (
+        spark.createDataFrame([(sa, sb)], "kmv_a ARRAY<BIGINT>, kmv_b ARRAY<BIGINT>")
+        .select(kmv_merge("kmv_a", "kmv_b", k).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert merged == su
+
+
+def test_kmv_estimator_error_above_k(spark):
+    # 50_000 distinct, k=256 -> relative error concentrated ~1/sqrt(k-2)
+    # (~6.3%); assert a generous 4-sigma bound, deterministic hash so
+    # this never flakes.
+    n, k = 50_000, 256
+    df = spark.range(0, n).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    est = (
+        kmv_sketch(df, ["g"], "v", k=k)
+        .select(kmv_estimate("kmv", k).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est - n) / n < 4 / (k - 2) ** 0.5
+
+
+def test_hll_error_bound(spark):
+    n = 30_000
+    df = spark.range(0, n).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    est = (
+        hll_sketches(df, ["g"], "v", lg_k=12)
+        .select(hll_estimate("hll").alias("e"))
+        .collect()[0]["e"]
+    )
+    # DataSketches HLL lg_k=12 RSE ~= 1.04/sqrt(2^12) ~= 1.6%; allow 4x
+    assert abs(est - n) / n < 0.065
