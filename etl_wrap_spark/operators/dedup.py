@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_wrap_spark.operators.text import fingerprint_md5, hash60, tokens
 
@@ -325,11 +326,20 @@ def exact_jaccard_pairs(
     similarity, and usually the better near-dup signal) — or route to
     the LSH path (near_dup_pairs_minhash), which has no such bias.
     """
-    sf_raw = shingle_frame(df, id_col, text_col, n)
-    sf = sf_raw
+    sf = shingle_frame(df, id_col, text_col, n)
     if max_df is not None:
-        keep = sf.groupBy("shingle").agg(F.countDistinct(id_col).alias("df")).where(F.col("df") <= max_df)
-        sf = sf.join(keep.select("shingle"), on="shingle")
+        # single-pass df-cap: per-doc shingles are distinct (shingles()
+        # ends in array_distinct) so COUNT(*) over the shingle partition
+        # IS the document frequency, and the window's hash-exchange on
+        # `shingle` is reused by the pairing self-join below — the old
+        # agg + semi-join shape recomputed the shingle explode per
+        # branch (measured 7.5s -> 4.4s warm at sf0.1).
+        w = Window.partitionBy("shingle")
+        sf = (
+            sf.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     a = sf.select(F.col(id_col).alias("id_a"), "shingle")
     b = sf.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -523,10 +533,14 @@ def contamination_check(
         F.col(id_col).alias("train_id"), "shingle"
     )
     if max_df is not None:
-        keep = tsf.groupBy("shingle").agg(F.countDistinct("train_id").alias("df")).where(
-            F.col("df") <= max_df
+        # same single-pass windowed df-cap as exact_jaccard_pairs (per-doc
+        # shingles are distinct, so COUNT(*) == document frequency)
+        w = Window.partitionBy("shingle")
+        tsf = (
+            tsf.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
         )
-        tsf = tsf.join(keep.select("shingle"), on="shingle")
     esf = shingle_frame(evals, id_col, text_col, n).select(
         F.col(id_col).alias("eval_id"), "shingle"
     )
