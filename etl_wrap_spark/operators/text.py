@@ -375,6 +375,71 @@ def rolling_fingerprint(col: Column | str, ngram: int = 8) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), _min_shingle_hash), 1)
 
 
+# ------------------------------------------------ corpus bigram LM scoring
+def _bigram_frame(df, id_col: str, text_col: str):
+    """(id, a, b) token-bigram frame via zip-against-shifted-slice —
+    constant tokenization evaluations per row (the q73 lesson)."""
+    t = F.col("__t")
+    nshift = F.greatest(F.size(t) - 1, F.lit(0))
+    grams = F.arrays_zip(
+        F.slice(t, 1, nshift).alias("a"), F.slice(t, 2, nshift).alias("b")
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(id_col, F.explode(grams).alias("g"))
+        .select(id_col, "g.a", "g.b")
+    )
+
+
+def bigram_lm_scores(df, id_col: str, text_col: str, lm_df=None):
+    """Per-document fluency scoring against a corpus bigram LM — the
+    KenLM-perplexity-filter pattern (CCNet keeps documents whose LM
+    score clears a corpus-relative bar) in pure DataFrame algebra.
+
+    The LM: P(b|a) = n_ab / n_a over ``lm_df`` (a REFERENCE corpus —
+    the production shape: train on curated text, score the crawl;
+    bigrams unseen in the reference score 0, the integer analogue of
+    the OOV penalty). ``lm_df=None`` self-scores against ``df`` —
+    oracle-friendly, but note the self-LM caveat: a token seen once
+    has a single successor, so P = 1 for its transition; self-mode
+    therefore rewards repeated-or-singleton contexts rather than
+    penalizing novelty, and corpus-relative FILTERING should use a
+    reference LM.
+
+    Per document: the mean transition probability of its bigrams in
+    exact integer basis points — per-bigram
+    ``floor(10000 * n_ab / n_a)`` summed per doc, then floor-averaged —
+    so both engines agree bit-for-bit (a float log-prob sum would be
+    order-dependent; monotone transforms preserve the filter ranking).
+
+    Plan at scale: one (a,b) aggregation for the LM (vocabulary-sized
+    state), a derived n_a aggregation, then the doc bigram frame joins
+    the LM on its (a,b) shuffle key. Keyed aggregation + shuffle joins
+    only; no driver ops.
+
+    → (id, n_bigrams, sum_p_bp, lm_score_bp) for docs with >= 1 bigram.
+    """
+    doc_big = _bigram_frame(df, id_col, text_col)
+    lm_big = doc_big if lm_df is None else _bigram_frame(lm_df, id_col, text_col)
+    lm = lm_big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    na = lm.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    scored = (
+        doc_big.join(lm, ["a", "b"], "left")
+        .join(na, "a", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.expr("CAST(10000 * n_ab DIV n_a AS BIGINT)"), F.lit(0).cast("bigint")
+            ).alias("p_bp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("p_bp").cast("bigint").alias("sum_p_bp"),
+        F.expr("CAST(sum(p_bp) DIV count(1) AS BIGINT)").alias("lm_score_bp"),
+    )
+
+
 # ------------------------------------------------- web-text cleanup (markup)
 # RE2-safe tag pattern + the entity set worth decoding without a full
 # HTML parser. Both are cross-engine exact: Spark and DuckDB run the

@@ -1173,3 +1173,40 @@ def q96_mad_outliers(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+# ------------------------------------ corpus bigram-LM scoring (q97)
+@register(
+    "q97_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS a,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i + 1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ), lm AS (
+      SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY 1, 2
+    ), na AS (
+      SELECT a, SUM(n_ab) AS n_a FROM lm GROUP BY 1
+    ), p AS (
+      SELECT big.doc_id, CAST(10000 * lm.n_ab // na.n_a AS BIGINT) AS p_bp
+      FROM big JOIN lm USING (a, b) JOIN na USING (a)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_bp) AS BIGINT) AS sum_p_bp,
+           CAST(SUM(p_bp) // COUNT(*) AS BIGINT) AS lm_score_bp
+    FROM p GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q97_bigram_lm_score(spark, sf_dir):
+    """Corpus-LM fluency scores (operators/text.py:bigram_lm_scores):
+    each document's mean transition probability under the corpus's own
+    bigram model, in exact integer basis points — the KenLM-style
+    perplexity filter of CCNet-era curation without a float log-prob in
+    sight. The oracle rebuilds the LM and the per-doc floor-averaged
+    scores in SQL."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return T.bigram_lm_scores(t["documents"], "doc_id", "text").orderBy("doc_id")

@@ -156,3 +156,36 @@ def test_hll_error_bound(spark):
     )
     # DataSketches HLL lg_k=12 RSE ~= 1.04/sqrt(2^12) ~= 1.6%; allow 4x
     assert abs(est - n) / n < 0.065
+
+
+# --------------------------------------------------- bigram LM scoring
+
+
+def test_bigram_lm_reference_mode(spark):
+    from etl_wrap_spark.operators.text import bigram_lm_scores
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog sat")],
+        "doc_id LONG, text STRING",
+    )
+    # LM from ref: P(cat|the)=2/3, P(dog|the)=1/3, P(sat|cat)=1/2, ...
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zebra quark flux")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(docs, "doc_id", "text", lm_df=ref).collect()}
+    # doc 10: floor(10000*2/3) + floor(10000*1/2) = 6666 + 5000
+    assert out[10].sum_p_bp == 11666 and out[10].n_bigrams == 2
+    # doc 11: every bigram unseen in the reference -> 0
+    assert out[11].sum_p_bp == 0 and out[11].lm_score_bp == 0
+
+
+def test_bigram_lm_self_mode_singleton_context(spark):
+    from etl_wrap_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "p q r")], "doc_id LONG, text STRING"
+    )
+    # documented self-LM caveat: singleton contexts score P=1 (10000 bp)
+    row = bigram_lm_scores(docs, "doc_id", "text").collect()[0]
+    assert row.lm_score_bp == 10000
