@@ -1210,3 +1210,99 @@ def q97_bigram_lm_score(spark, sf_dir):
     scores in SQL."""
     t = load_tables(spark, sf_dir, ["documents"])
     return T.bigram_lm_scores(t["documents"], "doc_id", "text").orderBy("doc_id")
+
+
+# ------------------------------------ schema-evolution union (q98)
+@register(
+    "q98_schema_evolution_union",
+    oracle="""
+    WITH old_gen AS (
+      SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+      FROM events WHERE event_id % 2 = 0
+    ), new_gen AS (
+      SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 1
+    ), u AS (
+      SELECT * FROM old_gen UNION ALL SELECT * FROM new_gen
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_missing_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM u GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q98_schema_evolution_union(spark, sf_dir):
+    """Schema evolution across feed generations: an OLD extract without
+    the `value` column unions a NEW one that has it via
+    unionByName(allowMissingColumns=True) — absent columns become NULLs
+    engine-side, never a rewrite of historical files (the posture
+    parquet mergeSchema takes for on-disk evolution; this is the
+    in-plan equivalent the reference's targetheader projection lacks).
+    Missing-rate and value totals per type prove the nulls land where
+    the old generation is."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    old_gen = e.where(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    new_gen = e.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    )
+    u = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.count(F.lit(1)) - F.count("value")).cast("bigint").alias("n_missing_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------ closed-form grouped OLS (q99)
+@register(
+    "q99_group_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY 1
+    )
+    SELECT flag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+    FROM s ORDER BY flag
+    """,
+)
+def q99_group_regression(spark, sf_dir):
+    """Per-group OLS (price ~ quantity per return flag) in closed form:
+    the five sufficient statistics aggregate EXACTLY in decimal (one
+    map-side-combining pass — the distributed feature-engineering
+    pattern: model fits from sufficient statistics, never a per-group
+    data collect), then slope/intercept evaluate in IEEE doubles with
+    an identical expression tree on both engines, so even the >2^53
+    products round identically."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    s = (
+        t["lineitem"]
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+        )
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx"])
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "flag", "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("flag")
