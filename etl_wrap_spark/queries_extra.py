@@ -1306,3 +1306,51 @@ def q99_group_regression(spark, sf_dir):
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     ).orderBy("flag")
+
+
+# ------------------------------------ lake zone-map pruned read (q100)
+@register(
+    "q100_lake_pruned_read",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 400
+    GROUP BY prio ORDER BY prio
+    """,
+)
+def q100_lake_pruned_read(spark, sf_dir):
+    """Manifest-level data skipping (sinks/lake.py:read_pruned): orders
+    committed to the atomic lake table clustered on o_custkey with
+    per-file zone maps harvested from parquet footers; a narrow custkey
+    band then opens ONLY the files whose zones intersect — the
+    Delta-checkpoint-stats pattern, where at millions of files the win
+    is never listing or footer-reading the rest. The residual filter
+    keeps the result exactly equal to the full-scan filter the oracle
+    runs."""
+    import tempfile
+
+    from etl_wrap_spark.sinks.lake import AtomicTable
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    table = AtomicTable(spark, tempfile.mkdtemp(prefix="etl_wrap_q100_"))
+    table.write(
+        t["orders"].select("o_custkey", "o_orderpriority", "o_totalprice"),
+        stats_cols=["o_custkey"],
+        cluster_by="o_custkey",
+        cluster_files=16,
+    )
+    pruned = table.read_pruned("o_custkey", 200, 400)
+    n_open = len(table.pruned_files("o_custkey", 200, 400))
+    n_all = len(table.file_stats())
+    if not n_open < n_all:  # the skipping must actually skip
+        raise AssertionError(f"zone maps pruned nothing ({n_open}/{n_all})")
+    return (
+        pruned.groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("prio")
+    )

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from etl_wrap_spark.sinks import merge as M
 
 MANIFEST = "_manifest.json"
+STATS = "_stats.json"  # per-file zone maps; "_"-prefixed => invisible to Spark scans
 
 
 class ConflictError(RuntimeError):
@@ -98,14 +99,134 @@ class AtomicTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         return self.spark.read.parquet(self._version_dir(v))
 
+    def file_stats(self, version: int | None = None) -> dict | None:
+        """Per-file zone maps recorded at stage time (``_stats.json``
+        inside the version dir — immutable with it), or None for
+        versions written without ``stats_cols``."""
+        v = version if version is not None else self.current_version()
+        try:
+            with open(os.path.join(self._version_dir(v), STATS)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError, TypeError):
+            return None
+
+    def pruned_files(self, col: str, lo, hi, version: int | None = None) -> list[str] | None:
+        """Data files whose [min, max] zone for `col` intersects
+        [lo, hi]; None when no stats exist (caller falls back to a full
+        read). Files lacking a zone for `col` are kept — pruning is
+        fail-open, never a correctness filter."""
+        v = version if version is not None else self.current_version()
+        stats = self.file_stats(v)
+        if stats is None:
+            return None
+        vd = self._version_dir(v)
+        keep = []
+        for fn, zones in stats.items():
+            z = zones.get(col)
+            if z is None or not (z[1] < lo or z[0] > hi):
+                keep.append(os.path.join(vd, fn))
+        return keep
+
+    def read_pruned(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """``read().where(col BETWEEN lo AND hi)`` that opens ONLY the
+        files whose manifest zone map can match — the Delta-checkpoint-
+        stats pattern: at millions of files the win is never listing or
+        footer-reading the irrelevant ones, which scan-level row-group
+        skipping cannot give you. The residual filter still applies
+        (zones are file-granular), so the result is exactly the full
+        filter regardless of pruning quality. Write with ``cluster_by``
+        to make zones tight."""
+        files = self.pruned_files(col, lo, hi, version)
+        pred = F.col(col).between(lo, hi)
+        if files is None:
+            return self.read(version).where(pred)
+        if not files:
+            return self.read(version).where(pred).limit(0)
+        return self.spark.read.parquet(*files).where(pred)
+
     # ------------------------------------------------------------ writers
-    def _stage(self, df: DataFrame) -> str:
+    def _stage(
+        self,
+        df: DataFrame,
+        stats_cols: Sequence[str] | None = None,
+        cluster_by: str | None = None,
+        cluster_files: int | None = None,
+    ) -> str:
         """Write the full new state into a uniquely-named staging dir —
         never into a version dir, so a losing writer can never clobber a
-        committed version's files."""
+        committed version's files.
+
+        ``stats_cols``: record per-file min/max zone maps for these
+        columns into ``_stats.json`` inside the staged dir, harvested
+        from the parquet FOOTERS (pyarrow metadata — no data re-scan).
+        ``cluster_by``: range-repartition on that column first so zones
+        are tight and disjoint (the 1-D layout for pruning; compose with
+        sinks/parquet.py:zorder_key for multi-column). The footer walk
+        is a driver loop over file METADATA — manifest-scale work, the
+        same class as Delta checkpoint maintenance; parallelize over an
+        executor RDD if a single version ever holds millions of files.
+        """
         staged = os.path.join(self.root, "_staging", uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(staged)
+        if cluster_by:
+            out = (
+                df.repartitionByRange(cluster_files, cluster_by)
+                if cluster_files
+                else df.repartitionByRange(cluster_by)
+            )
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(staged)
+        if stats_cols:
+            self._write_stats(staged, list(stats_cols))
         return staged
+
+    @staticmethod
+    def _write_stats(staged: str, stats_cols: list[str]) -> None:
+        import pyarrow.parquet as pq
+
+        def _plain(v):
+            # json-serializable plain python (footer stats may be numpy
+            # scalars / bytes); fall back to None (zone dropped -> file
+            # kept by the fail-open reader)
+            if isinstance(v, bytes):
+                try:
+                    return v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            if hasattr(v, "item"):
+                v = v.item()
+            return v if isinstance(v, (int, float, str, bool)) else None
+
+        stats: dict[str, dict] = {}
+        for fn in sorted(os.listdir(staged)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(staged, fn)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            zones = {}
+            for col in stats_cols:
+                ci = names.get(col)
+                if ci is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = _plain(st.min), _plain(st.max)
+                    if mn is None or mx is None:
+                        ok = False
+                        break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if ok and lo is not None:
+                    zones[col] = [lo, hi]
+            stats[fn] = zones
+        tmp = os.path.join(staged, STATS)
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
 
     def _promote(self, staged: str, new_v: int, expected: int | None) -> None:
         """Atomically install a staged dir as version ``new_v``. The dir
@@ -126,14 +247,34 @@ class AtomicTable:
             raise ConflictError(f"version dir v{new_v} already claimed") from e
         self._swap(new_v, expected)
 
-    def _commit_df(self, df: DataFrame, expected: int | None) -> int:
+    def _commit_df(
+        self,
+        df: DataFrame,
+        expected: int | None,
+        stats_cols: Sequence[str] | None = None,
+        cluster_by: str | None = None,
+        cluster_files: int | None = None,
+    ) -> int:
         new_v = (expected or 0) + 1
-        self._promote(self._stage(df), new_v, expected)
+        staged = self._stage(df, stats_cols, cluster_by, cluster_files)
+        self._promote(staged, new_v, expected)
         return new_v
 
-    def write(self, df: DataFrame) -> int:
-        """Full refresh (reference K5) as one atomic version bump."""
-        return self._commit_df(df, self.current_version())
+    def write(
+        self,
+        df: DataFrame,
+        stats_cols: Sequence[str] | None = None,
+        cluster_by: str | None = None,
+        cluster_files: int | None = None,
+    ) -> int:
+        """Full refresh (reference K5) as one atomic version bump; see
+        ``_stage`` for the zone-map / clustering options
+        (``cluster_files`` pins the range-partition count — zone
+        granularity — where AQE would otherwise coalesce small tables
+        into one file)."""
+        return self._commit_df(
+            df, self.current_version(), stats_cols, cluster_by, cluster_files
+        )
 
     def upsert(self, updates: DataFrame, keys: Sequence[str]) -> int:
         """MERGE semantics (reference K2/K3) with old-or-new visibility."""

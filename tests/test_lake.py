@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_wrap_spark.sinks.lake import AtomicTable, ConflictError
 
@@ -129,3 +130,41 @@ def test_replace_where_partition_style(spark, table):
         "v = '2024-01-02'",
     )
     assert _rows(table) == {(1, "2024-01-01"), (9, "2024-01-02")}
+
+
+def test_zone_map_pruning(spark, table):
+    # 10k rows clustered on k -> range-partitioned files with disjoint
+    # zones; a narrow band must open a strict subset of files while the
+    # result stays exactly the full filter.
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 7).alias("v")
+    )
+    table.write(df, stats_cols=["k"], cluster_by="k", cluster_files=8)
+    stats = table.file_stats()
+    assert stats and all("k" in z for z in stats.values())
+    files = table.pruned_files("k", 100, 200)
+    assert files is not None and 0 < len(files) < len(stats)
+    got = table.read_pruned("k", 100, 200)
+    want = table.read().where(F.col("k").between(100, 200))
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in want.collect())
+
+
+def test_zone_map_fail_open(spark, table):
+    # version written WITHOUT stats -> pruning falls back to full read;
+    # out-of-range band on a stats version -> empty frame, same schema
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    table.write(df)
+    assert table.file_stats() is None
+    assert table.read_pruned("k", 10, 20).count() == 11
+    table.write(df, stats_cols=["k"], cluster_by="k", cluster_files=4)
+    empty = table.read_pruned("k", 10_000, 20_000)
+    assert empty.count() == 0 and empty.columns == ["k"]
+
+
+def test_zone_map_string_column(spark, table):
+    df = spark.createDataFrame(
+        [(f"{i:04d}", i) for i in range(1000)], "s STRING, v INT"
+    )
+    table.write(df, stats_cols=["s", "v"], cluster_by="s", cluster_files=5)
+    got = table.read_pruned("s", "0100", "0199").count()
+    assert got == 100
