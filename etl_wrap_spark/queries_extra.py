@@ -15,6 +15,7 @@ BIGINT-cast integer sums, integer floor-division for scores.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_wrap_spark.catalog import register
 from etl_wrap_spark.operators import text as T
@@ -1353,4 +1354,100 @@ def q100_lake_pruned_read(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
         .orderBy("prio")
+    )
+
+
+# ------------------------------------ rolling time-range window (q101)
+@register(
+    "q101_rolling_spend_30d",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders WHERE o_custkey % 50 = 0
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(p) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS VARCHAR) AS DOUBLE) AS spend_30d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_30d
+    FROM o ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q101_rolling_spend_30d(spark, sf_dir):
+    """Rolling 30-day per-customer spend via a RANGE window frame over
+    epoch days (rangeBetween(-30, 0) on the date ordinal ==
+    RANGE BETWEEN INTERVAL 30 DAY PRECEDING): the time-series rollup
+    ROWS frames get wrong whenever a day holds several orders — RANGE
+    includes ALL peer rows of a date, which also makes the result
+    order-independent (engine-exact despite ties). One shuffle on the
+    customer key; frames never cross partitions."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"].where(F.col("o_custkey") % 50 == 0).select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("__day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("__day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.sum("p").over(w).cast("double").alias("spend_30d"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ------------------------------------ per-group decile bucketing (q102)
+@register(
+    "q102_quartile_bucketing",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS prio, o_totalprice AS p,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS tile,
+             CUME_DIST() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS cd
+      FROM orders
+    )
+    SELECT prio, CAST(tile AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(p) AS min_price, MAX(p) AS max_price,
+           MAX(cd) AS max_cume_dist
+    FROM r GROUP BY prio, tile ORDER BY prio, tile
+    """,
+)
+def q102_quartile_bucketing(spark, sf_dir):
+    """Feature bucketing: per-priority price quartiles via ntile over a
+    TOTAL order (price, orderkey — ties broken deterministically so both
+    engines assign identical buckets), summarized per bucket with
+    cume_dist coverage. The per-group window sort is one key shuffle;
+    buckets never cross partitions — the distributed quantile
+    discretizer without a collect."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = t["orders"].select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("p"),
+        F.ntile(4).over(w).alias("tile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        r.groupBy("prio", F.col("tile").cast("bigint").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("p").alias("min_price"),
+            F.max("p").alias("max_price"),
+            F.max("cd").alias("max_cume_dist"),
+        )
+        .orderBy("prio", "tile")
     )
