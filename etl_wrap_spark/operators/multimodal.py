@@ -75,6 +75,82 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     return [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]]
 
 
+def image_dimensions(content: bytes) -> tuple[str, int, int] | None:
+    """REAL (not stubbed) image metadata: (format, width, height) parsed
+    from the container HEADER with pure stdlib byte arithmetic — no
+    imaging library needed, because dimensions live in the first bytes
+    of every mainstream format:
+
+    - PNG: 8-byte signature, IHDR width/height big-endian at 16/20
+    - GIF87a/89a: logical screen w/h little-endian at 6/8
+    - BMP: 'BM', BITMAPINFOHEADER w/h little-endian at 18/22
+    - JPEG: marker scan to the first SOFn segment (height/width
+      big-endian at +5/+7 inside it)
+
+    Returns None for unrecognized/truncated payloads (fail-open: the
+    curation pipeline quarantines rather than crashes on dirty blobs).
+    Pixel DECODING stays behind `decode_image`'s documented stub.
+    """
+    b = content
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return ("png", int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big"))
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little"))
+    if len(b) >= 26 and b[:2] == b"BM":
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return ("bmp", abs(w), abs(h))
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None  # desynchronized marker stream
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+    return None
+
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("content_length", LongType()),
+        StructField("sha256", StringType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def with_image_meta(media: DataFrame) -> DataFrame:
+    """Attach (format, width, height) parsed from image headers — an
+    Arrow-batched mapInPandas pass over the binary column; unrecognized
+    blobs get NULL metadata (filter `format IS NULL` to quarantine).
+    Map-only: no shuffle, parallelism == partition count."""
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [image_dimensions(bytes(c)) for c in pdf["content"]]
+            out = pdf.drop(columns=["content"]).copy()
+            out["format"] = [m[0] if m else None for m in metas]
+            out["width"] = pd.array([m[1] if m else None for m in metas], dtype="Int64")
+            out["height"] = pd.array([m[2] if m else None for m in metas], dtype="Int64")
+            yield out
+
+    return media.mapInPandas(meta_batches, schema=IMAGE_META_SCHEMA)
+
+
 def media_frame_from_binary(df: DataFrame, id_col: str, content_col: str, kind: str) -> DataFrame:
     """Normalize an arbitrary (id, binary) frame into the MEDIA_SCHEMA
     shape — metadata derived in-plan (no Python)."""

@@ -943,3 +943,53 @@ def test_linear_attribution_split_semantics(spark):
     assert {r["user_id"] for r in got} == {1}
     assert all(r["n_touches"] == 2 and r["attributed_bp"] == 50000 for r in got)
     assert len(got) == 2  # one row per touchpoint
+
+
+def _png(w, h):
+    import struct, zlib
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 6
+
+
+def _bmp(w, h):
+    import struct
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 10
+
+
+def _jpeg(w, h):
+    import struct
+    # SOI + APP0 stub + SOF0 with height/width
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x00\x11\x00"
+    return b"\xff\xd8" + app0 + sof
+
+
+def test_image_dimensions_pure_stdlib():
+    assert multimodal.image_dimensions(_png(640, 480)) == ("png", 640, 480)
+    assert multimodal.image_dimensions(_gif(13, 37)) == ("gif", 13, 37)
+    assert multimodal.image_dimensions(_bmp(800, -600)) == ("bmp", 800, 600)
+    assert multimodal.image_dimensions(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert multimodal.image_dimensions(b"not an image") is None
+    assert multimodal.image_dimensions(b"\x89PNG\r\n\x1a\n tru") is None  # truncated
+
+
+def test_with_image_meta_distributed(spark):
+    rows = [
+        (1, _png(64, 32)), (2, _gif(5, 9)), (3, _jpeg(300, 200)),
+        (4, b"garbage bytes"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, blob BINARY")
+    media = multimodal.media_frame_from_binary(df, "id", "blob", "image")
+    out = {r.media_id: r for r in multimodal.with_image_meta(media).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 64, 32)
+    assert (out[2].format, out[2].width, out[2].height) == ("gif", 5, 9)
+    assert (out[3].format, out[3].width, out[3].height) == ("jpeg", 300, 200)
+    assert out[4].format is None and out[4].width is None
+    # metadata columns from the plan side still ride along
+    assert out[1].content_length == len(_png(64, 32))
