@@ -50,3 +50,31 @@ def annotate_violations(
         F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)) for name, cond in rules
     ]
     return df.withColumn(out_col, F.concat_ws(",", *flags))
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_keys: Sequence[str],
+    parent_keys: Sequence[str],
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit for one FK relation → a 1-row frame
+    (relation, n_child, n_orphans): child rows whose key has no parent.
+
+    Shape at 100 TB: one LEFT ANTI join per relation — Catalyst
+    broadcasts genuinely small parents and falls back to a shuffled
+    hash join on the key otherwise (never a full sort); NULL child keys
+    count as orphans (an FK that is NULL fails the contract — filter
+    them upstream if the schema allows optional references). Union the
+    per-relation frames for the whole-schema audit in one action.
+    """
+    ck, pk = list(child_keys), list(parent_keys)
+    cond = [child[c].eqNullSafe(parent[p]) for c, p in zip(ck, pk, strict=True)]
+    orphans = child.join(parent, cond, "left_anti")
+    n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+    n_orph = orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+    return (
+        n_child.crossJoin(n_orph)
+        .select(F.lit(relation).alias("relation"), "n_child", "n_orphans")
+    )

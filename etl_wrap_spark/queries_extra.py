@@ -1451,3 +1451,94 @@ def q102_quartile_bucketing(spark, sf_dir):
         )
         .orderBy("prio", "tile")
     )
+
+
+# ------------------------------------ event path analysis (q103)
+@register(
+    "q103_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q103_event_paths(spark, sf_dir):
+    """Behavioral path mining: every consecutive event-type trigram per
+    user (lead windows over the deterministic (ts, event_id) total
+    order — date ties can't flip paths between engines), counted
+    corpus-wide with per-path reach. One user-key window shuffle + one
+    path aggregation; top-20 via TakeOrderedAndProject, never a global
+    sort materialization."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"), "user_id")
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+# ------------------------------------ referential-integrity audit (q104)
+@register(
+    "q104_fk_audit",
+    oracle="""
+    SELECT 'lineitem.orderkey->orders' AS relation,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.partkey->part(sliced)',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 3 <> 0)) AS BIGINT)
+    ORDER BY relation
+    """,
+)
+def q104_fk_audit(spark, sf_dir):
+    """Whole-schema referential-integrity audit
+    (operators/validate.py:fk_orphans): one LEFT ANTI join per FK
+    relation, unioned into a single action. The third relation audits
+    against a deliberately punctured parent slice (every third part
+    removed) so the orphan counter is exercised on real violations, not
+    just zeros."""
+    from etl_wrap_spark.operators.validate import fk_orphans
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "part"])
+    audits = [
+        fk_orphans(t["lineitem"], t["orders"], ["l_orderkey"], ["o_orderkey"],
+                   "lineitem.orderkey->orders"),
+        fk_orphans(t["orders"], t["customer"], ["o_custkey"], ["c_custkey"],
+                   "orders.custkey->customer"),
+        fk_orphans(t["lineitem"], t["part"].where(F.col("p_partkey") % 3 != 0),
+                   ["l_partkey"], ["p_partkey"], "lineitem.partkey->part(sliced)"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("relation")

@@ -53,3 +53,29 @@ def test_mad_outliers_flags(spark, vals_df):
     # group b: MAD == 0 (constant-dominated) -> the lone 6 deviates
     b = out.where((F.col("g") == "b") & F.col("_outlier"))
     assert [r.v for r in b.collect()] == [6.0]
+
+
+# ------------------------------------------------- FK audit (validate.py)
+
+
+def test_fk_orphans_counts_and_null_keys(spark):
+    from etl_wrap_spark.operators.validate import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (9, "d")], "k LONG, v STRING"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk LONG")
+    row = fk_orphans(child, parent, ["k"], ["pk"], "c->p").collect()[0]
+    # 9 has no parent; NULL key is an orphan by contract
+    assert (row.relation, row.n_child, row.n_orphans) == ("c->p", 4, 2)
+
+
+def test_fk_orphans_composite_key(spark):
+    from etl_wrap_spark.operators.validate import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "a LONG, b LONG"
+    )
+    parent = spark.createDataFrame([(1, 10), (2, 10)], "pa LONG, pb LONG")
+    row = fk_orphans(child, parent, ["a", "b"], ["pa", "pb"], "x").collect()[0]
+    assert row.n_orphans == 1
