@@ -1542,3 +1542,48 @@ def q104_fk_audit(spark, sf_dir):
     for a in audits[1:]:
         out = out.unionByName(a)
     return out.orderBy("relation")
+
+
+# ------------------------------------ privacy release pipeline (q105)
+@register(
+    "q105_privacy_release",
+    oracle="""
+    WITH p AS (
+      SELECT sha256('q105:' || CAST(o_custkey AS VARCHAR)) AS cust_token,
+             o_orderpriority,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ), g AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY o_orderpriority, EXTRACT(year FROM d)) AS ksz
+      FROM p
+    )
+    SELECT cust_token, o_orderpriority,
+           CAST(EXTRACT(year FROM d) AS INT) AS yr,
+           CAST(CAST(price AS VARCHAR) AS DOUBLE) AS price
+    FROM g WHERE ksz >= 500
+    ORDER BY cust_token, o_orderpriority, yr, price
+    """,
+)
+def q105_privacy_release(spark, sf_dir):
+    """The structured-data release pipeline (operators/privacy.py):
+    customer keys become salted sha256 tokens (deterministic per salt —
+    joins within the release still line up; destroy the salt and the
+    tokens are crypto-shredded), then k-anonymity suppression drops
+    rows whose (priority, order-year) quasi-identifier combination is
+    rarer than k=500. Both steps are map-only + one quasi-key window
+    count; the oracle recomputes tokens and the gate bit-for-bit."""
+    from etl_wrap_spark.operators.privacy import k_suppress, pseudonymize
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"].select(
+        F.col("o_custkey").cast("string").alias("cust_token"),
+        "o_orderpriority",
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    p = pseudonymize(o, ["cust_token"], "q105")
+    released = k_suppress(p, ["o_orderpriority", "yr"], k=500)
+    return released.select(
+        "cust_token", "o_orderpriority", "yr", F.col("price").cast("double").alias("price")
+    ).orderBy("cust_token", "o_orderpriority", "yr", "price")

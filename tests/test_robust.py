@@ -79,3 +79,30 @@ def test_fk_orphans_composite_key(spark):
     parent = spark.createDataFrame([(1, 10), (2, 10)], "pa LONG, pb LONG")
     row = fk_orphans(child, parent, ["a", "b"], ["pa", "pb"], "x").collect()[0]
     assert row.n_orphans == 1
+
+
+# ------------------------------------------------- privacy (privacy.py)
+
+
+def test_pseudonymize_deterministic_and_null_safe(spark):
+    from etl_wrap_spark.operators.privacy import pseudonymize
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id LONG, who STRING")
+    a = {r.id: r.who for r in pseudonymize(df, ["who"], "s1").collect()}
+    b = {r.id: r.who for r in pseudonymize(df, ["who"], "s1").collect()}
+    c = {r.id: r.who for r in pseudonymize(df, ["who"], "OTHER").collect()}
+    assert a[1] == b[1] and len(a[1]) == 64      # stable within a salt
+    assert a[1] != c[1]                          # salt rotation breaks linkage
+    assert a[2] is None                          # NULL never becomes a token
+
+
+def test_k_suppress_drop_and_null_modes(spark):
+    from etl_wrap_spark.operators.privacy import k_suppress
+
+    rows = [("a", 1)] * 5 + [("b", 2)] * 2
+    df = spark.createDataFrame(rows, "q STRING, v INT")
+    dropped = k_suppress(df, ["q"], k=3, mode="drop")
+    assert dropped.count() == 5 and {r.q for r in dropped.collect()} == {"a"}
+    nulled = k_suppress(df, ["q"], k=3, mode="null")
+    assert nulled.count() == 7
+    assert nulled.where(F.col("q").isNull()).count() == 2
