@@ -149,7 +149,7 @@ class AtomicTable:
         self,
         df: DataFrame,
         stats_cols: Sequence[str] | None = None,
-        cluster_by: str | None = None,
+        cluster_by: str | Column | None = None,
         cluster_files: int | None = None,
     ) -> str:
         """Write the full new state into a uniquely-named staging dir —
@@ -160,14 +160,17 @@ class AtomicTable:
         columns into ``_stats.json`` inside the staged dir, harvested
         from the parquet FOOTERS (pyarrow metadata — no data re-scan).
         ``cluster_by``: range-repartition on that column first so zones
-        are tight and disjoint (the 1-D layout for pruning; compose with
-        sinks/parquet.py:zorder_key for multi-column). The footer walk
+        are tight and disjoint — a name for the 1-D layout, or any
+        Column expression (pass sinks/parquet.py:zorder_key(cols) for a
+        multi-column Morton layout: every file then covers a compact
+        hyper-rectangle, so zone maps prune on ANY of the interleaved
+        columns). The footer walk
         is a driver loop over file METADATA — manifest-scale work, the
         same class as Delta checkpoint maintenance; parallelize over an
         executor RDD if a single version ever holds millions of files.
         """
         staged = os.path.join(self.root, "_staging", uuid.uuid4().hex)
-        if cluster_by:
+        if cluster_by is not None:  # truthiness on a Column raises
             out = (
                 df.repartitionByRange(cluster_files, cluster_by)
                 if cluster_files
@@ -252,7 +255,7 @@ class AtomicTable:
         df: DataFrame,
         expected: int | None,
         stats_cols: Sequence[str] | None = None,
-        cluster_by: str | None = None,
+        cluster_by: str | Column | None = None,
         cluster_files: int | None = None,
     ) -> int:
         new_v = (expected or 0) + 1
@@ -264,7 +267,7 @@ class AtomicTable:
         self,
         df: DataFrame,
         stats_cols: Sequence[str] | None = None,
-        cluster_by: str | None = None,
+        cluster_by: str | Column | None = None,
         cluster_files: int | None = None,
     ) -> int:
         """Full refresh (reference K5) as one atomic version bump; see

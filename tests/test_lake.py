@@ -168,3 +168,23 @@ def test_zone_map_string_column(spark, table):
     table.write(df, stats_cols=["s", "v"], cluster_by="s", cluster_files=5)
     got = table.read_pruned("s", "0100", "0199").count()
     assert got == 100
+
+
+def test_zone_map_zorder_multi_column_pruning(spark, table):
+    # Morton-clustered write: zone maps must prune on BOTH interleaved
+    # columns, which a 1-D range layout only gives the leading column.
+    from etl_wrap_spark.sinks.parquet import zorder_key
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    table.write(
+        df, stats_cols=["a", "b"],
+        cluster_by=zorder_key(["a", "b"], bits=6), cluster_files=16,
+    )
+    n_all = len(table.file_stats())
+    for col in ("a", "b"):
+        kept = table.pruned_files(col, 0, 7)
+        assert 0 < len(kept) < n_all, f"no pruning on {col}"
+        got = table.read_pruned(col, 0, 7).count()
+        assert got == table.read().where(F.col(col).between(0, 7)).count()
