@@ -1587,3 +1587,105 @@ def q105_privacy_release(spark, sf_dir):
     return released.select(
         "cust_token", "o_orderpriority", "yr", F.col("price").cast("double").alias("price")
     ).orderBy("cust_token", "o_orderpriority", "yr", "price")
+
+
+# ------------------------------------ cumulative stock allocation (q106)
+@register(
+    "q106_stock_allocation",
+    oracle="""
+    WITH sl AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             100 + (l_partkey % 7) * 25 AS stock
+      FROM lineitem WHERE l_partkey % 100 = 0
+    ), c AS (
+      SELECT *,
+             COALESCE(SUM(qty) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_orderkey, l_linenumber, qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM sl
+    )
+    SELECT l_partkey, l_orderkey, l_linenumber, qty,
+           CAST(cum_before AS BIGINT) AS cum_before,
+           CAST(LEAST(qty, GREATEST(stock - cum_before, 0)) AS BIGINT) AS allocated,
+           CASE WHEN stock - cum_before >= qty THEN 'fill'
+                WHEN stock - cum_before > 0 THEN 'partial'
+                ELSE 'backorder' END AS status
+    FROM c ORDER BY l_partkey, l_orderkey, l_linenumber, qty
+    """,
+)
+def q106_stock_allocation(spark, sf_dir):
+    """Greedy cumulative allocation — the running-total business rule
+    (first-come-first-served stock fills with partial/backorder states)
+    as one window cumsum per part, never a per-key loop. The allocation
+    order (orderkey, linenumber, qty) is a total order UP TO identical
+    rows, whose outputs are interchangeable — so the result multiset is
+    engine-deterministic even though (orderkey, linenumber) alone is
+    not unique in this synthetic lineitem (the documented gotcha).
+    Integer arithmetic throughout."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    sl = t["lineitem"].where(F.col("l_partkey") % 100 == 0).select(
+        "l_partkey", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.lit(100) + (F.col("l_partkey") % 7) * 25).alias("stock"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_orderkey", "l_linenumber", "qty")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = sl.withColumn("cum_before", F.coalesce(F.sum("qty").over(w), F.lit(0)))
+    rem = F.col("stock") - F.col("cum_before")
+    return (
+        c.select(
+            "l_partkey", "l_orderkey", "l_linenumber", "qty",
+            F.col("cum_before").cast("bigint").alias("cum_before"),
+            F.least(F.col("qty"), F.greatest(rem, F.lit(0))).cast("bigint").alias("allocated"),
+            F.when(rem >= F.col("qty"), "fill")
+            .when(rem > 0, "partial")
+            .otherwise("backorder")
+            .alias("status"),
+        )
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber", "qty")
+    )
+
+
+# ------------------------------------ canonical dedup selection (q107)
+def _canonical_oracle() -> str:
+    from etl_wrap_spark.queries_tail import _CC_ORACLE
+
+    base = _CC_ORACLE.rsplit("SELECT id AS doc_id", 1)[0]
+    return base + """, comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM walk GROUP BY id
+    ), scored AS (
+      SELECT c.doc_id, c.component, length(d.text) AS score
+      FROM comp c JOIN documents d USING (doc_id)
+    ), mx AS (
+      SELECT component, MAX(score) AS msc FROM scored GROUP BY component
+    ), best AS (
+      SELECT s.component, MIN(s.doc_id) AS winner
+      FROM scored s JOIN mx ON s.component = mx.component AND s.score = mx.msc
+      GROUP BY s.component
+    )
+    SELECT s.doc_id, s.component, s.doc_id = b.winner AS keep
+    FROM scored s JOIN best b USING (component) ORDER BY s.doc_id
+    """
+
+
+@register("q107_canonical_selection", oracle=_canonical_oracle())
+def q107_canonical_selection(spark, sf_dir):
+    """The full dedup decision pipeline: LSH near-dup pairs → connected
+    components → QUALITY-aware keeper per component
+    (dedup.select_canonicals: max score, ties to lowest id — here score
+    = text length, the 'keep the longest variant' curation default).
+    Converts the previously pytest-only canonical-selection policy into
+    an oracle-checked end-to-end path; the oracle replays exact-Jaccard
+    pairs, a recursive-CTE labeling, and the same argmax."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    pairs = _dedup.near_dup_pairs_minhash(docs, "doc_id", "text", n=3, num=2, den=1)
+    comp = _dedup.connected_components(pairs)
+    scores = docs.select("doc_id", F.length("text").alias("score"))
+    return _dedup.select_canonicals(comp, scores).orderBy("doc_id")
