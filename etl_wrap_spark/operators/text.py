@@ -440,6 +440,53 @@ def bigram_lm_scores(df, id_col: str, text_col: str, lm_df=None):
     )
 
 
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+):
+    """Sliding-window document chunking — the retrieval/embedding
+    pipeline's splitter: fixed token windows with overlap so no span is
+    ever cut without context on one side.
+
+    Chunk k covers tokens [1 + k*stride, ... + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk starts at the final
+    stride multiple that still leaves unseen tokens (every token is in
+    >= 1 chunk, short docs yield exactly one). Pure array arithmetic —
+    one tokenization per row, starts from an integer sequence, chunk
+    text by slice — so a 100 TB corpus chunks map-only with no shuffle
+    and no UDF.
+
+    → (id, chunk_idx, start_token, n_tokens, chunk_text)
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.col("__t")
+    n = F.size(t)
+    # number of ADDITIONAL chunks past the first: ceil((n - C) / stride)
+    # with nonnegative operands (floor == truncate, engine-agnostic)
+    extra = F.when(
+        n <= chunk_tokens, F.lit(0)
+    ).otherwise((n - chunk_tokens + stride - 1).cast("bigint") / stride).cast("bigint")
+    starts = F.sequence(F.lit(1).cast("bigint"), 1 + extra * stride, F.lit(stride).cast("bigint"))
+    exploded = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(id_col, "__t", F.posexplode(starts).alias("chunk_idx", "start_token"))
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "start_token",
+        F.least(F.lit(chunk_tokens).cast("bigint"), F.size("__t") - F.col("start_token") + 1)
+        .alias("n_tokens"),
+        F.concat_ws(" ", F.slice("__t", F.col("start_token").cast("int"), chunk_tokens))
+        .alias("chunk_text"),
+    )
+
+
 # ------------------------------------------------- web-text cleanup (markup)
 # RE2-safe tag pattern + the entity set worth decoding without a full
 # HTML parser. Both are cross-engine exact: Spark and DuckDB run the

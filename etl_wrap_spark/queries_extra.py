@@ -1689,3 +1689,42 @@ def q107_canonical_selection(spark, sf_dir):
     comp = _dedup.connected_components(pairs)
     scores = docs.select("doc_id", F.length("text").alias("score"))
     return _dedup.select_canonicals(comp, scores).orderBy("doc_id")
+
+
+# ------------------------------------ RAG document chunking (q108)
+@register(
+    "q108_document_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 0
+                  ELSE (len(t) - 64 + 55) // 56 END AS extra
+      FROM toks
+    ), st AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(1, 1 + extra * 56, 56)) AS start_token
+      FROM base
+    )
+    SELECT doc_id,
+           CAST((start_token - 1) // 56 AS BIGINT) AS chunk_idx,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(LEAST(64, n - start_token + 1) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(t, start_token, start_token + 63), ' ')) AS chunk_md5
+    FROM st ORDER BY doc_id, chunk_idx
+    """,
+)
+def q108_document_chunking(spark, sf_dir):
+    """Retrieval-pipeline chunking (operators/text.py:chunk_documents):
+    64-token windows with 8-token overlap (stride 56) — every token
+    lands in at least one chunk, short docs yield exactly one, and the
+    whole split is map-only array arithmetic (no shuffle, no UDF).
+    Chunk text is surfaced as md5 so the oracle compares full content
+    without hauling it through the hash comparator."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    chunks = T.chunk_documents(t["documents"], "doc_id", "text", 64, 8)
+    return chunks.select(
+        "doc_id", "chunk_idx", "start_token", "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -189,3 +189,20 @@ def test_bigram_lm_self_mode_singleton_context(spark):
     # documented self-LM caveat: singleton contexts score P=1 (10000 bp)
     row = bigram_lm_scores(docs, "doc_id", "text").collect()[0]
     assert row.lm_score_bp == 10000
+
+
+def test_chunking_coverage_and_overlap(spark):
+    from etl_wrap_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "a b c")], "doc_id LONG, text STRING")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=64, overlap=8).collect()
+    d1 = sorted((r.chunk_idx, r.start_token, r.n_tokens) for r in out if r.doc_id == 1)
+    # 150 tokens, stride 56: starts 1, 57, 113 -> last covers through 150
+    assert d1 == [(0, 1, 64), (1, 57, 64), (2, 113, 38)]
+    # consecutive chunks overlap by exactly 8 tokens
+    chunks = {r.chunk_idx: r.chunk_text.split(" ") for r in out if r.doc_id == 1}
+    assert chunks[0][-8:] == chunks[1][:8]
+    # short doc -> exactly one whole-doc chunk
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "a b c" and d2[0].n_tokens == 3
