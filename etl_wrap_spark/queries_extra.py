@@ -1728,3 +1728,86 @@ def q108_document_chunking(spark, sf_dir):
         "doc_id", "chunk_idx", "start_token", "n_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ------------------------------------ TPC-H Q17 shape: small-order revenue (q109)
+@register(
+    "q109_small_order_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk, AVG(CAST(l_quantity AS DECIMAL(18,4))) AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS lost_revenue
+    FROM lineitem JOIN pa ON pa.pk = l_partkey
+    WHERE CAST(l_quantity AS DECIMAL(18,4)) < CAST(0.5 AS DECIMAL(18,4)) * avg_qty
+    """,
+)
+def q109_small_order_revenue(spark, sf_dir):
+    """TPC-H Q17's correlated-aggregate shape: each lineitem compared
+    against ITS part's average quantity. Expressed as the decorrelated
+    plan Catalyst would produce anyway (per-part AVG aggregate joined
+    back on the part key — one shuffle each side, map-side partial
+    avg); the quantity comparison stays in exact decimal so the filter
+    cut is engine-identical."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    pa = t["lineitem"].groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg(qty).alias("avg_qty")
+    )
+    li = t["lineitem"].join(pa, F.col("l_partkey") == F.col("pk"))
+    return (
+        li.where(qty < F.lit(0.5).cast("decimal(18,4)") * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("lost_revenue"),
+        )
+    )
+
+
+# ------------------------------------ TPC-H Q15 shape: top supplier view (q110)
+@register(
+    "q110_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS sk,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = sk
+    WHERE total = (SELECT MAX(total) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q110_top_supplier(spark, sf_dir):
+    """TPC-H Q15's view-with-scalar-max shape: a windowed-year revenue
+    aggregate reused twice — once for the scalar MAX, once to pick the
+    achieving supplier(s). The revenue subplan appears in both branches
+    and ReuseExchange collapses the duplicate aggregation; the scalar
+    max arrives via a 1-row broadcast (cross) join, never a driver
+    collect. Exact-decimal revenue keeps the equality cut portable."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc)).alias("total"))
+    )
+    mx = rev.agg(F.max("total").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total") == F.col("__mx"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("sk"))
+        .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
