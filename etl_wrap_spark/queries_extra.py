@@ -928,11 +928,13 @@ def q90_linear_attribution(spark, sf_dir):
 def q91_fuzzy_linkage(spark, sf_dir):
     """Edit-distance record linkage (operators/linkage.py:fuzzy_join):
     a deterministically dirtied copy of part names (char 6 deleted) is
-    reconciled against the clean slice with levenshtein <= 1 via
-    LOSSLESS 2-gram blocking (count-filter bound; min name length 7
-    satisfies len >= q + q*d) + exact banded-DP verify — never the
-    O(N^2) cross join the oracle runs. Engine-exact because verify is
-    exact and blocking provably misses nothing at these lengths."""
+    reconciled against the clean slice with levenshtein <= 1 via the
+    LOSSLESS Ed-Join prefix filter (each string indexes only its
+    q*d+1 globally-rarest 2-grams; min name length 7 satisfies
+    len >= q + q*d) + exact banded-DP verify — never the O(N^2) cross
+    join the oracle runs. Engine-exact because verify is exact and
+    prefix blocking provably misses nothing; measured recall 1.0 at
+    1e5 docs where a df-cap blocking collapses to 0 (SCALING.md)."""
     from etl_wrap_spark.operators.linkage import fuzzy_join
 
     t = load_tables(spark, sf_dir, ["part"])

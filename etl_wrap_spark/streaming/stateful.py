@@ -56,3 +56,61 @@ def running_totals(events: DataFrame, key_col: str = "user_id", value_col: str =
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def first_seen_with_ttl(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    ttl_minutes: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming first-occurrence dedup with EVENT-TIME state expiry —
+    the TTL variant ``dropDuplicatesWithinWatermark`` can't express:
+    a key is emitted on first sight, suppressed while its state lives,
+    and RE-ADMITTED (emitted again) once the watermark passes
+    last-sighting + ttl and the timeout removes the state.  That is the
+    production contract for "notify once per incident per hour" /
+    re-crawl-after-cooldown pipelines, where re-emission is the point.
+
+    Sliding TTL: every sighting re-arms the timeout at
+    event_time + ttl.  State is one BIGINT per live key; expired keys
+    are removed by the EventTimeTimeout invocation (hasTimedOut), so
+    state size tracks the ACTIVE key population, not history — the
+    bounded-state posture of §2.9.  Update output mode: pair with
+    foreachBatch for file sinks (the documented gotcha).
+    """
+    key_dt = dict(events.dtypes)[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, events.schema[key_col].dataType),
+            StructField("first_ts", events.schema[ts_col].dataType),
+        ]
+    )
+    ttl_ms = ttl_minutes * 60 * 1000
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs))
+        last_ms = int(rows[ts_col].max().value // 10**6)
+        if not state.exists:
+            first = rows[ts_col].min()
+            state.update((int(first.value // 10**6),))
+            yield pd.DataFrame({key_col: [key[0]], "first_ts": [first]})
+        # re-arm on every sighting (sliding TTL since LAST occurrence)
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+
+    _ = key_dt  # documented: output key type mirrors the input dtype
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="first_ms BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

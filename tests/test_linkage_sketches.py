@@ -59,7 +59,8 @@ def _brute_pairs(max_dist):
 
 
 @pytest.mark.parametrize("max_dist", [1, 2])
-def test_fuzzy_join_matches_brute_force(spark, names_df, max_dist):
+@pytest.mark.parametrize("block", ["prefix", "all"])
+def test_fuzzy_join_matches_brute_force(spark, names_df, max_dist, block):
     right = names_df.select(
         F.col("lid").alias("rid"), F.col("lname").alias("rname")
     )
@@ -67,7 +68,7 @@ def test_fuzzy_join_matches_brute_force(spark, names_df, max_dist):
         (r.lid, r.rid, r.dist)
         for r in fuzzy_join(
             names_df, right, "lid", "lname", "rid", "rname",
-            max_dist=max_dist, q=2,
+            max_dist=max_dist, q=2, block=block,
         ).collect()
     }
     assert got == _brute_pairs(max_dist)
@@ -90,7 +91,7 @@ def test_fuzzy_join_max_df_caps_hot_grams(spark, names_df):
     )
     got = fuzzy_join(
         names_df, right, "lid", "lname", "rid", "rname",
-        max_dist=1, q=2, max_df=0,
+        max_dist=1, q=2, block="all", max_df=0,
     ).count()
     assert got == 0
 

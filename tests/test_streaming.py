@@ -326,3 +326,56 @@ def test_stream_upsert_to_lake_atomic_merge(spark, tmp_path):
     # the pre-batch version is still readable (time travel survives)
     old = {r["event_id"]: r["value"] for r in table.read(version=v1).collect()}
     assert old == {1: "1.0", 2: "2.0"}
+
+
+def test_first_seen_with_ttl_readmits_after_expiry(spark, tmp_path):
+    """TTL dedup contract: first sight emits, in-TTL duplicate is
+    suppressed, and once the watermark passes last-sighting + ttl the
+    EventTimeTimeout removes the state so the key re-emits — the
+    re-admittance dropDuplicatesWithinWatermark cannot express."""
+    from etl_wrap_spark.streaming.stateful import first_seen_with_ttl
+
+    d = tmp_path / "ttl_in"
+    out_rows = []
+
+    def drain():
+        stream = ingest.read_csv_stream(spark, str(d), SCHEMA)
+        dedup = first_seen_with_ttl(
+            stream.select("event_id", "user_id", "ts"),
+            key_col="user_id", ts_col="ts", ttl_minutes=60, watermark="10 minutes",
+        )
+        q = (
+            dedup.writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ttl_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: first sight of user 10 -> emitted
+    _write_events_csv(d / "b1.csv", [(1, 10, "click", "1.0", "2024-01-01 10:00:00")])
+    drain()
+    assert [r.user_id for r in out_rows] == [10]
+
+    # batch 2: duplicate within TTL -> suppressed (state alive)
+    _write_events_csv(d / "b2.csv", [(2, 10, "click", "1.0", "2024-01-01 10:20:00")])
+    drain()
+    assert [r.user_id for r in out_rows] == [10]
+
+    # batch 3: unrelated key far in the future advances the watermark
+    # beyond 10's timeout (10:20 + 60m = 11:20) — watermark updates at
+    # batch END, so the timeout can only FIRE in a later batch
+    _write_events_csv(d / "b3.csv", [(3, 99, "view", "1.0", "2024-01-01 14:00:00")])
+    drain()
+    # batch 4: watermark now 13:50 > 11:20, and 10 has NO data in this
+    # batch -> its group gets the hasTimedOut invocation (state removed)
+    _write_events_csv(d / "b4.csv", [(5, 98, "view", "1.0", "2024-01-01 14:05:00")])
+    drain()
+    # batch 5: 10 returns after expiry -> re-emitted
+    _write_events_csv(d / "b5.csv", [(4, 10, "click", "1.0", "2024-01-01 14:10:00")])
+    drain()
+    emitted = [r.user_id for r in out_rows]
+    assert emitted.count(10) == 2 and 99 in emitted and 98 in emitted

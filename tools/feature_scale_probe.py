@@ -37,12 +37,12 @@ from etl_wrap_spark.session import get_session
 
 def ensure_corpus(n: int) -> str:
     out = f"/tmp/doccorpus_{n}"
-    if not os.path.isdir(out):
+    if not os.path.isdir(os.path.join(out, "documents.parquet")):
         subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "make_doc_corpus.py"), str(n), out],
             check=True,
         )
-    return out
+    return os.path.join(out, "documents.parquet")
 
 
 def main():
@@ -101,19 +101,19 @@ def main():
         t0 = time.time()
         cands_capped = cand_count(max_df=200)
         t_capped = round(time.time() - t0, 2)
-        t0 = time.time()
-        linked = fuzzy_join(
-            dirty, titles, "did", "dtitle", "tid", "title",
-            max_dist=1, q=2, max_df=200,
-        )
-        # planted self-link recall: dirty(doc) must match clean(doc)
-        hits = linked.where(F.col("did") - 10_000_000 == F.col("tid")).count()
-        out["fuzzy_linkage"] = {
-            "wall_s": round(time.time() - t0, 2),
-            "cand_pairs_capped": cands_capped,
-            "cand_wall_s": t_capped,
-            "planted_recall": round(hits / n, 4),
-        }
+        out["fuzzy_linkage"] = {"cand_pairs_dfcap200": cands_capped, "cand_wall_s": t_capped}
+        for mode in ("prefix",):
+            t0 = time.time()
+            linked = fuzzy_join(
+                dirty, titles, "did", "dtitle", "tid", "title",
+                max_dist=1, q=2, block=mode,
+            )
+            # planted self-link recall: dirty(doc) must match clean(doc)
+            hits = linked.where(F.col("did") - 10_000_000 == F.col("tid")).count()
+            out["fuzzy_linkage"][mode] = {
+                "wall_s": round(time.time() - t0, 2),
+                "planted_recall": round(hits / n, 4),
+            }
         print(json.dumps(out), flush=True)
         with open("/tmp/feature_scale_probe.jsonl", "a") as fh:
             fh.write(json.dumps(out) + "\n")
