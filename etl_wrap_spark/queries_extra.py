@@ -1813,3 +1813,135 @@ def q110_top_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
+
+
+# ------------------------------------ TPC-H Q2 shape: cheapest supplier (q111)
+@register(
+    "q111_cheapest_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(FLOOR(10000 * l_extendedprice / l_quantity) AS BIGINT)) AS unit_bp
+      FROM lineitem WHERE l_partkey % 40 = 0 AND l_quantity > 0
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT pk, MIN(unit_bp) AS best_bp FROM unit GROUP BY pk
+    )
+    SELECT u.pk AS p_partkey, CAST(MIN(u.sk) AS BIGINT) AS s_suppkey,
+           CAST(MIN(u.unit_bp) AS BIGINT) AS unit_bp
+    FROM unit u JOIN best b ON u.pk = b.pk AND u.unit_bp = b.best_bp
+    GROUP BY u.pk ORDER BY u.pk
+    """,
+)
+def q111_cheapest_supplier(spark, sf_dir):
+    """TPC-H Q2's per-group argmin shape on this schema: the cheapest
+    supplier per part by best observed unit price (integer basis
+    points — floor keeps the division engine-exact). Decorrelated to
+    (part, supplier) MIN aggregate -> per-part scalar MIN -> equality
+    join back, ties to the lowest supplier; both aggregations combine
+    map-side on the same part-key shuffle."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    unit_bp = F.floor(
+        F.lit(10000) * F.col("l_extendedprice") / F.col("l_quantity")
+    ).cast("bigint")
+    unit = (
+        t["lineitem"]
+        .where((F.col("l_partkey") % 40 == 0) & (F.col("l_quantity") > 0))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min(unit_bp).alias("unit_bp"))
+    )
+    best = (
+        unit.groupBy("pk")
+        .agg(F.min("unit_bp").alias("best_bp"))
+        .withColumnRenamed("pk", "bpk")
+    )
+    return (
+        unit.join(
+            best, (F.col("pk") == F.col("bpk")) & (F.col("unit_bp") == F.col("best_bp"))
+        )
+        .groupBy(F.col("pk").alias("p_partkey"))
+        .agg(
+            F.min("sk").cast("bigint").alias("s_suppkey"),
+            F.min("unit_bp").cast("bigint").alias("unit_bp"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ------------------------------------ column-level drift profile (q112)
+@register(
+    "q112_column_drift",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN '9-RECHECK' ELSE o_orderpriority END AS o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2))
+               + CASE WHEN o_orderkey % 17 = 0 THEN 1 ELSE 0 END AS price
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), j AS (
+      SELECT * FROM old JOIN new USING (o_orderkey)
+    )
+    SELECT 'o_orderstatus' AS col,
+           CAST(COUNT(CASE WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 1 END) AS BIGINT) AS n_changed,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM old JOIN new USING (o_orderkey)
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(CASE WHEN old.o_orderpriority IS DISTINCT FROM new.o_orderpriority THEN 1 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM old JOIN new USING (o_orderkey)
+    UNION ALL
+    SELECT 'price',
+           CAST(COUNT(CASE WHEN old.price IS DISTINCT FROM new.price THEN 1 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM old JOIN new USING (o_orderkey)
+    ORDER BY col
+    """,
+)
+def q112_column_drift(spark, sf_dir):
+    """Column-level drift between two table versions — the schema-wide
+    companion of q62's row-level snapshot diff: for keys present in
+    BOTH versions, per-column changed-value counts (null-safe
+    comparison), computed in ONE keyed join + one aggregation emitting
+    a row per column via explode of per-column change structs — never
+    a scan per column."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    old = o.where(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    new = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, "X").otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 11 == 0, "9-RECHECK").otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            + F.when(F.col("o_orderkey") % 17 == 0, 1).otherwise(0)
+        ).alias("price"),
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "price"]
+    j = old.alias("a").join(new.alias("b"), "o_orderkey")
+    changes = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                (~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))).cast("int").alias("chg"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        j.select(F.explode(changes).alias("x"))
+        .groupBy(F.col("x.col").alias("col"))
+        .agg(
+            F.sum("x.chg").cast("bigint").alias("n_changed"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        )
+        .orderBy("col")
+    )
