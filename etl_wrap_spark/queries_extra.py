@@ -1945,3 +1945,77 @@ def q112_column_drift(spark, sf_dir):
         )
         .orderBy("col")
     )
+
+
+# ------------------------------------ incremental join-view maintenance (q113)
+@register(
+    "q113_incremental_join_view",
+    oracle="""
+    WITH a_new AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderkey % 50 = 0
+        AND ((o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0) OR o_orderkey % 7 = 0)
+    ), b_new AS (
+      SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+      WHERE l_orderkey % 50 = 0
+        AND ((l_orderkey % 11 <> 0 AND l_orderkey % 13 <> 0) OR l_orderkey % 11 = 0)
+    )
+    SELECT a_new.o_orderkey,
+           MIN(o_orderpriority) AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(qty) AS BIGINT) AS qty_sum
+    FROM a_new JOIN b_new ON l_orderkey = o_orderkey
+    GROUP BY a_new.o_orderkey ORDER BY a_new.o_orderkey
+    """,
+)
+def q113_incremental_join_view(spark, sf_dir):
+    """Incremental maintenance of a materialized JOIN view
+    (operators/incremental_join.py): the standing orders x lineitem
+    view absorbs CDC on BOTH sides via the bilinear delta rule
+    d(A JOIN B) = dA JOIN B + A JOIN dB + dA JOIN dB over signed
+    multiplicities — the petabyte fact-fact join is never recomputed;
+    only delta-vs-base joins run. The oracle recomputes the post-delta
+    join from scratch, so the delta algebra is value-checked exactly.
+    Old bases: orders/lineitems with key % 7 / % 11 != 0; deletes are
+    the % 3 / % 13 members of the old slice; inserts are the % 7 /
+    % 11 = 0 rows."""
+    from etl_wrap_spark.operators.incremental_join import (
+        join_view,
+        merge_join_delta,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    k = F.col("o_orderkey")
+    a_all = t["orders"].where(k % 50 == 0).select("o_orderkey", "o_orderpriority")
+    a_old = a_all.where((k % 7 != 0))
+    da = (
+        a_old.where(k % 3 == 0).select("*", F.lit("delete").alias("_op"))
+        .unionByName(a_all.where(k % 7 == 0).select("*", F.lit("insert").alias("_op")))
+    )
+    lk = F.col("l_orderkey")
+    b_all = t["lineitem"].where(lk % 50 == 0).select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    b_old = b_all.where(lk % 11 != 0)
+    db = (
+        b_old.where(lk % 13 == 0).select("*", F.lit("delete").alias("_op"))
+        .unionByName(b_all.where(lk % 11 == 0).select("*", F.lit("insert").alias("_op")))
+    )
+    a_keyed = a_old.withColumnRenamed("o_orderkey", "k")
+    b_keyed = b_old.withColumnRenamed("l_orderkey", "k")
+    view = join_view(a_keyed, b_keyed, ["k"])
+    merged = merge_join_delta(
+        view, a_keyed, b_keyed,
+        da.withColumnRenamed("o_orderkey", "k"),
+        db.withColumnRenamed("l_orderkey", "k"),
+        ["k"],
+    )
+    return (
+        merged.groupBy(F.col("k").alias("o_orderkey"))
+        .agg(
+            F.min("o_orderpriority").alias("prio"),
+            F.sum("_w").cast("bigint").alias("n_rows"),
+            F.sum(F.col("qty") * F.col("_w")).cast("bigint").alias("qty_sum"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -106,3 +106,58 @@ def test_k_suppress_drop_and_null_modes(spark):
     nulled = k_suppress(df, ["q"], k=3, mode="null")
     assert nulled.count() == 7
     assert nulled.where(F.col("q").isNull()).count() == 2
+
+
+# ------------------------------------- incremental join view (q113 operator)
+
+
+def _bag(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_incremental_join_matches_recompute(spark):
+    from etl_wrap_spark.operators.incremental_join import (
+        join_view,
+        merge_join_delta,
+    )
+
+    # bases with DUPLICATE rows (bag semantics) and multi-match keys
+    a_old = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (3, "z")], "k LONG, av STRING"
+    )
+    b_old = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (4, 40)], "k LONG, bv LONG"
+    )
+    # delta: delete ONE copy of (1,x), re-insert (3,z) after deleting it,
+    # insert a brand-new key 4 on the A side; B gains (3, 30)
+    da = spark.createDataFrame(
+        [(1, "x", "delete"), (3, "z", "delete"), (3, "z", "insert"),
+         (4, "w", "insert")],
+        "k LONG, av STRING, _op STRING",
+    )
+    db = spark.createDataFrame([(3, 30, "insert")], "k LONG, bv LONG, _op STRING")
+
+    view = join_view(a_old, b_old, ["k"])
+    merged = merge_join_delta(view, a_old, b_old, da, db, ["k"])
+
+    # ground truth: recompute from the post-delta bases
+    a_new = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (4, "w")], "k LONG, av STRING"
+    )
+    b_new = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (3, 30), (4, 40)], "k LONG, bv LONG"
+    )
+    assert _bag(merged) == _bag(join_view(a_new, b_new, ["k"]))
+
+
+def test_incremental_join_one_sided_delta(spark):
+    from etl_wrap_spark.operators.incremental_join import (
+        join_view,
+        merge_join_delta,
+    )
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k LONG, av STRING")
+    b = spark.createDataFrame([(1, 10), (2, 20)], "k LONG, bv LONG")
+    db = spark.createDataFrame([(2, 20, "delete")], "k LONG, bv LONG, _op STRING")
+    merged = merge_join_delta(join_view(a, b, ["k"]), a, b, None, db, ["k"])
+    assert _bag(merged) == {(1, "x", 10, 1)}
