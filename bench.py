@@ -149,6 +149,14 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_DUCKDB", "1") != "0":
+        # the Spark phase is over: release the JVM's threads and heap
+        # BEFORE the DuckDB phase — at 113 queries the live JVM pushed
+        # the container to thread/memory-allocation failures mid-oracle
+        # (observed as MemoryError in Timer creation and fetchall)
+        try:
+            spark.stop()
+        except Exception:
+            pass
         cap = float(os.environ.get("SPARK_GRAFT_DUCKDB_CAP", "60"))
         duck = time_oracles(sf_dir, names, cap)
         ratios = {

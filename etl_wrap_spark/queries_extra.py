@@ -2019,3 +2019,77 @@ def q113_incremental_join_view(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# ------------------------------------ partitioned lake upsert (q114)
+@register(
+    "q114_partitioned_lake_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS prio,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), upd AS (
+      SELECT o_orderkey, '1-URGENT' AS prio,
+             CAST(o_totalprice AS DECIMAL(18,2)) + 5 AS price
+      FROM orders
+      WHERE (o_orderkey % 10 = 0 AND o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+         OR o_orderkey % 10 = 7
+    ), merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+    )
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) AS total
+    FROM merged GROUP BY prio ORDER BY prio
+    """,
+)
+def q114_partitioned_lake_upsert(spark, sf_dir):
+    """Partition-granular MERGE (sinks/lake.py:PartitionedAtomicTable):
+    the orders slice lands partitioned by priority; an upsert touching
+    ONLY the 1-URGENT partition (updates + brand-new keys routed there)
+    rewrites that partition alone — the query ASSERTS every other
+    partition's data directory is carried by reference into the new
+    manifest (the Delta/Iceberg file-reuse economics the full-state
+    AtomicTable cannot give), then returns the merged per-priority
+    totals the oracle recomputes via SQL MERGE algebra."""
+    import tempfile
+
+    from etl_wrap_spark.sinks.lake import PartitionedAtomicTable
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    k = F.col("o_orderkey")
+    base = t["orders"].where(k % 10 == 0).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    upd = t["orders"].where(
+        ((k % 10 == 0) & (F.col("o_orderpriority") == "1-URGENT") & (k % 3 == 0))
+        | (k % 10 == 7)
+    ).select(
+        "o_orderkey",
+        F.lit("1-URGENT").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + 5).alias("price"),
+    )
+    table = PartitionedAtomicTable(spark, tempfile.mkdtemp(prefix="etl_wrap_q114_"), "prio")
+    table.write(base)
+    dirs_v1 = table.partition_dirs()
+    table.upsert(upd, ["o_orderkey"])
+    dirs_v2 = table.partition_dirs()
+    untouched = [p for p in dirs_v1 if p != "1-URGENT"]
+    if not untouched or any(dirs_v2[p] != dirs_v1[p] for p in untouched):
+        raise AssertionError("untouched partitions were rewritten")
+    if dirs_v2["1-URGENT"] == dirs_v1["1-URGENT"]:
+        raise AssertionError("touched partition was not rewritten")
+    return (
+        table.read()
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("price").cast("double").alias("total"),
+        )
+        .orderBy("prio")
+    )

@@ -374,3 +374,203 @@ class LakeTransaction:
             shutil.rmtree(staged, ignore_errors=True)
             raise
         return False
+
+
+class PartitionedAtomicTable:
+    """Partition-granular atomic table — the piece that makes MERGE
+    economics work at 100 TB, where AtomicTable's full-state staging
+    (correct, but a whole-table copy per commit) is the wrong cost
+    model: here the manifest maps each PARTITION VALUE to an immutable
+    data directory, a commit rewrites ONLY the partitions its delta
+    touches, and every untouched partition is carried into the new
+    version BY REFERENCE (same directory name in the new manifest —
+    zero data movement, the Delta/Iceberg file-reuse behavior).
+
+    Layout: ``<root>/p_<uuid>/`` immutable partition dirs;
+    ``<root>/_versions/<N>.json`` immutable per-version manifests
+    ({partition value -> dir, plus the partition column name/type});
+    ``<root>/_manifest.json`` the current-version pointer, swapped with
+    the same atomic-rename + optimistic-concurrency protocol as
+    AtomicTable (ConflictError when a racer advanced the pointer).
+
+    Readers resolve the pointer, then the manifest, then read exactly
+    the referenced dirs — old-or-new visibility, never partial. The
+    partition column is re-attached from the manifest (dirs store only
+    payload columns). vacuum() drops partition dirs unreferenced by any
+    retained manifest (ref-counted, never the current one).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, partition_col: str):
+        self.spark = spark
+        self.root = root
+        self.pcol = partition_col
+        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+
+    # ----------------------------------------------------------- pointers
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer_path()) as fh:
+                return int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.root, "_versions", f"{version}.json")) as fh:
+            return json.load(fh)
+
+    def _swap(self, version: int, expected: int | None) -> None:
+        if self.current_version() != expected:
+            raise ConflictError(
+                f"pointer moved (expected v{expected}, found v{self.current_version()})"
+            )
+        tmp = self._pointer_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "committed_at": time.time()}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._pointer_path())
+
+    def _commit_manifest(self, parts: dict, ptype: str, expected: int | None) -> int:
+        new_v = (expected or 0) + 1
+        mpath = os.path.join(self.root, "_versions", f"{new_v}.json")
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"pcol": self.pcol, "ptype": ptype, "partitions": parts}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # exclusive-create semantics: losing a version-number race
+            # must not clobber the winner's manifest
+            os.link(tmp, mpath)
+        except OSError as e:
+            os.unlink(tmp)
+            raise ConflictError(f"manifest v{new_v} already claimed") from e
+        os.unlink(tmp)
+        self._swap(new_v, expected)
+        return new_v
+
+    # ------------------------------------------------------------ writers
+    def _write_partitions(self, df: DataFrame) -> tuple[dict, str]:
+        """Stage df's partitions as fresh immutable dirs; returns
+        ({value -> dirname}, partition dtype). One partitioned write
+        job; dirs move into place with renames (no data copy)."""
+        ptype = dict(df.dtypes)[self.pcol]
+        staged = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        df.write.mode("overwrite").partitionBy(self.pcol).parquet(staged)
+        parts: dict[str, str] = {}
+        for d in os.listdir(staged):
+            if not d.startswith(f"{self.pcol}="):
+                continue
+            val = d.split("=", 1)[1]
+            new_name = f"p_{uuid.uuid4().hex}"
+            os.rename(os.path.join(staged, d), os.path.join(self.root, new_name))
+            parts[val] = new_name
+        shutil.rmtree(staged, ignore_errors=True)
+        return parts, ptype
+
+    def write(self, df: DataFrame) -> int:
+        """Full refresh: every partition rewritten, one atomic pointer swap."""
+        expected = self.current_version()
+        parts, ptype = self._write_partitions(df)
+        return self._commit_manifest(parts, ptype, expected)
+
+    def _read_dirs(self, manifest: dict, values: Sequence[str] | None = None) -> DataFrame:
+        parts = manifest["partitions"]
+        vals = list(parts) if values is None else [v for v in values if v in parts]
+        if not vals:
+            # empty selection with the right schema: zero-row frame from
+            # any referenced dir, or a truly empty table is an error
+            if not parts:
+                raise FileNotFoundError(f"empty table at {self.root}")
+            any_dir = next(iter(parts.values()))
+            base = self.spark.read.parquet(os.path.join(self.root, any_dir)).limit(0)
+            vals, dirs = [], []
+        else:
+            dirs = [os.path.join(self.root, parts[v]) for v in vals]
+            base = self.spark.read.parquet(*dirs)
+        # re-attach the partition column from the manifest mapping: each
+        # dir holds ONE value, so derive it from the dir NAME in the
+        # file path (input_file_name carries a file:// scheme prefix, so
+        # match the unique p_<hex> segment rather than the full path)
+        if vals:
+            mapping = F.create_map(
+                *[x for v in vals for x in (F.lit(parts[v]), F.lit(v))]
+            )
+            dirname = F.regexp_extract(F.input_file_name(), r"/(p_[0-9a-f]{32})/", 1)
+            out = base.withColumn(self.pcol, mapping[dirname].cast(manifest["ptype"]))
+        else:
+            out = base.withColumn(self.pcol, F.lit(None).cast(manifest["ptype"]))
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        return self._read_dirs(self._manifest(v))
+
+    def partition_dirs(self, version: int | None = None) -> dict:
+        """{partition value -> dir name} — the identity-reuse audit
+        surface (untouched partitions keep their dir across versions)."""
+        v = version if version is not None else self.current_version()
+        return dict(self._manifest(v)["partitions"])
+
+    def upsert(self, updates: DataFrame, keys: Sequence[str]) -> int:
+        """MERGE that rewrites ONLY the partitions present in
+        ``updates``; every other partition rides into the new manifest
+        by reference. The touched-value collect is partition-count
+        scale (driver-safe); the merge job reads just the touched dirs."""
+        expected = self.current_version()
+        if expected is None:
+            return self.write(updates)
+        manifest = self._manifest(expected)
+        touched = [
+            str(r[0])
+            for r in updates.select(F.col(self.pcol).cast("string")).distinct().collect()
+        ]
+        old_touched = self._read_dirs(manifest, touched)
+        merged = M.upsert(old_touched, updates, keys)
+        # schema-stability contract (the Delta posture): the merge can
+        # silently widen types (e.g. DECIMAL(18,2)+5 -> 19,2), which
+        # would leave THIS commit's dirs schema-divergent from the
+        # carried-by-reference ones and break multi-dir reads — cast
+        # back to the standing table schema
+        merged = merged.select(
+            *[F.col(f.name).cast(f.dataType) for f in old_touched.schema.fields]
+        )
+        new_parts, ptype = self._write_partitions(merged)
+        parts = dict(manifest["partitions"])
+        parts.update(new_parts)
+        return self._commit_manifest(parts, ptype, expected)
+
+    def delete_partitions(self, values: Sequence[str]) -> int:
+        """Drop whole partitions — a manifest-only commit, no data job."""
+        expected = self.current_version()
+        manifest = self._manifest(expected)
+        parts = {v: d for v, d in manifest["partitions"].items() if v not in set(values)}
+        return self._commit_manifest(parts, manifest["ptype"], expected)
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Remove partition dirs referenced by NO retained manifest
+        (retains the newest ``keep`` manifests, always including the
+        current one) plus orphaned staging dirs; returns removed dirs."""
+        cur = self.current_version() or 0
+        vdir = os.path.join(self.root, "_versions")
+        versions = sorted(int(f[:-5]) for f in os.listdir(vdir) if f.endswith(".json"))
+        retained = set(versions[-keep:]) | {cur}
+        for v in versions:
+            if v not in retained:
+                os.unlink(os.path.join(vdir, f"{v}.json"))
+        live = set()
+        for v in retained:
+            if v in versions:
+                live.update(self._manifest(v)["partitions"].values())
+        removed = []
+        for d in os.listdir(self.root):
+            if d.startswith("p_") and d not in live:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                removed.append(d)
+        shutil.rmtree(os.path.join(self.root, "_staging"), ignore_errors=True)
+        return removed

@@ -188,3 +188,72 @@ def test_zone_map_zorder_multi_column_pruning(spark, table):
         assert 0 < len(kept) < n_all, f"no pruning on {col}"
         got = table.read_pruned(col, 0, 7).count()
         assert got == table.read().where(F.col(col).between(0, 7)).count()
+
+
+# ----------------------------------------------- PartitionedAtomicTable
+
+
+@pytest.fixture()
+def ptable(spark, tmp_path):
+    from etl_wrap_spark.sinks.lake import PartitionedAtomicTable
+
+    return PartitionedAtomicTable(spark, str(tmp_path / "ptbl"), "region")
+
+
+def _pdata(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, region STRING, v LONG")
+
+
+def test_partitioned_upsert_reuses_untouched_dirs(spark, ptable):
+    base = _pdata(spark, [(1, "eu", 10), (2, "eu", 20), (3, "us", 30), (4, "ap", 40)])
+    ptable.write(base)
+    dirs_v1 = ptable.partition_dirs()
+    assert set(dirs_v1) == {"eu", "us", "ap"}
+
+    # upsert touches ONLY eu: update k=1, insert k=9
+    ptable.upsert(_pdata(spark, [(1, "eu", 11), (9, "eu", 90)]), ["k"])
+    dirs_v2 = ptable.partition_dirs()
+    # untouched partitions carried BY REFERENCE (same dir names)
+    assert dirs_v2["us"] == dirs_v1["us"] and dirs_v2["ap"] == dirs_v1["ap"]
+    assert dirs_v2["eu"] != dirs_v1["eu"]
+    got = {(r.k, r.region, r.v) for r in ptable.read().collect()}
+    assert got == {(1, "eu", 11), (2, "eu", 20), (9, "eu", 90), (3, "us", 30), (4, "ap", 40)}
+
+
+def test_partitioned_time_travel_and_delete(spark, ptable):
+    ptable.write(_pdata(spark, [(1, "eu", 10), (3, "us", 30)]))
+    v1 = ptable.current_version()
+    ptable.upsert(_pdata(spark, [(5, "us", 50)]), ["k"])
+    ptable.delete_partitions(["eu"])
+    assert {r.region for r in ptable.read().collect()} == {"us"}
+    # pinned history still reads the pre-delete state
+    assert {r.region for r in ptable.read(v1).collect()} == {"eu", "us"}
+
+
+def test_partitioned_vacuum_keeps_referenced(spark, ptable, tmp_path):
+    import os
+
+    ptable.write(_pdata(spark, [(1, "eu", 10), (3, "us", 30)]))
+    d1 = ptable.partition_dirs()
+    ptable.upsert(_pdata(spark, [(1, "eu", 11)]), ["k"])
+    ptable.upsert(_pdata(spark, [(1, "eu", 12)]), ["k"])
+    removed = ptable.vacuum(keep=1)
+    # the twice-superseded eu dir goes; the still-referenced us dir stays
+    assert d1["eu"] in removed
+    root = str(tmp_path / "ptbl")
+    assert os.path.isdir(os.path.join(root, d1["us"]))
+    got = {(r.k, r.v) for r in ptable.read().where("region = 'eu'").collect()}
+    assert got == {(1, 12)}
+
+
+def test_partitioned_concurrent_writer_conflict(spark, ptable, tmp_path):
+    from etl_wrap_spark.sinks.lake import ConflictError, PartitionedAtomicTable
+
+    ptable.write(_pdata(spark, [(1, "eu", 10)]))
+    racer = PartitionedAtomicTable(spark, str(tmp_path / "ptbl"), "region")
+    racer.upsert(_pdata(spark, [(2, "eu", 20)]), ["k"])
+    # ptable's stale-expected commit must fail, not corrupt
+    with pytest.raises(ConflictError):
+        ptable._commit_manifest({"eu": "p_" + "0" * 32}, "string",
+                                expected=1)
+    assert {r.k for r in racer.read().collect()} == {1, 2}
