@@ -2093,3 +2093,104 @@ def q114_partitioned_lake_upsert(spark, sf_dir):
         )
         .orderBy("prio")
     )
+
+
+# ------------------------------------ TPC-H Q8 shape: market share (q115)
+@register(
+    "q115_nation_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             n_name,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS r
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT yr, SUM(r) AS total FROM rev GROUP BY yr
+    )
+    SELECT rev.yr, CAST(CAST(rev.r AS VARCHAR) AS DOUBLE) AS nation_rev,
+           CAST(FLOOR(10000 * CAST(CAST(rev.r AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(tot.total AS VARCHAR) AS DOUBLE)) AS BIGINT) AS share_bp
+    FROM rev JOIN tot ON rev.yr = tot.yr
+    WHERE n_name = 'NATION_7'
+    ORDER BY rev.yr
+    """,
+)
+def q115_nation_market_share(spark, sf_dir):
+    """TPC-H Q8's market-share shape: one nation's revenue share per
+    order-year through the lineitem->orders->customer->nation dim
+    chain. Revenue aggregates exactly in decimal per (year, nation);
+    the share divides the correctly-rounded doubles (identical IEEE
+    tree both engines) and floors to basis points. Dims broadcast; the
+    only big shuffle is the fact aggregation."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "n_name",
+        )
+        .agg(F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc)).alias("r"))
+    )
+    tot = rev.groupBy(F.col("yr").alias("tyr")).agg(F.sum("r").alias("total"))
+    nr = F.col("r").cast("double")
+    tr = F.col("total").cast("double")
+    return (
+        rev.where(F.col("n_name") == "NATION_7")
+        .join(tot, F.col("yr") == F.col("tyr"))
+        .select(
+            "yr",
+            nr.alias("nation_rev"),
+            F.floor(F.lit(10000) * nr / tr).cast("bigint").alias("share_bp"),
+        )
+        .orderBy("yr")
+    )
+
+
+# ------------------------------------ TPC-H Q10 shape: returned revenue (q116)
+@register(
+    "q116_returned_revenue_topk",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS lost_rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) DESC,
+             c_custkey
+    LIMIT 20
+    """,
+)
+def q116_returned_revenue_topk(spark, sf_dir):
+    """TPC-H Q10's returned-item revenue: customers ranked by revenue
+    lost to returns (returnflag pushed into the fact scan), top-20 via
+    TakeOrderedAndProject over the EXACT decimal revenue (ordering on
+    the decimal, ties to custkey, so both engines cut the same top-k —
+    the double surfaces only in the projection)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc)).alias("__r"))
+        .orderBy(F.col("__r").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", F.col("__r").cast("double").alias("lost_rev"))
+    )
