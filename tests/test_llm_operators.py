@@ -993,3 +993,43 @@ def test_with_image_meta_distributed(spark):
     assert out[4].format is None and out[4].width is None
     # metadata columns from the plan side still ride along
     assert out[1].content_length == len(_png(64, 32))
+
+
+def _wav(n_samples=1600, rate=16000, channels=1, width=2):
+    import io, wave, struct
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels); w.setsampwidth(width); w.setframerate(rate)
+    w.writeframes(b"".join(struct.pack("<h", (i * 7) % 32000 - 16000)
+                           for i in range(n_samples * channels)))
+    w.close()
+    return buf.getvalue()
+
+
+def test_wav_meta_pure_stdlib():
+    blob = _wav(1600, 16000, 1, 2)
+    m = multimodal.wav_meta(blob)
+    assert m["channels"] == 1 and m["sample_rate"] == 16000
+    assert m["bits_per_sample"] == 16 and m["n_samples"] == 1600
+    assert multimodal.wav_meta(b"RIFFxxxxNOPE") is None
+    assert multimodal.wav_meta(b"not audio at all") is None
+
+
+def test_pcm_frames_jvm_side_slicing(spark):
+    import struct
+    blob = _wav(1600, 16000, 1, 2)  # 100 ms of mono 16 kHz
+    df = spark.createDataFrame([(1, blob), (2, b"garbage")], "id LONG, blob BINARY")
+    media = multimodal.media_frame_from_binary(df, "id", "blob", "audio")
+    meta = multimodal.with_wav_meta(media)
+    frames = multimodal.pcm_frames(meta, frame_ms=25, hop_ms=10).collect()
+    by_id = [r for r in frames if r.media_id == 1]
+    # (1600 - 400) / 160 + 1 = 8 windows of 25 ms at 10 ms hop
+    assert len(by_id) == 8 and all(r.media_id == 1 for r in frames)
+    f0 = next(r for r in by_id if r.frame_idx == 0)
+    assert len(f0.frame_bytes) == 400 * 2  # 400 samples x 2 bytes
+    # the sliced bytes ARE the waveform: sample 0 of frame 0 == ramp(0)
+    assert struct.unpack("<h", bytes(f0.frame_bytes[:2]))[0] == -16000
+    f3 = next(r for r in by_id if r.frame_idx == 3)
+    # frame 3 starts at sample 480: value (480*7)%32000 - 16000
+    assert struct.unpack("<h", bytes(f3.frame_bytes[:2]))[0] == (480 * 7) % 32000 - 16000
+    assert abs(f3.t_seconds - 0.03) < 1e-9
