@@ -574,3 +574,23 @@ class PartitionedAtomicTable:
                 removed.append(d)
         shutil.rmtree(os.path.join(self.root, "_staging"), ignore_errors=True)
         return removed
+
+
+def compact_partition(
+    table: PartitionedAtomicTable, value: str, n_files: int = 1
+) -> int:
+    """Layout maintenance for one partition of a PartitionedAtomicTable:
+    rewrite that partition's (possibly many small) files into
+    ``n_files``, commit as a new version — every OTHER partition rides
+    along by reference, so compaction cost is one partition's data, and
+    readers see old-or-new atomically (the streaming-ingest small-file
+    problem, solved per partition)."""
+    expected = table.current_version()
+    manifest = table._manifest(expected)
+    if value not in manifest["partitions"]:
+        raise KeyError(f"no partition {value!r}")
+    part_df = table._read_dirs(manifest, [value]).coalesce(n_files)
+    new_parts, ptype = table._write_partitions(part_df)
+    parts = dict(manifest["partitions"])
+    parts.update(new_parts)
+    return table._commit_manifest(parts, manifest["ptype"], expected)

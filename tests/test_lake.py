@@ -257,3 +257,27 @@ def test_partitioned_concurrent_writer_conflict(spark, ptable, tmp_path):
         ptable._commit_manifest({"eu": "p_" + "0" * 32}, "string",
                                 expected=1)
     assert {r.k for r in racer.read().collect()} == {1, 2}
+
+
+def test_partitioned_compaction_reduces_files(spark, ptable, tmp_path):
+    import os
+
+    from etl_wrap_spark.sinks.lake import compact_partition
+
+    # many tiny commits -> the touched partition accumulates files
+    ptable.write(_pdata(spark, [(1, "eu", 10), (3, "us", 30)]))
+    for i in range(3):
+        ptable.upsert(_pdata(spark, [(100 + i, "eu", i)]), ["k"])
+    root = str(tmp_path / "ptbl")
+    dirs = ptable.partition_dirs()
+
+    def n_files(d):
+        return len([f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")])
+
+    before = ptable.read().where("region='eu'").count()
+    compact_partition(ptable, "eu", n_files=1)
+    after_dirs = ptable.partition_dirs()
+    assert after_dirs["us"] == dirs["us"]          # untouched by reference
+    assert after_dirs["eu"] != dirs["eu"]
+    assert n_files(after_dirs["eu"]) == 1
+    assert ptable.read().where("region='eu'").count() == before
