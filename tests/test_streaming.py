@@ -379,3 +379,55 @@ def test_first_seen_with_ttl_readmits_after_expiry(spark, tmp_path):
     drain()
     emitted = [r.user_id for r in out_rows]
     assert emitted.count(10) == 2 and 99 in emitted and 98 in emitted
+
+
+def test_stream_e2e_coerce_quarantine_partitioned_lake(spark, tmp_path):
+    """The composed streaming pipeline, end to end: dirty CSV stream ->
+    numeric coercion (SAP minus / N/A) -> rule-bank quarantine split ->
+    micro-batch MERGE into a PARTITION-granular lake table. Two drains:
+    the second touches only one partition, which the manifest must show
+    as the only rewritten directory (file-reuse under streaming)."""
+    from etl_wrap_spark.functions import coerce
+    from etl_wrap_spark.sinks.lake import PartitionedAtomicTable
+    from etl_wrap_spark.streaming.ingest import read_csv_stream, stream_upsert_to_lake
+
+    d = tmp_path / "e2e_in"
+    table = PartitionedAtomicTable(spark, str(tmp_path / "e2e_tbl"), "event_type")
+
+    def drain():
+        stream = read_csv_stream(spark, str(d), SCHEMA)
+        clean = stream.select(
+            "event_id", "event_type",
+            coerce.coerce_number(F.col("value")).alias("v"),
+        ).where(F.col("v").isNotNull())  # quarantine: unparseable values drop
+        q = stream_upsert_to_lake(clean, table, ["event_id"], str(tmp_path / "e2e_ck"))
+        q.awaitTermination(120)
+
+    _write_events_csv(
+        d / "b1.csv",
+        [
+            (1, 10, "click", "12.5", "2024-01-01 10:00:00"),
+            (2, 10, "view", "3.0-", "2024-01-01 10:01:00"),   # SAP trailing minus
+            (3, 11, "click", "N/A", "2024-01-01 10:02:00"),   # quarantined
+            (4, 11, "view", "7.25", "2024-01-01 10:03:00"),
+        ],
+    )
+    drain()
+    dirs_v1 = table.partition_dirs()
+    got1 = {(r.event_id, r.event_type, r.v) for r in table.read().collect()}
+    assert got1 == {(1, "click", 12.5), (2, "view", -3.0), (4, "view", 7.25)}
+
+    # second batch: updates event 1 and inserts event 5, clicks ONLY
+    _write_events_csv(
+        d / "b2.csv",
+        [
+            (1, 10, "click", "99.0", "2024-01-01 11:00:00"),
+            (5, 12, "click", "1.5", "2024-01-01 11:01:00"),
+        ],
+    )
+    drain()
+    dirs_v2 = table.partition_dirs()
+    assert dirs_v2["view"] == dirs_v1["view"]    # untouched partition reused
+    assert dirs_v2["click"] != dirs_v1["click"]
+    got2 = {(r.event_id, r.v) for r in table.read().collect()}
+    assert got2 == {(1, 99.0), (2, -3.0), (4, 7.25), (5, 1.5)}
