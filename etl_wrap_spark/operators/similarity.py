@@ -256,6 +256,7 @@ def ivf_topk(
     n_cells: int | None = None,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: (qid, rank, cid, cos). Corpus rows live in
     their single nearest cell; each query probes its `nprobe` highest-
@@ -269,14 +270,20 @@ def ivf_topk(
     nprobe-scan fraction constant as the corpus grows. Pass it
     explicitly for oracle-pinned runs.
 
-    The corpus is assigned once (reusable across query batches when
-    `centroids` is passed in); the query side stays broadcast. A
-    (query, candidate) pair can meet in at most one cell — corpus
-    assignment is unique — so no dedup step is needed."""
+    The corpus assignment DOMINATES end-to-end cost at small query
+    batches (measured: 1e5 rows x 391 centroids costs more than the
+    100-query brute force — tools/ann_scale_probe.py), so for repeated
+    lookups pass BOTH `centroids` and `assigned` (a persisted
+    ivf_assign output): the per-batch cost then collapses to the probed
+    cells only. The query side stays broadcast. A (query, candidate)
+    pair can meet in at most one cell — corpus assignment is unique —
+    so no dedup step is needed."""
     if centroids is None and n_cells is None:
         n_cells = auto_n_cells(corpus)
     cent = centroids if centroids is not None else ivf_centroids_deterministic(corpus, id_c, vec, n_cells)
-    c = ivf_assign(corpus, id_c, vec, cent).select(
+    if assigned is None:
+        assigned = ivf_assign(corpus, id_c, vec, cent)
+    c = assigned.select(
         F.col(id_c).alias("cid"), "cell", F.col("__v").alias("cv"), F.col("__n").alias("cn")
     )
     kn = cent.withColumn("__kn", norm_expr("kv"))
