@@ -263,3 +263,81 @@ def test_incremental_agg_property_runner(spark):
     # hypothesis can't take the spark fixture directly; thread it through
     _check_incremental_agg_merge_equals_recompute._spark = spark
     _check_incremental_agg_merge_equals_recompute()
+
+
+# ------------------------- KMV sketch algebra (pure-python mirror)
+
+
+def _kmv_py(values, k):
+    """Reference semantics of the sketch: k smallest distinct hashes.
+    Mirrors xxhash64 ordering abstractly — any injective 'hash' works
+    for the ALGEBRA (merge/exactness) being tested, so identity is
+    used; the Spark tests pin the actual hash path."""
+    return sorted(set(values))[:k]
+
+
+@given(
+    st.lists(st.integers(0, 10_000), max_size=60),
+    st.lists(st.integers(0, 10_000), max_size=60),
+    st.integers(1, 16),
+)
+@settings(max_examples=300, deadline=None)
+def test_kmv_merge_is_union_sketch(a, b, k):
+    """sketch(A) (+) sketch(B) == sketch(A u B) for every input and k —
+    the mergeability law q93's set algebra rides on."""
+    sa, sb = _kmv_py(a, k), _kmv_py(b, k)
+    merged = sorted(set(sa) | set(sb))[:k]
+    assert merged == _kmv_py(a + b, k)
+
+
+@given(st.lists(st.integers(0, 10_000), max_size=60), st.integers(1, 200))
+@settings(max_examples=300, deadline=None)
+def test_kmv_exact_below_k_law(vals, k):
+    """|distinct| < k -> the sketch IS the distinct set (exact count)."""
+    s = _kmv_py(vals, k)
+    if len(set(vals)) < k:
+        assert len(s) == len(set(vals))
+
+
+# --------------------- Ed-Join prefix filter losslessness (q91 blocking)
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def _grams(s, q):
+    n = max(len(s) - q + 1, 1)
+    return {s[i : i + q] for i in range(n)}
+
+
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=6, max_size=12), min_size=2, max_size=12),
+    st.integers(1, 2),
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_lossless(strings, d):
+    """Any two strings within edit distance d share a gram in their
+    q*d+1 rarest-gram prefixes under a common df order — the blocking
+    guarantee fuzzy_join(block='prefix') relies on (PPJoin prefix
+    lemma specialized to Ed-Join)."""
+    q = 2
+    df: dict = {}
+    for s in strings:
+        for g in _grams(s, q):
+            df[g] = df.get(g, 0) + 1
+    order = lambda g: (df[g], g)  # noqa: E731
+    plen = q * d + 1
+    prefix = {
+        s: set(sorted(_grams(s, q), key=order)[:plen]) for s in strings
+    }
+    for i, a in enumerate(strings):
+        for b in strings[i + 1 :]:
+            if _lev(a, b) <= d and min(len(a), len(b)) >= q + q * d:
+                assert prefix[a] & prefix[b], (a, b)
