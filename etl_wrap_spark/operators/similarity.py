@@ -511,6 +511,14 @@ def ivfpq_topk(
     vectors. With `refine=R`, the top-R ADC candidates are re-ranked by
     exact cosine (one semi-join back to the raw vectors) before top-k.
 
+    SIZE `refine` WITH THE PROBED CANDIDATE VOLUME, NOT WITH k: ADC
+    ordering is noisy within a cell's candidates (measured at 1e5
+    clustered vectors, SCALING.md: recall@10 0.20 at refine=50 but
+    0.94 at refine=500 ≈ half the ~nprobe x rows-per-cell candidates;
+    codebook FIT was not the limiter — kmeans codebooks moved nothing).
+    refine=None (pure ADC ranking) is for compression-bound scans where
+    approximate order suffices.
+
     Shuffle shape: encode is one (id, m) aggregation; the scan joins the
     code table against a BROADCAST LUT (queries × M × Ks doubles) and
     aggregates M rows per (query, candidate) with a fixed-order sum —
