@@ -103,3 +103,69 @@ def merge_join_delta(
     if wda is not None and wdb is not None:
         parts.append(_wjoin(wda, wdb, on))
     return _collapse(*parts)
+
+
+# --------------------------------------------------- hierarchy flatten
+
+
+def flatten_hierarchy(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(node, root, depth) for a forest given (child, parent) edges —
+    the org-chart / BOM-explosion operator relational engines express
+    as a recursive CTE and Spark must iterate.
+
+    POINTER DOUBLING, not per-level walking: each round joins every
+    node's current ancestor pointer onto that ancestor's own pointer,
+    squaring the jump length (1, 2, 4, ...), so a depth-D hierarchy
+    converges in ceil(log2 D) + 1 rounds instead of D — the same
+    O(log) discipline as connected_components_star, and the difference
+    between 14 rounds and 10,000 on a deep bill-of-materials. Each
+    round is one self-join on the ancestor key + localCheckpoint
+    (truncates the exponentially growing lineage); the convergence
+    probe is a scalar count.
+
+    Roots are nodes that never appear as a child, or whose parent is
+    NULL/self; cycles would never converge and raise after max_iter.
+    """
+    ptr = (
+        edges.where(
+            F.col(parent_col).isNotNull() & (F.col(child_col) != F.col(parent_col))
+        )
+        .select(
+            F.col(child_col).alias("node"),
+            F.col(parent_col).alias("anc"),
+            F.lit(1).cast("bigint").alias("depth"),
+            F.lit(False).alias("done"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # ancestors that are roots (no incoming pointer) terminate the jump
+    for _ in range(max_iter):
+        hop = ptr.select(
+            F.col("node").alias("__a"),
+            F.col("anc").alias("__anc2"),
+            F.col("depth").alias("__d2"),
+        )
+        nxt = (
+            ptr.join(hop, ptr["anc"] == hop["__a"], "left")
+            .select(
+                "node",
+                F.coalesce("__anc2", "anc").alias("anc"),
+                (F.col("depth") + F.coalesce("__d2", F.lit(0))).alias("depth"),
+                F.col("__anc2").isNull().alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ptr = nxt
+        if ptr.where(~F.col("done")).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"hierarchy did not converge in {max_iter} doubling rounds "
+            "(cycle, or depth > 2^max_iter)"
+        )
+    return ptr.select("node", F.col("anc").alias("root"), "depth")

@@ -2194,3 +2194,44 @@ def q116_returned_revenue_topk(spark, sf_dir):
         .limit(20)
         .select("c_custkey", "c_name", F.col("__r").cast("double").alias("lost_rev"))
     )
+
+
+# ------------------------------------ hierarchy flattening (q117)
+@register(
+    "q117_hierarchy_flatten",
+    oracle="""
+    WITH RECURSIVE walk(node, anc, depth) AS (
+      SELECT c_custkey, c_custkey // 2, CAST(1 AS BIGINT)
+      FROM customer WHERE c_custkey >= 2
+      UNION ALL
+      SELECT node, anc // 2, depth + 1 FROM walk WHERE anc >= 2
+    )
+    SELECT node AS c_custkey, CAST(anc AS BIGINT) AS root, depth
+    FROM walk WHERE anc = 1 ORDER BY node
+    """,
+)
+def q117_hierarchy_flatten(spark, sf_dir):
+    """Hierarchy flattening (operators/incremental_join.py:
+    flatten_hierarchy): every customer's root and depth in the
+    deterministic parent = child div 2 binary tree, via POINTER
+    DOUBLING — ceil(log2 depth)+1 self-join rounds (5 here for a
+    ~14-level tree) instead of the recursive CTE's depth-many — the
+    org-chart/BOM operator Spark lacks natively, O(log) like the
+    CC-star variant. The oracle walks the same tree with a recursive
+    CTE."""
+    from etl_wrap_spark.operators.incremental_join import flatten_hierarchy
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    edges = t["customer"].where(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("child"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("parent"),
+    )
+    return (
+        flatten_hierarchy(edges)
+        .select(
+            F.col("node").alias("c_custkey"),
+            F.col("root").cast("bigint").alias("root"),
+            F.col("depth").cast("bigint").alias("depth"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -161,3 +161,28 @@ def test_incremental_join_one_sided_delta(spark):
     db = spark.createDataFrame([(2, 20, "delete")], "k LONG, bv LONG, _op STRING")
     merged = merge_join_delta(join_view(a, b, ["k"]), a, b, None, db, ["k"])
     assert _bag(merged) == {(1, "x", 10, 1)}
+
+
+# ---------------------------------------------- hierarchy flattening
+
+
+def test_flatten_hierarchy_deep_chain_log_rounds(spark):
+    from etl_wrap_spark.operators.incremental_join import flatten_hierarchy
+
+    # a 64-deep chain plus a separate 3-node star
+    rows = [(i, i - 1) for i in range(2, 66)] + [(100, 99), (101, 99)]
+    edges = spark.createDataFrame(rows, "child LONG, parent LONG")
+    out = {r.node: (r.root, r.depth) for r in flatten_hierarchy(edges).collect()}
+    assert out[65] == (1, 64)          # chain bottom: root 1, depth 64
+    assert out[2] == (1, 1)
+    assert out[100] == (99, 1) and out[101] == (99, 1)
+
+
+def test_flatten_hierarchy_cycle_raises(spark):
+    from etl_wrap_spark.operators.incremental_join import flatten_hierarchy
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "child LONG, parent LONG")
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="converge"):
+        flatten_hierarchy(edges, max_iter=8)
