@@ -14,7 +14,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Executor-side imports: pandas-UDF closures reference etl_wrap_spark by
+# module, so Spark's python workers must find it too. Workers resolve
+# imports via cwd + PYTHONPATH; when the harness runs from elsewhere,
+# exporting PYTHONPATH before the JVM starts covers them (no effect if
+# the session already exists and cwd is the repo — the usual case).
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from etl_wrap_spark import catalog  # noqa: E402
 

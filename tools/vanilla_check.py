@@ -18,6 +18,14 @@ for name in [
     "q45_stratified_sample",
     "q50_salted_aggregation",
     "q47_asof_tolerance",
+    # round-4 continuation special paths: lake protocol, window-heavy,
+    # pointer-doubling iteration, sketch arrays, prefix-filter blocking
+    "q91_fuzzy_linkage",
+    "q93_kmv_set_algebra",
+    "q100_lake_pruned_read",
+    "q113_incremental_join_view",
+    "q114_partitioned_lake_upsert",
+    "q117_hierarchy_flatten",
 ]:
     n = len(qs[name](spark, "/root/testdata/sf0.01").collect())
     print(name, "ROWS", n)
