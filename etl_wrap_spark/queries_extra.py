@@ -2235,3 +2235,65 @@ def q117_hierarchy_flatten(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+# ------------------------------------ lake change data feed (q118)
+@register(
+    "q118_lake_change_feed",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_custkey % 6 = 0
+    ), v2 AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,2))
+               + CASE WHEN c_custkey % 30 = 0 THEN 7 ELSE 0 END AS bal
+      FROM customer WHERE c_custkey % 6 = 0 AND c_custkey % 42 <> 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2))
+      FROM customer WHERE c_custkey % 6 = 3
+    )
+    SELECT COALESCE(v2.c_custkey, v1.c_custkey) AS c_custkey,
+           CASE WHEN v1.c_custkey IS NULL THEN 'insert'
+                WHEN v2.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CAST(CAST(COALESCE(v2.bal, v1.bal) AS VARCHAR) AS DOUBLE) AS bal
+    FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+    WHERE v1.c_custkey IS NULL OR v2.c_custkey IS NULL
+       OR v1.bal IS DISTINCT FROM v2.bal
+       OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment
+    ORDER BY c_custkey
+    """,
+)
+def q118_lake_change_feed(spark, sf_dir):
+    """Change Data Feed from the atomic lake's immutable versions
+    (sinks/lake.py:table_changes): two committed states of a customer
+    slice (touched balances, deletions, an inserted cohort) diffed
+    after the fact into insert/update/delete rows — Delta's CDF without
+    write-time capture, exact because versions never mutate. The
+    oracle recomputes the same diff from the version definitions."""
+    import tempfile
+
+    from etl_wrap_spark.sinks.lake import AtomicTable, table_changes
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    k = F.col("c_custkey")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    v1 = t["customer"].where(k % 6 == 0).select("c_custkey", "c_mktsegment", bal.alias("bal"))
+    v2 = (
+        t["customer"].where((k % 6 == 0) & (k % 42 != 0)).select(
+            "c_custkey", "c_mktsegment",
+            (bal + F.when(k % 30 == 0, 7).otherwise(0)).alias("bal"),
+        )
+        .unionByName(
+            t["customer"].where(k % 6 == 3).select("c_custkey", "c_mktsegment", bal.alias("bal"))
+        )
+    )
+    table = AtomicTable(spark, tempfile.mkdtemp(prefix="etl_wrap_q118_"))
+    table.write(v1)
+    table.write(v2)
+    feed = table_changes(table, 1, 2, ["c_custkey"])
+    return feed.select(
+        "c_custkey", "change_type", F.col("bal").cast("double").alias("bal")
+    ).orderBy("c_custkey")

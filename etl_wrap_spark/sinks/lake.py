@@ -594,3 +594,20 @@ def compact_partition(
     parts = dict(manifest["partitions"])
     parts.update(new_parts)
     return table._commit_manifest(parts, manifest["ptype"], expected)
+
+
+def table_changes(
+    table, v_from: int, v_to: int, keys: Sequence[str]
+) -> DataFrame:
+    """Change Data Feed between two committed versions of an
+    AtomicTable or PartitionedAtomicTable — Delta's ``table_changes``
+    on the manifest-swap protocol: because versions are IMMUTABLE, the
+    feed is derivable exactly, after the fact, for any retained version
+    pair (no change capture at write time needed).  Emits every row
+    with ``change_type`` in insert/update/delete (updates carry the NEW
+    image; deletes the old — sinks/merge.py:snapshot_diff semantics).
+    One keyed full-outer join between the two snapshots; downstream
+    consumers feed it straight into incremental_agg.merge_delta /
+    incremental_join.merge_join_delta (update = delete+insert pair
+    after the standard CDC re-encoding)."""
+    return M.snapshot_diff(table.read(v_from), table.read(v_to), keys)

@@ -281,3 +281,15 @@ def test_partitioned_compaction_reduces_files(spark, ptable, tmp_path):
     assert after_dirs["eu"] != dirs["eu"]
     assert n_files(after_dirs["eu"]) == 1
     assert ptable.read().where("region='eu'").count() == before
+
+
+def test_table_changes_on_partitioned_table(spark, ptable):
+    from etl_wrap_spark.sinks.lake import table_changes
+
+    ptable.write(_pdata(spark, [(1, "eu", 10), (2, "us", 20)]))
+    ptable.upsert(_pdata(spark, [(1, "eu", 11), (9, "eu", 90)]), ["k"])
+    feed = {
+        (r.k, r.change_type)
+        for r in table_changes(ptable, 1, 2, ["k"]).collect()
+    }
+    assert feed == {(1, "update"), (9, "insert")}
