@@ -207,3 +207,70 @@ def test_chunking_coverage_and_overlap(spark):
     # short doc -> exactly one whole-doc chunk
     d2 = [r for r in out if r.doc_id == 2]
     assert len(d2) == 1 and d2[0].chunk_text == "a b c" and d2[0].n_tokens == 3
+
+
+# --------------------------------------------------- BPE induction
+
+
+def _ref_bpe(words_freq, n_merges, min_pair_freq=2):
+    """Reference pure-Python BPE with the module's tie-breaking."""
+    vocab = [(list(w), f) for w, f in words_freq.items()]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab:
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+
+        def merge(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            return out
+
+        vocab = [(merge(s), f) for s, f in vocab]
+    return merges
+
+
+def test_learn_bpe_matches_reference(spark):
+    from etl_wrap_spark.operators.tokenizer import apply_bpe, learn_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "low new slow snow",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    freqs = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _ref_bpe(freqs, 8)
+    got = learn_bpe(df, "text", n_merges=8)
+    assert got == want and len(got) == 8
+
+    scored = {r.doc_id: r for r in apply_bpe(df, "doc_id", "text", got).collect()}
+    # merges compress: tokens per doc strictly below char count
+    for i, t in enumerate(texts):
+        chars = sum(len(w) for w in t.split())
+        assert scored[i].n_chars == chars and scored[i].n_tokens < chars
+
+
+def test_learn_bpe_min_freq_stops_early(spark):
+    from etl_wrap_spark.operators.tokenizer import learn_bpe
+
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id LONG, text STRING")
+    # every adjacent pair occurs once -> below min_pair_freq=2 -> no merges
+    assert learn_bpe(df, "text", n_merges=5) == []
