@@ -246,6 +246,57 @@ def ivf_assign(df: DataFrame, id_col: str, vec: str, centroids: DataFrame) -> Da
     )
 
 
+def ivf_assign_blas(
+    df: DataFrame, id_col: str, vec: str, centroids: DataFrame
+) -> DataFrame:
+    """ivf_assign's vectorized twin for LARGE cell counts: one numpy
+    matmul per Arrow batch against the broadcast centroid matrix
+    instead of |df| x n_cells interpreted HOF dot expressions.
+
+    The expression path is oracle-portable and fine to ~1e2 cells; at
+    1e6 rows x 4e3 cells it is ~2.5e11 multiply-adds through
+    per-element expression evaluation (measured impractical in this
+    container — SCALING.md third-decade note), while the same work as
+    (batch x d) @ (d x cells) GEMMs runs at memory bandwidth. Same
+    output contract as ivf_assign: (id, cell, __v, __n), deterministic
+    ties to the LOWEST cell. Map-only; the centroid matrix rides in the
+    closure (n_cells x d doubles — a few MB at any sane cell count)."""
+    import numpy as np
+
+    cent_rows = centroids.select("cell", "kv").collect()
+    cells = np.array([r["cell"] for r in cent_rows], dtype="int64")
+    km = np.array([r["kv"] for r in cent_rows], dtype="float64")  # (C, d)
+    km_unit = km / np.linalg.norm(km, axis=1, keepdims=True)
+    # stable tie-break: order centroid rows by cell ASC so the first
+    # argmax hit is the lowest cell
+    order = np.argsort(cells, kind="stable")
+    cells, km_unit = cells[order], km_unit[order]
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.array([np.asarray(x, dtype="float64") for x in pdf["__v"]])
+            n = np.linalg.norm(v, axis=1)
+            aff = (v / n[:, None]) @ km_unit.T  # (B, C)
+            best = cells[np.argmax(aff, axis=1)].astype("int32")
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "cell": best,
+                    "__v": pdf["__v"],
+                    "__n": n,
+                }
+            )
+
+    vt = dict(df.dtypes)[vec]
+    idt = dict(df.dtypes)[id_col]
+    out = df.select(
+        F.col(id_col).alias("__id"), F.col(vec).alias("__v")
+    ).mapInPandas(assign, schema=f"__id {idt}, cell INT, __v {vt}, __n DOUBLE")
+    return out.withColumnRenamed("__id", id_col)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

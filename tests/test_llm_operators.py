@@ -1033,3 +1033,25 @@ def test_pcm_frames_jvm_side_slicing(spark):
     # frame 3 starts at sample 480: value (480*7)%32000 - 16000
     assert struct.unpack("<h", bytes(f3.frame_bytes[:2]))[0] == (480 * 7) % 32000 - 16000
     assert abs(f3.t_seconds - 0.03) < 1e-9
+
+
+def test_ivf_assign_blas_equals_expression_path(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(400):
+        c = i % 6
+        base = np.zeros(64); base[c * 10] = 4.0  # well-separated clusters
+        v = base + 0.2 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cent = similarity.ivf_centroids_deterministic(df, "vec_id", "embedding", 6)
+    expr = {r.vec_id: r.cell for r in similarity.ivf_assign(df, "vec_id", "embedding", cent).collect()}
+    blas = {r.vec_id: r.cell for r in similarity.ivf_assign_blas(df, "vec_id", "embedding", cent).collect()}
+    assert expr == blas
+    # norms match too (ADC and cosine depend on them)
+    nb = {r.vec_id: r["__n"] for r in similarity.ivf_assign_blas(df, "vec_id", "embedding", cent).collect()}
+    ne = {r.vec_id: r["__n"] for r in similarity.ivf_assign(df, "vec_id", "embedding", cent).collect()}
+    for k in ne:
+        assert abs(ne[k] - nb[k]) < 1e-9
