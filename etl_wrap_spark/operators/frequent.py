@@ -9,14 +9,19 @@ Two paths, one contract:
   SQL-expressible, so it is the oracle-checked path (catalog q85). At
   100 TB the aggregation state is vocabulary-sized, which for token-like
   items is bounded and fine.
-- ``frequent_items_sketch``: Misra-Gries summaries per partition merged
-  on the driver — bounded memory (k counters per partition) for
-  UNBOUNDED key domains (URLs, n-grams, user ids) where the exact
+- ``frequent_items_sketch_df``: Misra-Gries summaries per partition
+  (optionally per GROUP) merged DISTRIBUTED — the partial summaries are
+  sketch-sized rows that merge with an ordinary SUM groupBy plus a
+  window shrink, so no step ever holds data-sized state and the driver
+  is never involved. Bounded memory (k counters per partition/group)
+  for UNBOUNDED key domains (URLs, n-grams, user ids) where the exact
   aggregation's state would not fit. The merged sketch has the classic
-  guarantee: every item with true count > N/k is present, and each
-  reported count is an UNDERestimate by at most N/k. Deterministic for
-  a given partitioning but not engine-portable → pytest pins the
-  guarantee against exact counts instead of a SQL oracle.
+  guarantee (Agarwal et al., "Mergeable Summaries"): every item with
+  true count > N/k is present, and each reported count is an
+  UNDERestimate by at most N/k. Deterministic for a given partitioning
+  but not engine-portable → pytest pins the guarantee against exact
+  counts instead of a SQL oracle. ``frequent_items_sketch`` is the
+  collected list form.
 """
 
 from __future__ import annotations
@@ -41,49 +46,102 @@ def frequent_items(df: DataFrame, col: str | Column, k: int = 20) -> DataFrame:
     )
 
 
-def frequent_items_sketch(df: DataFrame, col: str | Column, k: int = 20) -> list[tuple]:
-    """Misra-Gries heavy hitters → [(item, lower_bound_count), ...].
+def frequent_items_sketch_df(
+    df: DataFrame,
+    col: str | Column,
+    k: int = 20,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters → DataFrame of
+    (*group_by, item, cnt_lb), counts are LOWER bounds.
 
-    Per-partition MG summaries (k counters) are computed in one
-    mapInPandas pass and merged driver-side: merging MG summaries and
-    decrementing back to k counters preserves the error bound, with
-    total error <= P * N_p/k summed over partitions <= N/k. The driver
-    holds partitions x k counters — scale by k, never by data volume.
+    Fully distributed merge (Agarwal et al., "Mergeable Summaries"):
 
-    Returns a plain Python list (the sketch IS driver-sized by
-    construction); counts are lower bounds. Items with true count >
-    N/(k+1) are guaranteed present.
+    1. one mapInPandas pass computes a k-counter MG summary per
+       partition (per group when ``group_by`` is set) — executor state
+       is groups×k counters per task, never data-sized;
+    2. summaries merge by a plain SUM groupBy over at most
+       partitions×groups×k rows — a sketch-sized shuffle, not a
+       data-sized one;
+    3. the merged summary shrinks back to k counters per group by
+       subtracting the (k+1)-th largest count (a window over sketch
+       rows), which preserves the MG bound: total undercount ≤ N/k,
+       every item with true count > N/k survives.
+
+    No driver-side state at any step — the result is a DataFrame that
+    can feed joins/sinks directly; ``.collect()`` it only if you want
+    the classic list form (see ``frequent_items_sketch``).
     """
+    from pyspark.sql.window import Window
+
     name = col if isinstance(col, str) else "item"
-    src = df.select((F.col(col) if isinstance(col, str) else col).alias(name))
+    gb = list(group_by or [])
+    src = df.select(
+        *gb, (F.col(col) if isinstance(col, str) else col).alias(name)
+    )
 
     kk = k
+    item_type = dict(src.dtypes)[name]
 
     def _mg_partition(iterator):
         import pandas as pd
 
-        counters: dict = {}
+        # one MG summary per group key (() for the ungrouped case)
+        summaries: dict = {}
         for pdf in iterator:
-            for v in pdf[name]:
+            keys = (
+                list(zip(*(pdf[g] for g in gb))) if gb else [()] * len(pdf)
+            )
+            for gkey, v in zip(keys, pdf[name]):
+                counters = summaries.setdefault(gkey, {})
                 if v in counters:
                     counters[v] += 1
                 elif len(counters) < kk:
                     counters[v] = 1
                 else:
                     # decrement-all: O(1) amortized via dict rebuild
-                    counters = {key: c - 1 for key, c in counters.items() if c > 1}
-        if counters:
-            yield pd.DataFrame({"item": list(counters), "cnt": list(counters.values())})
+                    summaries[gkey] = {
+                        key: c - 1 for key, c in counters.items() if c > 1
+                    }
+        for gkey, counters in summaries.items():
+            if counters:
+                out = {g: [gv] * len(counters) for g, gv in zip(gb, gkey)}
+                out["item"] = list(counters)
+                out["cnt_lb"] = list(counters.values())
+                yield pd.DataFrame(out)
 
-    parts = src.mapInPandas(
-        _mg_partition, schema=f"item {dict(src.dtypes)[name]}, cnt long"
-    ).collect()
+    gb_schema = "".join(
+        f"{g} {t}, " for g, t in src.dtypes if g in gb
+    )
+    partials = src.mapInPandas(
+        _mg_partition, schema=f"{gb_schema}item {item_type}, cnt_lb long"
+    )
 
-    merged: dict = {}
-    for r in parts:
-        merged[r["item"]] = merged.get(r["item"], 0) + r["cnt"]
-    # shrink back to k counters (subtract the (k+1)-th largest count)
-    if len(merged) > kk:
-        cut = sorted(merged.values(), reverse=True)[kk]
-        merged = {i: c - cut for i, c in merged.items() if c > cut}
-    return sorted(merged.items(), key=lambda ic: (-ic[1], str(ic[0])))
+    merged = partials.groupBy(*gb, "item").agg(F.sum("cnt_lb").alias("cnt_lb"))
+    # shrink to k counters per group: subtract the (k+1)-th largest count
+    w = Window.partitionBy(*[F.col(g) for g in gb]) if gb else Window.partitionBy(F.lit(1))
+    ranked = merged.withColumn(
+        "__rk", F.row_number().over(w.orderBy(F.col("cnt_lb").desc(), F.col("item").asc()))
+    )
+    cut = ranked.withColumn(
+        "__cut",
+        F.max(F.when(F.col("__rk") == kk + 1, F.col("cnt_lb"))).over(w),
+    )
+    return (
+        cut.withColumn("cnt_lb", F.col("cnt_lb") - F.coalesce(F.col("__cut"), F.lit(0)))
+        .where((F.col("__rk") <= kk) & (F.col("cnt_lb") > 0))
+        .drop("__rk", "__cut")
+    )
+
+
+def frequent_items_sketch(df: DataFrame, col: str | Column, k: int = 20) -> list[tuple]:
+    """Misra-Gries heavy hitters → [(item, lower_bound_count), ...].
+
+    Classic list form of ``frequent_items_sketch_df`` (which see): the
+    merge is fully distributed; only the final ≤k sketch rows are
+    collected. Items with true count > N/k are guaranteed present;
+    counts are lower bounds."""
+    rows = frequent_items_sketch_df(df, col, k=k).collect()
+    return sorted(
+        ((r["item"], r["cnt_lb"]) for r in rows), key=lambda ic: (-ic[1], str(ic[0]))
+    )

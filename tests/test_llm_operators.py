@@ -1055,3 +1055,44 @@ def test_ivf_assign_blas_equals_expression_path(spark):
     ne = {r.vec_id: r["__n"] for r in similarity.ivf_assign(df, "vec_id", "embedding", cent).collect()}
     for k in ne:
         assert abs(ne[k] - nb[k]) < 1e-9
+
+
+def test_misra_gries_sketch_df_grouped_distributed(spark):
+    """Grouped distributed MG: per-group guarantee with no driver-side
+    merge step (frequent_items_sketch_df returns a DataFrame whose plan
+    never collects)."""
+    from etl_wrap_spark.operators import frequent
+
+    rows = []
+    for grp, scale in (("a", 40), ("b", 15)):
+        for i in range(4):
+            rows += [(grp, f"{grp}_hot{i}")] * (scale * (4 - i))
+        rows += [(grp, f"{grp}_noise{j}") for j in range(120)]
+    df = spark.createDataFrame(rows, ["grp", "term"]).repartition(8)
+
+    k = 6
+    out = frequent.frequent_items_sketch_df(df, "term", k=k, group_by=["grp"])
+    assert set(out.columns) == {"grp", "term", "cnt_lb"} or set(out.columns) == {"grp", "item", "cnt_lb"}
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], {})[r["item"]] = r["cnt_lb"]
+
+    for grp in ("a", "b"):
+        grp_rows = [t for g, t in rows if g == grp]
+        n = len(grp_rows)
+        exact = {t: grp_rows.count(t) for t in set(grp_rows)}
+        sketch = got.get(grp, {})
+        # ≤ k counters per group survive the shrink
+        assert len(sketch) <= k
+        # items above the merged-MG threshold are guaranteed present
+        for item, cnt in exact.items():
+            if cnt > n / k:
+                assert item in sketch, f"{grp}:{item} ({cnt} > {n/k:.0f}) missing"
+        # counts are lower bounds
+        for item, est in sketch.items():
+            assert est <= exact[item]
+
+    # ungrouped DF form agrees with the list form
+    lst = frequent.frequent_items_sketch(df, "term", k=k)
+    df_form = frequent.frequent_items_sketch_df(df, "term", k=k)
+    assert sorted(lst) == sorted((r["item"], r["cnt_lb"]) for r in df_form.collect())
