@@ -108,7 +108,15 @@ def hash28(col: Column | str) -> Column:
 
 
 def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded frame — the inverted-index building block."""
+    """(id, shingle) exploded frame — the inverted-index building block.
+
+    The shingle transform is the family's expensive map stage, so the
+    input is spread to the session's parallelism first when the scan
+    arrived under-partitioned (single-row-group files read as ONE task;
+    see session.ensure_min_parallelism — a no-op on real corpora)."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
 
 
@@ -197,6 +205,9 @@ def jaccard_verify(
     Integer set sizes only (never a float division) so results are
     engine-exact; callers filter e.g. 2*inter >= uni for J >= 0.5.
     """
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     sets = df.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
     a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -279,6 +290,12 @@ def near_dup_pairs_minhash(
     its estimate errs below threshold-margin (binomial tail over
     num_perm hashes — <1e-3 per borderline pair at 32 hashes / margin
     2500). Oracle-checked paths leave this OFF for exactness."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    # spread ONCE here so the signature build and the exact-verify
+    # text rejoin share a single (reused) exchange instead of each
+    # re-reading an under-partitioned scan (no-op on real corpora)
+    df = ensure_min_parallelism(df)
     sf = shingle_frame(df, id_col, text_col, n)
     if auto_tune:
         bands, rows = tune_lsh_params(den / num, num_perm)
@@ -326,6 +343,9 @@ def exact_jaccard_pairs(
     similarity, and usually the better near-dup signal) — or route to
     the LSH path (near_dup_pairs_minhash), which has no such bias.
     """
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # shared by index AND the sizes branch
     sf = shingle_frame(df, id_col, text_col, n)
     if max_df is not None:
         # single-pass df-cap: per-doc shingles are distinct (shingles()
@@ -381,7 +401,12 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signature is the sign of sum(+/-1 over tokens' hash bit j).
 
     Explode + one aggregation shuffle; the 60 bit-sums combine map-side.
+    Input spread to session parallelism first when the scan arrived
+    under-partitioned (no-op on real corpora).
     """
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
     h = hash60("tok")
     sums = [

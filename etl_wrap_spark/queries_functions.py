@@ -227,12 +227,12 @@ def q18_numeric_coercion(spark, sf_dir):
     )
     base = F.col("base")
     rendered = (
-        F.when(F.col("shape") == 0, F.regexp_replace(base, r"\.", ","))
+        F.when(F.col("shape") == 0, F.translate(base, ".", ","))
         .when(F.col("shape") == 1, F.concat(base, F.lit("%")))
         .when(
             F.col("shape") == 2,
             F.concat(
-                F.regexp_replace(base, "-", ""),
+                F.translate(base, "-", ""),
                 F.when(base.startswith("-"), F.lit("-")).otherwise(F.lit("")),
             ),
         )
