@@ -88,6 +88,12 @@ def brute_force_topk(
     reduces via the rank window on (query, cos desc)."""
     # norms are precomputed per ROW (not per pair): same IEEE fold →
     # bit-identical cosine, at a third of the per-pair arithmetic
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    # broadcast joins keep the STREAM side's partitioning — an
+    # under-partitioned corpus scan would serialize all pair scoring
+    # (no-op on real multi-file corpora)
+    corpus = ensure_min_parallelism(corpus)
     q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv")).withColumn("qn", norm_expr("qv"))
     c = corpus.select(F.col(id_c).alias("cid"), F.col(vec).alias("cv")).withColumn("cn", norm_expr("cv"))
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -113,6 +119,9 @@ def signlsh_topk(
     recovered at ~(1+nb)x the scoring cost — still bucketed, never the
     |Q|x|C| cross join. Corpus rows live in exactly one bucket, so
     probing never duplicates a (query, candidate) pair."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus)  # stream-side rule, as in brute_force_topk
     nb = len(planes)
     if probe_radius < 0 or probe_radius > 2:
         raise ValueError("probe_radius must be 0, 1, or 2")
@@ -144,6 +153,9 @@ def embedding_near_dups(
     by sign-LSH so only same-bucket pairs are compared. Near-identical
     vectors agree on every hyperplane sign (recall loss only for pairs
     straddling a plane)."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # bucket+norm map work precedes the shuffle
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec).alias("va"), bucket_expr(vec, planes).alias("bkt")
     ).withColumn("na", norm_expr("va"))
@@ -227,6 +239,10 @@ def ivf_assign(df: DataFrame, id_col: str, vec: str, centroids: DataFrame) -> Da
     only one row per id reaches the reduce side, never the n_cells
     blowup. The row's vector and norm ride inside the struct, so no
     re-join with the input is needed."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # the |df| x n_cells affinity map is
+    # the expensive stage; broadcast NLJ inherits the stream side's split
     a = df.select(F.col(id_col), F.col(vec).alias("__v")).withColumn("__n", norm_expr("__v"))
     kn = centroids.withColumn("__kn", norm_expr("kv"))
     scored = a.crossJoin(F.broadcast(kn)).select(
