@@ -2691,3 +2691,205 @@ def q126_potential_promotion(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ------------------------------------ exact-substring span dedup (q127)
+@register(
+    "q127_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), win AS (
+      SELECT doc_id, i AS start,
+             CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 14), ' ')), 1, 15) AS BIGINT) AS h
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - 14)) AS u(i)
+      WHERE len(t) >= 15
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2
+    ), dw AS (
+      SELECT w.doc_id, w.start FROM win w JOIN dup USING (h)
+    ), isl AS (
+      SELECT doc_id, start,
+             CASE WHEN start - LAG(start) OVER (PARTITION BY doc_id ORDER BY start) <= 15
+                  THEN 0 ELSE 1 END AS brk
+      FROM dw
+    ), grp AS (
+      SELECT doc_id, start,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(start) AS BIGINT) AS span_start,
+           CAST(MAX(start) + 14 AS BIGINT) AS span_end,
+           CAST(MAX(start) - MIN(start) + 15 AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, g
+    ORDER BY doc_id, span_start
+    """,
+)
+def q127_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (operators/dedup.py:
+    duplicate_spans) — the Lee-et-al-2021 dedup mode: maximal token
+    spans whose every 15-token window recurs corpus-wide, found with
+    windowed fingerprints (one linear shuffle) + a gaps-and-islands
+    merge instead of a suffix array. The oracle replays the identical
+    window hashes and island merge in SQL."""
+    from etl_wrap_spark.operators import dedup as _dd
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return _dd.duplicate_spans(t["documents"], "doc_id", "text", window=15).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+# ------------------------------------ span removal round-trip (q128)
+@register(
+    "q128_span_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), win AS (
+      SELECT doc_id, i AS start,
+             CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 14), ' ')), 1, 15) AS BIGINT) AS h
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - 14)) AS u(i)
+      WHERE len(t) >= 15
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2
+    ), dw AS (
+      SELECT w.doc_id, w.start FROM win w JOIN dup USING (h)
+    ), isl AS (
+      SELECT doc_id, start,
+             CASE WHEN start - LAG(start) OVER (PARTITION BY doc_id ORDER BY start) <= 15
+                  THEN 0 ELSE 1 END AS brk
+      FROM dw
+    ), grp AS (
+      SELECT doc_id, start,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, MIN(start) AS s, MAX(start) + 14 AS e
+      FROM grp GROUP BY doc_id, g
+    ), tokrows AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS i
+      FROM toks
+    ), keptrows AS (
+      SELECT tr.doc_id, tr.tok, tr.i FROM tokrows tr
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = tr.doc_id AND tr.i >= sp.s AND tr.i <= sp.e
+      )
+    ), kept AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean
+      FROM keptrows GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN sp.doc_id IS NOT NULL THEN md5(coalesce(k.clean, ''))
+                ELSE md5(trim(d.text)) END AS clean_md5,
+           CAST(CASE WHEN sp.doc_id IS NOT NULL
+                THEN len(string_split_regex(coalesce(k.clean, ''), '\\s+'))
+                ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS BIGINT) AS n_tokens_out
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q128_span_removal(spark, sf_dir):
+    """Duplicated-span REMOVAL round-trip (dedup.remove_duplicate_spans):
+    documents rebuilt with their duplicate spans cut out, surfaced as
+    md5 + token count so the oracle compares full content. Docs with no
+    spans pass through verbatim (md5 of the trimmed original)."""
+    from etl_wrap_spark.operators import dedup as _dd
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    spans = _dd.duplicate_spans(docs, "doc_id", "text", window=15)
+    cleaned = _dd.remove_duplicate_spans(docs, spans, "doc_id", "text")
+    has = spans.select("doc_id").distinct().withColumn("__has", F.lit(True))
+    side = F.when(F.col("__has").isNotNull(), F.col("clean_text")).otherwise(F.trim("text"))
+    return (
+        cleaned.join(has, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.md5(side).alias("clean_md5"),
+            F.size(F.split(side, r"\s+")).cast("bigint").alias("n_tokens_out"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------ link-graph centrality (q129)
+@register(
+    "q129_pagerank_centrality",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), params AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, 1000000000000 // (SELECT n FROM params) AS r FROM nodes
+    ), c1 AS (
+      SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
+      FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n.node,
+             150000000000 // (SELECT n FROM params) + COALESCE(c1.c, 0) AS r
+      FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+    ), c2 AS (
+      SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
+      FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n.node,
+             150000000000 // (SELECT n FROM params) + COALESCE(c2.c, 0) AS r
+      FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+    ), c3 AS (
+      SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
+      FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT n.node,
+             150000000000 // (SELECT n FROM params) + COALESCE(c3.c, 0) AS r
+      FROM nodes n LEFT JOIN c3 ON c3.node = n.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_fp
+    FROM r3 ORDER BY node
+    """,
+)
+def q129_pagerank_centrality(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph.py:pagerank_fixedpoint)
+    over the undirected customer↔supplier trade graph (suppliers
+    offset by 1e6 to disjoin the key spaces): 3 iterations of exact
+    scaled-integer arithmetic, so the oracle's unrolled-CTE replay
+    hash-matches bit for bit — the float formulation could never be
+    engine-portable. Per-round cost is one edge join + one dst
+    aggregation (O(E)); the rank frame stays node-sized."""
+    from etl_wrap_spark.operators.graph import pagerank_fixedpoint
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return (
+        pagerank_fixedpoint(edges, iterations=3)
+        .select(F.col("node").cast("bigint").alias("node"), "rank_fp")
+        .orderBy("node")
+    )

@@ -1096,3 +1096,86 @@ def test_misra_gries_sketch_df_grouped_distributed(spark):
     lst = frequent.frequent_items_sketch(df, "term", k=k)
     df_form = frequent.frequent_items_sketch_df(df, "term", k=k)
     assert sorted(lst) == sorted((r["item"], r["cnt_lb"]) for r in df_form.collect())
+
+
+def test_duplicate_spans_planted(spark):
+    """Planted exact-substring duplication: two docs share a verbatim
+    20-token passage (> window 15); a third doc is clean. The shared
+    passage must surface as one maximal span per doc covering exactly
+    the duplicated region; the clean doc yields no spans."""
+    from etl_wrap_spark.operators import dedup
+
+    shared = " ".join(f"dup{i}" for i in range(20))
+    head_a = " ".join(f"a{i}" for i in range(10))
+    tail_b = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, f"{head_a} {shared}"),            # span at tokens 11..30
+        (2, f"{shared} {tail_b}"),            # span at tokens 1..20
+        (3, " ".join(f"c{i}" for i in range(40))),  # clean
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicate_spans(df, "doc_id", "text", window=15).collect()
+    }
+    assert spans[1] == (11, 30, 20)
+    assert spans[2] == (1, 20, 20)
+    assert 3 not in spans
+
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.remove_duplicate_spans(
+            df, dedup.duplicate_spans(df, "doc_id", "text", window=15), "doc_id", "text"
+        ).collect()
+    }
+    assert cleaned[1] == head_a
+    assert cleaned[2] == tail_b
+    assert cleaned[3] == rows[2][1]  # passthrough, verbatim
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    """A document repeating its own 16-token block twice is self-dup:
+    both copies are covered (min_count counts occurrences, not docs)."""
+    from etl_wrap_spark.operators import dedup
+
+    block = " ".join(f"x{i}" for i in range(16))
+    mid = " ".join(f"m{i}" for i in range(5))
+    df = spark.createDataFrame([(1, f"{block} {mid} {block}")], ["doc_id", "text"])
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, "doc_id", "text", window=15).collect()
+    )
+    assert got == [(1, 16), (22, 37)]
+
+
+def test_pagerank_fixedpoint_exact(spark):
+    """Hand-checkable graph: a 3-cycle plus a dangling feeder.
+    Fixed-point arithmetic makes every value exactly reproducible; the
+    cycle nodes end symmetric except where the feeder injects mass."""
+    from etl_wrap_spark.operators.graph import pagerank_fixedpoint
+
+    # 1->2, 2->3, 3->1 (cycle), 4->1 (feeder; nothing points at 4)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], ["src", "dst"]
+    )
+    scale = 10**12
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(edges, iterations=2, scale=scale).collect()
+    }
+    # replicate in exact ints
+    n = 4
+    base = (scale * 15) // (100 * n)
+    r = {v: scale // n for v in (1, 2, 3, 4)}
+    out = {1: [2], 2: [3], 3: [1], 4: [1]}
+    for _ in range(2):
+        nxt = {v: base for v in r}
+        for u, dsts in out.items():
+            for v in dsts:
+                nxt[v] += (r[u] * 85) // (100 * len(dsts))
+        r = nxt
+    assert got == r
+    # mass only leaks (floor truncation), never inflates
+    assert sum(got.values()) <= scale
+    # the feeder (no in-edges) holds exactly the base mass
+    assert got[4] == base
