@@ -165,3 +165,65 @@ def shard_balanced(
         ((F.col("__off") + F.col("__lrn") - 1) % n_shards).cast("int").alias(out_col),
     )
     return df.join(ranked, id_col)
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    stride: int,
+    phase: int = 0,
+    rank_partitions: int | None = None,
+    out_col: str = "n_picks",
+) -> DataFrame:
+    """Weighted sampling by EXACT integer systematic selection: a row is
+    picked once for every stride boundary its cumulative-weight interval
+    crosses — P(pick) ∝ weight, expected sample size = total_weight /
+    stride, and heavy rows (weight ≥ stride) surface with multiplicity
+    in ``n_picks`` (the with-replacement reading a mixture sampler
+    needs). The float-free formulation (vs. the classic u^(1/w)
+    exponential-sort reservoir) is deliberate: pow/ln are not
+    correctly-rounded and differ across engines, while integer
+    prefix-sum + floor-division is bit-identical everywhere — the same
+    determinism argument as graph.pagerank_fixedpoint.
+
+    The cumulative weight is computed DISTRIBUTED exactly like
+    shard_balanced's global rank: range-repartition on the total order
+    (id), per-partition running sums, then a broadcast prefix-offset
+    join over partition totals (partition-count-sized state, never a
+    single-partition window).
+
+    pick-count for a row with interval (c, c+w]:
+        n_picks = (c + w - phase) div stride - (c - phase) div stride
+    Rows with n_picks = 0 are dropped. ``phase`` (0 ≤ phase < stride)
+    shifts the boundary grid — disjoint phases give disjoint-ish
+    samples for cross-validation without re-scanning."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    slim = df.select(F.col(id_col), F.col(weight_col).cast("bigint").alias("__w"))
+    nparts = rank_partitions or slim.sparkSession.sparkContext.defaultParallelism
+    parted = slim.repartitionByRange(nparts, F.col(id_col))
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    wl = Window.partitionBy("__pid").orderBy(F.col(id_col))
+    local = with_pid.withColumn(
+        "__lcum", F.sum("__w").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = local.groupBy("__pid").agg(F.sum("__w").alias("__t"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))
+    ).select("__pid", "__off")
+    cum_after = F.col("__off") + F.col("__lcum")
+    cum_before = cum_after - F.col("__w")
+    picks = (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            F.col(id_col),
+            (
+                F.expr(f"(__off + __lcum - {phase}) div {stride}")
+                - F.expr(f"(__off + __lcum - __w - {phase}) div {stride}")
+            ).cast("bigint").alias(out_col),
+        )
+        .where(F.col(out_col) > 0)
+    )
+    return df.join(picks, id_col)

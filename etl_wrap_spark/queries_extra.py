@@ -2893,3 +2893,44 @@ def q129_pagerank_centrality(spark, sf_dir):
         .select(F.col("node").cast("bigint").alias("node"), "rank_fp")
         .orderBy("node")
     )
+
+
+# ------------------------------------ weighted systematic sample (q130)
+@register(
+    "q130_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS wgt FROM orders
+    ), c AS (
+      SELECT o_orderkey, wgt,
+             SUM(wgt) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w
+    )
+    SELECT o_orderkey,
+           CAST(cum // 3000000 - (cum - wgt) // 3000000 AS BIGINT) AS n_picks
+    FROM c
+    WHERE cum // 3000000 > (cum - wgt) // 3000000
+    ORDER BY o_orderkey
+    """,
+)
+def q130_weighted_sample(spark, sf_dir):
+    """Weighted mixture sampling (operators/sampling.py:
+    weighted_systematic_sample): orders picked ∝ floor(totalprice) by
+    exact integer systematic selection over a DISTRIBUTED prefix sum
+    (range partitions + broadcast offsets — no single-partition
+    window). Pure integer arithmetic end to end, so the oracle's
+    sequential cumsum replay hash-matches; the float
+    exponential-reservoir alternative could never be engine-portable.
+    The oracle's single-window cumsum IS the semantics; the Spark side
+    proves the distributed decomposition computes the same sums."""
+    from etl_wrap_spark.operators.sampling import weighted_systematic_sample
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = t["orders"].select(
+        "o_orderkey", F.floor("o_totalprice").cast("bigint").alias("wgt")
+    )
+    return (
+        weighted_systematic_sample(w, "o_orderkey", "wgt", stride=3_000_000)
+        .select("o_orderkey", "n_picks")
+        .orderBy("o_orderkey")
+    )

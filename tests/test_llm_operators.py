@@ -1179,3 +1179,45 @@ def test_pagerank_fixedpoint_exact(spark):
     assert sum(got.values()) <= scale
     # the feeder (no in-edges) holds exactly the base mass
     assert got[4] == base
+
+
+def test_weighted_systematic_sample_properties(spark):
+    """Pick probability ∝ weight: expected picks per row = w/stride;
+    totals are exact (sum n_picks == total_weight // stride ± 1), heavy
+    rows surface with multiplicity, zero-weight rows never picked, and
+    the distributed prefix decomposition is invariant to partitioning."""
+    from etl_wrap_spark.operators.sampling import weighted_systematic_sample
+
+    rows = [(i, (i * 37) % 100) for i in range(1, 2001)]  # weights 0..99
+    df = spark.createDataFrame(rows, ["id", "w"])
+    stride = 500
+    total_w = sum(w for _, w in rows)
+    got = weighted_systematic_sample(df, "id", "w", stride=stride).collect()
+    picks = {r["id"]: r["n_picks"] for r in got}
+    # total picks = number of stride boundaries inside (0, total_w]
+    assert sum(picks.values()) == total_w // stride
+    # zero-weight rows can never cross a boundary
+    assert all(dict(rows)[i] > 0 for i in picks)
+    # replay sequentially in python — must match EXACTLY
+    cum, expect = 0, {}
+    for i, w in rows:
+        n = (cum + w) // stride - cum // stride
+        cum += w
+        if n:
+            expect[i] = n
+    assert picks == expect
+    # partitioning invariance: same result at a different partition count
+    got2 = {
+        r["id"]: r["n_picks"]
+        for r in weighted_systematic_sample(
+            df.repartition(7), "id", "w", stride=stride, rank_partitions=5
+        ).collect()
+    }
+    assert got2 == expect
+    # a row heavier than the stride is picked with multiplicity
+    big = spark.createDataFrame([(1, 1750), (2, 10)], ["id", "w"])
+    multi = {
+        r["id"]: r["n_picks"]
+        for r in weighted_systematic_sample(big, "id", "w", stride=500).collect()
+    }
+    assert multi[1] == 3
