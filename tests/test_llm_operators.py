@@ -1221,3 +1221,69 @@ def test_weighted_systematic_sample_properties(spark):
         for r in weighted_systematic_sample(big, "id", "w", stride=500).collect()
     }
     assert multi[1] == 3
+
+
+def _mini_mp4(width=640, height=360, timescale=1000, duration=2500, v1=False) -> bytes:
+    """Hand-assembled minimal ISO BMFF: ftyp + moov(mvhd, trak(tkhd))."""
+    def box(typ, body):
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    if v1:
+        mvhd = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0])
+            + (0).to_bytes(8, "big") * 2          # creation/modification u64
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+            + b"\x00" * 80,
+        )
+        tkhd_body = bytes([1, 0, 0, 0]) + b"\x00" * 84  # width lands at +88
+    else:
+        mvhd = box(
+            b"mvhd",
+            bytes([0, 0, 0, 0])
+            + (0).to_bytes(4, "big") * 2          # creation/modification u32
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 80,
+        )
+        tkhd_body = bytes([0, 0, 0, 0]) + b"\x00" * 72  # width lands at +76
+    tkhd_body += (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big")
+    trak = box(b"trak", box(b"tkhd", tkhd_body))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov + box(b"mdat", b"\x00" * 32)
+
+
+def test_mp4_meta_pure_stdlib():
+    from etl_wrap_spark.operators.multimodal import mp4_meta
+
+    m = mp4_meta(_mini_mp4())
+    assert m is not None
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["timescale"] == 1000 and m["duration"] == 2500
+    assert m["duration_ms"] == 2500
+    assert m["n_tracks"] == 1
+
+    mv1 = mp4_meta(_mini_mp4(width=1920, height=1080, timescale=90000, duration=90000 * 7, v1=True))
+    assert (mv1["width"], mv1["height"]) == (1920, 1080)
+    assert mv1["duration_ms"] == 7000
+
+    # fail-open on garbage / truncation / other formats
+    assert mp4_meta(b"not a video") is None
+    assert mp4_meta(_mini_mp4()[:20]) is None
+    assert mp4_meta(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_with_mp4_meta_distributed(spark):
+    from etl_wrap_spark.operators import multimodal as mm
+
+    rows = [
+        (1, _mini_mp4(width=320, height=240, duration=1000)),
+        (2, b"\x00garbage\x00" * 4),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    media = mm.media_frame_from_binary(df, "media_id", "content", "video")
+    got = {r["media_id"]: r for r in mm.with_mp4_meta(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["duration_ms"]) == (320, 240, 1000)
+    assert got[2]["width"] is None and got[2]["duration_ms"] is None
