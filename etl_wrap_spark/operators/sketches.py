@@ -143,3 +143,82 @@ def hll_sketches(
 def hll_estimate(hll_col: Column | str) -> Column:
     c = F.col(hll_col) if isinstance(hll_col, str) else hll_col
     return F.hll_sketch_estimate(c)
+
+
+# ------------------------------------------------ HDR-histogram quantiles
+# The mergeable PERCENTILE state: log-linear integer buckets (octave +
+# 2^s linear subdivisions), the HdrHistogram quantization. Everything is
+# integer arithmetic — bucket assignment, merge (a SUM), and quantile
+# read-out (cumsum walk) — so unlike t-digest/KLL the sketch is
+# bit-identical on any engine and any partitioning, and the catalog can
+# oracle-check it end to end. Relative error of the lower-bound
+# representative is <= 1/2^s (s=7 -> <1%); state is <= (64-s)*2^s
+# buckets per group regardless of data volume.
+
+
+def hdr_bucket(value: Column | str, s: int = 7) -> Column:
+    """Bucket index for an integer value >= 1: m = max(bitlen-1-s, 0),
+    idx = m * 2^s + (value >> m). Exact below 2^(s+1) (m=0 ⇒ idx=value);
+    above, buckets subdivide each octave into 2^s linear steps."""
+    v = F.col(value) if isinstance(value, str) else value
+    bitlen = F.length(F.bin(v))
+    m = F.greatest(bitlen - 1 - s, F.lit(0))
+    return (m * (1 << s) + F.call_function("shiftright", v, m.cast("int"))).cast("bigint")
+
+
+def hdr_bucket_low(idx: Column | str, s: int = 7) -> Column:
+    """Lower bound of a bucket's value range — the deterministic
+    representative returned by quantile read-out (underestimates by at
+    most a factor 1 + 2^-s)."""
+    i = F.col(idx) if isinstance(idx, str) else idx
+    m = F.greatest((i / (1 << s)).cast("bigint") - 1, F.lit(0))
+    return F.call_function("shiftleft", i - m * (1 << s), m.cast("int")).cast("bigint")
+
+
+def hdr_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    s: int = 7,
+) -> DataFrame:
+    """Per-group HDR sketch rows (group, bucket, n) — ONE groupBy with
+    map-side combine; persist/append these and merge later batches with
+    ``hdr_merge`` (a plain SUM — associative, commutative, exact)."""
+    return (
+        df.select(*group_cols, hdr_bucket(value_col, s).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hdr_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def hdr_quantile(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    q_bp: int,
+    s: int = 7,
+    out_col: str = "quantile_low",
+) -> DataFrame:
+    """Quantile read-out at q_bp basis points: the value lower bound of
+    the first bucket whose cumulative count reaches
+    ceil(total * q_bp / 10000) — integer rank arithmetic, a window
+    cumsum over the (small) sketch rows, no data rescan."""
+    groups = list(group_cols)
+    w = Window.partitionBy(*groups).orderBy("bucket")
+    wall = Window.partitionBy(*groups)
+    ranked = (
+        sketch.withColumn("__cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__total", F.sum("n").over(wall))
+        .withColumn("__rank", F.expr(f"(__total * {q_bp} + 9999) div 10000"))
+        .where(F.col("__cum") >= F.col("__rank"))
+    )
+    first = ranked.groupBy(*groups).agg(F.min("bucket").alias("__b"))
+    return first.select(*groups, hdr_bucket_low(F.col("__b"), s).alias(out_col))

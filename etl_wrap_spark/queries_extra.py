@@ -2934,3 +2934,53 @@ def q130_weighted_sample(spark, sf_dir):
         .select("o_orderkey", "n_picks")
         .orderBy("o_orderkey")
     )
+
+
+# ------------------------------------ HDR quantile sketch (q131)
+@register(
+    "q131_hdr_quantile_sketch",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS prio, CAST(FLOOR(o_totalprice) AS BIGINT) AS val
+      FROM orders
+    ), b AS (
+      SELECT prio, GREATEST(length(to_base(val, 2)) - 1 - 7, 0) AS m, val FROM v
+    ), sk AS (
+      SELECT prio, m * 128 + (val >> m) AS bucket, COUNT(*) AS n
+      FROM b GROUP BY prio, m * 128 + (val >> m)
+    ), cum AS (
+      SELECT prio, bucket, n,
+             SUM(n) OVER (PARTITION BY prio ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER (PARTITION BY prio) AS total
+      FROM sk
+    ), hit AS (
+      SELECT prio, MIN(bucket) AS b
+      FROM cum WHERE c >= (total * 9500 + 9999) // 10000
+      GROUP BY prio
+    )
+    SELECT prio,
+           CAST(((b - GREATEST(b // 128 - 1, 0) * 128) << GREATEST(b // 128 - 1, 0)) AS BIGINT) AS p95_low
+    FROM hit ORDER BY prio
+    """,
+)
+def q131_hdr_quantile_sketch(spark, sf_dir):
+    """Mergeable percentile state (operators/sketches.py:hdr_sketch /
+    hdr_quantile): HdrHistogram log-linear integer buckets (s=7 → <1%
+    relative error, ≤ 57·128 buckets/group forever) — the persistable,
+    batch-appendable alternative to approx_percentile whose state is a
+    plain (group, bucket, n) table mergeable by SUM. Everything is
+    integer arithmetic, so the oracle replays the exact same
+    quantization and the p95 read-out hash-matches bit for bit —
+    impossible for t-digest/KLL."""
+    from etl_wrap_spark.operators import sketches as sk
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    vals = t["orders"].select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor("o_totalprice").cast("bigint").alias("val"),
+    )
+    sketch = sk.hdr_sketch(vals, ["prio"], "val", s=7)
+    return (
+        sk.hdr_quantile(sketch, ["prio"], q_bp=9500, s=7, out_col="p95_low")
+        .orderBy("prio")
+    )

@@ -1287,3 +1287,45 @@ def test_with_mp4_meta_distributed(spark):
     got = {r["media_id"]: r for r in mm.with_mp4_meta(media).collect()}
     assert (got[1]["width"], got[1]["height"], got[1]["duration_ms"]) == (320, 240, 1000)
     assert got[2]["width"] is None and got[2]["duration_ms"] is None
+
+
+def test_hdr_sketch_laws(spark):
+    """HDR quantile sketch: merge law (sketch(A∪B) == merge exactly),
+    error bound (lower-bound representative within 2^-s relative of the
+    true quantile), exactness below 2^(s+1)."""
+    from etl_wrap_spark.operators import sketches as sk
+    import random
+
+    rng = random.Random(7)
+    vals_a = [("g", rng.randrange(1, 1_000_000)) for _ in range(3000)]
+    vals_b = [("g", rng.randrange(1, 1_000_000)) for _ in range(2000)]
+    dfa = spark.createDataFrame(vals_a, ["grp", "v"])
+    dfb = spark.createDataFrame(vals_b, ["grp", "v"])
+    both = dfa.unionByName(dfb)
+
+    ska = sk.hdr_sketch(dfa, ["grp"], "v")
+    skb = sk.hdr_sketch(dfb, ["grp"], "v")
+    merged = {
+        (r["grp"], r["bucket"]): r["n"]
+        for r in sk.hdr_merge(ska, skb, ["grp"]).collect()
+    }
+    direct = {
+        (r["grp"], r["bucket"]): r["n"]
+        for r in sk.hdr_sketch(both, ["grp"], "v").collect()
+    }
+    assert merged == direct
+
+    allv = sorted(v for _, v in vals_a + vals_b)
+    for q_bp in (5000, 9500, 9900):
+        got = sk.hdr_quantile(
+            sk.hdr_sketch(both, ["grp"], "v"), ["grp"], q_bp=q_bp
+        ).collect()[0][1]
+        rank = (len(allv) * q_bp + 9999) // 10000
+        true_q = allv[rank - 1]
+        assert got <= true_q  # lower bound
+        assert got >= true_q * (1 - 2**-7) - 1, (q_bp, got, true_q)
+
+    # exact region: values below 2^8 bucket to themselves
+    small = spark.createDataFrame([("s", v) for v in range(1, 200)], ["grp", "v"])
+    med = sk.hdr_quantile(sk.hdr_sketch(small, ["grp"], "v"), ["grp"], q_bp=5000).collect()[0][1]
+    assert med == 100  # exact median of 1..199
