@@ -471,6 +471,7 @@ def incremental_near_dups(
     id_col: str,
     band_rows: int = BAND_ROWS,
     max_bucket: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against the EXISTING signature
     index → (id_new, id_idx, matches, est_j_bp).
@@ -488,7 +489,19 @@ def incremental_near_dups(
     docs before the join — the same boilerplate hot-bucket guard as
     lsh_candidate_pairs (measured on the planted synthetic corpus: a 1%
     batch vs a 1e5-doc index produced 8.4e5 candidate rows uncapped,
-    ~115x the 1e4-index count, all from boilerplate cohorts)."""
+    ~115x the 1e4-index count, all from boilerplate cohorts).
+
+    ``materialize`` (default on): each signature frame is referenced
+    TWICE below (band keys + the estimate join), and when the caller
+    composes it straight from text (signature_index) rather than
+    reading a persisted index, Catalyst would rebuild the whole
+    shingle→minhash subtree per reference — measured 28s → 3.8s at
+    sf0.1. The frames are sketch-sized (~32 ints/doc), so the eager
+    localCheckpoint is the persisted-index posture in miniature; pass
+    False when the inputs are already materialized parquet reads."""
+    if materialize:
+        batch_sig = batch_sig.localCheckpoint(eager=True)
+        index_sig = index_sig.localCheckpoint(eager=True)
     num_hashes = sum(1 for c in batch_sig.columns if c.startswith("mh"))
     bk = band_keys(batch_sig, id_col, band_rows)
     ik = band_keys(index_sig, id_col, band_rows)
