@@ -300,10 +300,17 @@ def near_dup_pairs_minhash(
     if auto_tune:
         bands, rows = tune_lsh_params(den / num, num_perm)
         sig = minhash_signatures(sf, id_col, num_hashes=bands * rows)
-        cands = lsh_candidate_pairs(sig, id_col, band_rows=rows, max_bucket=max_bucket)
     else:
+        bands, rows = None, BAND_ROWS
         sig = minhash_signatures(sf, id_col)
-        cands = lsh_candidate_pairs(sig, id_col, max_bucket=max_bucket)
+    # The signature frame is referenced once by the band join and — on
+    # the max_bucket / prefilter paths — up to three more times (bucket
+    # sizing, both estimate sides). It is ~num_perm ints per doc, so an
+    # eager localCheckpoint costs a doc-count-sized sketch in exchange
+    # for never re-running the shingle→minhash subtree (the corpus
+    # text scan) per reference.
+    sig = sig.localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sig, id_col, band_rows=rows, max_bucket=max_bucket)
     if est_prefilter_margin_bp is not None:
         thresh_bp = (10000 * den) // num - est_prefilter_margin_bp
         est = estimate_pairs(sig, cands, id_col)
