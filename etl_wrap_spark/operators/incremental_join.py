@@ -169,3 +169,61 @@ def flatten_hierarchy(
             "(cycle, or depth > 2^max_iter)"
         )
     return ptr.select("node", F.col("anc").alias("root"), "depth")
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_iter: int = 40,
+) -> DataFrame:
+    """ALL (node, anc, dist) ancestor pairs of a forest — the full
+    transitive closure flatten_hierarchy's (node, root) projection
+    skips, feeding hierarchical rollups (every node aggregated into
+    every enclosing subtree).
+
+    Computed by REPEATED SQUARING: P₀ = edges (dist 1);
+    P_{k+1} = P_k ∪ (P_k ∘ P_k) joining each pair's ancestor onto that
+    ancestor's own pairs and adding distances — path lengths double
+    per round, so depth-D converges in ceil(log₂ D) rounds of one
+    self-join + dedup each. The closure's SIZE (Σ depths) is the
+    inherent output cost; rounds are the only driver-visible state
+    (a scalar count probe, the connected_components discipline).
+    """
+    from pyspark.sql import functions as F
+
+    p = (
+        edges.select(
+            F.col(child_col).alias("node"),
+            F.col(parent_col).alias("anc"),
+            F.lit(1).cast("bigint").alias("dist"),
+        )
+        .where(F.col("node") != F.col("anc"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = p.count()
+    for _ in range(max_iter):
+        hop = (
+            p.alias("x")
+            .join(p.alias("y"), F.col("x.anc") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.anc").alias("anc"),
+                (F.col("x.dist") + F.col("y.dist")).alias("dist"),
+            )
+        )
+        p = (
+            p.unionByName(hop)
+            .groupBy("node", "anc")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        n = p.count()
+        if n == n_prev:
+            return p
+        n_prev = n
+    raise RuntimeError(
+        f"ancestor_closure did not converge in {max_iter} rounds — "
+        "cycle in the 'hierarchy'? (2^40-deep forests do not occur)"
+    )

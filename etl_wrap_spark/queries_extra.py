@@ -2984,3 +2984,65 @@ def q131_hdr_quantile_sketch(spark, sf_dir):
         sk.hdr_quantile(sketch, ["prio"], q_bp=9500, s=7, out_col="p95_low")
         .orderBy("prio")
     )
+
+
+# ------------------------------------ hierarchical rollup (q132)
+@register(
+    "q132_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE walk(node, anc, depth) AS (
+      SELECT c_custkey, c_custkey // 2, CAST(1 AS BIGINT)
+      FROM customer WHERE c_custkey >= 2 AND c_custkey <= 4095
+      UNION ALL
+      SELECT node, anc // 2, depth + 1 FROM walk WHERE anc >= 2
+    ), anc_pairs AS (
+      SELECT node, anc FROM walk
+      UNION ALL
+      SELECT c_custkey, c_custkey FROM customer WHERE c_custkey <= 4095
+    ), leafval AS (
+      SELECT c_custkey AS node, CAST(c_acctbal AS DECIMAL(18,2)) AS val
+      FROM customer WHERE c_custkey <= 4095
+    )
+    SELECT p.anc AS node,
+           CAST(COUNT(*) AS BIGINT) AS subtree_size,
+           CAST(CAST(SUM(l.val) AS VARCHAR) AS DOUBLE) AS subtree_total
+    FROM anc_pairs p JOIN leafval l ON l.node = p.node
+    GROUP BY p.anc ORDER BY p.anc
+    """,
+)
+def q132_hierarchy_rollup(spark, sf_dir):
+    """Hierarchical (BOM/org) rollup: every node's subtree size and
+    exact-decimal subtree total over the deterministic parent=child/2
+    binary tree on the first 4095 customers. Composes the
+    pointer-doubling ancestor closure (incremental_join.py:
+    ancestor_closure via flatten-per-level) — O(log depth) self-join
+    rounds produce ALL (node, ancestor) pairs, then one join+groupBy
+    aggregates leaves into every enclosing subtree; the recursive-CTE
+    oracle walks the same closure. Self-pairs make each node its own
+    subtree member (the rollup convention)."""
+    from etl_wrap_spark.operators.incremental_join import ancestor_closure
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    cust = t["customer"].where(F.col("c_custkey") <= 4095)
+    edges = cust.where(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("child"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("parent"),
+    )
+    closure = ancestor_closure(edges)
+    self_pairs = cust.select(
+        F.col("c_custkey").alias("node"), F.col("c_custkey").alias("anc")
+    )
+    pairs = closure.select("node", "anc").unionByName(self_pairs)
+    leaves = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("val"),
+    )
+    return (
+        pairs.join(leaves, on="node")
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("subtree_size"),
+            F.sum("val").cast("double").alias("subtree_total"),
+        )
+        .orderBy("node")
+    )

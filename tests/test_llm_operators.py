@@ -1329,3 +1329,16 @@ def test_hdr_sketch_laws(spark):
     small = spark.createDataFrame([("s", v) for v in range(1, 200)], ["grp", "v"])
     med = sk.hdr_quantile(sk.hdr_sketch(small, ["grp"], "v"), ["grp"], q_bp=5000).collect()[0][1]
     assert med == 100  # exact median of 1..199
+
+
+def test_ancestor_closure_chain(spark):
+    """Chain 1<-2<-...<-9 (parent = n-1): closure must hold all 36
+    (node, anc) pairs with exact distances, via O(log depth) rounds."""
+    from etl_wrap_spark.operators.incremental_join import ancestor_closure
+
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(2, 10)], ["child", "parent"]
+    )
+    got = {(r["node"], r["anc"]): r["dist"] for r in ancestor_closure(edges).collect()}
+    expect = {(n, a): n - a for n in range(2, 10) for a in range(1, n)}
+    assert got == expect
