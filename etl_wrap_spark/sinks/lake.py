@@ -68,21 +68,41 @@ class AtomicTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.root, MANIFEST)
 
-    def current_version(self) -> int | None:
+    def _manifest(self) -> dict:
         try:
             with open(self._manifest_path()) as fh:
-                return int(json.load(fh)["version"])
-        except (OSError, ValueError, KeyError):
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def current_version(self) -> int | None:
+        m = self._manifest()
+        try:
+            return int(m["version"])
+        except (KeyError, ValueError, TypeError):
             return None
 
-    def _swap(self, version: int, expected: int | None) -> None:
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest committed transaction version for `app_id` (the Delta
+        txnAppId/txnVersion idempotence ledger) — None if never seen."""
+        v = self._manifest().get("txns", {}).get(app_id)
+        return int(v) if v is not None else None
+
+    def _swap(
+        self, version: int, expected: int | None, txn: tuple[str, int] | None = None
+    ) -> None:
         if self.current_version() != expected:
             raise ConflictError(
                 f"manifest moved (expected v{expected}, found v{self.current_version()})"
             )
+        txns = dict(self._manifest().get("txns", {}))
+        if txn is not None:
+            txns[txn[0]] = int(txn[1])
         tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "committed_at": time.time()}, fh)
+            json.dump(
+                {"version": version, "committed_at": time.time(), "txns": txns}, fh
+            )
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, self._manifest_path())  # the atomic commit point
@@ -231,7 +251,13 @@ class AtomicTable:
         with open(tmp, "w") as fh:
             json.dump(stats, fh)
 
-    def _promote(self, staged: str, new_v: int, expected: int | None) -> None:
+    def _promote(
+        self,
+        staged: str,
+        new_v: int,
+        expected: int | None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Atomically install a staged dir as version ``new_v``. The dir
         rename is the writer lock: two writers racing for the same
         version number can't both rename onto ``v{N}`` — the loser gets
@@ -248,7 +274,7 @@ class AtomicTable:
         except OSError as e:
             shutil.rmtree(staged, ignore_errors=True)
             raise ConflictError(f"version dir v{new_v} already claimed") from e
-        self._swap(new_v, expected)
+        self._swap(new_v, expected, txn)
 
     def _commit_df(
         self,
@@ -257,10 +283,17 @@ class AtomicTable:
         stats_cols: Sequence[str] | None = None,
         cluster_by: str | Column | None = None,
         cluster_files: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
+        if txn is not None:
+            last = self.last_txn_version(txn[0])
+            if last is not None and last >= int(txn[1]):
+                # idempotent replay: this transaction already committed —
+                # skip without staging (the exactly-once contract)
+                return self.current_version() or 0
         new_v = (expected or 0) + 1
         staged = self._stage(df, stats_cols, cluster_by, cluster_files)
-        self._promote(staged, new_v, expected)
+        self._promote(staged, new_v, expected, txn)
         return new_v
 
     def write(
@@ -269,21 +302,35 @@ class AtomicTable:
         stats_cols: Sequence[str] | None = None,
         cluster_by: str | Column | None = None,
         cluster_files: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Full refresh (reference K5) as one atomic version bump; see
         ``_stage`` for the zone-map / clustering options
         (``cluster_files`` pins the range-partition count — zone
         granularity — where AQE would otherwise coalesce small tables
-        into one file)."""
+        into one file). ``txn`` as in ``upsert``."""
         return self._commit_df(
-            df, self.current_version(), stats_cols, cluster_by, cluster_files
+            df, self.current_version(), stats_cols, cluster_by, cluster_files, txn=txn
         )
 
-    def upsert(self, updates: DataFrame, keys: Sequence[str]) -> int:
-        """MERGE semantics (reference K2/K3) with old-or-new visibility."""
+    def upsert(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """MERGE semantics (reference K2/K3) with old-or-new visibility.
+        ``txn=(app_id, txn_version)`` makes the commit IDEMPOTENT: a
+        replay whose txn_version the manifest has already recorded is
+        skipped — the Delta txnAppId pattern that turns foreachBatch
+        retries into exactly-once sink semantics."""
         v = self.current_version()
+        if txn is not None:
+            last = self.last_txn_version(txn[0])
+            if last is not None and last >= int(txn[1]):
+                return v or 0
         out = M.upsert(self.read(v), updates, keys) if v else updates
-        return self._commit_df(out, v)
+        return self._commit_df(out, v, txn=txn)
 
     def delete_insert(self, replacement: DataFrame, selector: Column) -> int:
         """Delete-before-insert (reference K4) as one atomic commit."""
@@ -410,30 +457,52 @@ class PartitionedAtomicTable:
     def _pointer_path(self) -> str:
         return os.path.join(self.root, MANIFEST)
 
-    def current_version(self) -> int | None:
+    def _pointer(self) -> dict:
         try:
             with open(self._pointer_path()) as fh:
-                return int(json.load(fh)["version"])
-        except (OSError, ValueError, KeyError):
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def current_version(self) -> int | None:
+        try:
+            return int(self._pointer()["version"])
+        except (KeyError, ValueError, TypeError):
             return None
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Transaction ledger, as in AtomicTable.last_txn_version."""
+        v = self._pointer().get("txns", {}).get(app_id)
+        return int(v) if v is not None else None
 
     def _manifest(self, version: int) -> dict:
         with open(os.path.join(self.root, "_versions", f"{version}.json")) as fh:
             return json.load(fh)
 
-    def _swap(self, version: int, expected: int | None) -> None:
+    def _swap(
+        self, version: int, expected: int | None, txn: tuple[str, int] | None = None
+    ) -> None:
         if self.current_version() != expected:
             raise ConflictError(
                 f"pointer moved (expected v{expected}, found v{self.current_version()})"
             )
+        txns = dict(self._pointer().get("txns", {}))
+        if txn is not None:
+            txns[txn[0]] = int(txn[1])
         tmp = self._pointer_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "committed_at": time.time()}, fh)
+            json.dump({"version": version, "committed_at": time.time(), "txns": txns}, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, self._pointer_path())
 
-    def _commit_manifest(self, parts: dict, ptype: str, expected: int | None) -> int:
+    def _commit_manifest(
+        self,
+        parts: dict,
+        ptype: str,
+        expected: int | None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         new_v = (expected or 0) + 1
         mpath = os.path.join(self.root, "_versions", f"{new_v}.json")
         tmp = mpath + f".tmp.{uuid.uuid4().hex}"
@@ -449,7 +518,7 @@ class PartitionedAtomicTable:
             os.unlink(tmp)
             raise ConflictError(f"manifest v{new_v} already claimed") from e
         os.unlink(tmp)
-        self._swap(new_v, expected)
+        self._swap(new_v, expected, txn)
         return new_v
 
     # ------------------------------------------------------------ writers
@@ -471,11 +540,16 @@ class PartitionedAtomicTable:
         shutil.rmtree(staged, ignore_errors=True)
         return parts, ptype
 
-    def write(self, df: DataFrame) -> int:
-        """Full refresh: every partition rewritten, one atomic pointer swap."""
+    def write(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        """Full refresh: every partition rewritten, one atomic pointer
+        swap. ``txn`` as in ``upsert``."""
         expected = self.current_version()
+        if txn is not None:
+            last = self.last_txn_version(txn[0])
+            if last is not None and last >= int(txn[1]):
+                return expected or 0
         parts, ptype = self._write_partitions(df)
-        return self._commit_manifest(parts, ptype, expected)
+        return self._commit_manifest(parts, ptype, expected, txn)
 
     def _read_dirs(self, manifest: dict, values: Sequence[str] | None = None) -> DataFrame:
         parts = manifest["partitions"]
@@ -517,14 +591,25 @@ class PartitionedAtomicTable:
         v = version if version is not None else self.current_version()
         return dict(self._manifest(v)["partitions"])
 
-    def upsert(self, updates: DataFrame, keys: Sequence[str]) -> int:
+    def upsert(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """MERGE that rewrites ONLY the partitions present in
         ``updates``; every other partition rides into the new manifest
         by reference. The touched-value collect is partition-count
-        scale (driver-safe); the merge job reads just the touched dirs."""
+        scale (driver-safe); the merge job reads just the touched dirs.
+        ``txn=(app_id, txn_version)`` makes the commit idempotent via
+        the pointer's transaction ledger (see AtomicTable.upsert)."""
         expected = self.current_version()
+        if txn is not None:
+            last = self.last_txn_version(txn[0])
+            if last is not None and last >= int(txn[1]):
+                return expected or 0
         if expected is None:
-            return self.write(updates)
+            return self.write(updates, txn=txn)
         manifest = self._manifest(expected)
         touched = [
             str(r[0])
@@ -543,7 +628,7 @@ class PartitionedAtomicTable:
         new_parts, ptype = self._write_partitions(merged)
         parts = dict(manifest["partitions"])
         parts.update(new_parts)
-        return self._commit_manifest(parts, ptype, expected)
+        return self._commit_manifest(parts, ptype, expected, txn)
 
     def delete_partitions(self, values: Sequence[str]) -> int:
         """Drop whole partitions — a manifest-only commit, no data job."""

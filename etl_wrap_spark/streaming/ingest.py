@@ -236,6 +236,7 @@ def stream_upsert_to_lake(
     table,
     keys: list[str],
     checkpoint: str,
+    app_id: str | None = None,
 ):
     """Stream MERGE into an AtomicTable (sinks/lake.py): each micro-batch
     upserts by key as ONE atomic manifest-swap commit, so concurrent
@@ -243,19 +244,23 @@ def stream_upsert_to_lake(
     never a half-applied batch — the streaming form of the reference's
     transaction bracket.
 
-    Exactly-once effect: foreachBatch is at-least-once, but the upsert
-    is idempotent per batch (re-applying the same keyed rows replaces
-    them with identical values), so a retried micro-batch converges to
-    the same committed state. Use update/append-less plans upstream;
-    aggregate streams should arrive in update mode.
-    """
+    EXACTLY-ONCE: foreachBatch is at-least-once, so each commit carries
+    ``txn=(app_id, batch_id)`` — the manifest's transaction ledger
+    (AtomicTable.last_txn_version, the Delta txnAppId pattern) makes a
+    replayed batch a no-op commit. This holds even for NON-idempotent
+    batch content (e.g. counters that would double-apply); the earlier
+    value-idempotence argument (same keyed rows → same state) remains
+    as belt-and-braces for same-content replays. ``app_id`` defaults to
+    the checkpoint path, which is unique per logical stream."""
+    app = app_id or f"stream:{checkpoint}"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        txn = (app, int(batch_id))
         if table.current_version() is None:
-            table.write(batch_df)
+            table.write(batch_df, txn=txn)
         else:
-            table.upsert(batch_df, keys)
+            table.upsert(batch_df, keys, txn=txn)
 
     return run_foreach_batch(stream_df, checkpoint, _apply, mode="update")

@@ -431,3 +431,39 @@ def test_stream_e2e_coerce_quarantine_partitioned_lake(spark, tmp_path):
     assert dirs_v2["click"] != dirs_v1["click"]
     got2 = {(r.event_id, r.v) for r in table.read().collect()}
     assert got2 == {(1, 99.0), (2, -3.0), (4, 7.25), (5, 1.5)}
+
+
+def test_lake_txn_idempotent_commits(spark, tmp_path):
+    """The manifest transaction ledger (txnAppId pattern): a commit
+    replayed with an already-recorded (app_id, txn_version) is a no-op
+    EVEN when its content differs — the at-least-once -> exactly-once
+    conversion for foreachBatch retries with non-idempotent payloads."""
+    from etl_wrap_spark.sinks.lake import AtomicTable
+
+    table = AtomicTable(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+    v1 = table.write(df1, txn=("app", 0))
+    assert table.last_txn_version("app") == 0
+
+    # replay batch 0 with DIFFERENT (doubled) content — must be skipped
+    doubled = spark.createDataFrame([(1, 20), (2, 40)], ["k", "v"])
+    v_replay = table.upsert(doubled, ["k"], txn=("app", 0))
+    assert v_replay == v1
+    assert {r["k"]: r["v"] for r in table.read().collect()} == {1: 10, 2: 20}
+
+    # the next batch applies normally and advances the ledger
+    df2 = spark.createDataFrame([(2, 99), (3, 30)], ["k", "v"])
+    v2 = table.upsert(df2, ["k"], txn=("app", 1))
+    assert v2 == v1 + 1
+    assert table.last_txn_version("app") == 1
+    assert {r["k"]: r["v"] for r in table.read().collect()} == {1: 10, 2: 99, 3: 30}
+
+    # a second independent app has its own ledger
+    assert table.last_txn_version("other") is None
+    table.upsert(spark.createDataFrame([(9, 9)], ["k", "v"]), ["k"], txn=("other", 5))
+    assert table.last_txn_version("other") == 5
+    assert table.last_txn_version("app") == 1
+
+    # un-txn'd commits never touch the ledger
+    table.upsert(spark.createDataFrame([(8, 8)], ["k", "v"]), ["k"])
+    assert table.last_txn_version("app") == 1
