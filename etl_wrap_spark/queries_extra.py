@@ -3046,3 +3046,52 @@ def q132_hierarchy_rollup(spark, sf_dir):
         )
         .orderBy("node")
     )
+
+
+# ------------------------------------ unpivot / melt (q133)
+@register(
+    "q133_unpivot_measures",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(l_quantity AS DECIMAL(18,4)) AS quantity,
+             CAST(l_extendedprice AS DECIMAL(18,4)) AS extendedprice,
+             CAST(l_discount AS DECIMAL(18,4)) AS discount,
+             CAST(l_tax AS DECIMAL(18,4)) AS tax
+      FROM lineitem
+    ), u AS (
+      SELECT 'discount' AS measure, discount AS val FROM w
+      UNION ALL SELECT 'extendedprice', extendedprice FROM w
+      UNION ALL SELECT 'quantity', quantity FROM w
+      UNION ALL SELECT 'tax', tax FROM w
+    )
+    SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) AS total
+    FROM u GROUP BY measure ORDER BY measure
+    """,
+)
+def q133_unpivot_measures(spark, sf_dir):
+    """Wide→long UNPIVOT (DataFrame.unpivot — the melt surface the
+    relational layer was missing): lineitem's four numeric measures
+    become (measure, val) rows in a MAP-ONLY expansion (Catalyst's
+    Expand node — no shuffle, no join, 4 output rows per input row
+    pruned to exactly the unpivoted columns), then one aggregation per
+    measure in exact decimal. The oracle is the canonical UNION-ALL
+    longhand."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    wide = t["lineitem"].select(
+        F.col("l_quantity").cast("decimal(18,4)").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(18,4)").alias("discount"),
+        F.col("l_tax").cast("decimal(18,4)").alias("tax"),
+    )
+    long = wide.unpivot(
+        [], ["quantity", "extendedprice", "discount", "tax"], "measure", "val"
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("val").cast("double").alias("total"),
+        )
+        .orderBy("measure")
+    )
