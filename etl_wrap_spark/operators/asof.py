@@ -152,3 +152,83 @@ def resample_ffill(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
     return filled.where(F.col("__is_grid") == 1).drop("__is_grid")
+
+
+def interpolate_linear(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "15 minutes",
+    start=None,
+    end=None,
+    out_col: str = "value_interp",
+):
+    """Per-key time-grid LINEAR interpolation — resample_ffill's sibling
+    for continuous quantities (sensor readings, rates) where carrying
+    the last observation misstates the trend.
+
+    Same union + single-window plan shape as resample_ffill (no
+    per-grid-point join): observation and grid rows merge per key, one
+    window pass finds the surrounding observations (last/first with
+    ignorenulls over the preceding/following frames), and the grid
+    value is pv + (nv - pv) * (t - pt) / (nt - pt). The formula is the
+    SAME IEEE expression tree an independent engine writes, so results
+    are bit-identical (each double op is correctly rounded). Grid
+    points outside a key's observed span stay NULL — interpolation
+    never extrapolates; grid points ON an observation return it exactly
+    (the numerator is zero). Bounds default per key to [min ts, max ts]
+    or the explicit `start`/`end` literals.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    obs = df.select(
+        key_col,
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(0).alias("__is_grid"),
+    )
+    if start is not None and end is not None:
+        bounds = obs.select(key_col).distinct().select(
+            F.col(key_col),
+            F.lit(start).cast("timestamp").alias("__lo"),
+            F.lit(end).cast("timestamp").alias("__hi"),
+        )
+    else:
+        bounds = obs.groupBy(key_col).agg(
+            F.min("__ts").alias("__lo"), F.max("__ts").alias("__hi")
+        )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))).alias("__ts"),
+    ).select(
+        key_col, "__ts", F.lit(None).cast("double").alias("__v"), F.lit(1).alias("__is_grid")
+    )
+    rows = obs.unionByName(grid)
+    w = Window.partitionBy(key_col).orderBy("__ts", "__is_grid")
+    prev_frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    next_frame = w.rowsBetween(0, Window.unboundedFollowing)
+    ts_of_obs = F.when(F.col("__v").isNotNull(), F.col("__ts"))
+    pv = F.last("__v", ignorenulls=True).over(prev_frame)
+    pt = F.last(ts_of_obs, ignorenulls=True).over(prev_frame)
+    nv = F.first("__v", ignorenulls=True).over(next_frame)
+    nt = F.first(ts_of_obs, ignorenulls=True).over(next_frame)
+    # exact integer MICROSECONDS (sub-second observations truncate
+    # differently across engines at second granularity), differenced
+    # exactly in int64 before the one double division
+    t_s = F.unix_micros(F.col("__ts")).cast("double")
+    pt_s = F.unix_micros(pt).cast("double")
+    nt_s = F.unix_micros(nt).cast("double")
+    interp = (
+        # a grid point coincident with an observation IS that observation
+        # (covers the last-observation edge, where no `next` exists)
+        F.when(pv.isNotNull() & (pt_s == t_s), pv)
+        .when(pv.isNull() | nv.isNull(), F.lit(None).cast("double"))
+        .otherwise(pv + (nv - pv) * (t_s - pt_s) / (nt_s - pt_s))
+    )
+    return (
+        rows.withColumn(out_col, interp)
+        .where(F.col("__is_grid") == 1)
+        .select(key_col, F.col("__ts").alias(ts_col), out_col)
+    )

@@ -3095,3 +3095,74 @@ def q133_unpivot_measures(spark, sf_dir):
         )
         .orderBy("measure")
     )
+
+
+# ------------------------------------ linear interpolation resample (q134)
+@register(
+    "q134_interpolate_linear",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v,
+             0 AS is_grid
+      FROM events WHERE user_id % 100 = 7
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ), grid AS (
+      SELECT DISTINCT user_id,
+             unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-30 18:00:00',
+                                    INTERVAL 6 HOUR)) AS ts,
+             CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+      FROM obs
+    ), u AS (
+      SELECT * FROM obs UNION ALL SELECT * FROM grid
+    ), f AS (
+      SELECT user_id, ts, v, is_grid,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_grid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM u
+    )
+    SELECT user_id, CAST(ts AS VARCHAR) AS grid_ts,
+           CASE WHEN pv IS NOT NULL AND epoch_us(pt) = epoch_us(ts) THEN pv
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE pv + (nv - pv) * (CAST(epoch_us(ts) AS DOUBLE) - CAST(epoch_us(pt) AS DOUBLE))
+                                     / (CAST(epoch_us(nt) AS DOUBLE) - CAST(epoch_us(pt) AS DOUBLE))
+           END AS value_interp
+    FROM f WHERE is_grid = 1
+    ORDER BY user_id, grid_ts
+    """,
+)
+def q134_interpolate_linear(spark, sf_dir):
+    """Per-key linear-interpolation resampling (operators/asof.py:
+    interpolate_linear) — the trend-preserving sibling of q89's forward
+    fill: grid values are pv + (nv-pv)·(t-pt)/(nt-pt) between the
+    surrounding observations, computed in ONE union + window pass per
+    key (no per-grid-point join). Both engines evaluate the identical
+    IEEE expression tree, so the doubles hash-match bit for bit; grid
+    points outside the observed span stay NULL (no extrapolation)."""
+    from etl_wrap_spark.operators.asof import interpolate_linear
+
+    t = load_tables(spark, sf_dir, ["events"])
+    obs = (
+        t["events"]
+        .where(F.col("user_id") % 100 == 7)
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    )
+    out = interpolate_linear(
+        obs, "user_id", "ts", "v", step="6 hours",
+        start="2024-01-01 00:00:00", end="2024-01-30 18:00:00",
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").cast("string").alias("grid_ts"),
+        "value_interp",
+    ).orderBy("user_id", "grid_ts")

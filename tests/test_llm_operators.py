@@ -1342,3 +1342,34 @@ def test_ancestor_closure_chain(spark):
     got = {(r["node"], r["anc"]): r["dist"] for r in ancestor_closure(edges).collect()}
     expect = {(n, a): n - a for n in range(2, 10) for a in range(1, n)}
     assert got == expect
+
+
+def test_interpolate_linear_known_values(spark):
+    """Hand-checkable interpolation: obs (t=0s, 10.0) and (t=100s, 20.0);
+    grid every 25s → 10.0, 12.5, 15.0, 17.5, 20.0. Points outside the
+    span stay NULL; a grid point ON an observation returns it exactly."""
+    from etl_wrap_spark.operators.asof import interpolate_linear
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    obs = spark.createDataFrame(
+        [("k", base, 10.0), ("k", base + dt.timedelta(seconds=100), 20.0)],
+        ["key", "ts", "v"],
+    )
+    out = interpolate_linear(
+        obs, "key", "ts", "v", step="25 seconds",
+        start="2023-12-31 23:59:35", end="2024-01-01 00:02:05",
+    )
+    got = {r["ts"]: r["value_interp"] for r in out.collect()}
+    span = {
+        base: 10.0,
+        base + dt.timedelta(seconds=25): 12.5,
+        base + dt.timedelta(seconds=50): 15.0,
+        base + dt.timedelta(seconds=75): 17.5,
+        base + dt.timedelta(seconds=100): 20.0,
+    }
+    for ts, v in span.items():
+        assert got[ts] == v, (ts, got[ts])
+    # before first / after last observation: NULL (no extrapolation)
+    assert got[base - dt.timedelta(seconds=25)] is None
+    assert got[base + dt.timedelta(seconds=125)] is None
