@@ -3166,3 +3166,51 @@ def q134_interpolate_linear(spark, sf_dir):
         F.col("ts").cast("string").alias("grid_ts"),
         "value_interp",
     ).orderBy("user_id", "grid_ts")
+
+
+# ------------------------------------ BM25 lexical index (q135)
+@register(
+    "q135_bm25_postings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              t -> lower(regexp_replace(t, '[^\\w]', '', 'g'))),
+               t -> len(t) >= 2)) AS term
+      FROM documents
+    ), postings AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(MAX(tf) AS BIGINT) AS max_tf
+    FROM postings
+    WHERE term IN ('table', 'join', 'window', 'fast', 'batch')
+    GROUP BY term ORDER BY term
+    """,
+)
+def q135_bm25_postings(spark, sf_dir):
+    """The lexical-retrieval index surface (operators/retrieval.py:
+    bm25_index): integer (term, doc, tf) postings distilled in one
+    shuffle, here aggregated to per-term document frequency and tf
+    totals for a probe vocabulary — the exact-integer backbone the
+    BM25 scorer runs on (the float scorer itself is pytest-pinned
+    against an independent implementation; libm ln is not
+    engine-portable). Postings persist as parquet and append per batch
+    without rescanning old text."""
+    from etl_wrap_spark.operators.retrieval import bm25_index
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    postings, _ = bm25_index(t["documents"], "doc_id", "text")
+    return (
+        postings.where(F.col("term").isin("table", "join", "window", "fast", "batch"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+        )
+        .orderBy("term")
+    )

@@ -1373,3 +1373,32 @@ def test_interpolate_linear_known_values(spark):
     # before first / after last observation: NULL (no extrapolation)
     assert got[base - dt.timedelta(seconds=25)] is None
     assert got[base + dt.timedelta(seconds=125)] is None
+
+
+def test_bm25_search_matches_reference(spark):
+    """bm25_search ranking and scores match an independent pure-Python
+    BM25 (same tokenizer/constants) on a small planted corpus."""
+    from etl_wrap_spark.operators import retrieval as R
+
+    corpus = {
+        1: "spark joins tables with hash partitioning",
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "hash joins beat sort merge joins on small tables",
+        4: "window functions rank rows per partition",
+        5: "join join join hash hash tables",
+    }
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    postings, doclens = R.bm25_index(df, "doc_id", "text")
+    queries = spark.createDataFrame([(100, "hash join tables")], ["qid", "qtext"])
+    got = [
+        (r["id"], r["score"])
+        for r in R.bm25_search(postings, doclens, queries, "qid", "qtext", k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    expect = R.bm25_reference(corpus, "hash join tables", k=5)
+    assert [i for i, _ in got] == [i for i, _ in expect]
+    for (_, gs), (_, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-9
+    # every hit actually contains a query term; doc 2 (no overlap) absent
+    assert 2 not in {i for i, _ in got}
