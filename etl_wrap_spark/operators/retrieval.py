@@ -124,3 +124,38 @@ def bm25_reference(corpus: dict, query: str, k: int = 10) -> list[tuple]:
         if s > 0:
             scores[i] = s
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+    scale: int = 100_000_000,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of any number of rankers →
+    (id, rrf_score, rank) — the standard hybrid-search combiner
+    (lexical BM25 + vector ANN, or any heterogeneous rankers) that
+    needs NO score calibration because it consumes only ranks.
+
+    Exact integer form of RRF(d) = Σ_r 1/(k + rank_r(d)): each
+    contribution is ``scale div (k + rank)`` so the fused score is a
+    bigint — deterministic on every engine (float 1/(k+rank) sums
+    would be order-dependent). With scale 1e8 and k=60 the integer
+    truncation distinguishes ranks far beyond any practical depth.
+    Documents absent from a ranker simply contribute nothing (the RRF
+    convention). Ties break by id."""
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(id_col).alias("id"), F.col(rank_col).alias("__r")
+        ).select(
+            "id",
+            F.expr(f"cast({scale} as bigint) div ({k} + __r)").alias("__c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy("id").agg(F.sum("__c").alias("rrf_score"))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id"))
+    out = fused.withColumn("rank", F.row_number().over(w))
+    return out.where(F.col("rank") <= top) if top else out

@@ -3214,3 +3214,79 @@ def q135_bm25_postings(spark, sf_dir):
         )
         .orderBy("term")
     )
+
+
+# ------------------------------------ hybrid-search RRF fusion (q136)
+@register(
+    "q136_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              t -> lower(regexp_replace(t, '[^\\w]', '', 'g'))),
+               t -> len(t) >= 2) AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> x IN ('table', 'join', 'hash'))) AS hits,
+             len(t) AS dl
+      FROM toks
+    ), rank_a AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hits DESC, doc_id) AS r
+        FROM tf WHERE hits > 0
+      ) WHERE r <= 50
+    ), rank_b AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dl DESC, doc_id) AS r
+        FROM tf
+      ) WHERE r <= 50
+    ), contrib AS (
+      SELECT doc_id, 100000000 // (60 + r) AS c FROM rank_a
+      UNION ALL
+      SELECT doc_id, 100000000 // (60 + r) AS c FROM rank_b
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+    FROM fused ORDER BY rank LIMIT 20
+    """,
+)
+def q136_rrf_fusion(spark, sf_dir):
+    """Hybrid-search Reciprocal Rank Fusion (operators/retrieval.py:
+    rrf_fuse): two heterogeneous rankers — query-term hit count and
+    document length, both integer-exact so the whole fusion is
+    oracle-checkable — combine as Σ scale div (60 + rank) without any
+    score calibration. The float BM25+cosine fusion runs the same
+    operator (pytest); the plan is two rank windows + one sketch-sized
+    union/groupBy, never a corpus-sized join."""
+    from etl_wrap_spark.operators.retrieval import _terms, rrf_fuse
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        "doc_id", _terms("text").alias("t")
+    )
+    tf = toks.select(
+        "doc_id",
+        F.size(F.filter("t", lambda x: x.isin("table", "join", "hash"))).alias("hits"),
+        F.size("t").alias("dl"),
+    )
+    rank_a = (
+        tf.where(F.col("hits") > 0)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("hits").desc(), "doc_id")))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    rank_b = (
+        tf.withColumn("rank", F.row_number().over(Window.orderBy(F.col("dl").desc(), "doc_id")))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    return (
+        rrf_fuse([rank_a, rank_b], id_col="doc_id", top=20)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "rrf_score", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("rank")
+    )

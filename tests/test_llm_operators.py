@@ -1402,3 +1402,27 @@ def test_bm25_search_matches_reference(spark):
         assert abs(gs - es) < 1e-9
     # every hit actually contains a query term; doc 2 (no overlap) absent
     assert 2 not in {i for i, _ in got}
+
+
+def test_rrf_fuse_hybrid_bm25_vector(spark):
+    """RRF fuses a lexical and a 'vector' ranking without calibration:
+    a doc ranked #1 by both beats a doc ranked #1/absent; exact integer
+    scores replay in python."""
+    from etl_wrap_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], ["id", "rank"])
+    vec = spark.createDataFrame([(10, 1), (13, 2), (11, 3)], ["id", "rank"])
+    got = {
+        r["id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([lex, vec]).collect()
+    }
+    S = 100_000_000
+    expect_scores = {
+        10: S // 61 + S // 61,
+        11: S // 62 + S // 63,
+        12: S // 63,
+        13: S // 62,
+    }
+    assert {i: s for i, (s, _) in got.items()} == expect_scores
+    order = sorted(expect_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [i for i, _ in order] == [i for i, (_, r) in sorted(got.items(), key=lambda kv: kv[1][1])]
