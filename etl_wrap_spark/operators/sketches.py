@@ -222,3 +222,74 @@ def hdr_quantile(
     )
     first = ranked.groupBy(*groups).agg(F.min("bucket").alias("__b"))
     return first.select(*groups, hdr_bucket_low(F.col("__b"), s).alias(out_col))
+
+
+# ------------------------------------------------ Bloom filter (portable)
+# Semi-join reduction at 100 TB: build a ~KB bloom over the SMALL side's
+# join keys, broadcast it, and drop fact rows that cannot match BEFORE
+# the shuffle — the explicit form of the runtime filter Spark injects
+# when statistics allow, with a persistable/mergeable artifact (union =
+# elementwise bit OR). All bit positions are md5-derived, so the filter
+# is bit-identical on any engine and the catalog can oracle-check both
+# the filter words and the reduction itself. False positives only cost
+# shuffle volume; the real join removes them — never a correctness
+# filter.
+
+
+def _bloom_positions(key: Column, k_hashes: int, m_bits: int) -> list[Column]:
+    """k word/bit positions per key: two independent 28-bit md5 halves
+    combine as h1 + i*h2 (Kirsch-Mitzenmacher double hashing)."""
+    s = key.cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(s), 8, 7), 16, 10).cast("bigint")
+    return [((h1 + F.lit(i) * h2) % m_bits) for i in range(k_hashes)]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 8192, k_hashes: int = 5
+) -> DataFrame:
+    """One row: ``words`` = array of m_bits/64 int64s with every key's k
+    bits set — a map-side bit_or aggregate (state is filter-sized on
+    every executor). Merge two blooms with ``bloom_merge``."""
+    # 63-bit words: bit index 63 is the int64 sign bit, and engines
+    # disagree on shifting into it (DuckDB raises, Java wraps)
+    n_words = (m_bits + 62) // 63
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), k_hashes, m_bits)))
+    bits = df.select(pos.alias("p")).select(
+        (F.col("p") / 63).cast("int").alias("w"),
+        F.call_function("shiftleft", F.lit(1).cast("bigint"), (F.col("p") % 63).cast("int")).alias("b"),
+    )
+    words = bits.groupBy("w").agg(F.bit_or("b").alias("word"))
+    # densify to a fixed-length array (absent words are 0)
+    idx = F.sequence(F.lit(0), F.lit(n_words - 1))
+    frame = words.groupBy().agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("word")).alias("m")
+    )
+    return frame.select(
+        F.transform(idx, lambda i: F.coalesce(F.col("m")[i], F.lit(0).cast("bigint"))).alias("words")
+    )
+
+
+def bloom_merge(a: Column | str, b: Column | str) -> Column:
+    """Union of two blooms of the same geometry: elementwise bit OR."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.zip_with(ca, cb, lambda x, y: x.bitwiseOR(y))
+
+
+def bloom_might_contain(
+    words_col: Column | str, key: Column, m_bits: int = 8192, k_hashes: int = 5
+) -> Column:
+    """Membership test against a bloom ``words`` array (typically a
+    1-row broadcast crossJoin): true iff every one of the key's k bits
+    is set. No false negatives; false-positive rate ~(1-e^{-kn/m})^k."""
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
+    checks = []
+    for p in _bloom_positions(key, k_hashes, m_bits):
+        word = F.element_at(w, (p / 63).cast("int") + 1)
+        bit = F.call_function("shiftleft", F.lit(1).cast("bigint"), (p % 63).cast("int"))
+        checks.append(word.bitwiseAND(bit) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

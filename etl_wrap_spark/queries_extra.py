@@ -3290,3 +3290,74 @@ def q136_rrf_fusion(spark, sf_dir):
         .select("doc_id", "rrf_score", F.col("rank").cast("bigint").alias("rank"))
         .orderBy("rank")
     )
+
+
+# ------------------------------------ bloom semi-join reduction (q137)
+@register(
+    "q137_bloom_semijoin",
+    oracle="""
+    WITH keys AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_acctbal < 0
+    ), kh AS (
+      SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 7) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 8, 7) AS BIGINT) AS h2
+      FROM keys
+    ), pos AS (
+      SELECT (h1 + i * h2) % 8192 AS p
+      FROM kh, (SELECT unnest(generate_series(0, 4)) AS i)
+    ), words AS (
+      SELECT CAST(p // 63 AS INT) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+      FROM pos GROUP BY 1
+    ), lk AS (
+      SELECT DISTINCT l_suppkey AS k FROM lineitem
+    ), lpos AS (
+      SELECT k, (h1 + i * h2) % 8192 AS p
+      FROM (
+        SELECT k,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 7) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 8, 7) AS BIGINT) AS h2
+        FROM lk
+      ), (SELECT unnest(generate_series(0, 4)) AS i)
+    ), hit AS (
+      SELECT lp.k
+      FROM lpos lp
+      JOIN words w ON w.w = CAST(lp.p // 63 AS INT)
+                  AND (w.word & (CAST(1 AS BIGINT) << CAST(lp.p % 63 AS INT))) <> 0
+      GROUP BY lp.k HAVING COUNT(*) = 5
+    )
+    SELECT CAST((SELECT COUNT(*) FROM lk) AS BIGINT) AS n_fact_keys,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_bloom_pass,
+           CAST((SELECT COUNT(*) FROM hit JOIN keys ON hit.k = keys.k) AS BIGINT) AS n_true_match,
+           CAST((SELECT COUNT(*) FROM hit) - (SELECT COUNT(*) FROM hit JOIN keys ON hit.k = keys.k) AS BIGINT) AS n_false_positive
+    """,
+)
+def q137_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join reduction (operators/sketches.py:
+    bloom_build / bloom_might_contain): the ~KB md5-portable bloom over
+    the small side's keys broadcasts into the fact scan and drops rows
+    that cannot match BEFORE any shuffle — the explicit, persistable
+    form of Spark's injected runtime filters (false positives cost only
+    shuffle volume; the real join removes them). The oracle replays the
+    identical Kirsch-Mitzenmacher bit positions, filter words, and
+    membership, so pass/true/false-positive counts hash-match."""
+    from etl_wrap_spark.operators import sketches as sk
+
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
+    small = t["supplier"].where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("k")
+    )
+    bloom = sk.bloom_build(small, "k")
+    fact_keys = t["lineitem"].select(F.col("l_suppkey").alias("k")).distinct()
+    passed = (
+        fact_keys.crossJoin(F.broadcast(bloom))
+        .where(sk.bloom_might_contain("words", F.col("k")))
+        .select("k")
+    )
+    true_match = passed.join(F.broadcast(small), on="k", how="left_semi")
+    return spark.range(1).select(
+        F.lit(fact_keys.count()).cast("bigint").alias("n_fact_keys"),
+        F.lit(passed.count()).cast("bigint").alias("n_bloom_pass"),
+        F.lit(true_match.count()).cast("bigint").alias("n_true_match"),
+        (F.lit(passed.count()) - F.lit(true_match.count())).cast("bigint").alias("n_false_positive"),
+    )

@@ -1426,3 +1426,40 @@ def test_rrf_fuse_hybrid_bm25_vector(spark):
     assert {i: s for i, (s, _) in got.items()} == expect_scores
     order = sorted(expect_scores.items(), key=lambda kv: (-kv[1], kv[0]))
     assert [i for i, _ in order] == [i for i, (_, r) in sorted(got.items(), key=lambda kv: kv[1][1])]
+
+
+def test_bloom_filter_laws(spark):
+    """No false negatives ever; merge = elementwise OR equals the bloom
+    of the union; false-positive rate stays near theory."""
+    from etl_wrap_spark.operators import sketches as sk
+    from pyspark.sql import functions as F
+
+    a_keys = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    b_keys = spark.createDataFrame([(i,) for i in range(100, 200)], ["k"])
+    bloom_a = sk.bloom_build(a_keys, "k")
+    bloom_b = sk.bloom_build(b_keys, "k")
+
+    # no false negatives: every member passes
+    hits = (
+        a_keys.crossJoin(F.broadcast(bloom_a))
+        .where(sk.bloom_might_contain("words", F.col("k")))
+        .count()
+    )
+    assert hits == 100
+
+    # merge law: OR of the two blooms == bloom of the union
+    merged = bloom_a.crossJoin(bloom_b.withColumnRenamed("words", "wb")).select(
+        sk.bloom_merge("words", "wb").alias("words")
+    )
+    direct = sk.bloom_build(a_keys.unionByName(b_keys), "k")
+    assert merged.collect()[0]["words"] == direct.collect()[0]["words"]
+
+    # false positives: probes from a disjoint key range, ~(1-e^-kn/m)^k
+    probes = spark.createDataFrame([(i,) for i in range(10_000, 12_000)], ["k"])
+    fp = (
+        probes.crossJoin(F.broadcast(direct))
+        .where(sk.bloom_might_contain("words", F.col("k")))
+        .count()
+    )
+    # n=200, m=8192, k=5 -> theoretical fp ~ 0.3%; allow generous slack
+    assert fp / 2000 < 0.02, fp
