@@ -293,3 +293,64 @@ def bloom_might_contain(
     for c in checks[1:]:
         out = out & c
     return out
+
+
+# ------------------------------------------------ Count-Min sketch
+# Point-frequency estimates for UNBOUNDED key domains in fixed space —
+# the companion of the Misra-Gries top-k (operators/frequent.py): MG
+# answers "which items are heavy", CMS answers "how often is THIS item"
+# for any item, with one-sided error (never an undercount, overcount
+# <= eN with probability 1-delta at width e/eps, depth ln(1/delta)).
+# Rows are (d, w, n) cells — mergeable by cellwise SUM, md5-positioned
+# so any engine reproduces the same table exactly.
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, width: int = 2048, depth: int = 5
+) -> DataFrame:
+    """(d, w, n) cell counts: one groupBy over depth×|rows| exploded
+    cells (map-side combined; state is depth×width per executor)."""
+    s = F.col(key_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(s), 8, 7), 16, 10).cast("bigint")
+    rows = F.explode(
+        F.array(*[
+            F.struct(F.lit(d).alias("d"), ((h1 + F.lit(d) * h2) % width).alias("w"))
+            for d in range(depth)
+        ])
+    )
+    return (
+        df.select(rows.alias("c"))
+        .select("c.d", "c.w")
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """merge(cms(A), cms(B)) == cms(A ⊎ B) exactly (cellwise sum)."""
+    return a.unionByName(b).groupBy("d", "w").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 2048, depth: int = 5
+) -> DataFrame:
+    """Frequency estimate per key: MIN over the key's depth cells —
+    a broadcast join of the (small) key batch onto the sketch rows."""
+    s = F.col(key_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(s), 8, 7), 16, 10).cast("bigint")
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), ((h1 + F.lit(d) * h2) % width).alias("w"))
+                for d in range(depth)
+            ])
+        ).alias("c"),
+    ).select(key_col, "c.d", "c.w")
+    return (
+        probes.join(sketch, on=["d", "w"], how="left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est"))
+    )

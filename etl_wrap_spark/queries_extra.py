@@ -3361,3 +3361,66 @@ def q137_bloom_semijoin(spark, sf_dir):
         F.lit(true_match.count()).cast("bigint").alias("n_true_match"),
         (F.lit(passed.count()) - F.lit(true_match.count())).cast("bigint").alias("n_false_positive"),
     )
+
+
+# ------------------------------------ count-min frequency estimates (q138)
+@register(
+    "q138_cms_frequency",
+    oracle="""
+    WITH cells AS (
+      SELECT d, (h1 + d * h2) % 2048 AS w FROM (
+        SELECT CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 7) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 8, 7) AS BIGINT) AS h2
+        FROM lineitem
+      ), (SELECT unnest(generate_series(0, 4)) AS d)
+    ), sk AS (
+      SELECT d, w, COUNT(*) AS n FROM cells GROUP BY d, w
+    ), probe_keys AS (
+      SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_suppkey % 10 = 1
+    ), probes AS (
+      SELECT k, d, (h1 + d * h2) % 2048 AS w FROM (
+        SELECT k,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 7) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 8, 7) AS BIGINT) AS h2
+        FROM probe_keys
+      ), (SELECT unnest(generate_series(0, 4)) AS d)
+    ), est AS (
+      SELECT p.k, CAST(MIN(COALESCE(sk.n, 0)) AS BIGINT) AS est
+      FROM probes p LEFT JOIN sk ON sk.d = p.d AND sk.w = p.w
+      GROUP BY p.k
+    ), truth AS (
+      SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM lineitem GROUP BY 1
+    )
+    SELECT e.k AS s_suppkey, e.est, COALESCE(t.n_true, 0) AS n_true
+    FROM est e LEFT JOIN truth t ON t.k = e.k
+    ORDER BY e.k
+    """,
+)
+def q138_cms_frequency(spark, sf_dir):
+    """Count-Min frequency estimates (operators/sketches.py:
+    cms_sketch / cms_estimate): lineitem's supplier-key stream distilled
+    into a depth-5 × width-2048 cell table (one map-side-combined
+    groupBy, mergeable by cellwise SUM), probed for every 10th supplier
+    key alongside the exact counts — estimates are engine-bit-identical
+    because cell positions are md5-derived. The one-sided error law
+    (est >= truth) is pytest-pinned; here both engines must agree on
+    every estimate AND every truth."""
+    from etl_wrap_spark.operators import sketches as sk
+
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    sketch = sk.cms_sketch(t["lineitem"], "l_suppkey")
+    probes = t["supplier"].where(F.col("s_suppkey") % 10 == 1).select(
+        F.col("s_suppkey")
+    ).distinct()
+    est = sk.cms_estimate(sketch, probes, "s_suppkey")
+    truth = t["lineitem"].groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    return (
+        est.join(truth, on="s_suppkey", how="left")
+        .select(
+            "s_suppkey", "est", F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true")
+        )
+        .orderBy("s_suppkey")
+    )

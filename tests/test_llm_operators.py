@@ -1463,3 +1463,30 @@ def test_bloom_filter_laws(spark):
     )
     # n=200, m=8192, k=5 -> theoretical fp ~ 0.3%; allow generous slack
     assert fp / 2000 < 0.02, fp
+
+
+def test_cms_laws(spark):
+    """CMS one-sided error (never undercounts), exactness at low load,
+    and the merge law (cellwise sum == sketch of the disjoint union)."""
+    from etl_wrap_spark.operators import sketches as sk
+
+    rows_a = [(f"k{i % 50}",) for i in range(1000)]
+    rows_b = [(f"k{i % 30}",) for i in range(600)]
+    dfa = spark.createDataFrame(rows_a, ["k"])
+    dfb = spark.createDataFrame(rows_b, ["k"])
+
+    ska = sk.cms_sketch(dfa, "k")
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(60)], ["k"])
+    est = {r["k"]: r["est"] for r in sk.cms_estimate(ska, keys, "k").collect()}
+    truth = {}
+    for (k,) in rows_a:
+        truth[k] = truth.get(k, 0) + 1
+    for k in truth:
+        assert est[k] >= truth[k]               # one-sided
+        assert est[k] <= truth[k] + 1000 // 2048 + 5  # tight at this load
+    # absent keys estimate (near) zero — and never negative
+    assert all(est[f"k{i}"] >= 0 for i in range(50, 60))
+
+    merged = sk.cms_merge(ska, sk.cms_sketch(dfb, "k"))
+    direct = sk.cms_sketch(dfa.unionByName(dfb), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
