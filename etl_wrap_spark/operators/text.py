@@ -598,3 +598,36 @@ def pii_hits(col: Column | str) -> Column:
         total = total + F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
         c = F.regexp_replace(c, pattern, token)
     return total
+
+
+def normalize_unicode_df(
+    df, text_col: str, form: str = "NFC", out_col: str = "text_nfc"
+):
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    step a multilingual curation pipeline runs before hashing/dedup
+    (the same logical text arrives composed AND decomposed from
+    different sources; un-normalized corpora silently miss exact-dup
+    and shingle matches on every accented word).
+
+    Spark SQL has no normalizer, so this is an Arrow mapInPandas pass
+    over ``unicodedata.normalize`` — batch-vectorized Python on the
+    one column, everything else untouched. NFC output is oracle-checked
+    against DuckDB's utf8proc ``nfc_normalize`` (q139); both implement
+    the same Unicode standard."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    fields = df.schema.fields
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+    schema += f", `{out_col}` string"
+
+    def _norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf[out_col] = [
+                unicodedata.normalize(form, t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_norm, schema=schema)

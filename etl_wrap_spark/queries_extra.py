@@ -3424,3 +3424,49 @@ def q138_cms_frequency(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+# ------------------------------------ unicode NFC normalization (q139)
+@register(
+    "q139_unicode_nfc",
+    oracle="""
+    WITH decomposed AS (
+      SELECT doc_id,
+             concat('caf', 'e', chr(769), ' ', substr(text, 1, 40), ' ',
+                    'A', chr(778), 'ngstro', 'm') AS raw
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(raw)) AS nfc_md5,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+    FROM decomposed ORDER BY doc_id
+    """,
+)
+def q139_unicode_nfc(spark, sf_dir):
+    """Unicode NFC canonicalization (operators/text.py:
+    normalize_unicode_df): deterministic DECOMPOSED text (combining
+    acute/ring appended around each document's prefix) is normalized to
+    composed form — the curation step that makes hashing/dedup see
+    'café' arriving as e+◌́ and as é as the SAME text. Python
+    unicodedata and DuckDB's utf8proc implement the same standard, so
+    the md5s and codepoint lengths hash-match; the length drop (2
+    combining sequences per row) is visible in len_raw - len_nfc."""
+    from etl_wrap_spark.operators.text import normalize_unicode_df
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    raw = t["documents"].where(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("caf"), F.lit("e"), F.lit("́"), F.lit(" "),
+            F.substring("text", 1, 40), F.lit(" "),
+            F.lit("A"), F.lit("̊"), F.lit("ngstro"), F.lit("m"),
+        ).alias("raw"),
+    )
+    out = normalize_unicode_df(raw, "raw", form="NFC", out_col="nfc")
+    return out.select(
+        "doc_id",
+        F.md5("nfc").alias("nfc_md5"),
+        F.length("raw").cast("bigint").alias("len_raw"),
+        F.length("nfc").cast("bigint").alias("len_nfc"),
+    ).orderBy("doc_id")
