@@ -116,3 +116,65 @@ def mad_outliers(
             F.abs(F.col(value_col) - F.col("_median")) > F.lit(k) * F.col("_mad"),
         )
     )
+
+
+def ks_statistic(
+    df_a,
+    df_b,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    out_num: str = "ks_num",
+    out_den: str = "ks_den",
+):
+    """EXACT two-sample Kolmogorov-Smirnov distance per group — the
+    distribution-drift test a training-data pipeline runs between
+    cohorts/snapshots (PSI's nonparametric sibling: no binning choices,
+    sensitive to any distributional change).
+
+    D = max_x |F_A(x) - F_B(x)| is computed as a RATIONAL:
+    ``ks_num / ks_den`` with ks_num = max |i·n_B - j·n_A| over the
+    merged order (i, j = running counts per side) and ks_den = n_A·n_B
+    — all bigint, so the statistic is engine-bit-identical (a float
+    CDF subtraction would not be). Ties are handled by evaluating the
+    CDF difference only AFTER all rows of a tied value (max over the
+    per-value last row), the standard convention.
+
+    Plan: union with side flags → per-group window cumsums over the
+    value order → per-(group, value) last row → max. The window
+    partitions by group (parallel across groups; sequential within —
+    inherent to an exact KS, which is a full-order statistic).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    groups = list(group_cols or [])
+    a = df_a.select(*groups, F.col(value_col).alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+    b = df_b.select(*groups, F.col(value_col).alias("__v"), F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    u = a.unionByName(b)
+    w = Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    wo = w.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = u.withColumn("__i", F.sum("__a").over(wo)).withColumn(
+        "__j", F.sum("__b").over(wo)
+    )
+    # per distinct value keep the LAST cumulative pair (post-tie state)
+    per_val = cum.groupBy(*groups, "__v").agg(
+        F.max("__i").alias("__i"), F.max("__j").alias("__j")
+    )
+    totals = u.groupBy(*groups).agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    )
+    on = groups if groups else None
+    joined = (
+        per_val.join(F.broadcast(totals), on=on)
+        if groups
+        else per_val.crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined.groupBy(*groups)
+        .agg(
+            F.max(
+                F.abs(F.col("__i") * F.col("__nb") - F.col("__j") * F.col("__na"))
+            ).cast("bigint").alias(out_num),
+            (F.first("__na") * F.first("__nb")).cast("bigint").alias(out_den),
+        )
+    )

@@ -310,6 +310,9 @@ def cms_sketch(
 ) -> DataFrame:
     """(d, w, n) cell counts: one groupBy over depth×|rows| exploded
     cells (map-side combined; state is depth×width per executor)."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # depth x |rows| hash explode is map-heavy
     s = F.col(key_col).cast("string")
     h1 = F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
     h2 = F.conv(F.substring(F.md5(s), 8, 7), 16, 10).cast("bigint")

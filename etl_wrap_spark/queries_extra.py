@@ -3470,3 +3470,56 @@ def q139_unicode_nfc(spark, sf_dir):
         F.length("raw").cast("bigint").alias("len_raw"),
         F.length("nfc").cast("bigint").alias("len_nfc"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------ KS distribution drift (q140)
+@register(
+    "q140_ks_drift",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS prio, CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), b AS (
+      SELECT o_orderpriority AS prio, CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ), u AS (
+      SELECT prio, v, 1 AS ia, 0 AS ib FROM a
+      UNION ALL
+      SELECT prio, v, 0, 1 FROM b
+    ), cum AS (
+      SELECT prio, v,
+             SUM(ia) OVER (PARTITION BY prio ORDER BY v ROWS UNBOUNDED PRECEDING) AS i,
+             SUM(ib) OVER (PARTITION BY prio ORDER BY v ROWS UNBOUNDED PRECEDING) AS j
+      FROM u
+    ), per_val AS (
+      SELECT prio, v, MAX(i) AS i, MAX(j) AS j FROM cum GROUP BY prio, v
+    ), totals AS (
+      SELECT prio, SUM(ia) AS na, SUM(ib) AS nb FROM u GROUP BY prio
+    )
+    SELECT p.prio,
+           CAST(MAX(ABS(p.i * t.nb - p.j * t.na)) AS BIGINT) AS ks_num,
+           CAST(MAX(t.na) * MAX(t.nb) AS BIGINT) AS ks_den
+    FROM per_val p JOIN totals t ON t.prio = p.prio
+    GROUP BY p.prio ORDER BY p.prio
+    """,
+)
+def q140_ks_drift(spark, sf_dir):
+    """Exact two-sample KS drift per priority (operators/robust.py:
+    ks_statistic): the pre-1998 vs 1998+ order-value distributions
+    compared as the RATIONAL max |i*n_b - j*n_a| / (n_a*n_b) — all
+    bigint, engine-bit-identical (the float CDF subtraction never
+    would be), tie convention = post-tie CDF state. The nonparametric
+    drift test beside q112's column-delta profile; the window
+    parallelizes across groups."""
+    from etl_wrap_spark.operators.robust import ks_statistic
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    orders = t["orders"].select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor("o_totalprice").cast("bigint").alias("v"),
+        "o_orderdate",
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    a = orders.where(F.col("o_orderdate") < cut)
+    b = orders.where(F.col("o_orderdate") >= cut)
+    return ks_statistic(a, b, "v", group_cols=["prio"]).orderBy("prio")

@@ -1490,3 +1490,22 @@ def test_cms_laws(spark):
     merged = sk.cms_merge(ska, sk.cms_sketch(dfb, "k"))
     direct = sk.cms_sketch(dfa.unionByName(dfb), "k")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_ks_statistic_exact(spark):
+    """KS against scipy-free hand math: disjoint supports give D=1;
+    identical samples give D=0; a known half-shift gives D=1/2."""
+    from etl_wrap_spark.operators.robust import ks_statistic
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], ["v"])
+    b = spark.createDataFrame([(v,) for v in [11, 12, 13, 14]], ["v"])
+    r = ks_statistic(a, b, "v").collect()[0]
+    assert (r["ks_num"], r["ks_den"]) == (16, 16)  # D = 1 (disjoint)
+
+    r = ks_statistic(a, a, "v").collect()[0]
+    assert r["ks_num"] == 0  # identical -> D = 0
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: max gap at x=2 -> F_A=1/2, F_B=0
+    c = spark.createDataFrame([(v,) for v in [3, 4, 5, 6]], ["v"])
+    r = ks_statistic(a, c, "v").collect()[0]
+    assert (r["ks_num"], r["ks_den"]) == (8, 16)  # D = 1/2
