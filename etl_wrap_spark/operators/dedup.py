@@ -995,3 +995,65 @@ def remove_duplicate_spans(
         )
         .drop("__t", "__spans")
     )
+
+
+# ---------------------------------------- golden-record survivorship
+def golden_record(
+    comp: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    rules: dict,
+) -> DataFrame:
+    """ATTRIBUTE-level survivorship over dedup clusters — the MDM
+    "golden record" step after matching (near_dup pairs → connected
+    components): where select_canonicals keeps one whole ROW per
+    component, this composes the best VALUE per attribute, each by its
+    own rule:
+
+    - ``"max"`` / ``"min"``: extreme value (ties are value-identical);
+    - ``"longest"``: longest string, ties to the lexicographically
+      greatest (one deterministic struct argmax — (length, value) max);
+    - ``"mode"``: most frequent value, ties to the smallest — the one
+      rule needing its own (component, value) count aggregation; every
+      other rule rides ONE map-side-combined groupBy.
+
+    ``comp`` is (id, component) from connected_components[_star];
+    ``records`` carries id + the attributes named in ``rules``.
+    Returns one row per component with the surviving attributes."""
+    joined = records.join(comp, on=id_col)
+    simple_aggs = []
+    for attr, rule in rules.items():
+        if rule == "max":
+            simple_aggs.append(F.max(attr).alias(attr))
+        elif rule == "min":
+            simple_aggs.append(F.min(attr).alias(attr))
+        elif rule == "longest":
+            simple_aggs.append(
+                F.max(
+                    F.struct(F.length(attr).alias("l"), F.col(attr).alias("v"))
+                ).alias(f"__{attr}")
+            )
+        elif rule != "mode":
+            raise ValueError(f"unknown survivorship rule {rule!r} for {attr}")
+    out = joined.groupBy("component").agg(*simple_aggs) if simple_aggs else None
+    for attr, rule in rules.items():
+        if rule == "longest" and out is not None:
+            out = out.withColumn(attr, F.col(f"__{attr}.v")).drop(f"__{attr}")
+    for attr, rule in rules.items():
+        if rule != "mode":
+            continue
+        counts = (
+            joined.where(F.col(attr).isNotNull())
+            .groupBy("component", attr)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("__n").desc(), F.col(attr).asc()
+        )
+        winners = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select("component", F.col(attr))
+        )
+        out = winners if out is None else out.join(winners, on="component", how="left")
+    return out

@@ -3523,3 +3523,71 @@ def q140_ks_drift(spark, sf_dir):
     a = orders.where(F.col("o_orderdate") < cut)
     b = orders.where(F.col("o_orderdate") >= cut)
     return ks_statistic(a, b, "v", group_cols=["prio"]).orderBy("prio")
+
+
+# ------------------------------------ golden-record survivorship (q141)
+def _golden_oracle() -> str:
+    from etl_wrap_spark.queries_tail import _CC_ORACLE
+
+    base = _CC_ORACLE.rsplit("SELECT id AS doc_id", 1)[0]
+    return base + """, comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM walk GROUP BY id
+    ), rec AS (
+      SELECT c.component, d.doc_id, d.text, d.lang, d.source, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ), longest AS (
+      SELECT component, text FROM (
+        SELECT component, text,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY length(text) DESC, text DESC) AS rk
+        FROM rec
+      ) WHERE rk = 1
+    ), lang_mode AS (
+      SELECT component, lang FROM (
+        SELECT component, lang,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY COUNT(*) DESC, lang ASC) AS rk
+        FROM rec GROUP BY component, lang
+      ) WHERE rk = 1
+    ), simple AS (
+      SELECT component, MIN(source) AS source, MAX(n_chars) AS n_chars
+      FROM rec GROUP BY component
+    )
+    SELECT s.component, md5(l.text) AS text_md5, m.lang, s.source,
+           CAST(s.n_chars AS BIGINT) AS n_chars
+    FROM simple s
+    JOIN longest l USING (component)
+    JOIN lang_mode m USING (component)
+    ORDER BY s.component
+    """
+
+
+@register("q141_golden_record", oracle=_golden_oracle())
+def q141_golden_record(spark, sf_dir):
+    """MDM golden-record survivorship (operators/dedup.py:
+    golden_record): near-dup clusters composed into one best record
+    with PER-ATTRIBUTE rules — longest text (ties lexicographically
+    greatest), modal language (ties smallest), min source, max
+    n_chars. All non-mode rules ride ONE map-side-combined groupBy;
+    mode adds its own (component, value) count + argmax. The oracle
+    replays the identical rules over recursive-CTE components; text
+    surfaces as md5 so the full value is compared."""
+    from etl_wrap_spark.operators import dedup as _dd
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    pairs = _dd.near_dup_pairs_minhash(docs, "doc_id", "text", n=3, num=2, den=1)
+    comp = _dd.connected_components(pairs)
+    golden = _dd.golden_record(
+        comp,
+        docs.select("doc_id", "text", "lang", "source", "n_chars"),
+        "doc_id",
+        {"text": "longest", "lang": "mode", "source": "min", "n_chars": "max"},
+    )
+    return golden.select(
+        "component",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    ).orderBy("component")

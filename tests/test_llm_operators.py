@@ -1509,3 +1509,30 @@ def test_ks_statistic_exact(spark):
     c = spark.createDataFrame([(v,) for v in [3, 4, 5, 6]], ["v"])
     r = ks_statistic(a, c, "v").collect()[0]
     assert (r["ks_num"], r["ks_den"]) == (8, 16)  # D = 1/2
+
+
+def test_golden_record_rules(spark):
+    """Per-attribute survivorship: longest text (ties lexicographically
+    greatest), modal category (ties smallest), min/max scalars."""
+    from etl_wrap_spark.operators import dedup
+
+    comp = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (9, 900)], ["id", "component"]
+    )
+    recs = spark.createDataFrame(
+        [
+            (1, "aaaa", "en", 5),
+            (2, "bbbb", "de", 7),   # same length as 1 -> 'bbbb' wins (lex greatest)
+            (3, "cc", "de", 6),     # 'de' is modal (2 of 3)
+            (9, "solo", "fr", 1),
+        ],
+        ["id", "text", "lang", "score"],
+    )
+    got = {
+        r["component"]: (r["text"], r["lang"], r["score"])
+        for r in dedup.golden_record(
+            comp, recs, "id", {"text": "longest", "lang": "mode", "score": "max"}
+        ).collect()
+    }
+    assert got[100] == ("bbbb", "de", 7)
+    assert got[900] == ("solo", "fr", 1)
