@@ -132,3 +132,82 @@ def linear_attribution(
             F.floor(F.col("__v") * 10000 / F.col("n_touches")).cast("bigint").alias("attributed_bp"),
         )
     )
+
+
+def sessionize_capped(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    gap: str = "30 minutes",
+    max_duration: str = "2 hours",
+) -> DataFrame:
+    """Sessionization with BOTH a gap rule and a MAX-DURATION cap — the
+    variant plain ``session_window`` cannot express: a session breaks
+    when the inter-event gap exceeds ``gap`` OR when the event would
+    stretch the session past ``max_duration`` from its first event
+    (billing periods, bot-defense, bounded-session analytics).
+
+    The cap makes the assignment a PREFIX-DEPENDENT recurrence (each
+    event's session depends on the session start chosen for the
+    previous event), which no fixed window frame computes — this is the
+    textbook case for a per-key ordered scan: ``applyInPandas`` groups
+    by key, sorts by (ts, order_col), and runs the greedy split. State
+    is one group in memory at a time; keys parallelize freely.
+
+    Returns one row per session: (key, sess_idx, start_ts, end_ts,
+    n_events)."""
+    import pandas as pd
+
+    gap_us = _interval_us(gap)
+    dur_us = _interval_us(max_duration)
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
+        # pin the epoch unit explicitly (Arrow may hand us ns or us)
+        ts = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]").astype("int64")
+        out = []
+        sess_idx, start = 0, None
+        prev = None
+        s_start = s_end = None
+        n = 0
+        for t in ts:
+            if start is None:
+                sess_idx, start, prev, n = 1, t, t, 1
+            elif (t - prev) > gap_us * 1000 or (t - start) > dur_us * 1000:
+                out.append((sess_idx, start, prev, n))
+                sess_idx, start, n = sess_idx + 1, t, 1
+                prev = t
+            else:
+                prev = t
+                n += 1
+        if start is not None:
+            out.append((sess_idx, start, prev, n))
+        key = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            {
+                key_col: [key] * len(out),
+                "sess_idx": [o[0] for o in out],
+                "start_ts": pd.to_datetime([o[1] for o in out]),
+                "end_ts": pd.to_datetime([o[2] for o in out]),
+                "n_events": [o[3] for o in out],
+            }
+        )
+
+    key_t = dict(df.dtypes)[key_col]
+    return df.select(key_col, ts_col, order_col).groupBy(key_col).applyInPandas(
+        _scan,
+        schema=f"{key_col} {key_t}, sess_idx long, start_ts timestamp, "
+        "end_ts timestamp, n_events long",
+    )
+
+
+def _interval_us(spec: str) -> int:
+    """'30 minutes' → microseconds (plain int parsing, no Spark)."""
+    num, unit = spec.split()
+    mult = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+    }[unit]
+    return int(num) * mult

@@ -3591,3 +3591,56 @@ def q141_golden_record(spark, sf_dir):
         "source",
         F.col("n_chars").cast("bigint").alias("n_chars"),
     ).orderBy("component")
+
+
+# ------------------------------------ capped sessionization (q142)
+@register(
+    "q142_sessionize_capped",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events WHERE user_id % 20 = 3
+    ), walk(user_id, rn, ts, s_start, s_idx) AS (
+      SELECT user_id, rn, ts, ts, CAST(1 AS BIGINT) FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.ts,
+             CASE WHEN epoch_us(s.ts) - epoch_us(w.ts) > 1800000000
+                    OR epoch_us(s.ts) - epoch_us(w.s_start) > 7200000000
+                  THEN s.ts ELSE w.s_start END,
+             CASE WHEN epoch_us(s.ts) - epoch_us(w.ts) > 1800000000
+                    OR epoch_us(s.ts) - epoch_us(w.s_start) > 7200000000
+                  THEN w.s_idx + 1 ELSE w.s_idx END
+      FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, s_idx AS sess_idx,
+           CAST(MIN(ts) AS VARCHAR) AS start_ts,
+           CAST(MAX(ts) AS VARCHAR) AS end_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM walk GROUP BY user_id, s_idx
+    ORDER BY user_id, sess_idx
+    """,
+)
+def q142_sessionize_capped(spark, sf_dir):
+    """Gap + MAX-DURATION sessionization (operators/events_analytics.py:
+    sessionize_capped): sessions break on a 30-minute gap OR on
+    stretching past 2 hours from their first event — a prefix-dependent
+    recurrence no fixed window frame computes, run as a per-key ordered
+    applyInPandas scan (one user's events in memory at a time; keys
+    parallelize). The oracle replays the identical greedy recurrence as
+    a recursive CTE over per-user row numbers."""
+    from etl_wrap_spark.operators.events_analytics import sessionize_capped
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].where(F.col("user_id") % 20 == 3)
+    out = sessionize_capped(
+        ev, "user_id", "ts", "event_id", gap="30 minutes", max_duration="2 hours"
+    )
+    return out.select(
+        "user_id",
+        "sess_idx",
+        F.col("start_ts").cast("string").alias("start_ts"),
+        F.col("end_ts").cast("string").alias("end_ts"),
+        "n_events",
+    ).orderBy("user_id", "sess_idx")

@@ -1536,3 +1536,31 @@ def test_golden_record_rules(spark):
     }
     assert got[100] == ("bbbb", "de", 7)
     assert got[900] == ("solo", "fr", 1)
+
+
+def test_sessionize_capped_rules(spark):
+    """Both break rules fire: a >gap pause splits; continuous sub-gap
+    activity splits at the duration cap."""
+    import datetime as dt
+    from etl_wrap_spark.operators.events_analytics import sessionize_capped
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # burst A: 3 events 10 min apart (one session)
+    for i in range(3):
+        rows.append((1, base + dt.timedelta(minutes=10 * i), i))
+    # 45-min silence -> gap break; burst B: 9 events 20 min apart
+    # (crosses the 2h cap mid-way -> duration break)
+    b = base + dt.timedelta(minutes=20 + 45)
+    for i in range(9):
+        rows.append((1, b + dt.timedelta(minutes=20 * i), 100 + i))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    got = [
+        (r["sess_idx"], r["n_events"])
+        for r in sessionize_capped(
+            df, "user_id", "ts", "event_id", gap="30 minutes", max_duration="2 hours"
+        ).orderBy("sess_idx").collect()
+    ]
+    # burst B: events at +0..160min; cap breaks after the +120min event
+    # (the +140 event would stretch past 2h) -> sessions of 7 and 2
+    assert got == [(1, 3), (2, 7), (3, 2)]
