@@ -2146,7 +2146,7 @@ def q115_nation_market_share(spark, sf_dir):
     tr = F.col("total").cast("double")
     return (
         rev.where(F.col("n_name") == "NATION_7")
-        .join(tot, F.col("yr") == F.col("tyr"))
+        .join(F.broadcast(tot), F.col("yr") == F.col("tyr"))  # tot is one row per year
         .select(
             "yr",
             nr.alias("nation_rev"),
@@ -2687,7 +2687,9 @@ def q126_potential_promotion(spark, sf_dir):
     )
     return (
         t["supplier"]
-        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # the qualifying key set is supplier-count bounded (a HAVING
+        # aggregate output, stats-less → Catalyst would SMJ without the hint)
+        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
