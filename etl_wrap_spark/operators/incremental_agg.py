@@ -86,3 +86,37 @@ def merge_delta(
         ).alias(count_col),
     )
     return merged.where(F.col(count_col) > 0)
+
+
+def reconstruct_at(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    as_of,
+    change_type_col: str = "change_type",
+) -> DataFrame:
+    """Replay a CDC change log into the TABLE STATE as of a timestamp —
+    the audit/backfill operator for pipelines that keep a change feed
+    (sinks/lake.py:table_changes, Debezium streams) instead of full
+    snapshots: for every key, the latest change at-or-before ``as_of``
+    wins (window argmax per key — one shuffle on the key), and keys
+    whose winning change is a delete drop out.
+
+    ``changes`` rows carry the key, payload columns, ``ts_col`` and a
+    ``change_type`` in {insert, update, delete} (exactly the CDF
+    vocabulary). Ties on (key, ts) break by preferring the delete
+    (the conservative read: a same-instant delete+insert reads as
+    deleted; feed monotonic timestamps to avoid caring)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), (F.col(change_type_col) != "delete").asc()
+    )
+    return (
+        changes.where(F.col(ts_col) <= as_of)
+        .withColumn("__rk", F.row_number().over(w))
+        .where((F.col("__rk") == 1) & (F.col(change_type_col) != "delete"))
+        .drop("__rk", change_type_col)
+    )

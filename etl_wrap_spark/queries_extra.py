@@ -3646,3 +3646,60 @@ def q142_sessionize_capped(spark, sf_dir):
         F.col("end_ts").cast("string").alias("end_ts"),
         "n_events",
     ).orderBy("user_id", "sess_idx")
+
+
+# ------------------------------------ CDC state reconstruction (q143)
+@register(
+    "q143_cdc_reconstruct",
+    oracle="""
+    WITH log AS (
+      SELECT event_id % 997 AS k,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DECIMAL(18,4)) AS v,
+             CASE WHEN event_id % 11 = 0 THEN 'delete'
+                  WHEN event_id % 3 = 0 THEN 'update'
+                  ELSE 'insert' END AS change_type
+      FROM events
+    ), ranked AS (
+      SELECT k, ts, v, change_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY k
+               ORDER BY ts DESC, (change_type <> 'delete') ASC
+             ) AS rk
+      FROM log WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT k, CAST(ts AS VARCHAR) AS ts,
+           CAST(CAST(v AS VARCHAR) AS DOUBLE) AS v
+    FROM ranked WHERE rk = 1 AND change_type <> 'delete'
+    ORDER BY k
+    """,
+)
+def q143_cdc_reconstruct(spark, sf_dir):
+    """CDC replay to a point in time (operators/incremental_agg.py:
+    reconstruct_at): the events stream read as a change log (key =
+    event_id mod 997, deterministic insert/update/delete vocabulary)
+    reconstructed into the table state as of Jan 20 — latest change per
+    key wins via one window argmax, delete-winners drop out. The
+    audit/backfill operator for change-feed pipelines (composes
+    directly with sinks/lake.py:table_changes). Tie rule (delete
+    preferred at equal ts) is part of the contract and the oracle."""
+    from etl_wrap_spark.operators.incremental_agg import reconstruct_at
+
+    t = load_tables(spark, sf_dir, ["events"])
+    log = t["events"].select(
+        (F.col("event_id") % 997).alias("k"),
+        "ts",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.when(F.col("event_id") % 11 == 0, "delete")
+        .when(F.col("event_id") % 3 == 0, "update")
+        .otherwise("insert")
+        .alias("change_type"),
+    )
+    state = reconstruct_at(
+        log, ["k"], "ts", F.lit("2024-01-20 00:00:00").cast("timestamp")
+    )
+    return state.select(
+        "k",
+        F.col("ts").cast("string").alias("ts"),
+        F.col("v").cast("double").alias("v"),
+    ).orderBy("k")
