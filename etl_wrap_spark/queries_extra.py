@@ -3703,3 +3703,46 @@ def q143_cdc_reconstruct(spark, sf_dir):
         F.col("ts").cast("string").alias("ts"),
         F.col("v").cast("double").alias("v"),
     ).orderBy("k")
+
+
+# ------------------------------------ grouping sets time hierarchy (q144)
+@register(
+    "q144_grouping_sets_hierarchy",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total,
+           CAST(GROUPING(EXTRACT(year FROM o_orderdate)) * 2
+                + GROUPING(o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (EXTRACT(year FROM o_orderdate), o_orderpriority),
+      (EXTRACT(year FROM o_orderdate)),
+      (o_orderpriority)
+    )
+    ORDER BY gid, yr NULLS FIRST, prio NULLS FIRST
+    """,
+)
+def q144_grouping_sets_hierarchy(spark, sf_dir):
+    """Native GROUPING SETS (the generalization rollup/cube can't
+    express: an arbitrary subset of grouping combinations — here
+    (year, priority), (year), (priority) WITHOUT the grand total):
+    one pass over orders expands to exactly the requested groupings
+    (Catalyst's Expand node — no re-scan per set), with GROUPING()
+    bits disambiguating NULL-as-total from NULL-as-value. Exact
+    decimal totals; gid replays the same bit order in both engines."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    yr = F.year("o_orderdate").cast("int").alias("yr")
+    df = t["orders"].select(
+        yr, F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    out = df.groupingSets(
+        [["yr", "prio"], ["yr"], ["prio"]], "yr", "prio"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p").cast("double").alias("total"),
+        (F.grouping("yr") * 2 + F.grouping("prio")).cast("bigint").alias("gid"),
+    )
+    return out.orderBy("gid", F.col("yr").asc_nulls_first(), F.col("prio").asc_nulls_first())
