@@ -211,3 +211,42 @@ def _interval_us(spec: str) -> int:
         "hour": 3_600_000_000, "hours": 3_600_000_000,
     }[unit]
     return int(num) * mult
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT rolling N-day distinct entities per day — the
+    weekly-active-users metric computed without sketches: each (day,
+    entity) observation explodes into the ``window_days`` window-end
+    days it covers (a bounded sequence — map-only), then ONE
+    count-distinct per end day. Work is window_days × |daily distinct
+    pairs|; at 100 TB pre-aggregate to the (day, entity) grain first
+    (this function does — the explode happens after that dedup, so raw
+    event volume never multiplies).
+
+    Returns (day, n_active) for every day that closes a full window
+    (end day observed in the data range)."""
+    from pyspark.sql import functions as F
+
+    daily = df.select(
+        F.to_date(ts_col).alias("d"), F.col(entity_col).alias("e")
+    ).distinct()
+    ends = daily.select(
+        "e",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("day"),
+    )
+    bounds = df.agg(
+        F.to_date(F.min(ts_col)).alias("lo"), F.to_date(F.max(ts_col)).alias("hi")
+    )
+    return (
+        ends.crossJoin(F.broadcast(bounds))
+        .where((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
+        .groupBy("day")
+        .agg(F.count_distinct("e").cast("bigint").alias("n_active"))
+    )

@@ -159,3 +159,48 @@ def rrf_fuse(
     w = Window.orderBy(F.col("rrf_score").desc(), F.col("id"))
     out = fused.withColumn("rank", F.row_number().over(w))
     return out.where(F.col("rank") <= top) if top else out
+
+
+def positional_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, id, pos) positional postings — the phrase/proximity-search
+    index (plain bm25_index postings can only answer bag-of-words).
+    One explode with the token's 1-based position; same persistence
+    story as bm25_index."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    # positions are 1-based indexes into the NORMALIZED term sequence
+    # (_terms drops sub-2-char tokens, the stopword-removal convention:
+    # words separated only by dropped tokens count as adjacent)
+    with_pos = F.transform(
+        _terms(text_col), lambda t, i: F.struct(t.alias("term"), (i + 1).alias("pos"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(with_pos).alias("p")
+    ).select("id", "p.term", "p.pos")
+
+
+def phrase_search(postings_pos: DataFrame, phrase: list[str]) -> DataFrame:
+    """Documents containing ``phrase`` as CONSECUTIVE terms →
+    (id, n_matches): the i-th word's postings join the (i+1)-th's on
+    (id, pos+1), chained — work scales with the rarest word's posting
+    list (Catalyst reorders the equi-joins; put the rarest first for
+    explicit control). Position arithmetic is exact, so the whole
+    operator is oracle-checkable."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    cur = postings_pos.where(F.col("term") == phrase[0]).select(
+        "id", F.col("pos").alias("p0")
+    )
+    for i, word in enumerate(phrase[1:], start=1):
+        nxt = postings_pos.where(F.col("term") == word).select(
+            "id", F.col("pos").alias(f"p{i}")
+        )
+        cur = cur.join(
+            nxt,
+            on=[
+                cur["id"] == nxt["id"],
+                nxt[f"p{i}"] == cur[f"p{i-1}"] + 1,
+            ],
+        ).drop(nxt["id"])
+    return cur.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))

@@ -3746,3 +3746,86 @@ def q144_grouping_sets_hierarchy(spark, sf_dir):
         (F.grouping("yr") * 2 + F.grouping("prio")).cast("bigint").alias("gid"),
     )
     return out.orderBy("gid", F.col("yr").asc_nulls_first(), F.col("prio").asc_nulls_first())
+
+
+# ------------------------------------ positional phrase search (q145)
+@register(
+    "q145_phrase_search",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              t -> lower(regexp_replace(t, '[^\\w]', '', 'g'))),
+               t -> len(t) >= 2) AS ts
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(ts) AS term, unnest(generate_series(1, len(ts))) AS pos
+      FROM terms
+    ), w0 AS (
+      SELECT doc_id, pos FROM pos WHERE term = 'the'
+    ), w1 AS (
+      SELECT doc_id, pos FROM pos WHERE term = 'table'
+    )
+    SELECT w0.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM w0 JOIN w1 ON w1.doc_id = w0.doc_id AND w1.pos = w0.pos + 1
+    GROUP BY w0.doc_id ORDER BY doc_id
+    """,
+)
+def q145_phrase_search(spark, sf_dir):
+    """Exact phrase search over positional postings
+    (operators/retrieval.py:positional_postings / phrase_search): docs
+    containing \"the table\" as CONSECUTIVE normalized terms, found by
+    joining the two words' posting lists on (doc, pos+1) — work scales
+    with the posting lists, never the corpus; position arithmetic is
+    exact so the whole pipeline (index, adjacency join, match counts)
+    is oracle-checked. The proximity-search companion of q135's
+    bag-of-words index."""
+    from etl_wrap_spark.operators.retrieval import phrase_search, positional_postings
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pp = positional_postings(t["documents"], "doc_id", "text")
+    return (
+        phrase_search(pp, ["the", "table"])
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------ rolling distinct actives (q146)
+@register(
+    "q146_rolling_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS e
+      FROM events
+    ), bounds AS (
+      SELECT MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS lo,
+             MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi
+      FROM events
+    ), ends AS (
+      SELECT e, d + CAST(i AS INT) AS day
+      FROM daily, (SELECT unnest(generate_series(0, 6)) AS i)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT e) AS BIGINT) AS n_active
+    FROM ends, bounds
+    WHERE day >= lo AND day <= hi
+    GROUP BY day ORDER BY day
+    """,
+)
+def q146_rolling_active_users(spark, sf_dir):
+    """EXACT rolling 7-day active users per day
+    (operators/events_analytics.py:rolling_distinct): each (day, user)
+    pair — deduped FIRST, so raw event volume never multiplies —
+    explodes into the 7 window-end days it covers, then one
+    count-distinct per day. The sketch-free form of the WAU metric
+    (cf. the KMV/HLL path for when the per-day distinct grain itself
+    is too large); engine-exact, fully oracle-checked."""
+    from etl_wrap_spark.operators.events_analytics import rolling_distinct
+
+    t = load_tables(spark, sf_dir, ["events"])
+    out = rolling_distinct(t["events"], "ts", "user_id", window_days=7)
+    return out.select(
+        F.col("day").cast("string").alias("day"), "n_active"
+    ).orderBy("day")
