@@ -55,3 +55,42 @@ def enrich(
             hit = hit | F.col(c).isNotNull()
         return joined.where(hit), joined.where(~hit)
     raise ValueError(f"missing policy {missing!r} not in keep/drop/quarantine")
+
+
+def waterfall_enrich(
+    base: DataFrame,
+    sources: "list[tuple[DataFrame, str]]",
+    key_col: str,
+    value_col: str,
+    out_col: str = "value",
+    provenance_col: str = "source",
+) -> DataFrame:
+    """PRIORITY-fallback enrichment — the MDM waterfall: try source 1,
+    fall back to source 2, then 3 … recording which source won.
+    ``sources`` is an ordered list of (frame, source_name); each frame
+    carries (key_col, value_col) with at most one row per key (enforce
+    upstream or with lookup.enrich's which-row-wins policies).
+
+    Plan: one LEFT broadcast join per source (reference-data frames are
+    small by contract) and a single COALESCE across the joined values —
+    no unions, no per-row conditionals beyond the coalesce; provenance
+    derives from the same null pattern, so it can never disagree with
+    the chosen value."""
+    joined = base
+    val_cols = []
+    for i, (src, _name) in enumerate(sources):
+        slim = src.select(
+            F.col(key_col), F.col(value_col).alias(f"__v{i}")
+        )
+        joined = joined.join(F.broadcast(slim), on=key_col, how="left")
+        val_cols.append(F.col(f"__v{i}"))
+    value = F.coalesce(*val_cols)
+    # first-match-wins when-chain, same precedence as the coalesce
+    prov_expr = None
+    for i, (_src, name) in enumerate(sources):
+        c = F.col(f"__v{i}").isNotNull()
+        prov_expr = F.when(c, F.lit(name)) if prov_expr is None else prov_expr.when(c, F.lit(name))
+    out = joined.withColumn(out_col, value).withColumn(
+        provenance_col, prov_expr
+    )
+    return out.drop(*[f"__v{i}" for i in range(len(sources))])

@@ -178,3 +178,48 @@ def ks_statistic(
             (F.first("__na") * F.first("__nb")).cast("bigint").alias(out_den),
         )
     )
+
+
+def quantile_normalize(
+    df,
+    group_col: str,
+    value_col: str,
+    out_col: str = "value_qn",
+):
+    """Quantile normalization across groups — every group's value
+    distribution is mapped onto the SHARED rank-mean profile (the
+    microarray/feature-calibration standard: after it, all groups have
+    identical distributions while each row keeps its within-group
+    rank).
+
+    Steps, all relational: rank within group (row_number over the value
+    order — deterministic via the value tiebreak), per-rank mean of the
+    exact-decimal values ACROSS groups, join back on rank. Groups of
+    unequal size simply share the ranks they have (the common
+    truncation convention). The per-rank mean divides an exact decimal
+    sum by an integer count — surface the result as double.
+
+    One window per group + one rank-keyed aggregation + one join; every
+    shuffle is on the rank or the group key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        group_col, F.col(value_col).cast("decimal(18,4)").alias("__v")
+    ).withColumn("__rk", F.row_number().over(w.orderBy(F.col("__v").asc())))
+    # exact decimal sum → correctly-rounded double → IEEE division by
+    # the integer count: engine-identical (decimal DIVISION rounding
+    # rules differ across engines; double division does not)
+    profile = ranked.groupBy("__rk").agg(
+        (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("__mean")
+    )
+    return (
+        ranked.join(profile, on="__rk")
+        .select(
+            group_col,
+            F.col("__v").cast("double").alias(value_col),
+            F.col("__rk").cast("bigint").alias("rank"),
+            F.col("__mean").cast("double").alias(out_col),
+        )
+    )

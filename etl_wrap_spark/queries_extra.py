@@ -3829,3 +3829,100 @@ def q146_rolling_active_users(spark, sf_dir):
     return out.select(
         F.col("day").cast("string").alias("day"), "n_active"
     ).orderBy("day")
+
+
+# ------------------------------------ waterfall enrichment (q147)
+@register(
+    "q147_waterfall_enrich",
+    oracle="""
+    WITH s1 AS (
+      SELECT s_suppkey AS k, s_name AS v FROM supplier WHERE s_suppkey % 3 = 0
+    ), s2 AS (
+      SELECT s_suppkey AS k, upper(s_name) AS v FROM supplier WHERE s_suppkey % 2 = 0
+    ), s3 AS (
+      SELECT s_suppkey AS k, 'fallback_' || CAST(s_suppkey AS VARCHAR) AS v FROM supplier
+    )
+    SELECT sup.s_suppkey,
+           COALESCE(s1.v, s2.v, s3.v) AS name_resolved,
+           CASE WHEN s1.v IS NOT NULL THEN 'primary'
+                WHEN s2.v IS NOT NULL THEN 'secondary'
+                WHEN s3.v IS NOT NULL THEN 'default' END AS source
+    FROM supplier sup
+    LEFT JOIN s1 ON s1.k = sup.s_suppkey
+    LEFT JOIN s2 ON s2.k = sup.s_suppkey
+    LEFT JOIN s3 ON s3.k = sup.s_suppkey
+    ORDER BY sup.s_suppkey
+    """,
+)
+def q147_waterfall_enrich(spark, sf_dir):
+    """Priority-fallback (waterfall) enrichment (operators/lookup.py:
+    waterfall_enrich): three reference sources tried in order with
+    provenance — one LEFT broadcast join per source and a single
+    coalesce, provenance derived from the same null pattern so it can
+    never disagree with the chosen value. The reference's keyed-lookup
+    policies (S15) generalized to multi-source MDM resolution."""
+    from etl_wrap_spark.operators.lookup import waterfall_enrich
+
+    t = load_tables(spark, sf_dir, ["supplier"])
+    sup = t["supplier"]
+    s1 = sup.where(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey"), F.col("s_name").alias("v")
+    )
+    s2 = sup.where(F.col("s_suppkey") % 2 == 0).select(
+        F.col("s_suppkey"), F.upper("s_name").alias("v")
+    )
+    s3 = sup.select(
+        F.col("s_suppkey"),
+        F.concat(F.lit("fallback_"), F.col("s_suppkey").cast("string")).alias("v"),
+    )
+    out = waterfall_enrich(
+        sup.select("s_suppkey"),
+        [(s1, "primary"), (s2, "secondary"), (s3, "default")],
+        "s_suppkey",
+        "v",
+        out_col="name_resolved",
+        provenance_col="source",
+    )
+    return out.select("s_suppkey", "name_resolved", "source").orderBy("s_suppkey")
+
+
+# ------------------------------------ quantile normalization (q148)
+@register(
+    "q148_quantile_normalize",
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS g, CAST(c_acctbal AS DECIMAL(18,4)) AS val
+      FROM customer WHERE c_custkey % 7 = 0
+    ), ranked AS (
+      SELECT g, val,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY val ASC) AS rk
+      FROM v
+    ), profile AS (
+      SELECT rk,
+             CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_v
+      FROM ranked GROUP BY rk
+    )
+    SELECT r.g AS segment,
+           CAST(CAST(r.val AS VARCHAR) AS DOUBLE) AS c_acctbal,
+           CAST(r.rk AS BIGINT) AS rank,
+           p.mean_v AS value_qn
+    FROM ranked r JOIN profile p ON p.rk = r.rk
+    ORDER BY segment, rank
+    """,
+)
+def q148_quantile_normalize(spark, sf_dir):
+    """Quantile normalization (operators/robust.py:quantile_normalize):
+    every market segment's balance distribution mapped onto the shared
+    per-rank mean profile — after it all segments are identically
+    distributed while each row keeps its within-segment rank (the
+    feature-calibration standard). Exact decimal rank-sums surface
+    through one correctly-rounded double division, so both engines emit
+    identical IEEE values."""
+    from etl_wrap_spark.operators.robust import quantile_normalize
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    sample = t["customer"].where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_mktsegment").alias("segment"), "c_acctbal"
+    )
+    out = quantile_normalize(sample, "segment", "c_acctbal")
+    return out.orderBy("segment", "rank")
