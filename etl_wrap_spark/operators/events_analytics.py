@@ -250,3 +250,55 @@ def rolling_distinct(
         .groupBy("day")
         .agg(F.count_distinct("e").cast("bigint").alias("n_active"))
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) pairs →
+    (item_a, item_b, n_a, n_b, n_ab, confidence_bp, lift_bp) for every
+    ordered pair with joint support ≥ ``min_support``.
+
+    All-integer arithmetic (confidence = floor(1e4·n_ab/n_a), lift =
+    floor(1e4·N·n_ab/(n_a·n_b))) keeps the statistics engine-exact.
+    Plan: distinct (basket, item) — the support dedup — then a
+    basket-keyed self-join for pair counts (work scales with per-basket
+    item-pair counts, the a-priori candidate space) and two broadcast
+    joins onto the item-count table; no all-pairs work ever happens
+    across baskets."""
+    from pyspark.sql import functions as F
+
+    baskets = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_total = baskets.select("b").distinct().count()
+    item_counts = baskets.groupBy(F.col("i").alias("item")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = baskets.select("b", F.col("i").alias("item_a"))
+    b = baskets.select("b", F.col("i").alias("item_b"))
+    pairs = (
+        a.join(b, on="b")
+        .where(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    ca = item_counts.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+    cb = item_counts.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), on="item_a")
+        .join(F.broadcast(cb), on="item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr("(10000 * n_ab) div n_a").cast("bigint").alias("confidence_bp"),
+            F.expr(f"(10000 * {n_total} * n_ab) div (n_a * n_b)").cast("bigint").alias("lift_bp"),
+        )
+    )

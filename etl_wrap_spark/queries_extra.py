@@ -3926,3 +3926,46 @@ def q148_quantile_normalize(spark, sf_dir):
     )
     out = quantile_normalize(sample, "segment", "c_acctbal")
     return out.orderBy("segment", "rank")
+
+
+# ------------------------------------ association rules (q149)
+@register(
+    "q149_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id AS b, event_type AS i FROM events
+    ), totals AS (
+      SELECT COUNT(DISTINCT b) AS n_total FROM baskets
+    ), counts AS (
+      SELECT i AS item, COUNT(*) AS n FROM baskets GROUP BY i
+    ), pairs AS (
+      SELECT a.i AS item_a, bb.i AS item_b, COUNT(*) AS n_ab
+      FROM baskets a JOIN baskets bb ON a.b = bb.b AND a.i <> bb.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(ca.n AS BIGINT) AS n_a,
+           CAST(cb.n AS BIGINT) AS n_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST((10000 * p.n_ab) // ca.n AS BIGINT) AS confidence_bp,
+           CAST((10000 * t.n_total * p.n_ab) // (ca.n * cb.n) AS BIGINT) AS lift_bp
+    FROM pairs p
+    JOIN counts ca ON ca.item = p.item_a
+    JOIN counts cb ON cb.item = p.item_b
+    CROSS JOIN totals t
+    ORDER BY p.item_a, p.item_b
+    """,
+)
+def q149_association_rules(spark, sf_dir):
+    """Market-basket association rules (operators/events_analytics.py:
+    association_rules): per-user event-type baskets mined for ordered
+    co-occurrence pairs with integer support / confidence / lift (all
+    floor-divided basis points — engine-exact). Support dedup first,
+    basket-keyed self-join for pair counts (never cross-basket
+    all-pairs), broadcast item-count joins."""
+    from etl_wrap_spark.operators.events_analytics import association_rules
+
+    t = load_tables(spark, sf_dir, ["events"])
+    return association_rules(t["events"], "user_id", "event_type").orderBy(
+        "item_a", "item_b"
+    )
