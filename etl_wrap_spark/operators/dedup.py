@@ -1057,3 +1057,32 @@ def golden_record(
         )
         out = winners if out is None else out.join(winners, on="component", how="left")
     return out
+
+
+def novelty_scores(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY → (id, n_shingles, n_novel,
+    novelty_bp): the fraction of a doc's distinct n-grams that occur in
+    NO other document — the per-doc position on the novelty↔duplication
+    spectrum (novelty ~0 flags templated/near-dup content that slipped
+    past pair-level dedup; ~10000 flags unique text worth keeping).
+
+    One shingle frame + a document-frequency window over the shingle
+    key (its hash exchange is shared with any other df-capped consumer)
+    + one per-doc aggregation. Integer basis points via floor-division
+    keep it engine-exact."""
+    sf = shingle_frame(df, id_col, text_col, n)
+    w = Window.partitionBy("shingle")
+    return (
+        sf.withColumn("__df", F.count(F.lit(1)).over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_bp",
+            F.expr("(10000 * n_novel) div n_shingles").cast("bigint"),
+        )
+    )

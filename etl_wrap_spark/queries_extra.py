@@ -3969,3 +3969,39 @@ def q149_association_rules(spark, sf_dir):
     return association_rules(t["events"], "user_id", "event_type").orderBy(
         "item_a", "item_b"
     )
+
+
+# ------------------------------------ n-gram novelty spectrum (q150)
+@register(
+    "q150_novelty_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                                 i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+      FROM toks
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST((10000 * SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novelty_bp
+    FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def q150_novelty_scores(spark, sf_dir):
+    """Per-document n-gram novelty (operators/dedup.py:novelty_scores):
+    the fraction of each doc's distinct 3-gram shingles occurring in NO
+    other document, as integer basis points — the per-doc
+    novelty↔duplication spectrum that flags templated content
+    pair-level dedup misses. Shingle frame + one df window (hash
+    exchange shared with the df-cap consumers) + one per-doc
+    aggregation."""
+    from etl_wrap_spark.operators import dedup as _dd
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return _dd.novelty_scores(t["documents"], "doc_id", "text").orderBy("doc_id")
