@@ -341,3 +341,77 @@ def test_prefix_filter_lossless(strings, d):
         for b in strings[i + 1 :]:
             if _lev(a, b) <= d and min(len(a), len(b)) >= q + q * d:
                 assert prefix[a] & prefix[b], (a, b)
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=200),
+    st.integers(5, 400),
+    st.integers(0, 4),
+)
+@settings(max_examples=300, deadline=None)
+def test_weighted_systematic_sample_law(weights, stride, phase_seed):
+    """Pure-python replay of the weighted-systematic pick rule (the
+    exact law the Spark operator implements via distributed prefix
+    sums): total picks == boundaries crossed, per-row picks ==
+    interval/stride crossings, zero-weight rows never picked, and the
+    law is invariant to any prefix split point (the distributed
+    decomposition's correctness argument)."""
+    phase = phase_seed % stride
+    cum, picks = 0, {}
+    for i, w in enumerate(weights):
+        n = (cum + w - phase) // stride - (cum - phase) // stride
+        cum += w
+        if n:
+            picks[i] = n
+    total_w = sum(weights)
+    assert sum(picks.values()) == (total_w - phase) // stride - (-phase) // stride
+    assert all(weights[i] > 0 for i in picks)
+    # split-invariance: prefix sums recomputed from any split agree
+    for split in {0, len(weights) // 2, len(weights)}:
+        off = sum(weights[:split])
+        cum2, picks2 = off, {}
+        for j, w in enumerate(weights[split:], start=split):
+            n = (cum2 + w - phase) // stride - (cum2 - phase) // stride
+            cum2 += w
+            if n:
+                picks2[j] = n
+        assert picks2 == {i: n for i, n in picks.items() if i >= split}
+
+
+@given(
+    st.lists(st.integers(1, 1_000_000), min_size=1, max_size=300),
+    st.lists(st.integers(1, 1_000_000), min_size=0, max_size=300),
+)
+@settings(max_examples=200, deadline=None)
+def test_hdr_bucket_merge_and_error_law(a_vals, b_vals):
+    """HDR quantization (s=7) in pure python: bucket assignment is a
+    partition of the value line, the lower-bound representative is
+    within 2^-s relative error, and sketch merge == sketch of the
+    multiset union (cellwise sum)."""
+    s = 7
+    S = 1 << s
+
+    def bucket(v):
+        m = max(v.bit_length() - 1 - s, 0)
+        return m * S + (v >> m)
+
+    def low(i):
+        m = max(i // S - 1, 0)
+        return (i - m * S) << m
+
+    def sketch(vals):
+        out = {}
+        for v in vals:
+            out[bucket(v)] = out.get(bucket(v), 0) + 1
+        return out
+
+    for v in a_vals:
+        b = bucket(v)
+        lo = low(b)
+        assert lo <= v
+        assert (v - lo) * S <= v  # relative error <= 1/S
+    sa, sb = sketch(a_vals), sketch(b_vals)
+    merged = dict(sa)
+    for k, n in sb.items():
+        merged[k] = merged.get(k, 0) + n
+    assert merged == sketch(a_vals + b_vals)
