@@ -4005,3 +4005,165 @@ def q150_novelty_scores(spark, sf_dir):
 
     t = load_tables(spark, sf_dir, ["documents"])
     return _dd.novelty_scores(t["documents"], "doc_id", "text").orderBy("doc_id")
+
+
+# ------------------------------------ TPC-DS Q47 shape: MA deviation (q151)
+@register(
+    "q151_moving_avg_deviation",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS prio,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sales
+      FROM orders GROUP BY 1, 2, 3
+    ), with_avg AS (
+      SELECT prio, yr, mo, sales,
+             SUM(sales) OVER (PARTITION BY prio, yr) AS yr_sales,
+             COUNT(*) OVER (PARTITION BY prio, yr) AS n_months
+      FROM monthly
+    )
+    SELECT prio, yr, mo,
+           CAST(CAST(sales AS VARCHAR) AS DOUBLE) AS sales,
+           CAST(CAST(yr_sales AS VARCHAR) AS DOUBLE) AS yr_sales
+    FROM with_avg
+    WHERE sales * n_months * 10 > yr_sales * 11
+    ORDER BY prio, yr, mo
+    """,
+)
+def q151_moving_avg_deviation(spark, sf_dir):
+    """TPC-DS Q47's deviation shape: months whose sales exceed their
+    (priority, year) average by >10%, with the comparison done by
+    EXACT-decimal cross-multiplication (sales·n·10 > yr_sales·11) —
+    no division, no float until the final projection, so the selected
+    set is engine-identical. One aggregation + one window over the
+    month-grain frame (group-count-sized, tiny)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    monthly = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sales"))
+    )
+    w = Window.partitionBy("prio", "yr")
+    return (
+        monthly.withColumn("yr_sales", F.sum("sales").over(w))
+        .withColumn("n_months", F.count(F.lit(1)).over(w))
+        .where(F.col("sales") * F.col("n_months") * 10 > F.col("yr_sales") * 11)
+        .select(
+            "prio", "yr", "mo",
+            F.col("sales").cast("double").alias("sales"),
+            F.col("yr_sales").cast("double").alias("yr_sales"),
+        )
+        .orderBy("prio", "yr", "mo")
+    )
+
+
+# ------------------------------------ TPC-DS Q51 shape: cumulative crossover (q152)
+@register(
+    "q152_cumulative_crossover",
+    oracle="""
+    WITH o_daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+                    AND o_orderdate < TIMESTAMP '2000-01-01'
+      GROUP BY 1
+    ), l_daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+                      AND l_shipdate < TIMESTAMP '2000-01-01'
+      GROUP BY 1
+    ), merged AS (
+      SELECT COALESCE(o.d, l.d) AS d, o.v AS ov, l.v AS lv
+      FROM o_daily o FULL OUTER JOIN l_daily l ON o.d = l.d
+    ), cums AS (
+      SELECT d,
+             SUM(COALESCE(ov, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_orders,
+             SUM(COALESCE(lv, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_shipped
+      FROM merged
+    )
+    SELECT CAST(d AS VARCHAR) AS d,
+           CAST(CAST(cum_orders AS VARCHAR) AS DOUBLE) AS cum_orders,
+           CAST(CAST(cum_shipped AS VARCHAR) AS DOUBLE) AS cum_shipped
+    FROM cums WHERE cum_orders * 20 > cum_shipped * 21
+    ORDER BY d
+    """,
+)
+def q152_cumulative_crossover(spark, sf_dir):
+    """TPC-DS Q51's crossover shape: two daily series (ordered value vs
+    shipped value) full-outer merged on the date, both running totals
+    in one window pass, keeping the days where the shipped cumulative
+    has overtaken the ordered one. Exact decimal cumsums (the window is
+    a sequential prefix — order-deterministic) surface as doubles only
+    in the projection. The day-grain frame is tiny; at scale the
+    pre-aggregations carry all the data weight."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    yr = lambda c: (F.col(c) >= F.lit("1999-01-01").cast("timestamp")) & (
+        F.col(c) < F.lit("2000-01-01").cast("timestamp")
+    )
+    od = (
+        t["orders"].where(yr("o_orderdate"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ov"))
+    )
+    ld = (
+        t["lineitem"].where(yr("l_shipdate"))
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("lv"))
+    )
+    merged = od.join(ld, on="d", how="full_outer")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        merged.withColumn("cum_orders", F.sum(F.coalesce("ov", zero)).over(w))
+        .withColumn("cum_shipped", F.sum(F.coalesce("lv", zero)).over(w))
+        .where(F.col("cum_orders") * 20 > F.col("cum_shipped") * 21)
+        .select(
+            F.col("d").cast("string").alias("d"),
+            F.col("cum_orders").cast("double").alias("cum_orders"),
+            F.col("cum_shipped").cast("double").alias("cum_shipped"),
+        )
+        .orderBy("d")
+    )
+
+
+# ------------------------------------ TPC-DS Q88 shape: time-band counts (q153)
+@register(
+    "q153_time_band_counts",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 0 AND 2 THEN 1 ELSE 0 END) AS BIGINT) AS h0_2,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 3 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS h3_5,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 6 AND 8 THEN 1 ELSE 0 END) AS BIGINT) AS h6_8,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 9 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS h9_11,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 12 AND 14 THEN 1 ELSE 0 END) AS BIGINT) AS h12_14,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 15 AND 17 THEN 1 ELSE 0 END) AS BIGINT) AS h15_17,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS h18_20,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) >= 21 THEN 1 ELSE 0 END) AS BIGINT) AS h21_23
+    FROM (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click')
+    """,
+)
+def q153_time_band_counts(spark, sf_dir):
+    """TPC-DS Q88's multi-band shape: eight hour-band activity counts
+    that the spec writes as eight scalar subqueries (eight scans),
+    collapsed into ONE conditional-aggregation pass — the classic
+    rewrite that matters at 100 TB (one fact scan, eight CASE sums,
+    no joins at all)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].where(F.col("event_type") == "click")
+    hr = F.hour("ts")
+
+    def band(lo, hi, name):
+        return F.sum(
+            F.when((hr >= lo) & (hr <= hi), 1).otherwise(0)
+        ).cast("bigint").alias(name)
+
+    return ev.agg(
+        band(0, 2, "h0_2"), band(3, 5, "h3_5"), band(6, 8, "h6_8"),
+        band(9, 11, "h9_11"), band(12, 14, "h12_14"), band(15, 17, "h15_17"),
+        band(18, 20, "h18_20"), band(21, 23, "h21_23"),
+    )
