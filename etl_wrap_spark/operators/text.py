@@ -631,3 +631,32 @@ def normalize_unicode_df(
             yield pdf
 
     return df.mapInPandas(_norm, schema=schema)
+
+
+def fold_accents_df(df, text_col: str, out_col: str = "text_folded"):
+    """Accent folding (é→e, ü→u, ñ→n): NFD-decompose then drop
+    combining marks — the aggressive sibling of NFC normalization
+    (normalize_unicode_df) for search/matching pipelines where
+    'Mühleisen' must hit 'Muhleisen'. Same Arrow mapInPandas shape;
+    oracle-checked against DuckDB's utf8proc strip_accents (q154)."""
+    fields = df.schema.fields
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+    schema += f", `{out_col}` string"
+
+    def _fold(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf[out_col] = [
+                "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", t)
+                    if unicodedata.category(ch) != "Mn"
+                )
+                if t is not None
+                else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_fold, schema=schema)

@@ -4167,3 +4167,43 @@ def q153_time_band_counts(spark, sf_dir):
         band(9, 11, "h9_11"), band(12, 14, "h12_14"), band(15, 17, "h15_17"),
         band(18, 20, "h18_20"), band(21, 23, "h21_23"),
     )
+
+
+# ------------------------------------ accent folding (q154)
+@register(
+    "q154_accent_folding",
+    oracle="""
+    WITH accented AS (
+      SELECT doc_id,
+             concat('M', chr(252), 'hleisen caf', chr(233), ' ', chr(241), 'o ',
+                    substr(text, 1, 30)) AS raw
+      FROM documents WHERE doc_id % 25 = 7
+    )
+    SELECT doc_id, md5(strip_accents(raw)) AS folded_md5,
+           CAST(length(raw) - length(strip_accents(raw)) AS BIGINT) AS delta_len
+    FROM accented ORDER BY doc_id
+    """,
+)
+def q154_accent_folding(spark, sf_dir):
+    """Accent folding (operators/text.py:fold_accents_df): composed
+    accented text (ü, é, ñ) reduced to base letters via NFD + combining
+    -mark strip — the matching-pipeline normalization where Mühleisen
+    must hit Muhleisen. Python unicodedata and DuckDB's utf8proc
+    strip_accents agree on the full folded text (md5) and the
+    codepoint-count delta (0 here: composed chars map 1:1 to base
+    letters)."""
+    from etl_wrap_spark.operators.text import fold_accents_df
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    raw = t["documents"].where(F.col("doc_id") % 25 == 7).select(
+        "doc_id",
+        F.concat(
+            F.lit("Mühleisen café ño "), F.substring("text", 1, 30)
+        ).alias("raw"),
+    )
+    out = fold_accents_df(raw, "raw", out_col="folded")
+    return out.select(
+        "doc_id",
+        F.md5("folded").alias("folded_md5"),
+        (F.length("raw") - F.length("folded")).cast("bigint").alias("delta_len"),
+    ).orderBy("doc_id")
