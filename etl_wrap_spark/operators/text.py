@@ -660,3 +660,42 @@ def fold_accents_df(df, text_col: str, out_col: str = "text_folded"):
             yield pdf
 
     return df.mapInPandas(_fold, schema=schema)
+
+
+def canonical_url(col: Column | str) -> Column:
+    """URL canonicalization for crawl dedup — the normalization under
+    which 'HTTP://Example.com:80/a?b=2&a=1#frag' and
+    'http://example.com/a?a=1&b=2' are the SAME page:
+
+    - scheme and host lowercase; default ports (:80 http, :443 https)
+      stripped; empty path → '/';
+    - fragment dropped (never sent to the server);
+    - query parameters SORTED (order is almost never semantic; sorting
+      collapses permuted trackers to one key) and empty query dropped.
+
+    Pure Column expressions (regex splits + array sort + concat), so
+    the exact same canonical form is computable by any engine — URL
+    keys can feed exact_duplicates/connected components directly."""
+    u = F.regexp_replace(_c(col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - F.lit(3)),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - F.lit(4)),
+    ).otherwise(hostport)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    sorted_q = F.concat_ws(
+        "&", F.array_sort(F.filter(F.split(query, "&"), lambda p: p != ""))
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )

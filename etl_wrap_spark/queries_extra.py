@@ -4207,3 +4207,77 @@ def q154_accent_folding(spark, sf_dir):
         F.md5("folded").alias("folded_md5"),
         (F.length("raw") - F.length("folded")).cast("bigint").alias("delta_len"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------ URL canonicalization (q155)
+@register(
+    "q155_url_canonicalize",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END,
+               'Site', CAST(doc_id % 7 AS VARCHAR), '.Example.COM',
+               CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+               CASE WHEN doc_id % 3 = 0 THEN '' ELSE concat('/page/', CAST(doc_id % 11 AS VARCHAR)) END,
+               '?z=', CAST(doc_id % 5 AS VARCHAR), '&a=1&m=', CAST(doc_id % 2 AS VARCHAR),
+               '#frag', CAST(doc_id AS VARCHAR)
+             ) AS url
+      FROM documents WHERE doc_id % 10 = 4
+    ), canon AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS u
+      FROM urls
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             regexp_extract(u, '\\?([^#]*)', 1) AS query
+      FROM canon
+    )
+    SELECT doc_id,
+           concat(
+             scheme, '://',
+             CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                  THEN substr(hostport, 1, length(hostport) - 3)
+                  WHEN scheme = 'https' AND hostport LIKE '%:443'
+                  THEN substr(hostport, 1, length(hostport) - 4)
+                  ELSE hostport END,
+             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
+             CASE WHEN query <> ''
+                  THEN concat('?', array_to_string(list_sort(list_filter(string_split(query, '&'), p -> p <> '')), '&'))
+                  ELSE '' END
+           ) AS canonical
+    FROM parts ORDER BY doc_id
+    """,
+)
+def q155_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (operators/text.py:canonical_url):
+    deterministic messy URLs (mixed-case scheme/host, default ports,
+    unsorted query params, fragments) normalized to the crawl-dedup
+    canonical form — lowercase scheme+host, default ports stripped,
+    '/' path restored, params sorted, fragments dropped. Pure Column
+    regex/array expressions; the oracle rebuilds the identical form, so
+    every canonical string hash-matches."""
+    from etl_wrap_spark.operators.text import canonical_url
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = F.col("doc_id")
+    urls = t["documents"].where(d % 10 == 4).select(
+        "doc_id",
+        F.concat(
+            F.when(d % 2 == 0, "HTTP://").otherwise("https://"),
+            F.lit("Site"), (d % 7).cast("string"), F.lit(".Example.COM"),
+            F.when(d % 2 == 0, ":80").otherwise(":443"),
+            F.when(d % 3 == 0, "").otherwise(
+                F.concat(F.lit("/page/"), (d % 11).cast("string"))
+            ),
+            F.lit("?z="), (d % 5).cast("string"),
+            F.lit("&a=1&m="), (d % 2).cast("string"),
+            F.lit("#frag"), d.cast("string"),
+        ).alias("url"),
+    )
+    return urls.select("doc_id", canonical_url("url").alias("canonical")).orderBy(
+        "doc_id"
+    )
