@@ -41,6 +41,10 @@ def curate(
     min_quality: float = 0.5,
     clean_markup: bool = False,
     fix_encoding: bool = False,
+    normalize_unicode: bool = False,
+    remove_dup_spans: bool = False,
+    span_window: int = 15,
+    min_novelty_bp: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation cascade; returns a dict of frames:
 
@@ -62,6 +66,12 @@ def curate(
         docs = docs.withColumn(text_col, text.strip_markup(text_col))
     if fix_encoding:
         docs = docs.withColumn(text_col, text.repair_mojibake(text_col))
+    if normalize_unicode:
+        # NFC BEFORE any hashing/shingling: composed and decomposed
+        # forms of the same text must dedup together
+        docs = text.normalize_unicode_df(docs, text_col, out_col="__nfc").withColumn(
+            text_col, F.col("__nfc")
+        ).drop("__nfc")
 
     flags = F.concat_ws(
         ",",
@@ -108,6 +118,26 @@ def curate(
     survivors = after_exact.join(
         F.broadcast(near_drops.select(id_col)), on=id_col, how="left_anti"
     )
+
+    # opt-in exact-substring span removal AFTER doc-level dedup: cut
+    # corpus-recurrent passages (licenses, templates) out of the
+    # SURVIVORS rather than dropping whole documents
+    if remove_dup_spans:
+        spans = dedup.duplicate_spans(survivors, id_col, text_col, window=span_window)
+        survivors = dedup.remove_duplicate_spans(
+            survivors, spans, id_col, text_col, out_col="__clean"
+        ).withColumn(text_col, F.col("__clean")).drop("__clean")
+        survivors = survivors.where(F.trim(F.col(text_col)) != "")
+
+    # opt-in novelty floor: drop documents whose n-gram novelty falls
+    # below the bar (templated content that slipped past pair dedup)
+    if min_novelty_bp is not None:
+        nov = dedup.novelty_scores(survivors, id_col, text_col).select(
+            id_col, "novelty_bp"
+        )
+        survivors = survivors.join(nov, on=id_col).where(
+            F.col("novelty_bp") >= min_novelty_bp
+        ).drop("novelty_bp")
 
     out: dict[str, DataFrame] = {}
     if quality_model is not None:

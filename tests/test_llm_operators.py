@@ -1564,3 +1564,44 @@ def test_sessionize_capped_rules(spark):
     # burst B: events at +0..160min; cap breaks after the +120min event
     # (the +140 event would stretch past 2h) -> sessions of 7 and 2
     assert got == [(1, 3), (2, 7), (3, 2)]
+
+
+def test_curate_with_span_and_novelty_stages(spark):
+    """The extended curation cascade: NFC unification makes decomposed
+    text dedup with its composed twin; span removal cuts the shared
+    boilerplate passage out of survivors (which live on)."""
+    from etl_wrap_spark import pipelines
+
+    POOL = ['table','query','window','filter','result','engine','column',
+            'rowset','batch','stream','cache','index','merge','group',
+            'order','value','count','total','span','token']
+
+    def para(tag, n):
+        return " ".join(
+            f"the {POOL[j % 20]}{tag}{j} maps {POOL[(j*7+3) % 20]}{tag}{j}x "
+            f"onto {POOL[(j*3+5) % 20]}{tag}{j}y"
+            for j in range(n)
+        )
+
+    boiler = ("this license text is provided as is without warranty of any "
+              "kind either express or implied including fitness")
+    rows = [
+        (1, "café " + para("w", 6)),            # composed é
+        (2, "café " + para("w", 6)),           # decomposed e+◌́ — dup of 1 after NFC
+        (3, boiler + " " + para("x", 5)),
+        (4, boiler + " " + para("y", 5)),
+        (5, para("z", 6)),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pipelines.curate(
+        docs, normalize_unicode=True, remove_dup_spans=True, span_window=15
+    )
+    clean = {r["doc_id"]: r["text"] for r in out["clean"].collect()}
+    # NFC made 1 and 2 exact duplicates -> lowest id kept
+    assert 1 in clean and 2 not in clean
+    assert {r["doc_id"] for r in out["drops_exact"].collect()} == {2}
+    # the shared boilerplate span is cut OUT of docs 3 and 4, which survive
+    assert 3 in clean and 4 in clean
+    assert "license" not in clean[3] and "warranty" not in clean[4]
+    assert "tablex0" in clean[3] and "tabley0" in clean[4]
+    assert 5 in clean
