@@ -29,6 +29,153 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**12
 
 
+def canonical_undirected(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected edge set in canonical form: (lo, hi) with lo < hi,
+    distinct, self-loops dropped. Every undirected-graph operator here
+    starts from this frame so an edge present in either (or both)
+    directions counts exactly once."""
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(lo.alias("lo"), hi.alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def degrees(und: DataFrame) -> DataFrame:
+    """(node, deg) over a canonical undirected edge frame."""
+    return (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts → (node, triangles), nodes with ≥1
+    triangle only.
+
+    Degree-ordered orientation (the classic O(E^1.5) bound): each
+    canonical edge is directed from the endpoint that is SMALLER under
+    the total order (deg, id) to the larger one. Within any triangle the
+    orientation is then acyclic (x→y, x→z, y→z for x<y<z in the order),
+    so joining oriented paths u→v→w against oriented closing edges u→w
+    enumerates each triangle exactly once — and the wedge frame the
+    first join materializes is bounded by Σ min(deg(u),deg(v)) ≤
+    O(E^1.5), NOT by Σ deg² (the naive orientation's hub blowup: a
+    1e6-degree spam hub contributes 1e12 wedges un-orientated, ~E^0.5·E
+    oriented). Two shuffle joins total; no driver-side work.
+
+    The triangle SET is orientation-independent, so an oracle using
+    plain id-order enumeration (a<b<c) produces identical output — that
+    independence is what makes the operator engine-checkable.
+    """
+    und = canonical_undirected(edges, src, dst)
+    deg = degrees(und)
+    # order key: (deg, id) packed into one comparable struct
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("__dl"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("__dh"))
+    ranked = und.join(dl, "lo").join(dh, "hi")
+    lo_first = (F.col("__dl") < F.col("__dh")) | (
+        (F.col("__dl") == F.col("__dh")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+    )
+    o1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    o2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    o3 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = o1.join(o2, "b")  # paths a→b→c under the order
+    tris = wedges.join(o3, ["a", "c"])  # closed by a→c
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source BFS → (node, hops) with hops = min #edges from any
+    source, bounded at ``max_hops`` (unreached nodes are absent).
+
+    Frontier iteration: each round joins ONLY the newly-reached
+    frontier (not the full visited set) against the edge list, then
+    anti-joins the visited set — per-round cost O(frontier-adjacent
+    edges), total O(E·avg-multiplicity) across all rounds, the textbook
+    distributed BFS. The visited frame is localCheckpoint'ed on a cadence
+    so lineage stays flat for deep searches. No driver-side probes at
+    all: the round count is the fixed ``max_hops`` bound, which makes
+    the result replayable by a hop-bounded recursive CTE.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    visited = sources.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "hops", F.lit(0).cast("bigint")
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+        )
+        new = reached.join(visited, "node", "left_anti").withColumn(
+            "hops", F.lit(h).cast("bigint")
+        )
+        visited = visited.unionByName(new)
+        if h % checkpoint_every == 0 and h < max_hops:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = new
+    return visited
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``rounds`` synchronous peeling rounds toward the k-core →
+    (node, deg) of the survivors with their degree in the surviving
+    subgraph.
+
+    Each round recomputes degrees over the surviving canonical edges
+    and drops every node with deg < k TOGETHER WITH its incident edges
+    (synchronous peel — all sub-k nodes of a round leave at once, so
+    the result after R rounds is engine-deterministic and a SQL oracle
+    can unroll it). Run to a fixed-point round count for the true
+    k-core; a bounded R is itself meaningful (R peels ≈ "core-ness at
+    depth R") and is what keeps the oracle replay exact. Per round: one
+    degree aggregation + two semi-joins — O(E) each, same
+    localCheckpoint lineage discipline as connected_components.
+    """
+    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    for r in range(rounds):
+        deg = degrees(und)
+        keep = deg.where(F.col("deg") >= k).select("node")
+        und = (
+            und.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+        )
+        if (r + 1) % 4 == 0 and r + 1 < rounds:
+            und = und.localCheckpoint(eager=True)
+    return degrees(und)
+
+
 def pagerank_fixedpoint(
     edges: DataFrame,
     src: str = "src",

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_wrap_spark.operators.text import hash60
+from etl_wrap_spark.operators.text import hash60, tokens
 
 SPLIT_BUCKETS = 10_000
 
@@ -227,3 +227,90 @@ def weighted_systematic_sample(
         .where(F.col(out_col) > 0)
     )
     return df.join(picks, id_col)
+
+
+def assign_split_grouped(
+    df: DataFrame,
+    group_col: str,
+    weights: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: the hash draw is taken on ``group_col`` (a
+    dedup-cluster root, a domain, a user id …) instead of the row id,
+    so every member of a group lands in the SAME split — the guard that
+    keeps near-duplicates of a training document out of the held-out
+    set (train/test contamination via near-dups is the classic eval
+    inflation bug; splitting by row id cannot prevent it).
+
+    Same deterministic bucket rule as `assign_split` (portable md5-60,
+    cumulative thresholds over 10k buckets); compose with
+    dedup.connected_components to split by near-dup cluster."""
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = split_bucket(group_col, salt)
+    expr = None
+    acc = 0.0
+    for name, w in weights:
+        acc += w
+        bound = int(round(acc * SPLIT_BUCKETS))
+        cond = b < bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def importance_weights_hashed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 256,
+    scale: int = 10**6,
+) -> DataFrame:
+    """DSIR-style hashed importance weights → (id, n_tokens, weight_fp,
+    avg_fp): score each document by how target-like its token
+    distribution is, for importance resampling of a raw corpus toward a
+    target domain (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023 — public method).
+
+    Features are hashed unigram buckets (portable md5-60 % n_buckets).
+    Bucket statistics: cT = token occurrences inside the target slice
+    (rows where ``target_pred``), cR = occurrences in the whole corpus;
+    a token's weight is the add-one-smoothed frequency ratio in exact
+    scaled-integer form, (scale·(cT+1)) div (cR+1), and a document's
+    weight_fp is the sum over its token instances — integer end-to-end,
+    so an independent engine replays it bit-for-bit. (DSIR proper sums
+    LOG ratios; the sum-of-ratios form is kept deliberately for
+    engine-portable determinism and yields the same target-affinity
+    ordering on corpora whose per-token ratios are bounded — divergence
+    documented here.) avg_fp = weight_fp div n_tokens is the
+    length-normalized selection score.
+
+    Scale shape: one explode over tokens (O(total tokens)), one
+    aggregation to an n_buckets-row stats frame, one BROADCAST join of
+    that frame back onto the token stream, one groupBy(id). No UDFs, no
+    driver loops; the stats frame is bucket-count-sized regardless of
+    corpus size.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("boolean").alias("__is_t"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).withColumn("__b", hash60(F.col("__tok")) % n_buckets)
+    stats = toks.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cR"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__cT"),
+    )
+    per_tok = toks.join(F.broadcast(stats), "__b").select(
+        F.col(id_col),
+        F.expr(f"({scale} * (__cT + 1)) div (__cR + 1)").alias("__w"),
+    )
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("__w").cast("bigint").alias("weight_fp"),
+        )
+        .withColumn("avg_fp", F.expr("weight_fp div n_tokens").cast("bigint"))
+    )

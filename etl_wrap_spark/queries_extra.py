@@ -4281,3 +4281,319 @@ def q155_url_canonicalize(spark, sf_dir):
     return urls.select("doc_id", canonical_url("url").alias("canonical")).orderBy(
         "doc_id"
     )
+
+
+# ------------------------------------ co-purchase triangle counts (q156)
+@register(
+    "q156_triangle_counts",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+    ), pairs AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.lo = e1.hi
+      JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ), nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM nodes GROUP BY node ORDER BY node
+    """,
+)
+def q156_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.py:triangle_counts)
+    over the part co-purchase graph (parts bought together in an
+    order; 1-in-10 part subset keeps the graph bench-sized). The Spark
+    side enumerates via DEGREE-ordered orientation — the O(E^1.5)
+    wedge bound that survives spam hubs at crawl scale — while the
+    oracle enumerates by plain id order; the triangle set is
+    orientation-independent, so the outputs hash-match exactly.
+    Triangle participation is the classic link-farm/community signal a
+    crawl-curation pass computes per host."""
+    from etl_wrap_spark.operators.graph import triangle_counts
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = (
+        t["lineitem"]
+        .where(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").cast("bigint").alias("node"), "triangles")
+        .orderBy("node")
+    )
+
+
+# ------------------------------------ multi-source BFS hop distance (q157)
+@register(
+    "q157_bfs_hops",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), e AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), srcs AS (
+      SELECT c_custkey AS node FROM customer WHERE c_nationkey = 7
+    ), walk(node, hop) AS (
+      SELECT node, 0 FROM srcs
+      UNION
+      SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hop < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hop) AS BIGINT) AS hops
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def q157_bfs_hops(spark, sf_dir):
+    """Multi-source BFS (operators/graph.py:bfs_hops) on the
+    customer↔supplier trade graph (q129's edge set): hop distance ≤ 3
+    from the nation-7 customer cohort — the reachability/propagation
+    primitive (fraud rings, influence radius, crawl frontier depth).
+    The Spark side iterates frontier joins (only the NEW frontier joins
+    edges each round); the oracle replays it as a hop-bounded recursive
+    CTE taking MIN(hop). Frontier BFS keeps per-round cost proportional
+    to the frontier's adjacency, not the visited set — the property
+    that matters when the reached set grows into the billions."""
+    from etl_wrap_spark.operators.graph import bfs_hops
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    sources = (
+        t["customer"].where(F.col("c_nationkey") == 7).select(
+            F.col("c_custkey").alias("node")
+        )
+    )
+    return (
+        bfs_hops(edges, sources, max_hops=3)
+        .select(F.col("node").cast("bigint").alias("node"), "hops")
+        .orderBy("node")
+    )
+
+
+# ------------------------------------ k-core peeling (q158)
+@register(
+    "q158_kcore_peel",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+    ), e0 AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), d0 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM e0 UNION ALL SELECT hi AS node FROM e0
+      ) GROUP BY node
+    ), e1 AS (
+      SELECT lo, hi FROM e0
+      WHERE lo IN (SELECT node FROM d0 WHERE deg >= 4)
+        AND hi IN (SELECT node FROM d0 WHERE deg >= 4)
+    ), d1 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM e1 UNION ALL SELECT hi AS node FROM e1
+      ) GROUP BY node
+    ), e2 AS (
+      SELECT lo, hi FROM e1
+      WHERE lo IN (SELECT node FROM d1 WHERE deg >= 4)
+        AND hi IN (SELECT node FROM d1 WHERE deg >= 4)
+    ), d2 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM e2 UNION ALL SELECT hi AS node FROM e2
+      ) GROUP BY node
+    ), e3 AS (
+      SELECT lo, hi FROM e2
+      WHERE lo IN (SELECT node FROM d2 WHERE deg >= 4)
+        AND hi IN (SELECT node FROM d2 WHERE deg >= 4)
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT lo AS node FROM e3 UNION ALL SELECT hi AS node FROM e3)
+    GROUP BY node ORDER BY node
+    """,
+)
+def q158_kcore_peel(spark, sf_dir):
+    """k-core peeling (operators/graph.py:kcore_peel): 3 synchronous
+    rounds of dropping degree<4 nodes (with incident edges) from the
+    part co-purchase graph → surviving (node, residual degree). Dense
+    cores are where engagement/spam communities live; peeling depth is
+    the standard coreness filter. Synchronous rounds make the bounded-R
+    result engine-deterministic, so the oracle unrolls the identical 3
+    peels in SQL. Per round: one O(E) degree aggregation + two
+    semi-joins — nothing driver-side."""
+    from etl_wrap_spark.operators.graph import kcore_peel
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = (
+        t["lineitem"]
+        .where(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return (
+        kcore_peel(edges, k=4, rounds=3)
+        .select(F.col("node").cast("bigint").alias("node"), "deg")
+        .orderBy("node")
+    )
+
+
+# ------------------------------------ DSIR importance weights (q159)
+@register(
+    "q159_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, is_t,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS b
+      FROM toks
+    ), stats AS (
+      SELECT b, COUNT(*) AS cR,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS cT
+      FROM tb GROUP BY b
+    ), per AS (
+      SELECT doc_id, (1000000 * (cT + 1)) // (cR + 1) AS w
+      FROM tb JOIN stats USING (b)
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w) AS BIGINT) AS weight_fp
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, weight_fp,
+           CAST(weight_fp // n_tokens AS BIGINT) AS avg_fp
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q159_importance_weights(spark, sf_dir):
+    """DSIR-style hashed importance weights (operators/sampling.py:
+    importance_weights_hashed): score every document by how
+    English-target-like its hashed-unigram distribution is — the data
+    -selection weighting that resamples a raw crawl toward a target
+    domain (Xie et al. 2023, public method; exact scaled-integer ratio
+    form documented at the operator). One token explode, one 256-row
+    bucket-stats aggregate, one broadcast join back, one groupBy(doc) —
+    the stats frame stays bucket-sized no matter how large the corpus,
+    which is the whole point at 100 TB."""
+    from etl_wrap_spark.operators.sampling import importance_weights_hashed
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        importance_weights_hashed(
+            t["documents"], "doc_id", "text", F.col("lang") == "en",
+            n_buckets=256, scale=10**6,
+        )
+        .select("doc_id", "n_tokens", "weight_fp", "avg_fp")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------ leakage-safe cluster split (q160)
+@register(
+    "q160_cluster_safe_split",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+      WHERE 2 * inter >= sa.n + sb.n - inter
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ), walk(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.r FROM edges e JOIN walk w ON w.id = e.v
+    ), comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM walk GROUP BY id
+    ), lab AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(component AS BIGINT) AS component,
+           CASE WHEN CAST('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 8000 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab ORDER BY doc_id
+    """,
+)
+def q160_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.py:
+    assign_split_grouped): near-dup clusters (MinHash-LSH pairs →
+    connected components, singletons = own id) drawn as UNITS, so a
+    document and its near-duplicates can never straddle train and
+    held-out — the contamination guard row-id splits cannot give. The
+    oracle recomputes clusters from exact-Jaccard pairs via the q55
+    recursive-CTE ground truth and replays the identical portable
+    md5-60 bucket rule on the cluster root."""
+    from etl_wrap_spark.operators import dedup
+    from etl_wrap_spark.operators.sampling import assign_split_grouped
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = dedup.near_dup_pairs_minhash(
+        t["documents"], "doc_id", "text", n=3, num=2, den=1
+    )
+    cc = dedup.connected_components(pairs)
+    labeled = (
+        t["documents"]
+        .select("doc_id")
+        .join(cc, "doc_id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+    )
+    return (
+        assign_split_grouped(labeled, "component")
+        .select(
+            "doc_id", F.col("component").cast("bigint").alias("component"), "split"
+        )
+        .orderBy("doc_id")
+    )

@@ -1605,3 +1605,133 @@ def test_curate_with_span_and_novelty_stages(spark):
     assert "license" not in clean[3] and "warranty" not in clean[4]
     assert "tablex0" in clean[3] and "tabley0" in clean[4]
     assert 5 in clean
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 plus a pendant: every K4 node sits in C(3,2)=3 triangles, the
+    pendant in none. Edges arrive in mixed directions with duplicates —
+    canonicalization must collapse them before orientation."""
+    from etl_wrap_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    edges = spark.createDataFrame(k4 + [(5, 1), (1, 5), (2, 1)], ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_orientation_independence(spark):
+    """A hub star (no triangles) plus one closed wedge: only the wedge
+    triangle is found; the high-degree hub contributes nothing — the
+    degree orientation must not fabricate or miss across the hub."""
+    from etl_wrap_spark.operators.graph import triangle_counts
+
+    star = [(100, i) for i in range(1, 20)]
+    edges = spark.createDataFrame(star + [(1, 2), (2, 100)], ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {100: 1, 1: 1, 2: 1}
+
+
+def test_bfs_hops_path_and_bound(spark):
+    """Path 1-2-3-4-5 from source {1}: hops are exact, and node 5 (4
+    hops away) is absent under max_hops=3. A self-loop on the source
+    must not re-admit it at a later hop."""
+    from etl_wrap_spark.operators.graph import bfs_hops
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 1)]
+    edges = spark.createDataFrame(und + [(b, a) for a, b in und], ["src", "dst"])
+    sources = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, sources, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    """Two sources at the ends of a path: every node takes the MIN hop
+    distance over sources (meet in the middle)."""
+    from etl_wrap_spark.operators.graph import bfs_hops
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(und + [(b, a) for a, b in und], ["src", "dst"])
+    sources = spark.createDataFrame([(1,), (5,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, sources, max_hops=3).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_kcore_peel_k4_pendant_and_chain(spark):
+    """K4 + pendant at k=2: the pendant peels in round 1, K4 survives
+    at degree 3. A bare chain at k=2 dissolves completely within two
+    rounds (endpoints first, then the stranded middle)."""
+    from etl_wrap_spark.operators.graph import kcore_peel
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(k4, ["src", "dst"])
+    got = {r["node"]: r["deg"] for r in kcore_peel(edges, k=2, rounds=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert kcore_peel(chain, k=2, rounds=2).count() == 0
+
+
+def test_importance_weights_hashed_exact(spark):
+    """Hand replication of the scaled-integer ratio weights, including
+    the portable md5-60 bucketing — target doc tokens must score higher
+    than tokens only the raw corpus has."""
+    import hashlib
+
+    from etl_wrap_spark.operators.sampling import importance_weights_hashed
+
+    # tokens chosen to occupy DISTINCT buckets at n_buckets=8 so the
+    # target-affinity inequality below is collision-free by construction
+    docs = [(1, "alpha delta alpha"), (2, "omega delta"), (3, "omega omega kappa")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["weight_fp"], r["avg_fp"])
+        for r in importance_weights_hashed(
+            df, "doc_id", "text", F.col("doc_id") == 1, n_buckets=8, scale=1000
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8
+
+    toks = {i: t.split() for i, t in docs}
+    c_r, c_t = {}, {}
+    for i, ts in toks.items():
+        for tok in ts:
+            b = bucket(tok)
+            c_r[b] = c_r.get(b, 0) + 1
+            if i == 1:
+                c_t[b] = c_t.get(b, 0) + 1
+    expect = {}
+    for i, ts in toks.items():
+        w = sum(
+            (1000 * (c_t.get(bucket(tok), 0) + 1)) // (c_r[bucket(tok)] + 1)
+            for tok in ts
+        )
+        expect[i] = (len(ts), w, w // len(ts))
+    assert out == expect
+    # target doc scores strictly above the doc sharing no target tokens
+    assert out[1][2] > out[3][2]
+
+
+def test_assign_split_grouped_no_leakage(spark):
+    """Every member of a group lands in the same split (the leakage
+    guard), the assignment is deterministic across calls, and with many
+    groups all three splits are populated roughly by weight."""
+    from etl_wrap_spark.operators.sampling import assign_split_grouped
+
+    rows = [(i, i % 400) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = assign_split_grouped(df, "grp").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_grp.values())
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    again = assign_split_grouped(df, "grp").collect()
+    assert sorted((r["doc_id"], r["split"]) for r in out) == sorted(
+        (r["doc_id"], r["split"]) for r in again
+    )
