@@ -1735,3 +1735,21 @@ def test_assign_split_grouped_no_leakage(spark):
     assert sorted((r["doc_id"], r["split"]) for r in out) == sorted(
         (r["doc_id"], r["split"]) for r in again
     )
+
+
+def test_graph_ops_degenerate_inputs(spark):
+    """Empty edge lists and empty source sets degrade to empty results
+    (schema intact), and self-loops alone make no graph."""
+    from etl_wrap_spark.operators.graph import bfs_hops, kcore_peel, triangle_counts
+
+    empty = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    loops = spark.createDataFrame([(1, 1), (2, 2)], ["src", "dst"])
+    assert triangle_counts(empty).count() == 0
+    assert triangle_counts(loops).count() == 0
+    assert kcore_peel(empty, k=2, rounds=2).count() == 0
+    assert kcore_peel(loops, k=1, rounds=1).count() == 0
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    no_sources = spark.createDataFrame([], "node BIGINT")
+    out = bfs_hops(edges, no_sources, max_hops=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "hops"]
