@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -301,4 +301,45 @@ def association_rules(
             F.expr("(10000 * n_ab) div n_a").cast("bigint").alias("confidence_bp"),
             F.expr(f"(10000 * {n_total} * n_ab) div (n_a * n_b)").cast("bigint").alias("lift_bp"),
         )
+    )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    season_cols: Sequence[str],
+    value_cents: Column | str,
+) -> DataFrame:
+    """Integer seasonal profile → one row per season cell with
+    (n, baseline) where baseline = SUM(cents) div n — the exact-integer
+    mean. The profile frame is season-cardinality-sized (e.g. 24×types
+    for an hour-of-day profile), so it broadcasts no matter how large
+    the event stream is."""
+    v = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    return (
+        df.groupBy(*season_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v).cast("bigint").alias("__sum"),
+        )
+        .withColumn("baseline", F.expr("__sum div n").cast("bigint"))
+        .drop("__sum")
+    )
+
+
+def deseasonalize(
+    df: DataFrame,
+    season_cols: Sequence[str],
+    value_cents_col: str,
+    out_col: str = "residual",
+) -> DataFrame:
+    """Subtract the per-cell seasonal baseline → input rows plus
+    (baseline, residual), residual = cents − baseline in exact ints.
+    One profile aggregation + one BROADCAST join back onto the stream;
+    compose with robust.mad_outliers on the residual for seasonal
+    anomaly screening (the raw-value MAD would flag every nightly peak
+    — deseasonalizing first is what makes the screen mean 'unusual FOR
+    this hour', the form an ops/quality monitor actually wants)."""
+    prof = seasonal_baseline(df, season_cols, value_cents_col)
+    return df.join(F.broadcast(prof), on=list(season_cols)).withColumn(
+        out_col, (F.col(value_cents_col) - F.col("baseline")).cast("bigint")
     )

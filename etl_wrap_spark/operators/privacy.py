@@ -79,3 +79,81 @@ def k_suppress(
             c, F.when(F.col("__ksz") >= k, F.col(c))
         )
     return out.drop("__ksz")
+
+
+# ------------------------------------------------ ε-DP noisy counts
+# Discrete Laplace (two-sided geometric) mechanism — Ghosh, Roughgarden
+# & Sundararajan, "Universally Utility-Maximizing Privacy Mechanisms"
+# (SIAM J. Comput. 2012; public): P(noise = k) ∝ α^|k| with α = e^(-ε)
+# is the universally-optimal ε-DP mechanism for count queries
+# (sensitivity 1). Here α is a RATIONAL parameter and the inverse-CDF
+# thresholds are computed in exact integer arithmetic, so the draw is
+# bit-identical on any engine.
+
+DP_HASH_BITS = 60  # uniform draw = portable md5-60 of salt:groupkey
+
+
+def dp_noise_thresholds(
+    alpha_num: int = 1, alpha_den: int = 2, m_max: int = 64
+) -> list[int]:
+    """Cumulative CDF thresholds for the noise MAGNITUDE, scaled to
+    [0, 2^60) exact ints: P(M=0) = (1-α)/(1+α), P(M=m) = 2α^m(1-α)/(1+α).
+    A uniform u < 2^60 maps to magnitude = #thresholds ≤ u (clamped at
+    m_max; residual tail mass α^m_max is ~1e-20 at α=1/2)."""
+    from fractions import Fraction
+
+    a = Fraction(alpha_num, alpha_den)
+    scale = 1 << DP_HASH_BITS
+    p0 = (1 - a) / (1 + a)
+    cum = p0
+    out = [int(cum * scale)]
+    for m in range(1, m_max + 1):
+        cum += 2 * a**m * p0  # P(M=m) = 2·α^m·(1-α)/(1+α), kept exact
+        out.append(min(int(cum * scale), scale))
+    return out
+
+
+def dp_noise(key: Column, salt: str, thresholds: Sequence[int]) -> Column:
+    """Deterministic discrete-Laplace noise for one group key: magnitude
+    from the seeded uniform (md5-60 of salt:key) against the exact CDF
+    thresholds, sign from an independent hash bit. Determinism is a
+    FEATURE: re-running the same release with the same salt returns the
+    same noise, so repeated identical queries cannot be averaged to
+    strip it (the standard seeded-noise posture for reproducible
+    pipelines); a NEW release must rotate the salt and account fresh ε."""
+    from etl_wrap_spark.operators.text import hash60
+
+    u = hash60(F.concat(F.lit(salt + ":"), key.cast("string")))
+    arr = F.array(*[F.lit(t).cast("bigint") for t in thresholds])
+    mag = F.size(F.filter(arr, lambda t: t <= u))
+    sign = F.when(
+        hash60(F.concat(F.lit(salt + ":s:"), key.cast("string"))) % 2 == 0, 1
+    ).otherwise(-1)
+    return (sign * mag).cast("bigint")
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    salt: str,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    m_max: int = 64,
+    out_col: str = "noisy_count",
+) -> DataFrame:
+    """ε-DP noisy group counts → (group_cols…, noisy_count) with
+    ε = ln(alpha_den/alpha_num) at row-level sensitivity 1 (ROW-level
+    DP: one row in/out changes a count by ≤1; if one individual can
+    contribute many rows, pre-aggregate per individual or scale ε).
+    Never emits the true count. One aggregation; the noise is a pure
+    Column expression over the group key — nothing driver-side, no RNG
+    state to coordinate across executors (the classic distributed-DP
+    failure mode this construction avoids)."""
+    thresholds = dp_noise_thresholds(alpha_num, alpha_den, m_max)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__true"))
+        .withColumn(out_col, (F.col("__true") + dp_noise(key, salt, thresholds)))
+        .drop("__true")
+    )

@@ -4597,3 +4597,104 @@ def q160_cluster_safe_split(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------ seasonal residual anomalies (q161)
+@register(
+    "q161_seasonal_anomalies",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), base AS (
+      SELECT event_type, hr, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS baseline
+      FROM ev GROUP BY 1, 2
+    ), resid AS (
+      SELECT e.event_id, e.event_type, e.hr, e.cents, b.baseline,
+             e.cents - b.baseline AS residual
+      FROM ev e JOIN base b ON e.event_type = b.event_type AND e.hr = b.hr
+    ), med AS (
+      SELECT event_type, quantile_cont(residual, 0.5) AS m
+      FROM resid GROUP BY 1
+    ), mad AS (
+      SELECT r.event_type, quantile_cont(ABS(r.residual - med.m), 0.5) AS mad
+      FROM resid r JOIN med ON r.event_type = med.event_type GROUP BY 1
+    )
+    SELECT r.event_id, r.event_type, r.hr, r.cents,
+           r.baseline, CAST(r.residual AS BIGINT) AS residual
+    FROM resid r
+    JOIN med ON r.event_type = med.event_type
+    JOIN mad ON r.event_type = mad.event_type
+    WHERE ABS(r.residual - med.m) > 3.0 * mad.mad
+    ORDER BY r.event_id
+    """,
+)
+def q161_seasonal_anomalies(spark, sf_dir):
+    """Seasonal anomaly screen (operators/events_analytics.py:
+    deseasonalize + robust.mad_outliers): subtract the per-(type,
+    hour-of-day) exact-integer baseline, then flag residuals beyond
+    3×MAD per type — 'unusual FOR this hour', not 'nightly peak'. The
+    profile frame is 24×types rows (broadcast), both medians are
+    exact-interpolated (Spark percentile ≡ DuckDB quantile_cont
+    bit-for-bit), and the residuals are exact ints — so the flagged
+    set hash-matches across engines. Two profile passes + two
+    broadcast joins; no global sort, no UDF."""
+    from etl_wrap_spark.operators.events_analytics import deseasonalize
+    from etl_wrap_spark.operators.robust import mad_outliers
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    des = deseasonalize(ev, ["event_type", "hr"], "cents")
+    flagged = mad_outliers(des, ["event_type"], "residual", k=3.0)
+    return (
+        flagged.where(F.col("_outlier"))
+        .select("event_id", "event_type", "hr", "cents", "baseline", "residual")
+        .orderBy("event_id")
+    )
+
+
+# ------------------------------------ ε-DP noisy counts release (q162)
+def _dp_oracle(salt: str) -> str:
+    from etl_wrap_spark.operators.privacy import dp_noise_thresholds
+
+    arr = "[" + ", ".join(str(t) for t in dp_noise_thresholds()) + "]"
+    return f"""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+    ), n AS (
+      SELECT event_type, c,
+             len(list_filter({arr},
+                 t -> t <= CAST('0x' || substr(md5('{salt}:' || event_type), 1, 15) AS BIGINT))) AS mag,
+             CASE WHEN CAST('0x' || substr(md5('{salt}:s:' || event_type), 1, 15) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM g
+    )
+    SELECT event_type, CAST(c + sgn * mag AS BIGINT) AS noisy_count
+    FROM n ORDER BY event_type
+    """
+
+
+@register("q162_dp_noisy_counts", oracle=_dp_oracle("rel1"))
+def q162_dp_noisy_counts(spark, sf_dir):
+    """ε-DP count release (operators/privacy.py:dp_noisy_counts):
+    per-event-type counts with discrete-Laplace noise (α=1/2 → ε=ln 2,
+    row-level sensitivity 1; Ghosh-Roughgarden-Sundararajan mechanism).
+    The noise draw is a seeded inverse-CDF over EXACT integer
+    thresholds (md5-60 uniform), so there is no executor RNG state to
+    coordinate and the oracle replays the identical release — while a
+    fresh salt gives an independent draw. The true count never leaves
+    the aggregation."""
+    from etl_wrap_spark.operators.privacy import dp_noisy_counts
+
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        dp_noisy_counts(t["events"], ["event_type"], salt="rel1")
+        .orderBy("event_type")
+    )

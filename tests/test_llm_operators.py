@@ -1753,3 +1753,60 @@ def test_graph_ops_degenerate_inputs(spark):
     out = bfs_hops(edges, no_sources, max_hops=2)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "hops"]
+
+
+def test_deseasonalize_exact(spark):
+    """Hand data: baseline is the exact integer mean per season cell;
+    residuals are exact; the profile join preserves row count."""
+    from etl_wrap_spark.operators.events_analytics import deseasonalize
+
+    rows = [
+        (1, "a", 0, 100), (2, "a", 0, 110), (3, "a", 0, 96),
+        (4, "a", 1, 50), (5, "b", 0, 7),
+    ]
+    df = spark.createDataFrame(rows, ["id", "typ", "hr", "cents"])
+    out = {r["id"]: (r["baseline"], r["residual"])
+           for r in deseasonalize(df, ["typ", "hr"], "cents").collect()}
+    # cell (a,0): mean = 306 div 3 = 102
+    assert out == {1: (102, -2), 2: (102, 8), 3: (102, -6),
+                   4: (50, 0), 5: (7, 0)}
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """The seeded discrete-Laplace draw replays exactly in independent
+    Python (thresholds + md5-60 uniform + sign bit), is deterministic
+    across calls, changes with the salt, and its magnitude expectation
+    over many groups is near E[M] = 4/3 for α=1/2."""
+    import hashlib
+
+    from etl_wrap_spark.operators.privacy import dp_noise_thresholds, dp_noisy_counts
+
+    th = dp_noise_thresholds()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def noise(key, salt):
+        u = h60(f"{salt}:{key}")
+        mag = sum(1 for t in th if t <= u)
+        sgn = 1 if h60(f"{salt}:s:{key}") % 2 == 0 else -1
+        return sgn * mag
+
+    rows = [(f"g{i % 200}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["grp"])
+    out = {r["grp"]: r["noisy_count"]
+           for r in dp_noisy_counts(df, ["grp"], salt="s1").collect()}
+    true = {}
+    for (g,) in rows:
+        true[g] = true.get(g, 0) + 1
+    assert out == {g: c + noise(g, "s1") for g, c in true.items()}
+    # deterministic replay; independent draw under a rotated salt
+    again = {r["grp"]: r["noisy_count"]
+             for r in dp_noisy_counts(df, ["grp"], salt="s1").collect()}
+    assert out == again
+    other = {r["grp"]: r["noisy_count"]
+             for r in dp_noisy_counts(df, ["grp"], salt="s2").collect()}
+    assert other != out
+    # E[|noise|] = 2α/(1-α²) · ... = 4/3 at α=1/2; loose band over 200 draws
+    mean_mag = sum(abs(out[g] - true[g]) for g in true) / len(true)
+    assert 0.9 < mean_mag < 1.9
