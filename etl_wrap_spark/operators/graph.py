@@ -185,6 +185,7 @@ def pagerank_fixedpoint(
     damping_num: int = 85,
     damping_den: int = 100,
     checkpoint_every: int = 8,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """K-iteration PageRank → (node, rank_fp) with rank_fp a scaled
     bigint (sum ≈ ``scale``; floor-truncation leaks only downward).
@@ -193,25 +194,62 @@ def pagerank_fixedpoint(
     r_k+1(v) = (scale·(den−num)) // (den·N)
              + Σ_{(u,v)∈E} (r_k(u)·num) // (den·outdeg(u))
 
+    ``seeds`` (a (node) frame) switches to PERSONALIZED PageRank: the
+    teleport mass and the initial rank go only to the seed set S (N is
+    replaced by |S|, non-seeds start and teleport at 0), so rank_fp
+    becomes proximity-to-S — the topic-/trust-conditioned centrality
+    used for TrustRank-style spam demotion and related-item discovery.
+    Same fixed-point arithmetic, so the seeded variant stays
+    oracle-replayable.
+
     Dangling nodes (no out-edges) simply leak their mass — the
     standard simplification; document or add self-loops upstream if
-    mass conservation matters. The node count is the one scalar driver
-    probe (a count, not data).
+    mass conservation matters. The node/seed count is the one scalar
+    driver probe (a count, not data).
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return nodes.withColumn("rank_fp", F.lit(0).cast("bigint"))
-    base = (scale * (damping_den - damping_num)) // (damping_den * n_nodes)
+    if seeds is None:
+        n_nodes = nodes.count()
+        if n_nodes == 0:
+            return nodes.withColumn("rank_fp", F.lit(0).cast("bigint"))
+        base = (scale * (damping_den - damping_num)) // (damping_den * n_nodes)
+        based = nodes.withColumn("__base", F.lit(base).cast("bigint"))
+        r = nodes.withColumn("rank_fp", F.lit(scale // n_nodes).cast("bigint"))
+    else:
+        s = (
+            seeds.select(F.col("node"))
+            .distinct()
+            .join(nodes, on="node", how="left_semi")
+            .withColumn("__seed", F.lit(True))
+        )
+        n_seed = s.count()
+        if n_seed == 0:
+            raise ValueError("personalized PageRank: no seed node is in the graph")
+        base = (scale * (damping_den - damping_num)) // (damping_den * n_seed)
+        based = (
+            nodes.join(s, on="node", how="left")
+            .withColumn(
+                "__base",
+                F.when(F.col("__seed"), F.lit(base)).otherwise(0).cast("bigint"),
+            )
+            .drop("__seed")
+            .localCheckpoint(eager=True)
+        )
+        r = based.select(
+            "node",
+            F.when(F.col("__base") > 0, F.lit(scale // n_seed))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rank_fp"),
+        )
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     deg = e.groupBy(F.col("__src").alias("__dn")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
-    r = nodes.withColumn("rank_fp", F.lit(scale // n_nodes).cast("bigint"))
     for i in range(iterations):
         contrib = (
             e.join(r.withColumnRenamed("node", "__src"), on="__src")
@@ -225,9 +263,9 @@ def pagerank_fixedpoint(
             .groupBy("node")
             .agg(F.sum("__c").alias("__contrib"))
         )
-        r = nodes.join(contrib, on="node", how="left").select(
+        r = based.join(contrib, on="node", how="left").select(
             "node",
-            (F.lit(base) + F.coalesce(F.col("__contrib"), F.lit(0)))
+            (F.col("__base") + F.coalesce(F.col("__contrib"), F.lit(0)))
             .cast("bigint")
             .alias("rank_fp"),
         )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -155,5 +155,41 @@ def dp_noisy_counts(
         df.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).cast("bigint").alias("__true"))
         .withColumn(out_col, (F.col("__true") + dp_noise(key, salt, thresholds)))
+        .drop("__true")
+    )
+
+
+def dp_noisy_sums(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    clamp_lo: int,
+    clamp_hi: int,
+    salt: str,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    m_max: int = 64,
+    out_col: str = "noisy_sum",
+) -> DataFrame:
+    """ε-DP noisy group sums: per-row contributions CLAMPED to
+    [clamp_lo, clamp_hi] (bounding the sensitivity is what makes a sum
+    releasable at all — one row then moves the sum by at most
+    C = max(|lo|, |hi|)), exact-integer sum, then the same seeded
+    discrete-Laplace draw as dp_noisy_counts. Privacy accounting: this
+    α gives ε = C·ln(alpha_den/alpha_num) for row-level DP — for a
+    target ε, pick α = exp(-ε/C) as a rational (larger alpha_den) or
+    shrink the clamp. Same engine-portable, no-RNG-state posture as the
+    count release."""
+    thresholds = dp_noise_thresholds(alpha_num, alpha_den, m_max)
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    v = F.least(
+        F.greatest(F.col(value_col).cast("bigint"), F.lit(clamp_lo)),
+        F.lit(clamp_hi),
+    )
+    return (
+        df.withColumn("__v", v)
+        .groupBy(*group_cols)
+        .agg(F.sum("__v").cast("bigint").alias("__true"))
+        .withColumn(out_col, F.col("__true") + dp_noise(key, salt, thresholds))
         .drop("__true")
     )

@@ -4698,3 +4698,138 @@ def q162_dp_noisy_counts(spark, sf_dir):
         dp_noisy_counts(t["events"], ["event_type"], salt="rel1")
         .orderBy("event_type")
     )
+
+
+# ------------------------------------ ε-DP noisy sums release (q163)
+def _dp_sum_oracle(salt: str) -> str:
+    from etl_wrap_spark.operators.privacy import dp_noise_thresholds
+
+    arr = "[" + ", ".join(str(t) for t in dp_noise_thresholds()) + "]"
+    return f"""
+    WITH g AS (
+      SELECT o_orderpriority AS prio,
+             CAST(SUM(LEAST(GREATEST(CAST(FLOOR(o_totalprice) AS BIGINT), 0), 200000)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ), n AS (
+      SELECT prio, s,
+             len(list_filter({arr},
+                 t -> t <= CAST('0x' || substr(md5('{salt}:' || prio), 1, 15) AS BIGINT))) AS mag,
+             CASE WHEN CAST('0x' || substr(md5('{salt}:s:' || prio), 1, 15) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM g
+    )
+    SELECT prio, CAST(s + sgn * mag AS BIGINT) AS noisy_sum
+    FROM n ORDER BY prio
+    """
+
+
+@register("q163_dp_noisy_sums", oracle=_dp_sum_oracle("rev1"))
+def q163_dp_noisy_sums(spark, sf_dir):
+    """ε-DP sum release (operators/privacy.py:dp_noisy_sums): revenue
+    per order priority with per-row contributions clamped to
+    [0, 200000] (the clamp bounds sensitivity — without it no sum is
+    releasable), exact-integer sum, seeded discrete-Laplace noise. The
+    oracle replays clamp, sum, and draw bit-for-bit; a fresh salt gives
+    an independent release."""
+    from etl_wrap_spark.operators.privacy import dp_noisy_sums
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    base = t["orders"].select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor("o_totalprice").alias("v"),
+    )
+    return (
+        dp_noisy_sums(base, ["prio"], "v", 0, 200000, salt="rev1")
+        .orderBy("prio")
+    )
+
+
+# ------------------------------------ personalized PageRank (q164)
+@register(
+    "q164_personalized_pagerank",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), seeds AS (
+      SELECT DISTINCT n.node FROM nodes n
+      JOIN customer c ON c.c_custkey = n.node AND c.c_nationkey = 7
+    ), params AS (
+      SELECT COUNT(*) AS ns FROM seeds
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN 1000000000000 // (SELECT ns FROM params) ELSE 0 END AS r
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    ), basef AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN 150000000000 // (SELECT ns FROM params) ELSE 0 END AS b
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    ), c1 AS (
+      SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
+      FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT b.node, b.b + COALESCE(c1.c, 0) AS r
+      FROM basef b LEFT JOIN c1 ON c1.node = b.node
+    ), c2 AS (
+      SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
+      FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT b.node, b.b + COALESCE(c2.c, 0) AS r
+      FROM basef b LEFT JOIN c2 ON c2.node = b.node
+    ), c3 AS (
+      SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
+      FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT b.node, b.b + COALESCE(c3.c, 0) AS r
+      FROM basef b LEFT JOIN c3 ON c3.node = b.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_fp
+    FROM r3 WHERE r > 0 ORDER BY node
+    """,
+)
+def q164_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (operators/graph.py:pagerank_fixedpoint
+    (seeds=)): teleport and initial mass confined to the nation-7
+    customer cohort on the trade graph — rank_fp becomes proximity to
+    the seed set, the TrustRank-style conditioned centrality
+    (spam demotion from trusted seeds, related-entity discovery). Same
+    exact scaled-integer arithmetic as q129, so the 3-iteration
+    unrolled-CTE oracle hash-matches; nodes the seed mass never reaches
+    stay at exactly 0 and are filtered on both sides."""
+    from etl_wrap_spark.operators.graph import pagerank_fixedpoint
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = t["customer"].where(F.col("c_nationkey") == 7).select(
+        F.col("c_custkey").alias("node")
+    )
+    return (
+        pagerank_fixedpoint(edges, iterations=3, seeds=seeds)
+        .where(F.col("rank_fp") > 0)
+        .select(F.col("node").cast("bigint").alias("node"), "rank_fp")
+        .orderBy("node")
+    )

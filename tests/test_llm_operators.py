@@ -1810,3 +1810,59 @@ def test_dp_noisy_counts_mechanism(spark):
     # E[|noise|] = 2α/(1-α²) · ... = 4/3 at α=1/2; loose band over 200 draws
     mean_mag = sum(abs(out[g] - true[g]) for g in true) / len(true)
     assert 0.9 < mean_mag < 1.9
+
+
+def test_dp_noisy_sums_clamp_and_replay(spark):
+    """Clamping bounds each row's contribution before the sum; the
+    noisy sum replays exactly in independent Python."""
+    import hashlib
+
+    from etl_wrap_spark.operators.privacy import dp_noise_thresholds, dp_noisy_sums
+
+    rows = [("a", 5), ("a", 250), ("a", -10), ("b", 100)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {r["grp"]: r["noisy_sum"]
+           for r in dp_noisy_sums(df, ["grp"], "v", 0, 100, salt="t").collect()}
+    th = dp_noise_thresholds()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def noise(key):
+        mag = sum(1 for t in th if t <= h60(f"t:{key}"))
+        return (1 if h60(f"t:s:{key}") % 2 == 0 else -1) * mag
+
+    # clamped sums: a -> 5 + 100 + 0 = 105, b -> 100
+    assert out == {"a": 105 + noise("a"), "b": 100 + noise("b")}
+
+
+def test_personalized_pagerank_seed_confinement(spark):
+    """On a disconnected pair of components, seeding one confines all
+    mass there: unseeded-component nodes hold exactly 0; replay matches
+    exact integer arithmetic."""
+    from etl_wrap_spark.operators.graph import pagerank_fixedpoint
+
+    # component A: 1<->2; component B: 3<->4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    scale = 10**12
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank_fixedpoint(edges, iterations=2, seeds=seeds).collect()}
+    assert got[3] == 0 and got[4] == 0
+    # exact replay: r0 = {1: scale, 2: 0}; base = {1: 15% scale, 2: 0}
+    base = (scale * 15) // 100
+    r = {1: scale, 2: 0}
+    for _ in range(2):
+        nxt = {1: base, 2: 0}
+        nxt[2] += (r[1] * 85) // 100
+        nxt[1] += (r[2] * 85) // 100
+        r = nxt
+    assert got[1] == r[1] and got[2] == r[2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank_fixedpoint(
+            edges, seeds=spark.createDataFrame([(99,)], ["node"])
+        ).collect()
