@@ -73,8 +73,15 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     The triangle SET is orientation-independent, so an oracle using
     plain id-order enumeration (a<b<c) produces identical output — that
     independence is what makes the operator engine-checkable.
+
+    Checkpoint discipline: the canonical edge frame feeds the degree
+    aggregation AND both orientation joins, and the oriented frame
+    feeds three wedge-join branches — without materialization Catalyst
+    duplicates the upstream subtree per branch (measured: a 33-shuffle
+    plan for a 2-join algorithm). Both are localCheckpoint'ed once,
+    giving the flat plan the algorithm actually describes.
     """
-    und = canonical_undirected(edges, src, dst)
+    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
     deg = degrees(und)
     # order key: (deg, id) packed into one comparable struct
     dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("__dl"))
@@ -86,7 +93,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     oriented = ranked.select(
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     o2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     o3 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -106,7 +113,6 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     node_col: str = "node",
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Multi-source BFS → (node, hops) with hops = min #edges from any
     source, bounded at ``max_hops`` (unreached nodes are absent).
@@ -115,14 +121,26 @@ def bfs_hops(
     frontier (not the full visited set) against the edge list, then
     anti-joins the visited set — per-round cost O(frontier-adjacent
     edges), total O(E·avg-multiplicity) across all rounds, the textbook
-    distributed BFS. The visited frame is localCheckpoint'ed on a cadence
-    so lineage stays flat for deep searches. No driver-side probes at
-    all: the round count is the fixed ``max_hops`` bound, which makes
-    the result replayable by a hop-bounded recursive CTE.
+    distributed BFS. No driver-side probes at all: the round count is
+    the fixed ``max_hops`` bound, which makes the result replayable by
+    a hop-bounded recursive CTE.
+
+    Checkpoint discipline: the edge projection is materialized once
+    (every round joins it — without this the caller's whole edge
+    -derivation pipeline re-executes per round), and each round's new
+    frontier is materialized eagerly (it is referenced by the next
+    round's join AND by every later round's visited anti-join; unpinned,
+    the visited lineage re-derives all previous frontiers per round —
+    measured as a 77-scan plan at 3 hops).
     """
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-    visited = sources.select(F.col(node_col).alias("node")).distinct().withColumn(
-        "hops", F.lit(0).cast("bigint")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).localCheckpoint(
+        eager=True
+    )
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
     )
     frontier = visited
     for h in range(1, max_hops + 1):
@@ -131,12 +149,12 @@ def bfs_hops(
             .select(F.col("__d").alias("node"))
             .distinct()
         )
-        new = reached.join(visited, "node", "left_anti").withColumn(
-            "hops", F.lit(h).cast("bigint")
+        new = (
+            reached.join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
+            .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(new)
-        if h % checkpoint_every == 0 and h < max_hops:
-            visited = visited.localCheckpoint(eager=True)
         frontier = new
     return visited
 
@@ -159,20 +177,24 @@ def kcore_peel(
     can unroll it). Run to a fixed-point round count for the true
     k-core; a bounded R is itself meaningful (R peels ≈ "core-ness at
     depth R") and is what keeps the oracle replay exact. Per round: one
-    degree aggregation + two semi-joins — O(E) each, same
-    localCheckpoint lineage discipline as connected_components.
+    degree aggregation + two semi-joins — O(E) each.
+
+    Checkpoint discipline: the surviving edge frame is materialized
+    EVERY round (it shrinks monotonically, so each materialization is
+    cheaper than the last) — the survivor set feeds the degree
+    aggregation and both semi-joins, and unpinned lineage triples per
+    round (3^R subtree copies; measured as a 250-shuffle plan at R=3).
     """
     und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
-    for r in range(rounds):
+    for _ in range(rounds):
         deg = degrees(und)
-        keep = deg.where(F.col("deg") >= k).select("node")
+        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint(eager=True)
         und = (
             und.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
             .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
             .select("lo", "hi")
+            .localCheckpoint(eager=True)
         )
-        if (r + 1) % 4 == 0 and r + 1 < rounds:
-            und = und.localCheckpoint(eager=True)
     return degrees(und)
 
 
@@ -206,10 +228,18 @@ def pagerank_fixedpoint(
     standard simplification; document or add self-loops upstream if
     mass conservation matters. The node/seed count is the one scalar
     driver probe (a count, not data).
+
+    Checkpoint discipline: the edge projection is materialized FIRST,
+    so the caller's edge-derivation pipeline (often a join+distinct)
+    runs exactly once — nodes, degrees, seeds, and every iteration all
+    derive from the pinned frame.
     """
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
         .distinct()
     )
     if seeds is None:
@@ -217,8 +247,12 @@ def pagerank_fixedpoint(
         if n_nodes == 0:
             return nodes.withColumn("rank_fp", F.lit(0).cast("bigint"))
         base = (scale * (damping_den - damping_num)) // (damping_den * n_nodes)
-        based = nodes.withColumn("__base", F.lit(base).cast("bigint"))
-        r = nodes.withColumn("rank_fp", F.lit(scale // n_nodes).cast("bigint"))
+        based = nodes.withColumn(
+            "__base", F.lit(base).cast("bigint")
+        ).localCheckpoint(eager=True)
+        r = based.select(
+            "node", F.lit(scale // n_nodes).cast("bigint").alias("rank_fp")
+        )
     else:
         s = (
             seeds.select(F.col("node"))
@@ -246,10 +280,9 @@ def pagerank_fixedpoint(
             .cast("bigint")
             .alias("rank_fp"),
         )
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     deg = e.groupBy(F.col("__src").alias("__dn")).agg(
         F.count(F.lit(1)).alias("__deg")
-    )
+    ).localCheckpoint(eager=True)
     for i in range(iterations):
         contrib = (
             e.join(r.withColumnRenamed("node", "__src"), on="__src")
