@@ -71,3 +71,24 @@ def test_no_cartesian_anywhere_in_tpch(spark):
     ]
     for name in tpch:
         assert "CartesianProduct" not in _plan(spark, name), name
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("q157_bfs_hops", 2),       # frontier/visited pinned per round
+        ("q158_kcore_peel", 3),     # survivor edges pinned per round
+        ("q156_triangle_counts", 8),  # und + oriented pinned once
+    ],
+)
+def test_iterative_graph_plans_stay_flat(spark, name, max_shuffles):
+    """The iterative graph operators pin reused frames with
+    localCheckpoint; without it, lineage multiplies per round (measured
+    round 4: 250 in-plan shuffles for the 3-round peel, 77 rescans for
+    3-hop BFS). A regression here means someone dropped a checkpoint."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= max_shuffles, f"{name}: {n} shuffles — lineage unpinned?"
