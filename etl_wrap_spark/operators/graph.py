@@ -305,3 +305,53 @@ def pagerank_fixedpoint(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             r = r.localCheckpoint(eager=True)
     return r
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """``rounds`` synchronous label-propagation steps → (node, label):
+    every node simultaneously adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label (Raghavan et al. 2007's LPA,
+    made deterministic — the async random-order variant can never be
+    engine-replayed). Labels start as the node ids. Communities emerge
+    because dense neighborhoods out-vote bridges — unlike connected
+    components (which only asks reachability), LPA separates densely-
+    knit groups INSIDE one component, the spam-cluster/community signal
+    over co-purchase or link graphs.
+
+    Per round: one adjacency join + one (node,label) count + one argmax
+    aggregation — O(E) shuffles, labels frame node-sized, pinned per
+    round (CC-style lineage discipline). Bounded synchronous rounds are
+    what keep the result SQL-replayable (and avoid LPA's classic
+    bipartite label oscillation trap of run-to-convergence)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "v"), on="v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        # argmax by (count, then smallest label): max of (cnt, -label)
+        pick = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("__cnt"), (-F.col("label")).alias("__nl"))).alias("__m"))
+            .select("node", (-F.col("__m.__nl")).alias("label"))
+        )
+        labels = (
+            nodes.join(pick, on="node", how="left")
+            .select("node", F.coalesce(F.col("label"), F.col("node")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

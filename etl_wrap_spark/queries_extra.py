@@ -4833,3 +4833,84 @@ def q164_personalized_pagerank(spark, sf_dir):
         .select(F.col("node").cast("bigint").alias("node"), "rank_fp")
         .orderBy("node")
     )
+
+
+# ------------------------------------ label-propagation communities (q165)
+@register(
+    "q165_label_propagation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+    ), und AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT lo AS u, hi AS v FROM und UNION ALL SELECT hi, lo FROM und
+    ), nodes AS (
+      SELECT DISTINCT u AS node FROM e
+    ), l0 AS (
+      SELECT node, node AS label FROM nodes
+    ), c1 AS (
+      SELECT e.u AS node, l.label, COUNT(*) AS cnt
+      FROM e JOIN l0 l ON l.node = e.v GROUP BY 1, 2
+    ), p1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ), l1 AS (
+      SELECT n.node, COALESCE(p1.label, n.node) AS label
+      FROM nodes n LEFT JOIN p1 ON p1.node = n.node
+    ), c2 AS (
+      SELECT e.u AS node, l.label, COUNT(*) AS cnt
+      FROM e JOIN l1 l ON l.node = e.v GROUP BY 1, 2
+    ), p2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    ), l2 AS (
+      SELECT n.node, COALESCE(p2.label, n.node) AS label
+      FROM nodes n LEFT JOIN p2 ON p2.node = n.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l2 ORDER BY node
+    """,
+)
+def q165_label_propagation(spark, sf_dir):
+    """Deterministic label propagation (operators/graph.py:
+    label_propagation): 2 synchronous rounds of most-frequent-neighbor
+    -label (ties to smallest) over the part co-purchase graph —
+    community detection INSIDE connected components (CC only asks
+    reachability; LPA lets dense neighborhoods out-vote bridges, the
+    spam-cluster signal). Synchronous + min-tie-break makes every round
+    engine-deterministic, so the oracle unrolls both rounds with
+    ROW_NUMBER argmax — the async textbook variant could never be
+    replayed."""
+    from etl_wrap_spark.operators.graph import label_propagation
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = (
+        t["lineitem"]
+        .where(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return (
+        label_propagation(edges, rounds=2)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("label").cast("bigint").alias("label"),
+        )
+        .orderBy("node")
+    )

@@ -1866,3 +1866,29 @@ def test_personalized_pagerank_seed_confinement(spark):
         pagerank_fixedpoint(
             edges, seeds=spark.createDataFrame([(99,)], ["node"])
         ).collect()
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles joined by one bridge edge: after 2 synchronous
+    rounds each triangle coalesces onto its own minimum id — the
+    bridge does not out-vote the dense neighborhoods (the property
+    that distinguishes LPA from connected components, which would
+    merge everything to one label)."""
+    from etl_wrap_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri1 + tri2 + [(3, 10)], ["src", "dst"])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, rounds=2).collect()}
+    # hand replay (synchronous, min tie-break):
+    # r1: 1<-min(2,3)=2; 2<-min(1,3)=1; 3<-min(1,2,10)=1; 10<-min(11,12,3)=3;
+    #     11<-min(10,12)=10; 12<-min(10,11)=10
+    # r2: 1<-maj(1,1)=1; 2<-maj(2,1)=1 (tie min); 3<-maj(2,1,3)->... nbrs of 3
+    #     are {1:2,2:1,10:3} labels {2,1,3} tie min = 1; 10's nbrs {11,12,3}
+    #     labels {10,10,1} -> 10; 11 nbrs {10,12} labels {3,10} tie min 3;
+    #     12 nbrs {10,11} labels {3,10} tie min 3
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}
+    # both communities distinct after 2 rounds; CC would give one label
+    assert {got[1], got[2], got[3]} == {1}
+    assert 1 not in {got[10], got[11], got[12]}
