@@ -155,11 +155,50 @@ def probe_kcore(spark, sf_dir) -> dict:
     }
 
 
+def probe_lpa(spark, sf_dir) -> dict:
+    from etl_wrap_spark.operators.graph import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir)
+    t0 = time.time()
+    out = label_propagation(edges, rounds=2)
+    n_nodes, n_comms = out.agg(
+        F.count(F.lit(1)), F.countDistinct("label")
+    ).collect()[0]
+    wall = time.time() - t0
+    return {
+        "probe": "lpa",
+        "sf_dir": sf_dir,
+        "nodes": n_nodes,
+        "communities": n_comms,
+        "wall_s": round(wall, 2),
+    }
+
+
+def probe_ppr(spark, sf_dir) -> dict:
+    from etl_wrap_spark.operators.graph import pagerank_fixedpoint
+
+    edges = trade_edges(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ["customer"])
+    seeds = t["customer"].where(F.col("c_nationkey") == 7).select(
+        F.col("c_custkey").alias("node")
+    )
+    t0 = time.time()
+    out = pagerank_fixedpoint(edges, iterations=3, seeds=seeds)
+    reached = out.where(F.col("rank_fp") > 0).count()
+    wall = time.time() - t0
+    return {
+        "probe": "ppr",
+        "sf_dir": sf_dir,
+        "reached": reached,
+        "wall_s": round(wall, 2),
+    }
+
+
 def main(sf_dirs):
     spark = get_session()
     results = []
     for sf_dir in sf_dirs:
-        for fn in (probe_triangles, probe_bfs, probe_kcore):
+        for fn in (probe_triangles, probe_bfs, probe_kcore, probe_lpa, probe_ppr):
             r = fn(spark, sf_dir)
             results.append(r)
             line = json.dumps(r)
