@@ -1892,3 +1892,29 @@ def test_label_propagation_two_triangles(spark):
     # both communities distinct after 2 rounds; CC would give one label
     assert {got[1], got[2], got[3]} == {1}
     assert 1 not in {got[10], got[11], got[12]}
+
+
+def test_kcore_preserves_embedded_clique(spark):
+    """A (k+1)-clique is a k-core: wiring it to a long tail of pendant
+    chains must not erode it — after enough peels exactly the clique
+    survives, every member at degree k."""
+    from etl_wrap_spark.operators.graph import kcore_peel
+
+    k = 3
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    tail = [(4, 100), (100, 101), (101, 102), (102, 103)]
+    edges = spark.createDataFrame(clique + tail, ["src", "dst"])
+    got = {r["node"]: r["deg"] for r in kcore_peel(edges, k=k, rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_complete_graph(spark):
+    """K6: every node participates in C(5,2) = 10 triangles; total
+    C(6,3) = 20 — the closed-form check on the wedge-join algebra."""
+    from etl_wrap_spark.operators.graph import triangle_counts
+
+    k6 = [(a, b) for a in range(6) for b in range(6) if a < b]
+    got = {r["node"]: r["triangles"]
+           for r in triangle_counts(spark.createDataFrame(k6, ["src", "dst"])).collect()}
+    assert got == {i: 10 for i in range(6)}
+    assert sum(got.values()) == 3 * 20
