@@ -232,3 +232,52 @@ def interpolate_linear(
         .where(F.col("__is_grid") == 1)
         .select(key_col, F.col("__ts").alias(ts_col), out_col)
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cents_col: str,
+) -> DataFrame:
+    """Time-weighted average over an IRREGULARLY-sampled step series per
+    key → (key…, n_obs, dur_us, twap_cents): each observation holds
+    until the next one (step/last-observation-carried-forward), so its
+    weight is the microseconds until the successor; the final
+    observation closes the series and carries no weight. The arithmetic
+    -mean of irregular samples is simply wrong for sensor/price/state
+    series — a value that held for an hour must outweigh one that held
+    a second — and TWAP = Σ v_i·(t_{i+1}−t_i) div (t_n−t_1) in exact
+    int64 microseconds is the standard fix (and engine-bit-identical,
+    unlike a float accumulation).
+
+    One window pass per key (lead over the time order) + one
+    aggregation; keys with a single observation have zero duration and
+    are emitted with twap_cents = NULL (no interval to average over).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col))
+    stepped = df.withColumn("__t", us).withColumn(
+        "__nt", F.lead(us.cast("bigint")).over(w.orderBy(F.col(ts_col)))
+    )
+    return (
+        stepped.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            (F.max("__t") - F.min("__t")).cast("bigint").alias("dur_us"),
+            F.sum(
+                F.when(
+                    F.col("__nt").isNotNull(),
+                    F.col(value_cents_col) * (F.col("__nt") - F.col("__t")),
+                )
+            ).cast("bigint").alias("__wsum"),
+        )
+        .withColumn(
+            "twap_cents",
+            F.when(
+                F.col("dur_us") > 0, F.expr("__wsum div dur_us")
+            ).cast("bigint"),
+        )
+        .drop("__wsum")
+    )

@@ -274,3 +274,54 @@ def cusum_changepoints(
         .withColumn("cusum_flag", (F.col("splus") > h) | (F.col("sminus") > h))
     )
     return out.drop("__xp", "__xm", "__cp", "__cm")
+
+
+def skyline_2d(
+    df: DataFrame,
+    cost_col: str,
+    benefit_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Pareto frontier (skyline) for minimize-cost / maximize-benefit →
+    the non-dominated rows (p survives iff no q has cost ≤ AND benefit
+    ≥ with one strict) — the multi-criteria screen (Börzsönyi et al.
+    2001's skyline operator) a curation pass runs as quality-vs-cost
+    selection.
+
+    Two-phase distributed form: phase 1 computes LOCAL skylines inside
+    ``buckets`` cost-range buckets (windows partitioned per bucket — a
+    globally non-dominated point is trivially bucket-non-dominated, so
+    phase 1 only discards dominated rows); phase 2 re-runs the same
+    screen globally over the survivors, which the local pass has
+    typically collapsed by orders of magnitude — THAT single-partition
+    window is skyline-sized, not data-sized. The screen itself is the
+    closed form: p is on the skyline iff
+        max{benefit : cost < p.cost} < p.benefit        (RANGE frame)
+    AND p.benefit = max{benefit : cost = p.cost}    (per-cost partition)
+    — two window passes, exact integers, no self-join.
+    """
+
+    def screen(d: DataFrame, part_cols: list) -> DataFrame:
+        wr = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col(cost_col))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        wp = Window.partitionBy(*part_cols, cost_col)
+        return (
+            d.withColumn("__mc", F.max(benefit_col).over(wr))
+            .withColumn("__mp", F.max(benefit_col).over(wp))
+            .where(
+                (F.col("__mc").isNull() | (F.col("__mc") < F.col(benefit_col)))
+                & (F.col(benefit_col) == F.col("__mp"))
+            )
+            .drop("__mc", "__mp")
+        )
+
+    bucketed = df.withColumn(
+        "__bk", F.pmod(F.hash(F.col(cost_col)), F.lit(buckets))
+    )
+    # NOTE: hash-bucketing on cost keeps equal costs together (required
+    # for the per-cost tie rule); any same-cost-same-bucket scheme works.
+    local = screen(bucketed, ["__bk"]).drop("__bk")
+    return screen(local, [])

@@ -78,3 +78,36 @@ def fk_orphans(
         n_child.crossJoin(n_orph)
         .select(F.lit(relation).alias("relation"), "n_child", "n_orphans")
     )
+
+
+def join_fanout_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    threshold: int = 1000,
+) -> DataFrame:
+    """Pre-join blowup audit → per join key (key…, n_left, n_right,
+    fanout, over_threshold): the output cardinality each key would
+    contribute to ``left JOIN right`` (n_left·n_right), BEFORE running
+    the join. At 100 TB the single most expensive class of incident is
+    a many-to-many key nobody knew about (a null-ish default, a
+    catch-all id) exploding a join by 10^6x — this audit is two
+    key-grain aggregations and a key-grain merge, so it costs a
+    rounding error of the join it guards, and its output is exactly the
+    rows a skew mitigation (salting, key quarantine) needs as input.
+    Keys present on one side only are reported with the missing side at
+    0 (fanout 0 — they produce no inner-join rows but do signal FK
+    drift; cross-check fk_orphans)."""
+    keys = list(key_cols)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n_left"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n_right"))
+    return (
+        lc.join(rc, on=keys, how="full_outer")
+        .select(
+            *keys,
+            F.coalesce("n_left", F.lit(0)).cast("bigint").alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
+        )
+        .withColumn("fanout", (F.col("n_left") * F.col("n_right")).cast("bigint"))
+        .withColumn("over_threshold", F.col("fanout") > threshold)
+    )

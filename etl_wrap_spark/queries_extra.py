@@ -4972,3 +4972,123 @@ def q166_cusum_changepoints(spark, sf_dir):
     return out.select(
         "prio", "day", "rev", "splus", "sminus", "cusum_flag"
     ).orderBy("prio", "day")
+
+
+# ------------------------------------ Pareto skyline (q167)
+@register(
+    "q167_pareto_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS cost,
+             CAST(p_size AS BIGINT) AS benefit
+      FROM part WHERE p_partkey % 20 = 0
+    )
+    SELECT p.p_partkey, p.cost, p.benefit
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.cost <= p.cost AND q.benefit >= p.benefit
+        AND (q.cost < p.cost OR q.benefit > p.benefit)
+    )
+    ORDER BY p.p_partkey
+    """,
+)
+def q167_pareto_skyline(spark, sf_dir):
+    """Skyline / Pareto frontier (operators/robust.py:skyline_2d):
+    parts minimizing price while maximizing size, nobody dominated —
+    the multi-criteria screen (Börzsönyi et al. 2001). The Spark side
+    is the scalable two-phase form (bucket-local skylines via two
+    window passes, then the same screen over the collapsed survivors);
+    the oracle is the O(n²) NOT-EXISTS dominance definition itself, so
+    the match proves the window algebra implements the definition."""
+    from etl_wrap_spark.operators.robust import skyline_2d
+
+    t = load_tables(spark, sf_dir, ["part"])
+    pts = t["part"].where(F.col("p_partkey") % 20 == 0).select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("cost"),
+        F.col("p_size").cast("bigint").alias("benefit"),
+    )
+    return skyline_2d(pts, "cost", "benefit").select(
+        "p_partkey", "cost", "benefit"
+    ).orderBy("p_partkey")
+
+
+# ------------------------------------ time-weighted average (q168)
+@register(
+    "q168_time_weighted_mean",
+    oracle="""
+    WITH ded AS (
+      SELECT event_type, ts, MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), led AS (
+      SELECT event_type, epoch_us(ts) AS t, cents,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts) AS nt
+      FROM ded
+    ), agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(MAX(t) - MIN(t) AS BIGINT) AS dur_us,
+             CAST(SUM(CASE WHEN nt IS NOT NULL THEN cents * (nt - t) END) AS BIGINT) AS wsum
+      FROM led GROUP BY 1
+    )
+    SELECT event_type, n_obs, dur_us,
+           CAST(CASE WHEN dur_us > 0 THEN wsum // dur_us END AS BIGINT) AS twap_cents
+    FROM agg ORDER BY event_type
+    """,
+)
+def q168_time_weighted_mean(spark, sf_dir):
+    """Time-weighted average (operators/asof.py:time_weighted_mean)
+    of the irregular event value series per type: each observation
+    holds until its successor, so an hour-long state outweighs a
+    second-long one — the correct mean for step series, in exact int64
+    microseconds (per-(type, ts) MAX pre-dedup makes the LEAD order
+    unique, hence engine-deterministic). One window pass + one
+    aggregation, partitioned by key."""
+    from etl_wrap_spark.operators.asof import time_weighted_mean
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ded = (
+        t["events"]
+        .groupBy("event_type", "ts")
+        .agg(F.max(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    return time_weighted_mean(ded, ["event_type"], "ts", "cents").select(
+        "event_type", "n_obs", "dur_us", "twap_cents"
+    ).orderBy("event_type")
+
+
+# ------------------------------------ join fan-out audit (q169)
+@register(
+    "q169_join_fanout_audit",
+    oracle="""
+    WITH lc AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_left
+      FROM lineitem GROUP BY 1
+    ), rc AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_right
+      FROM lineitem WHERE l_quantity > 45 GROUP BY 1
+    )
+    SELECT COALESCE(lc.l_partkey, rc.l_partkey) AS l_partkey,
+           CAST(COALESCE(n_left, 0) AS BIGINT) AS n_left,
+           CAST(COALESCE(n_right, 0) AS BIGINT) AS n_right,
+           CAST(COALESCE(n_left, 0) * COALESCE(n_right, 0) AS BIGINT) AS fanout,
+           COALESCE(n_left, 0) * COALESCE(n_right, 0) > 60 AS over_threshold
+    FROM lc FULL OUTER JOIN rc ON lc.l_partkey = rc.l_partkey
+    ORDER BY 1
+    """,
+)
+def q169_join_fanout_audit(spark, sf_dir):
+    """Pre-join blowup audit (operators/validate.py:join_fanout_audit):
+    per-key output cardinality of a prospective lineitem self-join on
+    part key, BEFORE running it — the guard against the many-to-many
+    key that explodes a 100 TB join (the audit costs two key-grain
+    aggregations; its flagged keys are exactly the salting/quarantine
+    input). One-sided keys report the missing side as 0."""
+    from etl_wrap_spark.operators.validate import join_fanout_audit
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    left = t["lineitem"].select("l_partkey")
+    right = t["lineitem"].where(F.col("l_quantity") > 45).select("l_partkey")
+    return join_fanout_audit(left, right, ["l_partkey"], threshold=60).orderBy(
+        "l_partkey"
+    )

@@ -1948,3 +1948,64 @@ def test_cusum_prefix_form_equals_recursion(spark):
     assert not out[0][2]
     assert out[7][1] > 0 and out[7][0] == 0  # prefix: minus side only
     assert out[len(vals) - 1][0] > 0 and out[len(vals) - 1][2]
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """The two-phase window skyline equals the O(n²) dominance
+    definition on a crafted set with cost ties, benefit ties, and an
+    exact duplicate pair (both duplicates survive: neither strictly
+    dominates)."""
+    from etl_wrap_spark.operators.robust import skyline_2d
+
+    pts = [(1, 10, 5), (2, 10, 7), (3, 12, 7), (4, 8, 3), (5, 8, 3),
+           (6, 15, 9), (7, 20, 9), (8, 7, 1), (9, 30, 10), (10, 11, 6)]
+    df = spark.createDataFrame(pts, ["id", "cost", "benefit"])
+    got = sorted(r["id"] for r in skyline_2d(df, "cost", "benefit", buckets=3).collect())
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts if q[0] != p[0]
+        )
+
+    expect = sorted(p[0] for p in pts if not dominated(p))
+    assert got == expect
+    assert 4 in got and 5 in got  # the duplicate pair both survive
+
+
+def test_time_weighted_mean_exact(spark):
+    """Hand series: values weighted by their holding duration; the last
+    observation carries no weight; single-observation keys emit NULL."""
+    import datetime as dt
+
+    from etl_wrap_spark.operators.asof import time_weighted_mean
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 100), ("a", t0 + dt.timedelta(seconds=10), 200),
+        ("a", t0 + dt.timedelta(seconds=40), 999),
+        ("b", t0, 7),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "cents"])
+    out = {r["k"]: (r["n_obs"], r["dur_us"], r["twap_cents"])
+           for r in time_weighted_mean(df, ["k"], "ts", "cents").collect()}
+    # a: 100 for 10s, 200 for 30s over 40s => (100*10e6 + 200*30e6) div 40e6 = 175
+    assert out["a"] == (3, 40_000_000, 175)
+    assert out["b"] == (1, 0, None)
+
+
+def test_join_fanout_audit_sides(spark):
+    """Counts, products, one-sided zero reporting, and the threshold
+    flag — on a crafted key set."""
+    from etl_wrap_spark.operators.validate import join_fanout_audit
+
+    left = spark.createDataFrame([("k1",)] * 3 + [("k2",)] * 5 + [("only_l",)], ["k"])
+    right = spark.createDataFrame([("k1",)] * 2 + [("k2",)] * 4 + [("only_r",)], ["k"])
+    out = {r["k"]: (r["n_left"], r["n_right"], r["fanout"], r["over_threshold"])
+           for r in join_fanout_audit(left, right, ["k"], threshold=10).collect()}
+    assert out == {
+        "k1": (3, 2, 6, False),
+        "k2": (5, 4, 20, True),
+        "only_l": (1, 0, 0, False),
+        "only_r": (0, 1, 0, False),
+    }
