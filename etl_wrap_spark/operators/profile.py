@@ -68,3 +68,152 @@ def profile(
         )
     ).alias("p")
     return one.select(rows).select("p.*")
+
+
+def contribution_pareto(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    target_bp: int = 8000,
+    rank_partitions: int | None = None,
+) -> DataFrame:
+    """Pareto / 80-20 contribution analysis → (id, value, share_bp,
+    cum_share_bp, in_top): rank contributors by value descending and
+    flag the head that jointly carries ``target_bp`` basis points of
+    the total (a row is in the head iff the cumulative share BEFORE it
+    is still below the target — the classic 'who makes up 80% of
+    cost/revenue/traffic' attribution).
+
+    The descending cumulative sum is computed DISTRIBUTED with the same
+    recipe as sampling.weighted_systematic_sample: range-repartition on
+    (value desc, id), per-partition running sums, broadcast prefix
+    offsets over the partition totals — no single-partition window, so
+    the ranking scales to any contributor count. Exact integers
+    throughout (shares in bp via floor division); the one driver-side
+    value is the scalar grand total."""
+    from pyspark.sql.window import Window
+
+    slim = df.select(F.col(id_col), F.col(value_col).cast("bigint").alias("__v"))
+    total = slim.agg(F.sum("__v").alias("t")).collect()[0]["t"]
+    if not total or total <= 0:
+        raise ValueError("contribution_pareto needs a positive total")
+    nparts = rank_partitions or slim.sparkSession.sparkContext.defaultParallelism
+    parted = slim.repartitionByRange(
+        nparts, F.col("__v").desc(), F.col(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    wl = Window.partitionBy("__pid").orderBy(F.col("__v").desc(), F.col(id_col))
+    local = parted.withColumn(
+        "__lcum", F.sum("__v").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = local.groupBy("__pid").agg(F.sum("__v").alias("__t"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            F.col(id_col),
+            F.col("__v").alias(value_col),
+            F.expr(f"(__v * 10000) div {total}").cast("bigint").alias("share_bp"),
+            F.expr(f"((__off + __lcum) * 10000) div {total}")
+            .cast("bigint")
+            .alias("cum_share_bp"),
+            (
+                F.expr(f"((__off + __lcum - __v) * 10000) div {total}")
+                < F.lit(target_bp)
+            ).alias("in_top"),
+        )
+    )
+
+
+def chi2_contingency_bp(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-squared contingency table → one row per (row, col) cell with
+    (observed, expected_scaled = r·c (exact, over N), cell_chi2 =
+    (o·N − r·c)² / (r·c·N) as double) — the independence screen
+    ('is event mix independent of hour band?') a profiling pass runs
+    between any two categorical columns. The deviation o·N − r·c is
+    EXACT int64; only the final square-and-divide is IEEE double
+    (both engines compute the identical expression tree, so it is
+    bit-deterministic — q96's double-surface precedent). Two marginal
+    aggregations broadcast onto the cell counts; no shuffle beyond the
+    cell groupBy."""
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    rows = cells.groupBy(row_col).agg(F.sum("observed").cast("bigint").alias("__r"))
+    cols = cells.groupBy(col_col).agg(F.sum("observed").cast("bigint").alias("__c"))
+    n = cells.agg(F.sum("observed").cast("bigint").alias("__n"))
+    dev = (F.col("observed") * F.col("__n") - F.col("__r") * F.col("__c")).cast(
+        "bigint"
+    )
+    return (
+        cells.join(F.broadcast(rows), on=row_col)
+        .join(F.broadcast(cols), on=col_col)
+        .crossJoin(F.broadcast(n))
+        .withColumn("__dev", dev)
+        .select(
+            row_col,
+            col_col,
+            "observed",
+            (F.col("__r") * F.col("__c")).cast("bigint").alias("rc_product"),
+            (
+                F.col("__dev").cast("double")
+                * F.col("__dev").cast("double")
+                / (F.col("__r") * F.col("__c") * F.col("__n")).cast("double")
+            ).alias("cell_chi2"),
+        )
+    )
+
+
+# Benford first-digit expectations, basis points of log10(1 + 1/d)
+BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669, 7: 579, 8: 511, 9: 457}
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit profile → one row per digit 1-9 with
+    (n, observed_bp, expected_bp, dev2_scaled): the classic
+    fabricated-numbers screen (expense fraud, synthetic metrics) —
+    naturally-occurring multiplicative quantities follow
+    P(d) = log10(1+1/d); hand-typed ones don't. dev2_scaled =
+    (observed·10⁴ − N·expected_bp)² div N is the exact-integer
+    chi²-shaped deviation (expectations are integer-bp literals, so
+    the whole statistic replays on any engine; int64-safe to N≈3·10⁸ —
+    beyond that, scale the bp down). Digits with zero observations
+    still appear (expected side intact). One aggregation + a 9-row
+    broadcast join."""
+    digit = F.substring(F.abs(F.col(value_col).cast("bigint")).cast("string"), 1, 1)
+    counts = (
+        df.where(F.abs(F.col(value_col).cast("bigint")) >= 1)
+        .groupBy(digit.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spark = df.sparkSession
+    expect = spark.createDataFrame(
+        [(d, bp) for d, bp in BENFORD_BP.items()], ["digit", "expected_bp"]
+    )
+    joined = expect.join(counts, on="digit", how="left").select(
+        "digit",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.col("expected_bp").cast("bigint").alias("expected_bp"),
+    )
+    tot = joined.agg(F.sum("n").alias("__t"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 10000) div __t").cast("bigint").alias("observed_bp"),
+            "expected_bp",
+            F.expr("((n * 10000 - __t * expected_bp) * (n * 10000 - __t * expected_bp)) div __t")
+            .cast("bigint")
+            .alias("dev2_scaled"),
+        )
+    )

@@ -5092,3 +5092,134 @@ def q169_join_fanout_audit(spark, sf_dir):
     return join_fanout_audit(left, right, ["l_partkey"], threshold=60).orderBy(
         "l_partkey"
     )
+
+
+# ------------------------------------ Pareto 80/20 contributors (q170)
+@register(
+    "q170_contribution_pareto",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM r
+    ), c AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r
+    )
+    SELECT c.o_custkey, c.rev,
+           CAST((c.rev * 10000) // t.tot AS BIGINT) AS share_bp,
+           CAST((c.cum * 10000) // t.tot AS BIGINT) AS cum_share_bp,
+           ((c.cum - c.rev) * 10000) // t.tot < 8000 AS in_top
+    FROM c, t ORDER BY c.o_custkey
+    """,
+)
+def q170_contribution_pareto(spark, sf_dir):
+    """80/20 contribution attribution (operators/profile.py:
+    contribution_pareto): customers ranked by revenue, head flagged
+    until it jointly carries 80% of the total. The Spark side computes
+    the descending cumulative share with the DISTRIBUTED prefix recipe
+    (range partitions + broadcast offsets — no single-partition
+    window); the oracle's sequential window cumsum IS the semantics,
+    so the match proves the decomposition."""
+    from etl_wrap_spark.operators.profile import contribution_pareto
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    rev = t["orders"].groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice")).cast("bigint").alias("rev")
+    )
+    return contribution_pareto(rev, "o_custkey", "rev", target_bp=8000).select(
+        "o_custkey", "rev", "share_bp", "cum_share_bp", "in_top"
+    ).orderBy("o_custkey")
+
+
+# ------------------------------------ chi-squared independence (q171)
+@register(
+    "q171_chi2_contingency",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) // 6 AS BIGINT) AS band
+      FROM events
+    ), cells AS (
+      SELECT event_type, band, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM e GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, CAST(SUM(observed) AS BIGINT) AS rr FROM cells GROUP BY 1
+    ), c AS (
+      SELECT band, CAST(SUM(observed) AS BIGINT) AS cc FROM cells GROUP BY 1
+    ), n AS (
+      SELECT CAST(SUM(observed) AS BIGINT) AS nn FROM cells
+    )
+    SELECT cells.event_type, cells.band, cells.observed,
+           CAST(r.rr * c.cc AS BIGINT) AS rc_product,
+           CAST(observed * n.nn - r.rr * c.cc AS DOUBLE)
+             * CAST(observed * n.nn - r.rr * c.cc AS DOUBLE)
+             / CAST(r.rr * c.cc * n.nn AS DOUBLE) AS cell_chi2
+    FROM cells
+    JOIN r ON cells.event_type = r.event_type
+    JOIN c ON cells.band = c.band
+    CROSS JOIN n
+    ORDER BY cells.event_type, cells.band
+    """,
+)
+def q171_chi2_contingency(spark, sf_dir):
+    """Chi-squared contingency screen (operators/profile.py:
+    chi2_contingency_bp): is the event mix independent of the 6-hour
+    band? Deviations o·N − r·c are exact int64; only the final
+    square-and-divide is IEEE double with an identical expression tree
+    on both engines (the q96 double-surface precedent), so every cell
+    statistic hash-matches. Marginals broadcast onto cell counts —
+    one real shuffle."""
+    from etl_wrap_spark.operators.profile import chi2_contingency_bp
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        "event_type", (F.floor(F.hour("ts") / 6)).cast("bigint").alias("band")
+    )
+    return chi2_contingency_bp(e, "event_type", "band").select(
+        "event_type", "band", "observed", "rc_product", "cell_chi2"
+    ).orderBy("event_type", "band")
+
+
+# ------------------------------------ Benford first-digit screen (q172)
+@register(
+    "q172_benford_profile",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS val FROM orders
+      WHERE ABS(CAST(FLOOR(o_totalprice) AS BIGINT)) >= 1
+    ), counts AS (
+      SELECT CAST(substr(CAST(ABS(val) AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    ), expd AS (
+      SELECT * FROM (VALUES (1, 3010), (2, 1760), (3, 1249), (4, 969), (5, 791),
+                            (6, 669), (7, 579), (8, 511), (9, 457)) AS t(digit, expected_bp)
+    ), j AS (
+      SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+             CAST(e.expected_bp AS BIGINT) AS expected_bp
+      FROM expd e LEFT JOIN counts c ON c.digit = e.digit
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tt FROM j
+    )
+    SELECT j.digit, j.n,
+           CAST((j.n * 10000) // t.tt AS BIGINT) AS observed_bp,
+           j.expected_bp,
+           CAST(((j.n * 10000 - t.tt * j.expected_bp)
+                 * (j.n * 10000 - t.tt * j.expected_bp)) // t.tt AS BIGINT) AS dev2_scaled
+    FROM j, t ORDER BY j.digit
+    """,
+)
+def q172_benford_profile(spark, sf_dir):
+    """Benford's-law screen (operators/profile.py:benford_profile) on
+    order totals: first-digit distribution vs the log10(1+1/d)
+    expectation as integer-bp literals, deviation in exact ints —
+    the fabricated-numbers detector, engine-replayable bit-for-bit.
+    (Synthetic uniform-ish prices will deviate from Benford hugely —
+    the screen measuring that honestly is the point.)"""
+    from etl_wrap_spark.operators.profile import benford_profile
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    vals = t["orders"].select(F.floor("o_totalprice").alias("v"))
+    return benford_profile(vals, "v").orderBy("digit")

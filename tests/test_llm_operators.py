@@ -2009,3 +2009,58 @@ def test_join_fanout_audit_sides(spark):
         "only_l": (1, 0, 0, False),
         "only_r": (0, 1, 0, False),
     }
+
+
+def test_contribution_pareto_partitioning_invariance(spark):
+    """The distributed prefix decomposition returns the same head set
+    and cumulative shares for any partition count; hand-check the
+    boundary rule (a row straddling the target is included)."""
+    from etl_wrap_spark.operators.profile import contribution_pareto
+
+    rows = [(i, w) for i, w in enumerate([50, 30, 10, 5, 3, 2])]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    outs = []
+    for nparts in (1, 2, 4):
+        got = {r["id"]: (r["share_bp"], r["cum_share_bp"], r["in_top"])
+               for r in contribution_pareto(df, "id", "w", 8000, nparts).collect()}
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    got = outs[0]
+    # total 100: head = 50 (cum-before 0) and 30 (cum-before 50%); the
+    # 10 starts at 80% exactly -> NOT in top (strict <)
+    assert got[0][2] and got[1][2] and not got[2][2]
+    assert got[0] == (5000, 5000, True)
+
+
+def test_chi2_contingency_independent_table(spark):
+    """A perfectly independent 2x2 contingency (counts = product form)
+    gives zero deviation in every cell; a dependent one does not."""
+    from etl_wrap_spark.operators.profile import chi2_contingency_bp
+
+    indep = [("a", "x")] * 4 + [("a", "y")] * 2 + [("b", "x")] * 2 + [("b", "y")] * 1
+    df = spark.createDataFrame(indep, ["r", "c"])
+    out = [r["cell_chi2"] for r in chi2_contingency_bp(df, "r", "c").collect()]
+    assert all(v == 0.0 for v in out)
+    dep = [("a", "x")] * 5 + [("b", "y")] * 5
+    out2 = [r["cell_chi2"] for r in chi2_contingency_bp(
+        spark.createDataFrame(dep, ["r", "c"]), "r", "c").collect()]
+    assert all(v > 0 for v in out2)
+
+
+def test_benford_profile_exact(spark):
+    """Hand counts against an independent Python replication, zero
+    -count digits present, bp columns exact."""
+    from etl_wrap_spark.operators.profile import BENFORD_BP, benford_profile
+
+    vals = [1, 12, 19, 2, 25, 31, 99, 100, 0, -45]  # 0 excluded; -45 -> digit 4
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = {r["digit"]: (r["n"], r["observed_bp"], r["dev2_scaled"])
+           for r in benford_profile(df, "v").collect()}
+    from collections import Counter
+    cnt = Counter(str(abs(v))[0] for v in vals if v != 0)
+    tot = sum(cnt.values())
+    for d in range(1, 10):
+        n = cnt.get(str(d), 0)
+        dev = n * 10000 - tot * BENFORD_BP[d]
+        assert out[d] == (n, (n * 10000) // tot, (dev * dev) // tot), d
+    assert out[5][0] == 0  # zero-count digit still profiled
