@@ -618,9 +618,11 @@ def connected_components(
 
     Min-label propagation: each round every node takes the min of its
     own label and its neighbors' labels; converged when no label
-    changes. Rounds needed = graph diameter (dedup components are
-    near-cliques, so 2-3 in practice; `max_iter` bounds pathological
-    chains). Each round is one shuffle join + aggregation; the labels
+    changes. Rounds needed ≈ graph diameter, minus one because the
+    label bootstrap is itself a propagation step (init label =
+    min(id, min neighbor) — the first round folded into an aggregation
+    with no join). Dedup components are near-cliques, so 1-2 counted
+    rounds in practice; `max_iter` bounds pathological chains. Each round is one shuffle join + aggregation; the labels
     frame is persisted per round and lineage is truncated via
     localCheckpoint so plans don't grow with iterations — the standard
     shape for iterative algorithms on a cluster. Driver-side work is
@@ -639,10 +641,14 @@ def connected_components(
         # near-dup cascade) would re-execute per round per action
         .localCheckpoint(eager=True)
     )
+    # initialize with min(id, min neighbor): one aggregation performs
+    # the first propagation round for free (the groupBy is over the
+    # symmetric edge list, so every node appears as u) — convergence
+    # then takes diameter−1 counted rounds instead of diameter
     labels = (
-        edges.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("u").alias("id"))
+        .agg(F.min("v").alias("__mn"))
+        .select("id", F.least(F.col("id"), F.col("__mn")).alias("label"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):

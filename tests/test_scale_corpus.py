@@ -86,8 +86,9 @@ def test_cc_rounds_match_planted_chain_topology(spark, corpus):
     # 105 components per 1000-id block (50 pair + 50 pair + 5 chains)
     assert stats["n"] == 105 * (N_DOCS // 1000)
     assert stats["mx"] == 10  # the planted chains
-    # min-label needs ~diameter rounds (chain diameter 9 → ≥9 rounds)
-    assert len(r_lab) >= 9
+    # min-label needs ~diameter rounds; the min-neighbor init performs
+    # round 1 inside the label bootstrap (chain diameter 9 → ≥8 counted)
+    assert len(r_lab) >= 8
 
     r_star: list = []
     comp2 = dedup.connected_components_star(pairs, rounds_out=r_star)
