@@ -343,3 +343,81 @@ def deseasonalize(
     return df.join(F.broadcast(prof), on=list(season_cols)).withColumn(
         out_col, (F.col(value_cents_col) - F.col("baseline")).cast("bigint")
     )
+
+
+W_DECAY_SCALE_BITS = 40
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    lookback: str = "6 hours",
+    half_life_minutes: int = 60,
+) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution: each conversion's credit is
+    split across the user's in-window touches ∝ 2^(−age/half_life) —
+    the standard alternative to linear attribution when recency matters
+    → (user, touch_ts, convert_ts, weight_scaled, share_bp).
+
+    The decay weight is an EXACT power of two: with age measured in
+    whole half-lives n = age_us div half_life_us, weight = 2^(40−n)
+    (0 beyond 40 half-lives — fully decayed), so weights, their per-
+    conversion sum, and share_bp = (w·10⁴) div Σw are all exact int64
+    and engine-replayable — a float exp() could never hash-match.
+    Conversions whose every touch is fully decayed drop out (Σw = 0 —
+    nothing attributable). Same band-join shape as linear_attribution:
+    one user-key shuffle, two map-side-combining aggregations."""
+    touches = events.where(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("touch_ts")
+    )
+    convs = events.where(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("convert_ts")
+    )
+    half_us = half_life_minutes * 60 * 1_000_000
+    joined = (
+        convs.join(touches, on="__u")
+        .where(
+            (F.col("touch_ts") < F.col("convert_ts"))
+            & (
+                F.col("touch_ts")
+                >= F.col("convert_ts") - F.expr(f"INTERVAL {lookback}")
+            )
+        )
+        .withColumn(
+            "__n",
+            F.expr(
+                f"(unix_micros(convert_ts) - unix_micros(touch_ts)) div {half_us}"
+            ),
+        )
+        .withColumn(
+            "weight_scaled",
+            F.when(
+                F.col("__n") <= W_DECAY_SCALE_BITS,
+                F.expr(
+                    f"cast(power(2, {W_DECAY_SCALE_BITS} - __n) as bigint)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+    )
+    sums = joined.groupBy("__u", "convert_ts").agg(
+        F.sum("weight_scaled").alias("__tw")
+    )
+    return (
+        joined.join(sums, on=["__u", "convert_ts"])
+        .where(F.col("__tw") > 0)
+        .select(
+            F.col("__u").alias(user_col),
+            "touch_ts",
+            "convert_ts",
+            "weight_scaled",
+            F.expr("(weight_scaled * 10000) div __tw").cast("bigint").alias(
+                "share_bp"
+            ),
+        )
+    )

@@ -5223,3 +5223,135 @@ def q172_benford_profile(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["orders"])
     vals = t["orders"].select(F.floor("o_totalprice").alias("v"))
     return benford_profile(vals, "v").orderBy("digit")
+
+
+# ------------------------------------ time-decay attribution (q173)
+@register(
+    "q173_time_decay_attribution",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id AS u, ts AS touch_ts FROM events WHERE event_type = 'click'
+    ), convs AS (
+      SELECT user_id AS u, ts AS convert_ts FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT c.u, t.touch_ts, c.convert_ts,
+             (epoch_us(c.convert_ts) - epoch_us(t.touch_ts)) // 3600000000 AS n
+      FROM convs c JOIN touches t ON c.u = t.u
+      WHERE t.touch_ts < c.convert_ts
+        AND t.touch_ts >= c.convert_ts - INTERVAL 6 HOUR
+    ), w AS (
+      SELECT u, touch_ts, convert_ts,
+             CASE WHEN n <= 40 THEN CAST(POWER(2, 40 - n) AS BIGINT) ELSE 0 END AS weight_scaled
+      FROM j
+    ), s AS (
+      SELECT u, convert_ts, SUM(weight_scaled) AS tw FROM w GROUP BY 1, 2
+    )
+    SELECT w.u AS user_id, w.touch_ts, w.convert_ts AS convert_ts, w.weight_scaled,
+           CAST((w.weight_scaled * 10000) // s.tw AS BIGINT) AS share_bp
+    FROM w JOIN s ON w.u = s.u AND w.convert_ts = s.convert_ts
+    WHERE s.tw > 0
+    ORDER BY user_id, w.convert_ts, w.touch_ts
+    """,
+)
+def q173_time_decay_attribution(spark, sf_dir):
+    """Time-decay multi-touch attribution (operators/events_analytics
+    .py:time_decay_attribution): click credit ∝ 2^(−age/half-life)
+    with EXACT power-of-two weights (age in whole hours, weight =
+    2^(40−n)), so weights, sums, and share_bp replay bit-for-bit — the
+    recency-weighted alternative to q90's linear model, same band-join
+    shape (one user-key shuffle, map-side-combining aggregations)."""
+    from etl_wrap_spark.operators.events_analytics import time_decay_attribution
+
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        time_decay_attribution(
+            t["events"], lookback="6 hours", half_life_minutes=60
+        )
+        .select("user_id", "touch_ts", "convert_ts", "weight_scaled", "share_bp")
+        .orderBy("user_id", "convert_ts", "touch_ts")
+    )
+
+
+# ------------------------------------ A/B experiment readout (q174)
+@register(
+    "q174_ab_experiment_readout",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events
+    ), a AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 5000
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM users
+    ), conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), tbl AS (
+      SELECT a.user_id, a.variant, (conv.user_id IS NOT NULL) AS converted
+      FROM a LEFT JOIN conv ON conv.user_id = a.user_id
+    ), cells AS (
+      SELECT variant, converted, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM tbl GROUP BY 1, 2
+    ), r AS (
+      SELECT variant, CAST(SUM(observed) AS BIGINT) AS rr FROM cells GROUP BY 1
+    ), c AS (
+      SELECT converted, CAST(SUM(observed) AS BIGINT) AS cc FROM cells GROUP BY 1
+    ), n AS (
+      SELECT CAST(SUM(observed) AS BIGINT) AS nn FROM cells
+    ), cv AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS converters
+      FROM tbl GROUP BY 1
+    )
+    SELECT cells.variant, cells.converted, cells.observed,
+           CAST(r.rr * c.cc AS BIGINT) AS rc_product,
+           CAST(observed * n.nn - r.rr * c.cc AS DOUBLE)
+             * CAST(observed * n.nn - r.rr * c.cc AS DOUBLE)
+             / CAST(r.rr * c.cc * n.nn AS DOUBLE) AS cell_chi2,
+           cv.n_users, cv.converters,
+           CAST((cv.converters * 10000) // cv.n_users AS BIGINT) AS cvr_bp
+    FROM cells
+    JOIN r ON cells.variant = r.variant
+    JOIN c ON cells.converted = c.converted
+    CROSS JOIN n
+    JOIN cv ON cells.variant = cv.variant
+    ORDER BY cells.variant, cells.converted
+    """,
+)
+def q174_ab_experiment_readout(spark, sf_dir):
+    """End-to-end A/B readout composed from the engine's own pieces:
+    deterministic hash assignment (sampling.assign_split — the same
+    portable bucket rule as q44, so assignment is reproducible and
+    auditable), per-user conversion flag, conversion rates, and the
+    chi-squared independence cells (profile.chi2_contingency_bp) as
+    the significance screen — the experimentation loop a data platform
+    runs daily, with every number engine-replayable."""
+    from etl_wrap_spark.operators.profile import chi2_contingency_bp
+    from etl_wrap_spark.operators.sampling import assign_split
+
+    t = load_tables(spark, sf_dir, ["events"])
+    users = t["events"].select("user_id").distinct()
+    assigned = assign_split(
+        users, "user_id", weights=(("A", 0.5), ("B", 0.5)),
+        salt="exp1", out_col="variant",
+    )
+    conv = (
+        t["events"].where(F.col("event_type") == "purchase")
+        .select("user_id").distinct().withColumn("__c", F.lit(True))
+    )
+    tbl = assigned.join(conv, "user_id", "left").select(
+        "variant", F.coalesce(F.col("__c"), F.lit(False)).alias("converted")
+    )
+    cells = chi2_contingency_bp(tbl, "variant", "converted")
+    cv = tbl.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).cast("bigint").alias("converters"),
+    )
+    return (
+        cells.join(cv, on="variant")
+        .select(
+            "variant", "converted", "observed", "rc_product", "cell_chi2",
+            "n_users", "converters",
+            F.expr("(converters * 10000) div n_users").cast("bigint").alias("cvr_bp"),
+        )
+        .orderBy("variant", "converted")
+    )

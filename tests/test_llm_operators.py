@@ -2064,3 +2064,34 @@ def test_benford_profile_exact(spark):
         dev = n * 10000 - tot * BENFORD_BP[d]
         assert out[d] == (n, (n * 10000) // tot, (dev * dev) // tot), d
     assert out[5][0] == 0  # zero-count digit still profiled
+
+
+def test_time_decay_attribution_exact_weights(spark):
+    """Touches at 0.5h, 1.5h, 2.5h before the conversion: ages in whole
+    half-lives are 0/1/2 → weights 2^40, 2^39, 2^38 (ratio 4:2:1),
+    shares 5714/2857/1428 bp exactly."""
+    import datetime as dt
+
+    from etl_wrap_spark.operators.events_analytics import time_decay_attribution
+
+    conv = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, conv, "purchase", 0.0),
+        (1, conv - dt.timedelta(minutes=30), "click", 0.0),
+        (1, conv - dt.timedelta(minutes=90), "click", 0.0),
+        (1, conv - dt.timedelta(minutes=150), "click", 0.0),
+        (2, conv - dt.timedelta(hours=50), "click", 0.0),  # outside any window
+        (2, conv, "purchase", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    out = time_decay_attribution(df, lookback="6 hours", half_life_minutes=60)
+    got = {(r["user_id"], r["touch_ts"]): (r["weight_scaled"], r["share_bp"])
+           for r in out.collect()}
+    w0, w1, w2 = 1 << 40, 1 << 39, 1 << 38
+    tot = w0 + w1 + w2
+    assert got == {
+        (1, conv - dt.timedelta(minutes=30)): (w0, (w0 * 10000) // tot),
+        (1, conv - dt.timedelta(minutes=90)): (w1, (w1 * 10000) // tot),
+        (1, conv - dt.timedelta(minutes=150)): (w2, (w2 * 10000) // tot),
+    }
+    assert (got[(1, conv - dt.timedelta(minutes=30))][1]) == 5714
