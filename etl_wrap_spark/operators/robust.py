@@ -325,3 +325,46 @@ def skyline_2d(
     # for the per-cost tie rule); any same-cost-same-bucket scheme works.
     local = screen(bucketed, ["__bk"]).drop("__bk")
     return screen(local, [])
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Lower weighted median per group → (group…, total_w, wmedian):
+    the smallest value whose cumulative weight reaches half the total
+    (2·cumw ≥ W — all-integer, no interpolation, engine-exact). The
+    robust center when observations carry mass (volume-weighted price,
+    duration-weighted state): the plain median of rows answers a
+    different question the moment weights vary.
+
+    Pre-aggregating to value grain bounds the window input at
+    |distinct values| per group; the cumulative pass is one
+    group-partitioned window. Zero/negative weights are rejected
+    upstream concerns — rows with weight ≤ 0 are dropped here."""
+    groups = list(group_cols)
+    vals = (
+        df.where(F.col(weight_col) > 0)
+        .groupBy(*groups, value_col)
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__w"))
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col(value_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*groups)
+    cum = vals.withColumn("__cum", F.sum("__w").over(w)).withColumn(
+        "__tot", F.sum("__w").over(wt)
+    )
+    return (
+        cum.where(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy(*groups)
+        .agg(
+            F.min(F.col(value_col)).alias("wmedian"),
+            F.min("__tot").cast("bigint").alias("total_w"),
+        )
+        .select(*groups, "total_w", "wmedian")
+    )

@@ -1,0 +1,90 @@
+"""Spatial self-join — radius search over 2D points via grid-cell
+bucketing, the celled-candidate-generation shape (same family as the
+LSH band join in operators/dedup.py: bucket, join buckets, verify
+exactly — never all pairs).
+
+A training/analytics pipeline meets this as geo joins (stores within
+5 km), embedding-projection neighborhoods, and sensor proximity. The
+method is public textbook spatial hashing: cell side = radius, so any
+pair within the radius sits in the same or an adjacent cell — the
+3×3 neighborhood join is exhaustive, and the exact distance filter
+removes false candidates.
+
+Scale shape: each left row explodes to its 9 candidate cells (map-
+side, constant factor), both sides shuffle ONCE on the cell key, and
+per-cell work is |cell|² only within the local density — a uniform
+corpus keeps cells O(1), and a pathological hot cell is visible in
+the cell histogram (pair with skew.py salting if needed). No driver
+work, no UDFs: cell ids and distances are Column arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def radius_join_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """All pairs within Euclidean ``radius`` → (id_a, id_b, dist2) with
+    id_a < id_b, dist2 the squared distance as double (both engines
+    evaluate the identical (dx·dx + dy·dy) tree, so it is
+    bit-deterministic; callers wanting the distance take sqrt —
+    comparisons should stay on dist2).
+
+    Each unordered pair is produced exactly once: the exploded side
+    covers the partner's cell exactly once, and the id_a < id_b filter
+    drops the mirror image found from the partner's own expansion."""
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).withColumns(
+        {
+            "__cx": F.floor(F.col("__x") / radius).cast("bigint"),
+            "__cy": F.floor(F.col("__y") / radius).cast("bigint"),
+        }
+    )
+    nbr = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("__id").alias("id_a"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        "__cx",
+        "__cy",
+        F.explode(nbr).alias("__o"),
+    ).select(
+        "id_a",
+        "__xa",
+        "__ya",
+        (F.col("__cx") + F.col("__o.dx")).alias("__jx"),
+        (F.col("__cy") + F.col("__o.dy")).alias("__jy"),
+    )
+    right = pts.select(
+        F.col("__id").alias("id_b"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__cx").alias("__jx"),
+        F.col("__cy").alias("__jy"),
+    )
+    dx = F.col("__xa") - F.col("__xb")
+    dy = F.col("__ya") - F.col("__yb")
+    dist2 = dx * dx + dy * dy
+    return (
+        left.join(right, on=["__jx", "__jy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist2", dist2)
+        .where(F.col("dist2") <= F.lit(radius) * F.lit(radius))
+        .select("id_a", "id_b", "dist2")
+    )

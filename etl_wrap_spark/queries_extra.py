@@ -5355,3 +5355,80 @@ def q174_ab_experiment_readout(spark, sf_dir):
         )
         .orderBy("variant", "converted")
     )
+
+
+# ------------------------------------ grid radius join (q175)
+@register(
+    "q175_radius_join",
+    oracle="""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05
+    ORDER BY id_a, id_b
+    """,
+)
+def q175_radius_join(spark, sf_dir):
+    """Grid-cell radius self-join (operators/spatial.py:radius_join_2d)
+    over the first two embedding dimensions: all pairs within 0.05 —
+    spatial hashing with cell side = radius, 3×3 neighborhood join,
+    exact distance verify (the celled candidate-generation shape, LSH's
+    geometric sibling — never all pairs). The oracle IS the all-pairs
+    definition, so the match proves the neighborhood is exhaustive and
+    duplicate-free; dist2 is the identical double tree on both
+    engines."""
+    from etl_wrap_spark.operators.spatial import radius_join_2d
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    pts = t["embeddings"].select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    return radius_join_2d(pts, "vec_id", "x", "y", 0.05).orderBy("id_a", "id_b")
+
+
+# ------------------------------------ weighted median (q176)
+@register(
+    "q176_weighted_median",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS val,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS w
+      FROM lineitem WHERE CAST(FLOOR(l_quantity) AS BIGINT) > 0
+    ), g AS (
+      SELECT flag, val, CAST(SUM(w) AS BIGINT) AS w FROM v GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, val, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM g
+    )
+    SELECT flag, CAST(MIN(tot) AS BIGINT) AS total_w,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN val END) AS BIGINT) AS wmedian
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+)
+def q176_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag (operators/
+    robust.py:weighted_median): smallest value whose cumulative weight
+    reaches half the total — all-integer lower weighted median, exact
+    on any engine (the volume-weighted robust center; a row median
+    answers a different question when weights vary). Value-grain
+    pre-aggregation bounds the window input; one group-partitioned
+    cumulative pass."""
+    from etl_wrap_spark.operators.robust import weighted_median
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    v = t["lineitem"].select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor("l_extendedprice").cast("bigint").alias("val"),
+        F.floor("l_quantity").cast("bigint").alias("w"),
+    )
+    return weighted_median(v, ["flag"], "val", "w").orderBy("flag")

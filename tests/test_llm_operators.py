@@ -2095,3 +2095,43 @@ def test_time_decay_attribution_exact_weights(spark):
         (1, conv - dt.timedelta(minutes=150)): (w2, (w2 * 10000) // tot),
     }
     assert (got[(1, conv - dt.timedelta(minutes=30))][1]) == 5714
+
+
+def test_radius_join_2d_bruteforce_and_edges(spark):
+    """Celled join equals brute force on a crafted set spanning cell
+    boundaries (including a pair straddling adjacent cells and a pair
+    just beyond the radius), each unordered pair exactly once."""
+    from etl_wrap_spark.operators.spatial import radius_join_2d
+
+    pts = [(1, 0.0, 0.0), (2, 0.09, 0.0), (3, 0.11, 0.0), (4, 0.5, 0.5),
+           (5, -0.05, -0.05), (6, 0.0, 0.101)]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    r = 0.1
+    got = sorted((row["id_a"], row["id_b"])
+                 for row in radius_join_2d(df, "id", "x", "y", r).collect())
+    import itertools
+    expect = sorted(
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+    )
+    assert got == expect
+    assert (1, 2) in got and (1, 3) not in got  # boundary discrimination
+    assert len(got) == len(set(got))  # no duplicate pairs
+
+
+def test_weighted_median_hand(spark):
+    """Weight mass, not row count, decides: one heavy row outweighs
+    many light ones; equal-split lower-median convention."""
+    from etl_wrap_spark.operators.robust import weighted_median
+
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 1), ("g", 100, 10),
+            ("h", 5, 2), ("h", 7, 2), ("z", 9, 0)]
+    df = spark.createDataFrame(rows, ["grp", "v", "w"])
+    out = {r["grp"]: (r["total_w"], r["wmedian"])
+           for r in weighted_median(df, ["grp"], "v", "w").collect()}
+    # g: W=13, half=6.5 -> first value with cum*2>=13 is 100 (cum 3 at v=3)
+    assert out["g"] == (13, 100)
+    # h: W=4, 2*cum at v=5 is 4 >= 4 -> lower median 5
+    assert out["h"] == (4, 5)
+    assert "z" not in out  # all-zero-weight group drops
