@@ -185,6 +185,8 @@ def kcore_peel(
     aggregation and both semi-joins, and unpinned lineage triples per
     round (3^R subtree copies; measured as a 250-shuffle plan at R=3).
     """
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore_peel needs k >= 1 and rounds >= 1")
     und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = degrees(und)

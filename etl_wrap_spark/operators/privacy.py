@@ -103,6 +103,10 @@ def dp_noise_thresholds(
     from fractions import Fraction
 
     a = Fraction(alpha_num, alpha_den)
+    if not (0 < a < 1):
+        raise ValueError(f"alpha must be in (0,1), got {a}")
+    if m_max < 1:
+        raise ValueError("m_max must be >= 1")
     scale = 1 << DP_HASH_BITS
     p0 = (1 - a) / (1 + a)
     cum = p0

@@ -40,6 +40,8 @@ def radius_join_2d(
     Each unordered pair is produced exactly once: the exploded side
     covers the partner's cell exactly once, and the id_a < id_b filter
     drops the mirror image found from the partner's own expansion."""
+    if radius <= 0:
+        raise ValueError("radius must be positive")
     pts = df.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("double").alias("__x"),
