@@ -114,3 +114,81 @@ def first_seen_with_ttl(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("t", LongType()),
+        StructField("value", LongType()),
+        StructField("splus", LongType()),
+        StructField("sminus", LongType()),
+        StructField("cusum_flag", LongType()),
+    ]
+)
+
+_CUSUM_STATE = "cum_p BIGINT, min_p BIGINT, cum_m BIGINT, max_m BIGINT"
+
+
+def streaming_cusum(
+    events: DataFrame,
+    baselines: dict,
+    key_col: str = "key",
+    order_col: str = "t",
+    value_col: str = "value",
+    slack_bp: int = 500,
+    threshold_bp: int = 5000,
+) -> DataFrame:
+    """Streaming twin of robust.cusum_changepoints: the two-sided
+    integer CUSUM maintained ACROSS micro-batches with four bigints of
+    state per key — running cum⁺/cum⁻ and their running min/max, which
+    by the prefix closed form reproduce the textbook recursion exactly,
+    so a drained stream emits bit-for-bit the batch operator's S⁺/S⁻.
+
+    ``baselines`` maps key → reference mean μ (integer). Streaming
+    CUSUM monitors drift AGAINST A KNOWN BASELINE — the batch operator
+    derives μ retrospectively from the full series; a monitor must fix
+    it up front (yesterday's profile, a control period). Slack and
+    threshold derive from μ exactly as in the batch form.
+
+    Ordering contract: rows are processed in ``order_col`` order within
+    each batch, and batches are assumed time-ordered per key (the
+    running_totals contract) — a late event would splice into the wrong
+    prefix; route late data through the watermarking ingest first.
+    Update output mode; one emitted row per observation."""
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        k = key[0]
+        mu = int(baselines[k])
+        s = (mu * slack_bp) // 10000
+        h = (mu * threshold_bp) // 10000
+        cum_p, min_p, cum_m, max_m = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        rows = {c: [] for c in ("key", "t", "value", "splus", "sminus", "cusum_flag")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            for t, v in zip(pdf[order_col].astype("int64"), pdf[value_col].astype("int64")):
+                v = int(v)
+                cum_p += v - mu - s
+                min_p = min(min_p, cum_p)
+                cum_m += v - mu + s
+                max_m = max(max_m, cum_m)
+                splus = cum_p - min(0, min_p)
+                sminus = max(0, max_m) - cum_m
+                rows["key"].append(k)
+                rows["t"].append(int(t))
+                rows["value"].append(v)
+                rows["splus"].append(splus)
+                rows["sminus"].append(sminus)
+                rows["cusum_flag"].append(1 if (splus > h or sminus > h) else 0)
+        state.update((cum_p, min_p, cum_m, max_m))
+        yield pd.DataFrame(rows)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

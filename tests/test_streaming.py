@@ -467,3 +467,60 @@ def test_lake_txn_idempotent_commits(spark, tmp_path):
     # un-txn'd commits never touch the ledger
     table.upsert(spark.createDataFrame([(8, 8)], ["k", "v"]), ["k"])
     assert table.last_txn_version("app") == 1
+
+
+def test_streaming_cusum_equals_batch(spark, tmp_path):
+    """Cross-batch CUSUM state: two drains over a split series emit
+    exactly the batch operator's S⁺/S⁻/flag per observation — the four
+    -bigint state carries the prefix identity across micro-batches."""
+    from etl_wrap_spark.operators.robust import cusum_changepoints
+    from etl_wrap_spark.streaming.stateful import streaming_cusum
+
+    vals = [100, 103, 98, 101, 99, 150, 152, 149, 151, 148]
+    mu = sum(vals) // len(vals)  # the batch operator's integer mean
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+
+    batch_df = spark.createDataFrame(rows, ["key", "t", "value"])
+    expect = {
+        r["t"]: (r["splus"], r["sminus"], 1 if r["cusum_flag"] else 0)
+        for r in cusum_changepoints(
+            batch_df, ["key"], "t", "value", slack_bp=500, threshold_bp=2000
+        ).collect()
+    }
+
+    d = tmp_path / "cusum_in"
+    d.mkdir()
+    out_rows = []
+
+    def drain():
+        stream = (
+            spark.readStream.schema("key STRING, t BIGINT, value BIGINT")
+            .option("header", "false")
+            .csv(str(d))
+        )
+        mon = streaming_cusum(
+            stream, {"g": mu}, slack_bp=500, threshold_bp=2000
+        )
+        q = (
+            mon.writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cusum_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write_batch(name, items):
+        (d / name).write_text("\n".join(f"g,{t},{v}" for t, v in items) + "\n")
+
+    write_batch("b1.csv", [(i, v) for i, v in enumerate(vals[:6])])
+    drain()
+    write_batch("b2.csv", [(i + 6, v) for i, v in enumerate(vals[6:])])
+    drain()
+
+    got = {r["t"]: (r["splus"], r["sminus"], r["cusum_flag"]) for r in out_rows}
+    assert got == expect
+    # the level shift (t>=5) accumulates on the plus side and flags
+    assert got[9][0] > 0 and got[9][2] == 1
