@@ -415,3 +415,64 @@ def test_hdr_bucket_merge_and_error_law(a_vals, b_vals):
     for k, n in sb.items():
         merged[k] = merged.get(k, 0) + n
     assert merged == sketch(a_vals + b_vals)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_skyline_matches_bruteforce_random(spark, pts):
+    """Randomized law: the two-phase windowed skyline equals the O(n²)
+    dominance definition on arbitrary integer point sets (ties and
+    duplicates included by construction)."""
+    from etl_wrap_spark.operators.robust import skyline_2d
+
+    rows = [(i, c, b) for i, (c, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "cost", "benefit"])
+    got = sorted(r["id"] for r in skyline_2d(df, "cost", "benefit", buckets=4).collect())
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in rows if q[0] != p[0]
+        )
+
+    assert got == sorted(p[0] for p in rows if not dominated(p))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(1, 9)),
+        min_size=1, max_size=20,
+    ),
+    st.integers(2, 5),
+)
+@settings(max_examples=10, deadline=None)
+def test_weighted_median_laws(spark, items, c):
+    """Laws: (a) matches the sequential definition (smallest v with
+    2·cumw ≥ W); (b) invariant under uniform weight scaling."""
+    from etl_wrap_spark.operators.robust import weighted_median
+
+    rows = [("g", v, w) for v, w in items]
+    df = spark.createDataFrame(rows, ["grp", "v", "w"])
+    got = weighted_median(df, ["grp"], "v", "w").collect()[0]
+
+    seq = sorted(items)
+    tot = sum(w for _, w in seq)
+    cum = 0
+    ref = None
+    for v, w in seq:
+        cum += w
+        if 2 * cum >= tot:
+            ref = v
+            break
+    assert (got["total_w"], got["wmedian"]) == (tot, ref)
+
+    scaled = spark.createDataFrame(
+        [("g", v, w * c) for v, w in items], ["grp", "v", "w"]
+    )
+    got2 = weighted_median(scaled, ["grp"], "v", "w").collect()[0]
+    assert got2["wmedian"] == ref
