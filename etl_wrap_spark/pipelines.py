@@ -45,6 +45,9 @@ def curate(
     remove_dup_spans: bool = False,
     span_window: int = 15,
     min_novelty_bp: int | None = None,
+    importance_target=None,
+    importance_keep_bp: int = 5000,
+    split_jaccard: tuple[int, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation cascade; returns a dict of frames:
 
@@ -55,6 +58,15 @@ def curate(
       docs the learned filter scored below ``min_quality``.
     - ``drops_exact``: exact-duplicate docs dropped (with the kept id).
     - ``drops_neardup``: near-dup docs dropped (with the kept id).
+    - ``drops_importance`` (only with ``importance_target``): survivors
+      dropped by the DSIR-style selection stage (kept share =
+      ``importance_keep_bp`` of the post-dedup corpus by target
+      affinity; exact-percentile cutoff, ties kept).
+
+    ``split_jaccard=(num, den)`` switches the final split to the
+    leakage-safe form: survivors are grouped by a LOOSER near-dup pass
+    (J ≥ num/den, below the dedup bar) and the split is drawn on the
+    cluster root, so weak near-dups can never straddle train/held-out.
 
     Deterministic end to end: same input → byte-identical outputs
     (hash-bucket split, fixed-seed MinHash, min-id/max-quality
@@ -151,8 +163,49 @@ def curate(
         ).select(id_col, text_col, "quality_score")
         survivors = scored_docs.where(F.col("quality_score") >= min_quality)
 
+    # opt-in DSIR-style target selection AFTER all quality/dedup stages:
+    # keep the most target-like share of what survived (selection is the
+    # LAST filter so its budget is spent on docs already worth keeping)
+    if importance_target is not None:
+        from etl_wrap_spark.operators.sampling import importance_weights_hashed
+
+        iw = importance_weights_hashed(
+            survivors, id_col, text_col, importance_target
+        ).select(id_col, "avg_fp")
+        cutoff_frac = 1.0 - importance_keep_bp / 10000.0
+        scored = survivors.join(iw, on=id_col)
+        cut = scored.agg(
+            F.expr(f"percentile(avg_fp, {cutoff_frac!r})").alias("c")
+        )
+        scored = scored.crossJoin(F.broadcast(cut))
+        out_imp = scored.where(F.col("avg_fp") < F.col("c")).select(
+            id_col, text_col, "avg_fp"
+        )
+        survivors = scored.where(F.col("avg_fp") >= F.col("c")).drop("c")
+    else:
+        out_imp = None
+
     clean = survivors.withColumn("bpe_tokens", text.bpe_token_count(text_col))
-    clean = sampling.assign_split(clean, id_col, weights=split_weights)
+    if split_jaccard is not None:
+        # leakage-safe split: group the SURVIVORS by a LOOSER near-dup
+        # pass than the dedup bar (weak near-dups below the dedup
+        # threshold are exactly the ones that would otherwise straddle
+        # train/held-out and inflate eval), then draw the split on the
+        # cluster root so every member lands together
+        ln, ld = split_jaccard
+        loose = dedup.near_dup_pairs_minhash(
+            clean, id_col, text_col, num=ln, den=ld
+        )
+        loose_cc = dedup.connected_components_star(loose)
+        clean = (
+            clean.join(loose_cc, on=id_col, how="left")
+            .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        )
+        clean = sampling.assign_split_grouped(
+            clean, "component", weights=split_weights
+        ).drop("component")
+    else:
+        clean = sampling.assign_split(clean, id_col, weights=split_weights)
 
     out.update({
         "clean": clean,
@@ -160,4 +213,6 @@ def curate(
         "drops_exact": exact_drops,
         "drops_neardup": near_drops,
     })
+    if out_imp is not None:
+        out["drops_importance"] = out_imp
     return out

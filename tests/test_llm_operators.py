@@ -2135,3 +2135,48 @@ def test_weighted_median_hand(spark):
     # h: W=4, 2*cum at v=5 is 4 >= 4 -> lower median 5
     assert out["h"] == (4, 5)
     assert "z" not in out  # all-zero-weight group drops
+
+
+def test_curate_cluster_safe_split_and_importance(spark):
+    """The loose-cluster split keeps WEAK near-dups (below the dedup
+    bar, above the grouping bar) in the same split, and the DSIR
+    selection stage keeps the most target-like half of the survivors."""
+    from pyspark.sql import functions as F
+
+    from etl_wrap_spark import pipelines
+
+    shared = (
+        "the river runs through a green valley and the light is soft "
+        "in the morning hours here today"
+    )
+    tail_a = "while the herons wade slowly along the eastern shallows downstream"
+    tail_b = "because the mill wheel turns beside the quiet stone bridge upstream"
+    rows = [
+        (1, f"{shared} {tail_a}"),
+        (2, f"{shared} {tail_b}"),
+        (3, "a completely different story about markets and the price of grain in the old town where traders argue and settle for less than they hoped"),
+        (4, "the harbor master counts the ships at dawn and writes their names in a heavy ledger while the gulls circle over the cold northern water"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = pipelines.curate(docs, split_jaccard=(3, 1))
+    clean = {r["doc_id"]: r for r in out["clean"].collect()}
+    # the weak pair survives the J>=0.5 dedup bar...
+    assert 1 in clean and 2 in clean
+    # ...and lands in the SAME split via the loose-cluster draw
+    assert clean[1]["split"] == clean[2]["split"]
+    # rerun determinism holds with the new stage
+    again = {r["doc_id"]: r for r in
+             pipelines.curate(docs, split_jaccard=(3, 1))["clean"].collect()}
+    assert again == clean
+
+    out2 = pipelines.curate(
+        docs,
+        importance_target=F.col("doc_id").isin(1, 2),
+        importance_keep_bp=5000,
+    )
+    kept = {r["doc_id"] for r in out2["clean"].collect()}
+    dropped = {r["doc_id"] for r in out2["drops_importance"].collect()}
+    # the w-vocabulary (target) docs outrank the filler docs
+    assert {1, 2} <= kept
+    assert dropped and dropped <= {3, 4}
