@@ -5432,3 +5432,59 @@ def q176_weighted_median(spark, sf_dir):
         F.floor("l_quantity").cast("bigint").alias("w"),
     )
     return weighted_median(v, ["flag"], "val", "w").orderBy("flag")
+
+
+# ------------------------------------ percent-of-parent rollup (q177)
+@register(
+    "q177_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), reg AS (
+      SELECT region, CAST(SUM(rev) AS BIGINT) AS region_rev FROM rev GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(rev) AS BIGINT) AS total_rev FROM rev
+    )
+    SELECT rev.region, rev.nation, rev.rev,
+           CAST((rev.rev * 10000) // reg.region_rev AS BIGINT) AS pct_of_region_bp,
+           CAST((reg.region_rev * 10000) // tot.total_rev AS BIGINT) AS region_pct_of_total_bp
+    FROM rev JOIN reg ON rev.region = reg.region CROSS JOIN tot
+    ORDER BY rev.region, rev.nation
+    """,
+)
+def q177_percent_of_parent(spark, sf_dir):
+    """Percent-of-parent hierarchical shares: nation revenue as a share
+    of its region, region as a share of the total — the reporting
+    staple every BI layer needs from a warehouse. One fact aggregation;
+    both parent levels are RE-AGGREGATES of the child frame (scan the
+    facts once, never thrice), joined back broadcast; shares in exact
+    integer bp."""
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.floor("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    reg = rev.groupBy("region").agg(F.sum("rev").cast("bigint").alias("region_rev"))
+    tot = rev.agg(F.sum("rev").cast("bigint").alias("total_rev"))
+    return (
+        rev.join(F.broadcast(reg), on="region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "rev",
+            F.expr("(rev * 10000) div region_rev").cast("bigint").alias("pct_of_region_bp"),
+            F.expr("(region_rev * 10000) div total_rev").cast("bigint").alias("region_pct_of_total_bp"),
+        )
+        .orderBy("region", "nation")
+    )
