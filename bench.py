@@ -194,27 +194,59 @@ def main():
     except OSError:
         pass
 
+    print(compact_line(detail, timings))
+
+
+def compact_line(detail: dict, timings: dict[str, float], limit: int = 1900) -> str:
+    """One stdout JSON line guaranteed under `limit` chars.
+
+    The driver keeps only the last 2000 chars of stdout, so the line
+    must stay well under that — BENCH_r02 AND BENCH_r04 were recorded
+    as parsed:null because the full per-query map overflowed the tail
+    (at 177 queries even a 1-decimal map alone is >2 KB). The fix is
+    structural, not rounding: the line carries totals + ratio_summary +
+    a BOUNDED queries subset (the stable headline set plus the slowest
+    few — the entries a reader of the one-line artifact actually wants),
+    degrading the subset size until the line fits. Full per-query
+    detail always lives in BENCH_DETAIL.json.
+    """
     short = {n.split("_")[0]: n for n in timings}
     if len(short) != len(timings):  # not assert: must survive python -O
         raise RuntimeError("qNN prefixes must be unique")
-    compact = {
-        "metric": detail["metric"],
-        "value": total,
-        "unit": "sec",
-        "queries": {p: round(timings[n], 2) for p, n in short.items()},
-        "sf": sf,
-        "n_queries": detail["n_queries"],
-        "mean_per_query": detail["mean_per_query"],
-        "cold_total": detail["cold_total"],
-    }
-    if "duckdb_total" in detail:
-        compact["duckdb_total"] = detail["duckdb_total"]
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # stay inside the driver's tail capture
-        compact["queries"] = {p: round(v, 1) for p, v in compact["queries"].items()}
-        compact.pop("duckdb_total", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    by_prefix = {p: round(timings[n], 2) for p, n in short.items()}
+    head = [n.split("_")[0] for n in HEADLINE if n in timings]
+    slowest = sorted(by_prefix, key=lambda p: -by_prefix[p])
+
+    def build(n_queries_map: int | None) -> str:
+        if n_queries_map is None:
+            qmap = dict(by_prefix)  # full map (small catalogs only)
+        else:
+            keep = list(dict.fromkeys(head + slowest))[:n_queries_map]
+            qmap = {p: by_prefix[p] for p in sorted(keep)}
+        compact = {
+            "metric": detail["metric"],
+            "value": detail["value"],
+            "unit": "sec",
+            "queries": qmap,
+            "sf": detail["sf"],
+            "n_queries": detail["n_queries"],
+            "mean_per_query": detail["mean_per_query"],
+            "cold_total": detail["cold_total"],
+        }
+        if n_queries_map is not None and len(qmap) < len(by_prefix):
+            compact["queries_shown"] = "headline+slowest; full map in BENCH_DETAIL.json"
+        if "duckdb_total" in detail:
+            compact["duckdb_total"] = detail["duckdb_total"]
+        if "ratio_summary" in detail:
+            compact["ratio_summary"] = detail["ratio_summary"]
+        return json.dumps(compact, separators=(",", ":"))
+
+    line = build(None)
+    for budget in (40, 25, 14, 5, 0):
+        if len(line) <= limit:
+            return line
+        line = build(budget)
+    return line  # budget 0: totals only — always fits
 
 
 if __name__ == "__main__":

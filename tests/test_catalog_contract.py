@@ -85,3 +85,40 @@ def test_oracle_keys_subset_of_queries():
     qs = catalog.queries()
     for name in catalog.oracle_sql():
         assert name in qs
+
+
+def test_bench_compact_line_fits_driver_tail():
+    # BENCH_r02 and BENCH_r04 were recorded parsed:null because the
+    # compact stdout line overflowed the driver's 2000-char tail. The
+    # emitter now degrades structurally; assert it fits AT THE CURRENT
+    # CATALOG SIZE with worst-case-width values (3-digit seconds, full
+    # duckdb/ratio sections populated).
+    import json
+
+    import bench
+
+    names = list(catalog.queries())
+    timings = {n: 999.99 for n in names}
+    detail = {
+        "metric": "catalog_queries_total_wall_warm",
+        "value": round(sum(timings.values()), 3),
+        "sf": 0.1,
+        "n_queries": len(timings),
+        "mean_per_query": 999.99,
+        "cold_total": 999999.999,
+        "duckdb_total": 99999.999,
+        "ratio_summary": {
+            "median": 10.85,
+            "within_2x": 177,
+            "within_5x": 177,
+            "spark_faster": 177,
+        },
+    }
+    line = bench.compact_line(detail, timings)
+    assert len(line) <= 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "catalog_queries_total_wall_warm"
+    assert parsed["n_queries"] == len(names)
+    # the bounded subset still carries the headline queries
+    for h in bench.HEADLINE:
+        assert h.split("_")[0] in parsed["queries"]
