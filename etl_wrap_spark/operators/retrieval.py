@@ -145,7 +145,15 @@ def rrf_fuse(
     would be order-dependent). With scale 1e8 and k=60 the integer
     truncation distinguishes ranks far beyond any practical depth.
     Documents absent from a ranker simply contribute nothing (the RRF
-    convention). Ties break by id."""
+    convention). Ties break by id.
+
+    BOUNDED-INPUT CONTRACT: the final ranking runs an unpartitioned
+    row_number window over the fused candidate set, so each input
+    ranking MUST already be top-k-truncated (ranker count × k rows
+    total — sketch-sized). Build rankings with ``orderBy(...).limit(k)``
+    then rank the survivors (TakeOrderedAndProject — see
+    q136_rrf_fusion); passing a corpus-grain ranking turns the fusion
+    into a single-partition global sort."""
     contribs = None
     for r in rankings:
         c = r.select(

@@ -299,22 +299,50 @@ def skyline_2d(
         max{benefit : cost < p.cost} < p.benefit        (RANGE frame)
     AND p.benefit = max{benefit : cost = p.cost}    (per-cost partition)
     — two window passes, exact integers, no self-join.
+
+    The RANGE frame ``(unboundedPreceding, -1)`` means cost ≤ p.cost−1,
+    which equals strict-less ONLY for integral cost columns (round-4
+    ADVICE: a double cost silently ignores dominators with cost in
+    (p−1, p)). Integral costs take that fast pure-window path; any
+    other ordered type (double, decimal, date…) routes to an exact
+    generic form — per-cost benefit maxima (groupBy collapses to
+    distinct costs) with a ROWS frame over the collapsed frame, where
+    "previous rows" IS "strictly smaller cost", joined back.
     """
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+    integral = dict(df.dtypes).get(cost_col) in _INTEGRAL
 
     def screen(d: DataFrame, part_cols: list) -> DataFrame:
+        keep = (F.col("__mc").isNull() | (F.col("__mc") < F.col(benefit_col))) & (
+            F.col(benefit_col) == F.col("__mp")
+        )
+        if integral:
+            wr = (
+                Window.partitionBy(*part_cols)
+                .orderBy(F.col(cost_col))
+                .rangeBetween(Window.unboundedPreceding, -1)
+            )
+            wp = Window.partitionBy(*part_cols, cost_col)
+            return (
+                d.withColumn("__mc", F.max(benefit_col).over(wr))
+                .withColumn("__mp", F.max(benefit_col).over(wp))
+                .where(keep)
+                .drop("__mc", "__mp")
+            )
+        # generic ordered type: one row per distinct cost, so a ROWS
+        # frame excluding the current row is exactly cost < p.cost
+        percost = d.groupBy(*part_cols, cost_col).agg(
+            F.max(benefit_col).alias("__mp")
+        )
         wr = (
             Window.partitionBy(*part_cols)
             .orderBy(F.col(cost_col))
-            .rangeBetween(Window.unboundedPreceding, -1)
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        wp = Window.partitionBy(*part_cols, cost_col)
+        percost = percost.withColumn("__mc", F.max("__mp").over(wr))
         return (
-            d.withColumn("__mc", F.max(benefit_col).over(wr))
-            .withColumn("__mp", F.max(benefit_col).over(wp))
-            .where(
-                (F.col("__mc").isNull() | (F.col("__mc") < F.col(benefit_col)))
-                & (F.col(benefit_col) == F.col("__mp"))
-            )
+            d.join(percost, [*part_cols, cost_col])
+            .where(keep)
             .drop("__mc", "__mp")
         )
 

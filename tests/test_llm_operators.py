@@ -2180,3 +2180,26 @@ def test_curate_cluster_safe_split_and_importance(spark):
     # the w-vocabulary (target) docs outrank the filler docs
     assert {1, 2} <= kept
     assert dropped and dropped <= {3, 4}
+
+
+def test_skyline_2d_fractional_costs(spark):
+    """Double costs route to the generic per-cost-maxima path: a
+    dominator at cost p-0.5 (inside the (p-1, p) gap the RANGE frame
+    misses) must still eliminate p — the round-4 ADVICE defect."""
+    from etl_wrap_spark.operators.robust import skyline_2d
+
+    pts = [(1, 9.5, 8.0), (2, 10.0, 7.0),  # 1 dominates 2 within the gap
+           (3, 5.0, 5.0), (4, 5.0, 5.0),   # duplicate pair: both survive
+           (5, 4.25, 2.0), (6, 20.0, 9.0)]
+    df = spark.createDataFrame(pts, ["id", "cost", "benefit"])
+    got = sorted(r["id"] for r in skyline_2d(df, "cost", "benefit", buckets=3).collect())
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts if q[0] != p[0]
+        )
+
+    expect = sorted(p[0] for p in pts if not dominated(p))
+    assert got == expect
+    assert 2 not in got

@@ -92,3 +92,73 @@ def test_iterative_graph_plans_stay_flat(spark, name, max_shuffles):
         "Exchange rangepartitioning"
     )
     assert n <= max_shuffles, f"{name}: {n} shuffles — lineage unpinned?"
+
+
+# ------------------------------------------------------------------
+# catalog-wide: no unpartitioned window over an unbounded frame
+# ------------------------------------------------------------------
+
+# Unpartitioned WindowExec nodes whose input is NOT capped by a limit
+# node but is bounded by construction. Every entry needs a grain
+# justification; anything else trips the contract (the round-4 q136
+# defect class: a global row_number over a corpus-grain frame is a
+# single-partition sort of the corpus).
+ALLOWED_UNPARTITIONED_WINDOW = {
+    # distributed prefix-sum offset frames: groupBy(spark_partition_id)
+    # → one row per range partition (≤ cluster parallelism)
+    "q68_balanced_shards": "partition-count offsets frame",
+    "q130_weighted_sample": "partition-count offsets frame",
+    "q170_contribution_pareto": "partition-count offsets frame",
+    # pre-aggregated daily series: one row per calendar day
+    "q40_moving_window_frame": "day-grain rollup",
+    "q152_cumulative_crossover": "day-grain rollup",
+    # two-phase skyline: the global screen runs over bucket-local
+    # skyline survivors (skyline-sized, not data-sized)
+    "q167_pareto_skyline": "bucket-local skyline survivors",
+}
+
+_BOUNDING = {
+    "TakeOrderedAndProjectExec", "GlobalLimitExec", "LocalLimitExec",
+    "CollectLimitExec",
+}
+
+
+def _walk_exec(node):
+    yield node
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_exec(node.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk_exec(node.plan())
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_exec(ch.apply(i))
+
+
+def test_no_unbounded_unpartitioned_window_catalog_wide(spark):
+    """Every unpartitioned WindowExec in every catalog query must sit
+    over a limit-bounded subtree (the orderBy+limit-then-rank pattern)
+    or carry an explicit grain justification above. At 100 TB an
+    unpartitioned window over row-grain data is a single-executor sort
+    of the dataset."""
+    offenders = []
+    for name, fn in sorted(queries().items()):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan()
+        for node in _walk_exec(plan):
+            if node.getClass().getSimpleName() != "WindowExec":
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            bounded = any(
+                d.getClass().getSimpleName() in _BOUNDING
+                for d in _walk_exec(node)
+            )
+            if not bounded and name not in ALLOWED_UNPARTITIONED_WINDOW:
+                offenders.append(name)
+    assert not offenders, (
+        f"unpartitioned windows over unbounded frames: {sorted(set(offenders))} "
+        "— use orderBy().limit(k) then rank the survivors, or justify the "
+        "grain in ALLOWED_UNPARTITIONED_WINDOW"
+    )
