@@ -263,7 +263,10 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle → signature →
     band join → exact verify, keeping pairs with Jaccard >= den/num
-    (e.g. num=2, den=1 → J >= 0.5).
+    (e.g. num=2, den=1 → J >= 0.5). den > num would mean a threshold
+    above 1 — it can never match, so it raises instead of silently
+    returning zero pairs (a degenerate "leakage-safe" split guard,
+    round-4 ADVICE).
 
     With `auto_tune=True` the LSH band/row split is derived from the
     den/num threshold via tune_lsh_params (using up to `num_perm`
@@ -291,6 +294,12 @@ def near_dup_pairs_minhash(
     num_perm hashes — <1e-3 per borderline pair at 32 hashes / margin
     2500). Oracle-checked paths leave this OFF for exactness."""
     from etl_wrap_spark.session import ensure_min_parallelism
+
+    if den > num or num <= 0 or den <= 0:
+        raise ValueError(
+            f"jaccard threshold is den/num = {den}/{num}; it must lie in "
+            "(0, 1] — did you pass (num, den) swapped?"
+        )
 
     # spread ONCE here so the signature build and the exact-verify
     # text rejoin share a single (reused) exchange instead of each

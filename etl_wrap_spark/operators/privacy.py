@@ -144,6 +144,7 @@ def dp_noisy_counts(
     alpha_den: int = 2,
     m_max: int = 64,
     out_col: str = "noisy_count",
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """ε-DP noisy group counts → (group_cols…, noisy_count) with
     ε = ln(alpha_den/alpha_num) at row-level sensitivity 1 (ROW-level
@@ -152,13 +153,31 @@ def dp_noisy_counts(
     Never emits the true count. One aggregation; the noise is a pure
     Column expression over the group key — nothing driver-side, no RNG
     state to coordinate across executors (the classic distributed-DP
-    failure mode this construction avoids)."""
+    failure mode this construction avoids).
+
+    KNOWN-DOMAIN REQUIREMENT (round-4 ADVICE): without ``domain``, only
+    keys PRESENT in the data are emitted — the released key set is
+    data-dependent, so one individual's presence can add/remove an
+    entire output row. That presence signal carries no noise, and the
+    release is NOT ε-DP over an unknown group-key domain (the classic
+    known-domain caveat). Pass ``domain`` — a frame of the PUBLIC key
+    list (one row per releasable group, same group_cols) — to release
+    over exactly that fixed set: absent groups get a noise-only count
+    around 0, and keys outside the public list are never emitted. Only
+    use ``domain=None`` when the key set itself is public knowledge."""
     thresholds = dp_noise_thresholds(alpha_num, alpha_den, m_max)
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__true")
+    )
+    if domain is not None:
+        agg = (
+            domain.select(*group_cols).distinct()
+            .join(agg, on=list(group_cols), how="left")
+            .withColumn("__true", F.coalesce(F.col("__true"), F.lit(0).cast("bigint")))
+        )
     return (
-        df.groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__true"))
-        .withColumn(out_col, (F.col("__true") + dp_noise(key, salt, thresholds)))
+        agg.withColumn(out_col, (F.col("__true") + dp_noise(key, salt, thresholds)))
         .drop("__true")
     )
 
@@ -174,6 +193,7 @@ def dp_noisy_sums(
     alpha_den: int = 2,
     m_max: int = 64,
     out_col: str = "noisy_sum",
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """ε-DP noisy group sums: per-row contributions CLAMPED to
     [clamp_lo, clamp_hi] (bounding the sensitivity is what makes a sum
@@ -183,17 +203,28 @@ def dp_noisy_sums(
     α gives ε = C·ln(alpha_den/alpha_num) for row-level DP — for a
     target ε, pick α = exp(-ε/C) as a rational (larger alpha_den) or
     shrink the clamp. Same engine-portable, no-RNG-state posture as the
-    count release."""
+    count release. Same KNOWN-DOMAIN REQUIREMENT as dp_noisy_counts:
+    pass ``domain`` (the public key list) to release over a fixed key
+    set with noise-only sums for absent groups; with ``domain=None``
+    the emitted key set is data-dependent and NOT protected."""
     thresholds = dp_noise_thresholds(alpha_num, alpha_den, m_max)
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
     v = F.least(
         F.greatest(F.col(value_col).cast("bigint"), F.lit(clamp_lo)),
         F.lit(clamp_hi),
     )
-    return (
+    agg = (
         df.withColumn("__v", v)
         .groupBy(*group_cols)
         .agg(F.sum("__v").cast("bigint").alias("__true"))
-        .withColumn(out_col, F.col("__true") + dp_noise(key, salt, thresholds))
+    )
+    if domain is not None:
+        agg = (
+            domain.select(*group_cols).distinct()
+            .join(agg, on=list(group_cols), how="left")
+            .withColumn("__true", F.coalesce(F.col("__true"), F.lit(0).cast("bigint")))
+        )
+    return (
+        agg.withColumn(out_col, F.col("__true") + dp_noise(key, salt, thresholds))
         .drop("__true")
     )

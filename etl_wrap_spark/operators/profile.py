@@ -139,9 +139,13 @@ def chi2_contingency_bp(
     between any two categorical columns. The deviation o·N − r·c is
     EXACT int64; only the final square-and-divide is IEEE double
     (both engines compute the identical expression tree, so it is
-    bit-deterministic — q96's double-surface precedent). Two marginal
-    aggregations broadcast onto the cell counts; no shuffle beyond the
-    cell groupBy."""
+    bit-deterministic — q96's double-surface precedent). SCALE BOUND
+    (round-4 ADVICE): the o·N and r·c products overflow int64 near
+    N≈3·10⁹ rows — Spark (non-ANSI) wraps silently while DuckDB
+    errors, so beyond that pre-aggregate (e.g. count per day first) or
+    sample; rc_product's own output type caps the same way. Two
+    marginal aggregations broadcast onto the cell counts; no shuffle
+    beyond the cell groupBy."""
     cells = df.groupBy(row_col, col_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("observed")
     )
@@ -185,10 +189,14 @@ def benford_profile(
     P(d) = log10(1+1/d); hand-typed ones don't. dev2_scaled =
     (observed·10⁴ − N·expected_bp)² div N is the exact-integer
     chi²-shaped deviation (expectations are integer-bp literals, so
-    the whole statistic replays on any engine; int64-safe to N≈3·10⁸ —
-    beyond that, scale the bp down). Digits with zero observations
-    still appear (expected side intact). One aggregation + a 9-row
-    broadcast join."""
+    the whole statistic replays on any engine). The deviation itself
+    is int64-exact to N≈9·10¹⁴, but its SQUARE is int64-safe only to
+    N≈10⁶ worst-case (a zero-count digit gives dev ≈ −3010·N — round-4
+    ADVICE), so the squaring runs in decimal(38,0) — exact to N≈3·10¹⁵,
+    matching DuckDB's int128 — and only the final div-N quotient
+    (≤ 9·10⁶·N, bigint-safe to N≈10¹²) lands back in int64. Digits
+    with zero observations still appear (expected side intact). One
+    aggregation + a 9-row broadcast join."""
     digit = F.substring(F.abs(F.col(value_col).cast("bigint")).cast("string"), 1, 1)
     counts = (
         df.where(F.abs(F.col(value_col).cast("bigint")) >= 1)
@@ -212,7 +220,10 @@ def benford_profile(
             "n",
             F.expr("(n * 10000) div __t").cast("bigint").alias("observed_bp"),
             "expected_bp",
-            F.expr("((n * 10000 - __t * expected_bp) * (n * 10000 - __t * expected_bp)) div __t")
+            F.expr(
+                "(cast(n * 10000 - __t * expected_bp as decimal(38,0))"
+                " * cast(n * 10000 - __t * expected_bp as decimal(38,0))) div __t"
+            )
             .cast("bigint")
             .alias("dev2_scaled"),
         )

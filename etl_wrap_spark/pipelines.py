@@ -65,8 +65,12 @@ def curate(
 
     ``split_jaccard=(num, den)`` switches the final split to the
     leakage-safe form: survivors are grouped by a LOOSER near-dup pass
-    (J ≥ num/den, below the dedup bar) and the split is drawn on the
-    cluster root, so weak near-dups can never straddle train/held-out.
+    at threshold J ≥ den/num — the SAME (num, den) convention as
+    ``jaccard_num``/``jaccard_den`` and near_dup_pairs_minhash, e.g.
+    ``(3, 1)`` → J ≥ 1/3, below the default dedup bar of 1/2 — and the
+    split is drawn on the cluster root, so weak near-dups can never
+    straddle train/held-out. den > num (threshold > 1, matches
+    nothing) raises.
 
     Deterministic end to end: same input → byte-identical outputs
     (hash-bucket split, fixed-seed MinHash, min-id/max-quality

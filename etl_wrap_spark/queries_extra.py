@@ -5213,8 +5213,8 @@ def q171_chi2_contingency(spark, sf_dir):
     SELECT j.digit, j.n,
            CAST((j.n * 10000) // t.tt AS BIGINT) AS observed_bp,
            j.expected_bp,
-           CAST(((j.n * 10000 - t.tt * j.expected_bp)
-                 * (j.n * 10000 - t.tt * j.expected_bp)) // t.tt AS BIGINT) AS dev2_scaled
+           CAST((CAST(j.n * 10000 - t.tt * j.expected_bp AS HUGEINT)
+                 * CAST(j.n * 10000 - t.tt * j.expected_bp AS HUGEINT)) // t.tt AS BIGINT) AS dev2_scaled
     FROM j, t ORDER BY j.digit
     """,
 )

@@ -108,26 +108,44 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
     #   must map to TIMESTAMP (epoch-verbatim), not NTZ, so a session-TZ
     #   change can never shift values (matches DuckDB CAST(ts AS TIMESTAMP)).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # The two PARQUET confs are consumed at ANALYSIS time (schema
+    # conversion during spark.read), so they can be scoped to the reads
+    # and restored — a caller's own nanos-parquet reads elsewhere in the
+    # session keep the caller's settings (round-4 ADVICE follow-up). The
+    # timeZone pin stays session-wide on purpose: it is consumed at
+    # EXECUTION time, after this function returns.
+    _scoped = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in _scoped}
+    for k, v in _scoped.items():
+        spark.conf.set(k, v)
     try:
-        cache = _TABLE_CACHE.setdefault(spark, {})
-    except TypeError:  # non-weakrefable session stand-in (mocks)
-        cache = {}
-    out = {}
-    for name in names:
-        df = cache.get((sf_dir, name))
-        if df is None:
-            if name == "events":
-                df = _read_events(spark, sf_dir)
+        try:
+            cache = _TABLE_CACHE.setdefault(spark, {})
+        except TypeError:  # non-weakrefable session stand-in (mocks)
+            cache = {}
+        out = {}
+        for name in names:
+            df = cache.get((sf_dir, name))
+            if df is None:
+                if name == "events":
+                    df = _read_events(spark, sf_dir)
+                else:
+                    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+                cache[(sf_dir, name)] = df
+            # Always (re-)register: callers may alternate sf_dirs within one
+            # session and SQL-passthrough queries resolve views by name.
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
             else:
-                df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            cache[(sf_dir, name)] = df
-        # Always (re-)register: callers may alternate sf_dirs within one
-        # session and SQL-passthrough queries resolve views by name.
-        df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
+                spark.conf.set(k, v)
 
 
 def ensure_min_parallelism(df, floor: int | None = None):

@@ -159,6 +159,13 @@ def streaming_cusum(
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         k = key[0]
+        if k not in baselines:
+            # a key with no baseline cannot be monitored — emit nothing
+            # for it rather than raising inside the state function,
+            # which would kill the WHOLE streaming query on one unknown
+            # key from live data (round-4 ADVICE). Register the key in
+            # `baselines` and restart to start monitoring it.
+            return
         mu = int(baselines[k])
         s = (mu * slack_bp) // 10000
         h = (mu * threshold_bp) // 10000

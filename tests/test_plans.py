@@ -215,3 +215,18 @@ def test_upload_cmd_cleanup(tmp_path):
     f.write_text("x")
     execute_upload_cmd(["python", "-c", "print('done')"], cleanup_files=[str(f)])
     assert not f.exists()
+
+
+def test_load_tables_scopes_parquet_confs(spark):
+    """load_tables restores the caller's parquet reader confs after its
+    reads — only the UTC timeZone pin (execution-time semantics) stays
+    session-wide (round-4 ADVICE follow-up)."""
+    from etl_wrap_spark.session import load_tables
+
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    t = load_tables(spark, "/root/testdata/sf0.001", ["events", "region"])
+    assert t["events"].count() > 0
+    assert spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "true"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -186,3 +186,40 @@ def test_flatten_hierarchy_cycle_raises(spark):
 
     with _pt.raises(RuntimeError, match="converge"):
         flatten_hierarchy(edges, max_iter=8)
+
+
+def test_dp_noisy_counts_fixed_domain(spark):
+    """With a public ``domain`` the released key set is exactly the
+    domain: present groups get true+noise, absent groups a noise-only
+    count around 0, data-only keys outside the domain never leak
+    (round-4 ADVICE known-domain caveat)."""
+    from etl_wrap_spark.operators.privacy import dp_noise_thresholds, dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("secret",)], ["g"]
+    )
+    domain = spark.createDataFrame([("a",), ("b",)], ["g"])
+    out = {r["g"]: r["noisy_count"]
+           for r in dp_noisy_counts(df, ["g"], salt="s1", domain=domain).collect()}
+    assert set(out) == {"a", "b"}          # fixed key set, no "secret"
+    # noise magnitude is bounded by m_max=64; the absent group's release
+    # is pure noise around 0
+    assert abs(out["b"]) <= 64
+    assert abs(out["a"] - 3) <= 64
+    # determinism: same salt → same release
+    out2 = {r["g"]: r["noisy_count"]
+            for r in dp_noisy_counts(df, ["g"], salt="s1", domain=domain).collect()}
+    assert out == out2
+    assert dp_noise_thresholds(1, 2)[-1] >= (1 << 60) - 1
+
+
+def test_near_dup_threshold_guard(spark):
+    """den > num means Jaccard threshold > 1 — impossible; raise instead
+    of silently matching nothing (round-4 ADVICE degenerate-split)."""
+    import pytest as _pytest
+
+    from etl_wrap_spark.operators.dedup import near_dup_pairs_minhash
+
+    df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+    with _pytest.raises(ValueError, match="swapped"):
+        near_dup_pairs_minhash(df, "id", "text", num=1, den=3)

@@ -524,3 +524,36 @@ def test_streaming_cusum_equals_batch(spark, tmp_path):
     assert got == expect
     # the level shift (t>=5) accumulates on the plus side and flags
     assert got[9][0] > 0 and got[9][2] == 1
+
+
+def test_streaming_cusum_skips_unknown_keys(spark, tmp_path):
+    """A key with no baseline entry must NOT kill the streaming query
+    (round-4 ADVICE: KeyError inside applyInPandasWithState aborts the
+    whole monitor) — it is silently unmonitored while known keys keep
+    emitting."""
+    from etl_wrap_spark.streaming.stateful import streaming_cusum
+
+    d = tmp_path / "cusum_unk"
+    d.mkdir()
+    (d / "b1.csv").write_text(
+        "\n".join(f"{k},{t},{v}" for k, t, v in
+                  [("g", 0, 100), ("zz", 0, 5), ("g", 1, 150), ("zz", 1, 9)]) + "\n"
+    )
+    out_rows = []
+    stream = (
+        spark.readStream.schema("key STRING, t BIGINT, value BIGINT")
+        .option("header", "false")
+        .csv(str(d))
+    )
+    mon = streaming_cusum(stream, {"g": 100}, slack_bp=500, threshold_bp=2000)
+    q = (
+        mon.writeStream.foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cusum_unk_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    keys = {r["key"] for r in out_rows}
+    assert keys == {"g"}
+    assert len(out_rows) == 2
