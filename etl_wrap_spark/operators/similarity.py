@@ -567,7 +567,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     m: int = PQ_M,
     ks: int = PQ_KS,
-    refine: int | None = None,
+    refine: int | None | str = "auto",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
 ) -> DataFrame:
@@ -583,8 +583,12 @@ def ivfpq_topk(
     clustered vectors, SCALING.md: recall@10 0.20 at refine=50 but
     0.94 at refine=500 ≈ half the ~nprobe x rows-per-cell candidates;
     codebook FIT was not the limiter — kmeans codebooks moved nothing).
-    refine=None (pure ADC ranking) is for compression-bound scans where
-    approximate order suffices.
+    The DEFAULT ``refine="auto"`` applies that measured routing rule —
+    refine = max(4k, nprobe·⌈N/n_cells⌉ div 2) — so the recall cliff
+    is opt-out, not opt-in (round-4 VERDICT #6); the extra driver probe
+    is one corpus count (parquet metadata). Pass refine=None (pure ADC
+    ranking) for compression-bound scans where approximate order
+    suffices, or an explicit int to pin the re-rank budget.
 
     Shuffle shape: encode is one (id, m) aggregation; the scan joins the
     code table against a BROADCAST LUT (queries × M × Ks doubles) and
@@ -593,10 +597,18 @@ def ivfpq_topk(
 
     `n_cells=None` derives the cell count from the corpus via
     auto_n_cells (see ivf_topk); pass explicitly for oracle runs."""
+    import math
+
     sub_dim = DIM // m
     if centroids is None and n_cells is None:
         n_cells = auto_n_cells(corpus)
     cent = centroids if centroids is not None else ivf_centroids_deterministic(corpus, id_c, vec, n_cells)
+    if refine == "auto":
+        cells = n_cells if n_cells is not None else cent.count()
+        rows_per_cell = math.ceil(corpus.count() / max(cells, 1))
+        refine = max(4 * k, (nprobe * rows_per_cell) // 2)
+    elif isinstance(refine, str):
+        raise ValueError(f"refine must be 'auto', None, or an int, got {refine!r}")
     res = pq_residual_frame(corpus, id_c, vec, cent)
     cb = codebooks if codebooks is not None else pq_codebooks_deterministic(res, id_c, m, ks, sub_dim)
     codes = pq_encode(res, id_c, cb, m, sub_dim)

@@ -823,8 +823,12 @@ def q66_ann_ivfpq(spark, sf_dir):
     e = t["embeddings"]
     q = e.where(F.col("vec_id") % 50 == 0)
     c = e.where(F.col("vec_id") % 50 != 0)
+    # refine=None pins the pure-ADC ranking the SQL oracle replays; the
+    # production default is refine="auto" (exact re-rank sized from the
+    # probed candidate volume — the SCALING.md recall rule)
     topk = similarity.ivfpq_topk(
-        q, c, "vec_id", "vec_id", "embedding", k=3, n_cells=8, nprobe=2, m=4, ks=8
+        q, c, "vec_id", "vec_id", "embedding", k=3, n_cells=8, nprobe=2, m=4, ks=8,
+        refine=None,
     )
     ql = F.broadcast(q.select(F.col("vec_id").alias("qid"), F.col("label").alias("ql")))
     cl = c.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl"))

