@@ -114,27 +114,39 @@ def main():
 
     timings = {}
     cold = {}
+    exec_only = {}
     for name in names:
-        # Run 1 (cold) builds the DataFrame — py4j plan construction +
-        # Catalyst analysis + codegen compile — and executes it. Run 2
-        # REUSES the built plan and times execution only: the steady
-        # state of any repeated production query (incremental runs,
-        # dashboards), where the analyzed plan lives across executions.
-        # Python-side plan-construction chatter is a per-QUERY constant
-        # that amortizes identically at 100 TB, so the warm number
-        # should not re-pay it (round-4 VERDICT #5).
+        # Headline warm = min of 2 FULL build+execute runs. Both runs
+        # rebuild the DataFrame because for iterative operators (CC,
+        # PageRank, incremental dedup) the real work happens DURING
+        # build (eager localCheckpoints); timing only a re-execute of
+        # the final consumer would report q59 at 0.2s instead of its
+        # true 2-4s (measured round 5 — the plan-reuse protocol was
+        # tried and rejected for the headline on exactly this).
+        runs = []
+        df = None
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            # noop sink executes the FULL plan (incl. projections a count()
+            # would prune) entirely JVM-side, without driver materialization.
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        # Supplementary: execution-only on the already-built plan — the
+        # repeated-query regime (dashboards, incremental reruns) where
+        # py4j construction + Catalyst analysis amortize away. Honest
+        # ONLY as a secondary number: for eager-checkpoint queries it
+        # excludes the iterative work.
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        # noop sink executes the FULL plan (incl. projections a count()
-        # would prune) entirely JVM-side, without driver materialization.
         df.write.format("noop").mode("overwrite").save()
-        run1 = round(time.time() - t0, 3)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        run2 = round(time.time() - t0, 3)
-        cold[name] = run1
-        timings[name] = min(run1, run2)
-        print(f"# {name}: warm={timings[name]}s cold={run1}s", file=sys.stderr)
+        exec_only[name] = round(time.time() - t0, 3)
+        cold[name] = runs[0]
+        timings[name] = min(runs)
+        print(
+            f"# {name}: warm={timings[name]}s cold={runs[0]}s "
+            f"exec_only={exec_only[name]}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -146,12 +158,14 @@ def main():
         "metric": "catalog_queries_total_wall_warm",
         "value": total,
         "unit": "sec",
-        "timing": ("steady-state (min of 2 runs; run 2 reuses the built plan "
-                   "— execution-only, the repeated-query regime); cold "
-                   "build+execute totals alongside"),
+        "timing": ("steady-state (min of 2 full build+execute runs); cold "
+                   "first-run totals and plan-reuse exec-only supplementary "
+                   "numbers alongside"),
         "queries": timings,
         "queries_cold": cold,
+        "queries_exec_only": exec_only,
         "cold_total": round(sum(cold.values()), 3),
+        "exec_only_total": round(sum(exec_only.values()), 3),
         "sf": sf,
         # the catalog GROWS round over round; totals are only comparable
         # through the per-query mean
@@ -179,10 +193,7 @@ def main():
         detail["duckdb_total"] = round(sum(timed), 3)
         detail["duckdb"] = duck
         detail["spark_vs_duckdb"] = ratios
-        detail["ratio_protocol"] = (
-            "spark warm = min(build+exec, plan-reuse exec) vs duckdb warm = "
-            "min of 2 full executes (duckdb re-parse is ~ms-scale)"
-        )
+        detail["ratio_protocol"] = "warm(min of 2 full runs) vs warm(min of 2 full runs)"
         # headline distribution stats: the small-query ratios are
         # dominated by Spark's ~0.2-0.5s per-query scheduling/codegen
         # constant (amortizes away at scale); the split makes that
@@ -251,6 +262,8 @@ def compact_line(detail: dict, timings: dict[str, float], limit: int = 1900) -> 
         }
         if n_queries_map is not None and len(qmap) < len(by_prefix):
             compact["queries_shown"] = "headline+slowest; full map in BENCH_DETAIL.json"
+        if "exec_only_total" in detail:
+            compact["exec_only_total"] = detail["exec_only_total"]
         if "duckdb_total" in detail:
             compact["duckdb_total"] = detail["duckdb_total"]
         if "ratio_summary" in detail:

@@ -39,6 +39,14 @@ def session_builder(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): the measured A/B
+        # over a 12-query subset (round 5) showed advisory-size
+        # coalescing (false) is a net LOSS here — tiny-task scheduling
+        # savings (~20 ms/stage) are dwarfed by lost parallelism on the
+        # mid-size shuffles (q43 1.4s → 3.3s when its ~100 MB shuffle
+        # coalesced to 2 tasks). On a real cluster with
+        # shuffle_partitions sized for the big stages, false + a tuned
+        # advisory size is the right production setting.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
