@@ -65,6 +65,7 @@ def fuzzy_join(
     block: str = "prefix",
     max_df: int | None = None,
     dist_col: str = "dist",
+    collapse_duplicates: bool = True,
 ) -> DataFrame:
     """Blocked edit-distance join.
 
@@ -89,6 +90,17 @@ def fuzzy_join(
     ``block="all"`` indexes every gram (the round-1 shape) and accepts
     ``max_df`` to drop hot grams with the documented recall cost; the
     verify stage is exact in every mode.
+
+    ``collapse_duplicates`` (default True) runs blocking + verify on
+    the DISTINCT VALUES of each side and expands id membership after:
+    the result is row-for-row identical, but duplicate-heavy inputs pay
+    levenshtein once per value PAIR instead of once per row pair. The
+    round-5 synthetic-sf1 probe measured the difference: 10k rows over
+    64 distinct names produce 1.66M output pairs (the output itself is
+    quadratic in clone multiplicity — no algorithm can beat that), yet
+    verify collapses from 1.66M edit-distance evaluations to ≤64², and
+    the expansion is a plain hash join. On near-unique inputs the two
+    extra distincts are noise.
 
     Lossless requires every string ``len >= q + q*max_dist``
     (enforced loudly at runtime).
@@ -116,6 +128,24 @@ def fuzzy_join(
             )
         )
         return df.select(F.col(id_c).alias(out_id), guarded.alias(out_val))
+
+    if collapse_duplicates:
+        # value-class linkage: each side's distinct value string is its
+        # own class id; block+verify once per value pair, then expand
+        # row membership with two hash joins
+        lv = left.select(F.col(left_col).alias("__clv")).distinct()
+        rv = right.select(F.col(right_col).alias("__crv")).distinct()
+        vpairs = fuzzy_join(
+            lv, rv, "__clv", "__clv", "__crv", "__crv",
+            max_dist=max_dist, q=q, block=block, max_df=max_df,
+            dist_col="__cd", collapse_duplicates=False,
+        )
+        return (
+            vpairs
+            .join(left.select(F.col(left_id), F.col(left_col).alias("__clv")), "__clv")
+            .join(right.select(F.col(right_id), F.col(right_col).alias("__crv")), "__crv")
+            .select(left_id, right_id, F.col("__cd").alias(dist_col))
+        )
 
     l_keys = _prep(left, left_id, left_col, "__lid", "__lval")
     r_keys = _prep(right, right_id, right_col, "__rid", "__rval")
