@@ -1101,3 +1101,51 @@ def novelty_scores(
             F.expr("(10000 * n_novel) div n_shingles").cast("bigint"),
         )
     )
+
+
+def snapshot_novelty(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Cross-snapshot n-gram novelty — per group (or overall):
+    (new_types, novel_types, novelty_bp) where novelty_bp is the basis-
+    point share of the NEW snapshot's distinct shingle TYPES absent
+    from the OLD snapshot. The corpus-refresh QA metric: a crawl that
+    re-collects yesterday's web scores near 0; genuinely fresh content
+    scores high — q150's per-doc novelty answers "which doc", this
+    answers "did the refresh buy anything".
+
+    Type-level (distinct shingles), not token-level, so boilerplate
+    repeated a million times counts once. Plan: two shingle frames →
+    per-side distinct (map-side combinable) → LEFT ANTI join on the
+    type (no pair blowup — the anti join is the membership probe) →
+    group-grain counts. At 100 TB the old-side type set persists as a
+    parquet index exactly like the incremental-dedup signature index
+    (dedup.py: incremental posture)."""
+    gcols = [group_col] if group_col else []
+    def types(df: DataFrame) -> DataFrame:
+        from etl_wrap_spark.session import ensure_min_parallelism
+        df = ensure_min_parallelism(df)
+        return df.select(
+            *gcols, F.explode(shingles(text_col, n)).alias("shingle")
+        ).distinct()
+
+    old_t, new_t = types(old), types(new)
+    novel = new_t.join(old_t, [*gcols, "shingle"], "left_anti")
+    new_c = new_t.groupBy(*gcols).agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    nov_c = novel.groupBy(*gcols).agg(F.count(F.lit(1)).cast("bigint").alias("novel_types"))
+    joined = (
+        new_c.join(nov_c, gcols, "left") if gcols
+        else new_c.crossJoin(nov_c)
+    )
+    return joined.select(
+        *gcols,
+        "new_types",
+        F.coalesce("novel_types", F.lit(0)).cast("bigint").alias("novel_types"),
+        F.expr("(10000 * coalesce(novel_types, 0)) div new_types")
+        .cast("bigint").alias("novelty_bp"),
+    )

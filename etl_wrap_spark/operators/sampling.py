@@ -314,3 +314,62 @@ def importance_weights_hashed(
         )
         .withColumn("avg_fp", F.expr("weight_fp div n_tokens").cast("bigint"))
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    scale: int = 1000,
+) -> DataFrame:
+    """Temperature-flattened mixture quotas at α = 0.5 → one row per
+    group with (n, w_scaled, seats): the standard multilingual-corpus
+    rebalancing (upweight scarce languages, dampen dominant ones) where
+    group weights go as n^α instead of n. Σ seats == ``total`` exactly.
+
+    Engineering for engine-exactness: w_scaled = floor(sqrt(n·scale²))
+    — IEEE-754 sqrt is CORRECTLY ROUNDED, so Spark and DuckDB produce
+    the identical double and the identical floor (the q96
+    double-surface precedent); every step after is integer. Seats are
+    apportioned by LARGEST REMAINDER (floor(total·w/Σw) + one extra
+    seat to the largest remainders, ties by group name) — the exact,
+    order-independent way to hit ``total`` without rounding drift.
+    For other α, pre-compute a weight column upstream and apportion
+    with the same remainder scheme.
+
+    Plan: one group count (map-side combinable), then pure arithmetic
+    over the |groups|-row frame; the remainder rank is an unpartitioned
+    window over that GROUP-GRAIN frame (bounded by the number of
+    groups, not by data)."""
+    if total <= 0:
+        raise ValueError("total must be positive")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = counts.withColumn(
+        "w_scaled",
+        F.expr(f"cast(floor(sqrt(cast(n * {scale * scale} as double))) as bigint)"),
+    )
+    tot = w.agg(F.sum("w_scaled").alias("__tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n",
+        "w_scaled",
+        F.expr(f"({total} * w_scaled) div __tw").alias("__fl"),
+        F.expr(f"({total} * w_scaled) % __tw").alias("__rem"),
+    )
+    extra = base.agg((F.lit(total) - F.sum("__fl")).alias("__extra"))
+    wk = Window.orderBy(F.col("__rem").desc(), F.col(group_col))
+    return (
+        base.withColumn("__rn", F.row_number().over(wk))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            group_col,
+            "n",
+            "w_scaled",
+            (
+                F.col("__fl")
+                + F.when(F.col("__rn") <= F.col("__extra"), 1).otherwise(0)
+            ).cast("bigint").alias("seats"),
+        )
+    )

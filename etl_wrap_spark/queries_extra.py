@@ -5495,3 +5495,144 @@ def q177_percent_of_parent(spark, sf_dir):
         )
         .orderBy("region", "nation")
     )
+
+
+# ------------------------------------ temperature mixture quotas (q178)
+@register(
+    "q178_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ), w AS (
+      SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS w_scaled
+      FROM c
+    ), t AS (
+      SELECT CAST(SUM(w_scaled) AS BIGINT) AS tw FROM w
+    ), base AS (
+      SELECT w.lang, w.n, w.w_scaled,
+             CAST((10000 * w.w_scaled) // t.tw AS BIGINT) AS fl,
+             CAST((10000 * w.w_scaled) % t.tw AS BIGINT) AS rem
+      FROM w, t
+    ), r AS (
+      SELECT CAST(10000 - SUM(fl) AS BIGINT) AS extra FROM base
+    ), rk AS (
+      SELECT lang, n, w_scaled, fl,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn
+      FROM base
+    )
+    SELECT rk.lang, rk.n, rk.w_scaled,
+           CAST(rk.fl + CASE WHEN rk.rn <= r.extra THEN 1 ELSE 0 END AS BIGINT) AS seats
+    FROM rk, r ORDER BY rk.lang
+    """,
+)
+def q178_temperature_mixture(spark, sf_dir):
+    """Temperature-flattened (α = 0.5) language-mixture quotas
+    (operators/sampling.py:temperature_quotas): seats ∝ sqrt(n_lang)
+    with an exact largest-remainder apportionment summing to 10000 —
+    the multilingual rebalancing rule (dampen the dominant language,
+    upweight the scarce ones). Cross-engine exact because IEEE sqrt is
+    correctly rounded and everything after is integer; the remainder
+    rank is a GROUP-GRAIN window (rows = number of languages)."""
+    from etl_wrap_spark.operators.sampling import temperature_quotas
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return temperature_quotas(t["documents"], "lang", total=10000).orderBy("lang")
+
+
+# ------------------------------------ packing-efficiency readout (q179)
+@register(
+    "q179_packing_efficiency",
+    oracle="""
+    WITH d AS (
+      SELECT lang, doc_id, CAST(length(trim(text)) AS BIGINT) AS sz FROM documents
+    ), p AS (
+      SELECT lang, doc_id, sz,
+             CAST(COALESCE(SUM(sz) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS BIGINT) AS bin
+      FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(bin) + 1 AS BIGINT) AS bins,
+           CAST(SUM(sz) AS BIGINT) AS total_size,
+           CAST((10000 * SUM(sz)) // ((MAX(bin) + 1) * 5000) AS BIGINT) AS util_bp
+    FROM p GROUP BY lang ORDER BY lang
+    """,
+)
+def q179_packing_efficiency(spark, sf_dir):
+    """Shard-packing efficiency readout (operators/sampling.py:
+    pack_sequences): per language, pack documents into 5000-char bins
+    by the deterministic prefix-sum rule and report bin count, payload,
+    and fill ratio in basis points — the batch-shaping QA a training
+    pipeline runs to see how much padding the sequence budget wastes
+    (util_bp can exceed 10000: the last row of a bin may overflow it,
+    the standard streaming-packing compromise). One group shuffle; the
+    cumulative window is linear per group."""
+    from etl_wrap_spark.operators.sampling import pack_sequences
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select(
+        "lang", "doc_id", F.length(F.trim(F.col("text"))).cast("bigint").alias("sz")
+    )
+    packed = pack_sequences(docs, "lang", "doc_id", "sz", 5000)
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.max("bin") + 1).cast("bigint").alias("bins"),
+            F.sum("sz").cast("bigint").alias("total_size"),
+        )
+        .withColumn(
+            "util_bp", F.expr("(10000 * total_size) div (bins * 5000)").cast("bigint")
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------------ cross-snapshot novelty (q180)
+@register(
+    "q180_snapshot_novelty",
+    oracle="""
+    WITH base AS (
+      SELECT lang, doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT lang, doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                                 i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+      FROM base
+    ), old_t AS (
+      SELECT DISTINCT lang, shingle FROM sh WHERE doc_id % 2 = 0
+    ), new_t AS (
+      SELECT DISTINCT lang, shingle FROM sh WHERE doc_id % 2 = 1
+    ), n AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS new_types FROM new_t GROUP BY 1
+    ), nov AS (
+      SELECT n2.lang, CAST(COUNT(*) AS BIGINT) AS novel_types
+      FROM new_t n2 ANTI JOIN old_t o ON n2.lang = o.lang AND n2.shingle = o.shingle
+      GROUP BY 1
+    )
+    SELECT n.lang, n.new_types,
+           CAST(COALESCE(nov.novel_types, 0) AS BIGINT) AS novel_types,
+           CAST((10000 * COALESCE(nov.novel_types, 0)) // n.new_types AS BIGINT) AS novelty_bp
+    FROM n LEFT JOIN nov ON n.lang = nov.lang ORDER BY n.lang
+    """,
+)
+def q180_snapshot_novelty(spark, sf_dir):
+    """Cross-snapshot corpus novelty (operators/dedup.py:
+    snapshot_novelty): treating even doc_ids as yesterday's snapshot
+    and odd as today's, the share of today's distinct 3-gram TYPES
+    absent from yesterday, per language — the corpus-refresh QA metric
+    (a recrawl of the same web scores ~0; fresh content scores high).
+    Type-level anti-join membership probe, never a pair join; at scale
+    the old-type set persists as a parquet index like the incremental
+    dedup signatures."""
+    from etl_wrap_spark.operators.dedup import snapshot_novelty
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"]
+    return snapshot_novelty(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        "doc_id", "text", n=3, group_col="lang",
+    ).orderBy("lang")

@@ -2305,3 +2305,45 @@ def test_skyline_2d_fractional_costs(spark):
     expect = sorted(p[0] for p in pts if not dominated(p))
     assert got == expect
     assert 2 not in got
+
+
+def test_temperature_quotas_exact_apportionment(spark):
+    """Seats sum EXACTLY to total; sqrt-flattening moves share from the
+    dominant group to scarce ones vs proportional; largest-remainder
+    ties break deterministically."""
+    from etl_wrap_spark.operators.sampling import temperature_quotas
+
+    rows = [("en", i) for i in range(900)] + [("de", i) for i in range(90)] + \
+           [("fr", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["lang", "i"])
+    out = {r["lang"]: r for r in temperature_quotas(df, "lang", total=10000).collect()}
+    seats = {k: v["seats"] for k, v in out.items()}
+    assert sum(seats.values()) == 10000
+    # proportional shares would be 9000/900/100; sqrt flattens toward
+    # 30:9.49:3.16 => en well below 9000, fr well above 100
+    assert seats["en"] < 7500 and seats["fr"] > 600
+    assert out["en"]["n"] == 900
+    # determinism
+    again = {r["lang"]: r["seats"]
+             for r in temperature_quotas(df, "lang", total=10000).collect()}
+    assert again == seats
+
+
+def test_snapshot_novelty_semantics(spark):
+    """Novel = new-snapshot shingle TYPES absent from old; repeats in
+    the new snapshot count once (type-level)."""
+    from etl_wrap_spark.operators.dedup import snapshot_novelty
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "alpha beta gamma delta"),          # fully seen
+         (3, "wholly novel content here today"), # fully new
+         (4, "wholly novel content here today")],  # duplicate of 3: no new types
+        ["doc_id", "text"],
+    )
+    r = snapshot_novelty(old, new, "doc_id", "text", n=3).collect()[0]
+    # new types: 2 from doc2's text (seen) + 3 from doc3/4 (novel)
+    assert r["new_types"] == 5 and r["novel_types"] == 3
+    assert r["novelty_bp"] == 10000 * 3 // 5

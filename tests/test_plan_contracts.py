@@ -115,6 +115,9 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     # two-phase skyline: the global screen runs over bucket-local
     # skyline survivors (skyline-sized, not data-sized)
     "q167_pareto_skyline": "bucket-local skyline survivors",
+    # largest-remainder apportionment ranks the GROUP-GRAIN quota frame
+    # (rows = number of languages)
+    "q178_temperature_mixture": "group-grain quota frame",
 }
 
 _BOUNDING = {
