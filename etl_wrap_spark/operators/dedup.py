@@ -260,6 +260,7 @@ def near_dup_pairs_minhash(
     num_perm: int = NUM_HASHES,
     max_bucket: int | None = None,
     est_prefilter_margin_bp: int | None = None,
+    collapse_duplicates: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle → signature →
     band join → exact verify, keeping pairs with Jaccard >= den/num
@@ -267,6 +268,22 @@ def near_dup_pairs_minhash(
     above 1 — it can never match, so it raises instead of silently
     returning zero pairs (a degenerate "leakage-safe" split guard,
     round-4 ADVICE).
+
+    ``collapse_duplicates`` (default True) first groups BYTE-IDENTICAL
+    texts into classes (md5 fingerprint, the q22 exact-dedup precedent)
+    and runs the whole shingle→signature→band→verify cascade on one
+    REPRESENTATIVE per class, expanding id membership afterwards:
+    between-class pairs inherit the class verify (Jaccard depends only
+    on text), within-class pairs are identical texts (inter = uni =
+    |shingles|, which passes any valid threshold exactly as the direct
+    path would). Output is row-for-row identical; signature/verify work
+    becomes linear in DISTINCT texts. The round-5 sf1 probe motivated
+    it: replicated corpora pay clone-quadratic flops in every stage
+    without it, and exact duplicates are precisely what real crawls
+    contain in bulk. Note ``max_bucket`` then caps CLASS counts per
+    band bucket (an improvement: cohorts of identical boilerplate no
+    longer blow buckets), and the estimate prefilter scores class
+    pairs.
 
     With `auto_tune=True` the LSH band/row split is derived from the
     den/num threshold via tune_lsh_params (using up to `num_perm`
@@ -300,6 +317,55 @@ def near_dup_pairs_minhash(
             f"jaccard threshold is den/num = {den}/{num}; it must lie in "
             "(0, 1] — did you pass (num, den) swapped?"
         )
+
+    if collapse_duplicates:
+        keyed = df.select(
+            F.col(id_col), F.col(text_col), fingerprint_md5(text_col).alias("__fp")
+        )
+        classes = keyed.groupBy("__fp").agg(
+            F.min(id_col).alias("__cls"),
+            F.count(F.lit(1)).alias("__cnt"),
+            F.first(text_col).alias("__txt"),  # identical within a class
+        ).localCheckpoint(eager=False)
+        reps = classes.select(
+            F.col("__cls").alias(id_col), F.col("__txt").alias(text_col)
+        )
+        rep_pairs = near_dup_pairs_minhash(
+            reps, id_col, text_col, n=n, num=num, den=den,
+            auto_tune=auto_tune, num_perm=num_perm, max_bucket=max_bucket,
+            est_prefilter_margin_bp=est_prefilter_margin_bp,
+            collapse_duplicates=False,
+        )
+        members = keyed.select(F.col(id_col).alias("__mid"), "__fp").join(
+            classes.select("__fp", "__cls"), "__fp"
+        ).select("__mid", "__cls")
+        between = (
+            rep_pairs
+            .join(members.select(F.col("__cls").alias("id_a"),
+                                 F.col("__mid").alias("__a")), "id_a")
+            .join(members.select(F.col("__cls").alias("id_b"),
+                                 F.col("__mid").alias("__b")), "id_b")
+            .select(
+                F.least("__a", "__b").alias("id_a"),
+                F.greatest("__a", "__b").alias("id_b"),
+                "inter", "uni",
+            )
+        )
+        selfq = classes.where(F.col("__cnt") >= 2).select(
+            "__cls", F.size(shingles(F.col("__txt"), n)).alias("__s")
+        )
+        m_s = members.join(selfq, "__cls")
+        within = (
+            m_s.alias("x").join(m_s.alias("y"), "__cls")
+            .where(F.col("x.__mid") < F.col("y.__mid"))
+            .select(
+                F.col("x.__mid").alias("id_a"),
+                F.col("y.__mid").alias("id_b"),
+                F.col("x.__s").alias("inter"),
+                F.col("x.__s").alias("uni"),
+            )
+        )
+        return between.unionByName(within)
 
     # spread ONCE here so the signature build and the exact-verify
     # text rejoin share a single (reused) exchange instead of each
