@@ -426,7 +426,14 @@ def q59_dedup_components_star(spark, sf_dir):
 
 
 # -------------------------------------------------- semantic dedup (q60)
-def _semdedup_oracle(n_cells: int, min_cos_bp: int) -> str:
+def _semdedup_oracle(min_cos_bp: int, rows_per_cell: int) -> str:
+    """Oracle with the cell count DERIVED from the corpus (ceil(N/
+    rows_per_cell) — the auto_n_cells policy) instead of a pinned
+    literal: a pinned n_cells goes quadratic as the corpus grows
+    (occupancy N/cells explodes the within-cell pair join — the round-5
+    sf1 probe measured 17.9x growth at 10x vectors with cells=8), while
+    bounded occupancy keeps the pair count linear at EVERY sf the gate
+    or bench runs."""
     from etl_wrap_spark.operators import similarity as sim
 
     d_vk = sim.dot_sql("v", "kv")
@@ -439,8 +446,11 @@ def _semdedup_oracle(n_cells: int, min_cos_bp: int) -> str:
     WITH e AS (
       SELECT vec_id AS id, embedding AS v FROM embeddings
     ), cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cell, v AS kv
-      FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_cells}
+      SELECT cell, kv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cell,
+               v AS kv, COUNT(*) OVER () AS n
+        FROM e
+      ) WHERE cell <= CEIL(n / {rows_per_cell}.0)
     ), ass AS (
       SELECT id, v, cell FROM (
         SELECT id, v, cell,
@@ -458,18 +468,23 @@ def _semdedup_oracle(n_cells: int, min_cos_bp: int) -> str:
     """
 
 
-@register("q60_semantic_dedup", oracle=_semdedup_oracle(n_cells=8, min_cos_bp=9900))
+@register(
+    "q60_semantic_dedup",
+    oracle=_semdedup_oracle(min_cos_bp=9900, rows_per_cell=256),
+)
 def q60_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embedding column: coarse
     cells bound pair generation (density-adaptive analogue of q32's
     sign-LSH buckets), keep-first canonical per near-dup group. The
     KMeans-refined quantizer slots in via `centroids=`; the oracle uses
-    the deterministic one."""
+    the deterministic one. n_cells=None → auto_n_cells occupancy policy
+    (ceil(N/256)), which the oracle mirrors with a COUNT(*) OVER ()
+    derivation — the SAME scale-safe cell count at every sf."""
     from etl_wrap_spark.operators import similarity
 
     t = load_tables(spark, sf_dir, ["embeddings"])
     e = t["embeddings"]
-    out = similarity.semantic_dedup(e, "vec_id", "embedding", n_cells=8, min_cos_bp=9900)
+    out = similarity.semantic_dedup(e, "vec_id", "embedding", min_cos_bp=9900)
     return out.select(
         "vec_id", F.when(F.col("keep"), 1).otherwise(0).cast("bigint").alias("keep")
     ).orderBy("vec_id")
