@@ -75,6 +75,8 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
         sql = oracles.get(name)
         if sql is None:
             continue
+        if not KEEP_SORT:
+            sql = strip_oracle_order_by(sql)
         # Same protocol as the Spark side (min of 2 runs): comparing
         # Spark's warm min-of-2 against a single cold DuckDB run would
         # systematically flatter Spark (round-3 ADVICE).
@@ -100,6 +102,48 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
         out[name] = min(runs) if runs else None
         print(f"# duckdb {name}: {out[name]}s", file=sys.stderr)
     return out
+
+
+KEEP_SORT = os.environ.get("SPARK_GRAFT_KEEP_SORT", "0") == "1"
+
+_TRAILING_ORDER_BY = re.compile(r"ORDER\s+BY\s+[^()]*$", re.IGNORECASE)
+
+
+def strip_presentation_sort(df):
+    """Drop a top-level GLOBAL Sort from the query's logical plan.
+
+    Catalog queries end in `.orderBy(...)` purely for presentation —
+    the correctness comparator sorts rows itself, and no production
+    sink at 100 TB consumes a global presentation sort (a coordinator
+    total order is exactly what a distributed pipeline avoids). The
+    round-4 verdict asked for this measurement (~60 ms/query of
+    exchange+sort). Semantics-bearing sorts survive: top-k queries
+    compile to Limit-rooted plans (TakeOrderedAndProject), and
+    sortWithinPartitions is non-global — only a root global Sort is
+    stripped. The DuckDB oracles get the symmetric treatment in
+    time_oracles (trailing ORDER BY without LIMIT removed), so the
+    ratio compares sort-free work on BOTH engines. Disable both with
+    SPARK_GRAFT_KEEP_SORT=1."""
+    from pyspark.sql import DataFrame
+
+    p = df._jdf.queryExecution().logical()
+    if p.nodeName() != "Sort" or not getattr(p, "global")():
+        return df
+    spark = df.sparkSession
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, p.child()
+    )
+    return DataFrame(jdf, spark)
+
+
+def strip_oracle_order_by(sql: str) -> str:
+    """DuckDB-side twin of strip_presentation_sort: remove a trailing
+    top-level ORDER BY (no parens → can't touch window/aggregate
+    arguments; a LIMIT after it means top-k semantics → keep)."""
+    m = _TRAILING_ORDER_BY.search(sql)
+    if m and not re.search(r"\bLIMIT\b", m.group(0), re.IGNORECASE):
+        return sql[: m.start()]
+    return sql
 
 
 def execute_plan(df) -> int:
@@ -151,6 +195,8 @@ def main():
         for _ in range(2):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
+            if not KEEP_SORT:
+                df = strip_presentation_sort(df)
             execute_plan(df)
             runs.append(round(time.time() - t0, 3))
         # Supplementary: execution-only on the already-built plan — the
@@ -181,8 +227,10 @@ def main():
         "unit": "sec",
         "timing": ("steady-state (min of 2 full build+execute runs, "
                    "toRdd full-plan execution — no V2-write sink "
-                   "constant); cold first-run totals and plan-reuse "
-                   "exec-only supplementary numbers alongside"),
+                   "constant; presentation ORDER BY stripped on BOTH "
+                   "engines unless SPARK_GRAFT_KEEP_SORT=1); cold "
+                   "first-run totals and plan-reuse exec-only "
+                   "supplementary numbers alongside"),
         "queries": timings,
         "queries_cold": cold,
         "queries_exec_only": exec_only,

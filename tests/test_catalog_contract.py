@@ -122,3 +122,36 @@ def test_bench_compact_line_fits_driver_tail():
     # the bounded subset still carries the headline queries
     for h in bench.HEADLINE:
         assert h.split("_")[0] in parsed["queries"]
+
+
+def test_bench_presentation_sort_strip(spark):
+    """strip_presentation_sort removes exactly a root GLOBAL Sort (same
+    rows, order-free plan); Limit-rooted top-k and non-global sorts
+    survive. strip_oracle_order_by is the symmetric SQL-side rule."""
+    import bench
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    sorted_df = df.orderBy("k", "id")
+    stripped = bench.strip_presentation_sort(sorted_df)
+    assert stripped._jdf.queryExecution().logical().nodeName() != "Sort"
+    assert stripped.count() == 100
+    assert sorted(tuple(r) for r in stripped.collect()) == sorted(
+        tuple(r) for r in sorted_df.collect()
+    )
+    # top-k compiles to a Limit root — untouched
+    topk = df.orderBy("k").limit(5)
+    assert bench.strip_presentation_sort(topk) is topk
+    # non-global sort — untouched
+    swp = df.sortWithinPartitions("k")
+    assert bench.strip_presentation_sort(swp) is swp
+
+    assert bench.strip_oracle_order_by(
+        "SELECT k, sum(v) AS s FROM t GROUP BY k ORDER BY k, s"
+    ) == "SELECT k, sum(v) AS s FROM t GROUP BY k "
+    # LIMIT after ORDER BY = top-k semantics: keep
+    keep = "SELECT * FROM t ORDER BY v DESC LIMIT 5"
+    assert bench.strip_oracle_order_by(keep) == keep
+    # ORDER BY whose tail contains parens (window/agg args): keep
+    keep2 = "SELECT * FROM t ORDER BY sum(v)"
+    assert bench.strip_oracle_order_by(keep2) == keep2

@@ -2347,3 +2347,62 @@ def test_snapshot_novelty_semantics(spark):
     # new types: 2 from doc2's text (seen) + 3 from doc3/4 (novel)
     assert r["new_types"] == 5 and r["novel_types"] == 3
     assert r["novelty_bp"] == 10000 * 3 // 5
+
+
+def test_value_class_collapse_equivalence(spark):
+    """The collapse_duplicates fast paths (minhash near-dup, embedding
+    near-dup, fuzzy join) must be row-for-row identical to the direct
+    paths on a corpus WITH byte-identical duplicates — the exact regime
+    the collapse optimizes (round-5 sf1 lesson: clone-heavy corpora pay
+    clone-quadratic flops on the direct path)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "the quick brown fox jumps over the lazy dog in the park"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog in the yard"),   # near dup
+        (4, "completely different text about distributed query engines"),
+        (5, "completely different text about distributed query engines"), # exact dup of 4
+        (6, "the quick brown fox jumps over the lazy dog in the park"),   # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    direct = dedup.near_dup_pairs_minhash(
+        docs, "doc_id", "text", n=3, num=2, den=1, collapse_duplicates=False
+    )
+    fast = dedup.near_dup_pairs_minhash(
+        docs, "doc_id", "text", n=3, num=2, den=1, collapse_duplicates=True
+    )
+    assert key(fast) == key(direct) and fast.count() >= 4  # (1,2),(1,6),(2,6),(4,5)+near
+
+    vecs = [
+        (1, [1.0, 0.0, 0.5, 0.2]),
+        (2, [1.0, 0.0, 0.5, 0.2]),        # exact dup
+        (3, [0.99, 0.01, 0.5, 0.2]),      # near dup
+        (4, [-1.0, 0.3, -0.5, 0.8]),
+        (5, [-1.0, 0.3, -0.5, 0.8]),      # exact dup
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "v"])
+    planes = [[0.3, -0.7, 0.1, 0.9], [-0.2, 0.4, 0.8, -0.1]]
+    d2 = similarity.embedding_near_dups(
+        emb, "vec_id", "v", min_cos_bp=9900, planes=planes, collapse_duplicates=False
+    )
+    f2 = similarity.embedding_near_dups(
+        emb, "vec_id", "v", min_cos_bp=9900, planes=planes, collapse_duplicates=True
+    )
+    assert key(f2) == key(d2) and f2.count() >= 2
+
+    from etl_wrap_spark.operators.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(10, "smith"), (11, "smith"), (12, "smyth"), (13, "jones")], ["lid", "lname"]
+    )
+    right = spark.createDataFrame(
+        [(20, "smith"), (21, "jonez"), (22, "jonez")], ["rid", "rname"]
+    )
+    d3 = fuzzy_join(left, right, "lid", "lname", "rid", "rname",
+                    max_dist=1, collapse_duplicates=False)
+    f3 = fuzzy_join(left, right, "lid", "lname", "rid", "rname",
+                    max_dist=1, collapse_duplicates=True)
+    assert key(f3) == key(d3) and f3.count() >= 5
