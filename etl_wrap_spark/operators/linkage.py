@@ -203,3 +203,63 @@ def fuzzy_join(
             F.col("__d").alias(dist_col),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 2,
+    rank_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) →
+    candidate pairs (id_a, id_b, key_a, key_b, rank_dist): rows whose
+    positions in the global (key, id) sort order differ by at most
+    ``window``.
+
+    The complementary blocking strategy to fuzzy_join's q-gram index:
+    q-grams catch typos anywhere in the string but need the strings to
+    overlap in grams; the sorted window catches records that agree on a
+    sort-key PREFIX (same vendor, same title stem, adjacent sizes) even
+    when their tails differ completely. Production linkage runs both
+    and unions the candidate sets.
+
+    The global rank is computed DISTRIBUTED exactly like
+    sampling.shard_balanced: range-repartition on (key, id), local
+    row_numbers, broadcast prefix-offset join over partition counts —
+    no single-partition window anywhere (the offsets window is
+    partition-count grain). Pair generation explodes each row to its
+    ``window`` forward offsets and joins on rank+d = rank — one shuffle
+    join on a bigint, output exactly window*N pairs (minus the tail),
+    never quadratic. ``window`` is a small constant by contract (2-10);
+    the candidate count is window-linear regardless of key skew."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    slim = df.select(F.col(id_col), F.col(key_col))
+    nparts = rank_partitions or slim.sparkSession.sparkContext.defaultParallelism
+    parted = slim.repartitionByRange(nparts, F.col(key_col), F.col(id_col))
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    wl = Window.partitionBy("__pid").orderBy(F.col(key_col), F.col(id_col))
+    local = with_pid.withColumn("__lrn", F.row_number().over(wl))
+    sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(wo), F.lit(0))
+    ).select("__pid", "__off")
+    ranked = local.join(F.broadcast(offsets), "__pid").select(
+        F.col(id_col), F.col(key_col),
+        (F.col("__off") + F.col("__lrn")).cast("bigint").alias("__rank"),
+    )
+    left = ranked.select(
+        F.col(id_col).alias("id_a"), F.col(key_col).alias("key_a"),
+        F.col("__rank").alias("__ra"),
+        F.explode(F.array(*[F.lit(d) for d in range(1, window + 1)])).alias("rank_dist"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"), F.col(key_col).alias("key_b"),
+        F.col("__rank").alias("__rb"),
+    )
+    return (
+        left.join(right, left["__ra"] + left["rank_dist"] == right["__rb"])
+        .select("id_a", "id_b", "key_a", "key_b", F.col("rank_dist").cast("bigint").alias("rank_dist"))
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -212,3 +212,137 @@ def phrase_search(postings_pos: DataFrame, phrase: list[str]) -> DataFrame:
             ],
         ).drop(nxt["id"])
     return cur.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+
+
+# --------------------------------------------------------------- MMR rerank
+def mmr_rerank(
+    cands: DataFrame,
+    query_col: str,
+    id_col: str,
+    rel_col: str,
+    code_col: str,
+    k: int,
+    lam: tuple[int, int] = (1, 2),
+    code_bits: int = 60,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification (Carbonell & Goldstein
+    1998) of a per-query candidate set → (query, pick_no, id, mmr_score).
+
+    Greedy: pick_i = argmax over remaining candidates of
+        num*rel - (den-num)*maxsim_to_selected      (λ = num/den)
+    with maxsim of the empty set defined 0 (pick 1 is pure relevance)
+    and ties broken by id. Similarity between candidates is the exact
+    integer SimHash kernel  sim(a,b) = bits - 2*popcount(a XOR b)  over
+    ``code_col`` (e.g. dedup.simhash_signatures), so every score is
+    int64 and the whole greedy trace is engine-portable — an unrolled
+    SQL oracle reproduces it step for step.
+
+    BOUNDED-INPUT CONTRACT (same as rrf_fuse): ``cands`` is a per-query
+    top-N candidate frame (N ≲ 10^3, the rerank window of a retrieval
+    stack), never a corpus-grain frame. The greedy loop is inherently
+    sequential in k but independent across queries: applyInPandas
+    groups by query, so 100 TB of queries parallelize per-query while
+    each group stays a small in-memory problem."""
+    import pandas as pd
+
+    num, den = lam
+    if not (0 < num <= den):
+        raise ValueError(f"lambda must satisfy 0 < num <= den, got {lam}")
+    out_schema = (
+        f"{query_col} string, pick_no int, {id_col} bigint, mmr_score bigint"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].astype("int64").tolist()
+        rel = pdf[rel_col].astype("int64").tolist()
+        code = pdf[code_col].astype("int64").tolist()
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        remaining = list(order)
+        picked: list[int] = []
+        rows = []
+        qval = pdf[query_col].iloc[0]
+        for step in range(1, min(k, len(ids)) + 1):
+            best, best_score = None, None
+            for i in remaining:
+                maxsim = max(
+                    (code_bits - 2 * int(code[i] ^ code[j]).bit_count() for j in picked),
+                    default=0,
+                )
+                score = num * rel[i] - (den - num) * maxsim
+                if best is None or score > best_score or (score == best_score and ids[i] < ids[best]):
+                    best, best_score = i, score
+            picked.append(best)
+            remaining.remove(best)
+            rows.append((qval, step, ids[best], best_score))
+        return pd.DataFrame(rows, columns=[query_col, "pick_no", id_col, "mmr_score"])
+
+    return cands.groupBy(query_col).applyInPandas(_greedy, schema=out_schema)
+
+
+# ------------------------------------------------------- multi-vector maxsim
+def token_code_expr(tok: Column | str, bits: int = 16) -> Column:
+    """Deterministic ±1 sign-vector for a token, packed as a ``bits``-wide
+    integer code: bit j = md5-hash parity of ``token#j``. Dot products
+    between two tokens' implied ±1 vectors reduce to
+    bits - 2*popcount(a XOR b) — exact int64, no floats anywhere."""
+    from etl_wrap_spark.operators.text import hash60
+
+    c = F.col(tok) if isinstance(tok, str) else tok
+    acc = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit = hash60(F.concat(c, F.lit(f"#{j}"))) % 2
+        acc = acc + bit * F.lit(1 << j).cast("bigint")
+    return acc
+
+
+def token_code_sql(tok: str, bits: int = 16) -> str:
+    """Oracle-side mirror of token_code_expr."""
+    return " + ".join(
+        f"(CAST('0x' || substr(md5({tok} || '#{j}'), 1, 15) AS BIGINT) % 2) "
+        f"* CAST({1 << j} AS BIGINT)"
+        for j in range(bits)
+    )
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[str, str]],
+    k: int = 5,
+    bits: int = 16,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval → (qid, rank, id, score):
+    score(q, d) = Σ_{t∈q} max_{u∈d} ⟨v_t, v_u⟩ over per-TOKEN vectors,
+    here the deterministic ±1 hash projections of token_code_expr, so
+    the maxsim kernel is the exact integer bits - 2*popcount(xor).
+
+    Plan shape: the query token table (|queries| × |q-tokens| rows) is
+    BROADCAST against the corpus token table — the expensive frame is
+    corpus-token-grain (linear in corpus size, never |Q|×|C| document
+    pairs); the max and the sum are two map-side-combining aggregations
+    on (qid, qtok, doc) then (qid, doc); the final top-k is a
+    qid-partitioned rank window. At 100 TB the corpus token-code table
+    is the persistable index (one bigint per distinct token per doc) —
+    queries never rescan text."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    spark = docs.sparkSession
+    docs = ensure_min_parallelism(docs)
+    dtok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("dt"),
+    ).withColumn("dcode", token_code_expr("dt", bits))
+    q = spark.createDataFrame(queries, "qid string, qtext string")
+    qtok = q.select(
+        "qid", F.explode(F.array_distinct(tokens("qtext"))).alias("qt")
+    ).withColumn("qcode", token_code_expr("qt", bits))
+    simmed = dtok.join(F.broadcast(qtok)).select(
+        "qid", "qt", "id",
+        (F.lit(bits) - 2 * F.bit_count(F.col("qcode").bitwiseXOR(F.col("dcode"))))
+        .cast("bigint").alias("sim"),
+    )
+    per_qtok = simmed.groupBy("qid", "qt", "id").agg(F.max("sim").alias("best"))
+    per_doc = per_qtok.groupBy("qid", "id").agg(F.sum("best").cast("bigint").alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id"))
+    return per_doc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -412,3 +412,50 @@ def weighted_median(
         )
         .select(*groups, "total_w", "wmedian")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_bp_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a probability
+    model scored in basis points → one row per non-empty bin:
+    (bin, n, conf_bp, acc_bp, gap_bp, ece_bp).
+
+    bin      = score_bp // (10000/n_bins), scores clamped to [0, 9999]
+    conf_bp  = floor(mean score)      — predicted probability in the bin
+    acc_bp   = floor(10000 * positives / n)  — observed frequency
+    gap_bp   = |acc - conf|
+    ece_bp   = floor(Σ_b n_b·gap_b / N)  — the scalar ECE (Naeini et al.
+               2015), repeated on every row for a flat readout.
+
+    All integer (floor division), so the release is engine-portable and
+    mergeable: the per-bin (n, Σscore, Σlabel) triplet is a map-side
+    combining aggregation — one scan at any scale; the ECE reduction is
+    n_bins-grain. The model-eval counterpart of quality_model.py's AUC
+    gate: AUC checks ranking, ECE checks the probabilities themselves."""
+    if 10000 % n_bins != 0:
+        raise ValueError(f"n_bins must divide 10000, got {n_bins}")
+    width = 10000 // n_bins
+    s = F.greatest(F.lit(0), F.least(F.col(score_bp_col).cast("bigint"), F.lit(9999)))
+    binned = df.select(
+        s.alias("__s"), F.col(label_col).cast("bigint").alias("__y")
+    ).withColumn("bin", F.expr(f"__s div {width}").cast("bigint"))
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__s").cast("bigint").alias("__ssum"),
+        F.sum("__y").cast("bigint").alias("__pos"),
+    )
+    stats = per_bin.select(
+        "bin", "n",
+        F.expr("__ssum div n").cast("bigint").alias("conf_bp"),
+        F.expr("(10000 * __pos) div n").cast("bigint").alias("acc_bp"),
+    ).withColumn("gap_bp", F.abs(F.col("acc_bp") - F.col("conf_bp")).cast("bigint"))
+    tot = stats.agg(
+        F.expr("sum(n * gap_bp) div sum(n)").cast("bigint").alias("ece_bp")
+    )
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "bin", "n", "conf_bp", "acc_bp", "gap_bp", "ece_bp"
+    )

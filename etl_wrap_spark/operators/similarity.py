@@ -727,3 +727,126 @@ def ivfpq_topk(
     return exact.withColumn("rank", F.row_number().over(we)).where(F.col("rank") <= k).select(
         "qid", "rank", "cid", "cos"
     )
+
+
+# ------------------------------------------------- int8 scalar quantization
+# The standard serving-time memory trick next to PQ (ivfpq_topk above):
+# normalize, then FLOOR(127 * x_i / ||x||) per element. 4x smaller than
+# float32, and the quantized DOT PRODUCT is exact int64 arithmetic —
+# order-independent, bit-identical on every engine — so rankings over
+# quantized vectors are oracle-checkable with no float surface at all.
+
+
+def quantize_int8_expr(vec: str) -> Column:
+    """array<bigint> of FLOOR(127 * x_i / ||x||) — symmetric scalar
+    quantization of the L2-normalized vector (each element lands in
+    [-127, 126]; stored int8 in a real sink, kept bigint here so the
+    downstream dot products never widen).
+
+    Determinism: the norm is the same fixed-order IEEE fold as
+    dot_expr, the scale/divide are correctly-rounded double ops, and
+    FLOOR truncates identically on Spark and DuckDB (the repo-wide
+    floor-before-cast rule). Zero vectors quantize to all-zero."""
+    n = norm_expr(vec)
+    return F.transform(
+        F.col(vec),
+        lambda x: F.when(n == 0.0, F.lit(0).cast("bigint")).otherwise(
+            F.floor(F.lit(127.0) * x.cast("double") / n).cast("bigint")
+        ),
+    )
+
+
+def quantize_int8_sql(vec: str, dim: int = DIM) -> str:
+    """Oracle-side mirror of quantize_int8_expr (DuckDB list_transform)."""
+    norm = f"sqrt({dot_sql(vec, vec, dim)})"
+    return (
+        f"list_transform({vec}, x -> CASE WHEN {norm} = 0.0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(FLOOR(127.0 * CAST(x AS DOUBLE) / {norm}) AS BIGINT) END)"
+    )
+
+
+def int_dot_expr(a: str, b: str) -> Column:
+    """Exact int64 dot of two array<bigint> columns (order-free)."""
+    prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+
+
+def int_dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
+
+
+def int8_topk(
+    queries: DataFrame, corpus: DataFrame, id_q: str, id_c: str, vec: str, k: int
+) -> DataFrame:
+    """Exact top-k under int8-quantized cosine: (qid, rank, cid, qdot).
+
+    Since both sides are normalized before quantization, the integer
+    dot is ~127^2 * cos plus bounded per-element floor noise — the
+    ranking a production int8 index serves. Same broadcast/never-
+    shuffle-the-corpus shape as brute_force_topk; the scoring loop is
+    pure int64 (whole-stage codegen, no doubles past the one-time
+    quantization projection). At 100 TB the quantized corpus column is
+    what persists (4x smaller scans); re-quantization never touches
+    raw text."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus)
+    q = queries.select(F.col(id_q).alias("qid"), quantize_int8_expr(vec).alias("qq"))
+    c = corpus.select(F.col(id_c).alias("cid"), quantize_int8_expr(vec).alias("cq"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", int_dot_expr("qq", "cq").alias("qdot")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def centroid_drift_int8(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str,
+    vec: str,
+) -> DataFrame:
+    """Embedding drift monitor → per group (group, n_old, n_new,
+    l1_scaled): the scale-free L1 distance between the OLD and NEW
+    quantized centroids, cross-multiplied to stay in exact integers:
+
+        l1_scaled = Σ_d | Σ_old q_d · n_new  −  Σ_new q_d · n_old |
+
+    (= n_old·n_new · Σ_d |mean_old_d − mean_new_d| — zero iff the
+    quantized centroids agree; compare against n_old·n_new·tolerance.)
+    Quantization (quantize_int8_expr) makes every sum int64 and the
+    release engine-portable — the embedding-pipeline counterpart of the
+    KS/chi² feature-drift screens (operators/robust.py, profile.py).
+
+    Plan at scale: posexplode to (group, dim) partial sums — map-side
+    combining, 64 rows per group after the agg — then a group·dim-grain
+    join and a group-grain reduction. One scan per side, no pairwise
+    anything. Overflow: |Σq| ≤ 127·n, so the cross product is safe to
+    ~10⁸ rows per side per group; past that, upgrade the products to
+    DECIMAL(38,0).
+    """
+    def _sums(df: DataFrame, n_col: str, s_col: str) -> DataFrame:
+        q = df.select(F.col(group_col).alias("g"), quantize_int8_expr(vec).alias("q"))
+        ex = q.select("g", F.posexplode("q").alias("d", "v"))
+        per_dim = ex.groupBy("g", "d").agg(F.sum("v").cast("bigint").alias(s_col))
+        n = q.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias(n_col))
+        return per_dim.join(n, "g")
+
+    o = _sums(old, "n_old", "s_old")
+    n = _sums(new, "n_new", "s_new")
+    joined = o.join(n, ["g", "d"], "full_outer").select(
+        "g",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        (
+            F.abs(
+                F.coalesce("s_old", F.lit(0)) * F.coalesce("n_new", F.lit(0))
+                - F.coalesce("s_new", F.lit(0)) * F.coalesce("n_old", F.lit(0))
+            )
+        ).alias("term"),
+    )
+    return joined.groupBy("g").agg(
+        F.max("n_old").cast("bigint").alias("n_old"),
+        F.max("n_new").cast("bigint").alias("n_new"),
+        F.sum("term").cast("bigint").alias("l1_scaled"),
+    ).select(F.col("g").alias(group_col), "n_old", "n_new", "l1_scaled")

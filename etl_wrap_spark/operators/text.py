@@ -699,3 +699,66 @@ def canonical_url(col: Column | str) -> Column:
         path,
         F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
+
+
+def cluster_label_terms(
+    df,
+    cluster_col: str,
+    text_col: str,
+    top_k: int = 5,
+    min_len: int = 3,
+    min_count: int = 2,
+):
+    """Cluster labeling by distinctive terms (class-based tf-idf, the
+    BERTopic/c-TF-IDF readout): for each cluster, the top-k terms by the
+    exact-integer lift of the term's rate inside the cluster over its
+    corpus rate:
+
+        lift_bp = ctf * total_tokens * 10000 div (cluster_tokens * cf)
+
+    (ctf = term count in cluster, cf = corpus count). All integers —
+    no float log, so rankings are engine-exact; ties break to the
+    lexicographically smallest term. ``min_count`` floors ctf (rate
+    ratios are noise at singleton support).
+
+    Plan at scale: explode → (cluster, term) counts with map-side
+    combine, a vocabulary-grain corpus aggregate, two broadcast-able
+    joins (corpus totals are 1-row / vocabulary-grain), and a
+    cluster-partitioned rank window. Same shuffle discipline as
+    tfidf_top_terms; the output is cluster-grain · k.
+
+    Overflow: ctf·total_tokens·10⁴ exceeds int64 when corpus tokens
+    approach ~10¹⁴/ctf — upgrade the product to DECIMAL(38,0) past
+    ~10¹² total tokens (the bigram_collocations bound note applies).
+    """
+    ex = df.select(
+        F.col(cluster_col).alias("cluster"),
+        F.explode(alpha_terms(text_col, min_len)).alias("term"),
+    )
+    ctf = ex.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("ctf"))
+    ctot = ex.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_tokens"))
+    cf = ctf.groupBy("term").agg(F.sum("ctf").alias("cf"))
+    total = ex.agg(F.count(F.lit(1)).alias("total_tokens"))
+    scored = (
+        ctf.where(F.col("ctf") >= min_count)
+        .join(ctot, "cluster")
+        .join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift_bp",
+            F.expr("(ctf * total_tokens * 10000) div (cluster_tokens * cf)").cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("lift_bp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select(
+            "cluster", "term",
+            F.col("ctf").cast("bigint").alias("ctf"),
+            F.col("cf").cast("bigint").alias("cf"),
+            "lift_bp",
+        )
+    )

@@ -5636,3 +5636,481 @@ def q180_snapshot_novelty(spark, sf_dir):
         d.where(F.col("doc_id") % 2 == 1),
         "doc_id", "text", n=3, group_col="lang",
     ).orderBy("lang")
+
+
+# --------------------------------------- int8 quantized ANN overlap (q181)
+def _int8_overlap_oracle() -> str:
+    from etl_wrap_spark.operators import similarity as S
+
+    dot = S.dot_sql("qv", "cv")
+    nq = S.dot_sql("qv", "qv")
+    nc = S.dot_sql("cv", "cv")
+    qq = S.quantize_int8_sql("qv")
+    cq = S.quantize_int8_sql("cv")
+    idot = S.int_dot_sql("qa", "ca")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 <> 0
+    ), ex AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 ({dot}) / (sqrt({nq}) * sqrt({nc})) DESC, cid) AS r
+        FROM q, c) WHERE r <= 10
+    ), qq AS (
+      SELECT qid, {qq} AS qa FROM q
+    ), cc AS (
+      SELECT cid, {cq} AS ca FROM c
+    ), i8 AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ({idot}) DESC, cid) AS r
+        FROM qq, cc) WHERE r <= 10
+    ), ov AS (
+      SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM ex JOIN i8 ON ex.qid = i8.qid AND ex.cid = i8.cid GROUP BY 1
+    )
+    SELECT q.qid,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(1000 * COALESCE(ov.n_overlap, 0) AS BIGINT) AS overlap_bp
+    FROM q LEFT JOIN ov ON q.qid = ov.qid ORDER BY q.qid
+    """
+
+
+@register("q181_int8_ann_overlap", oracle=_int8_overlap_oracle())
+def q181_int8_ann_overlap(spark, sf_dir):
+    """Int8 scalar-quantization QA (operators/similarity.py:
+    quantize_int8_expr / int8_topk): per query, the overlap between the
+    exact-cosine top-10 and the top-10 under int8-quantized integer
+    dot — the recall readout that decides whether the 4x-smaller
+    quantized index can serve a workload. Both rankings are
+    engine-exact (the cosine by the fixed IEEE fold, the quantized dot
+    by pure int64), so the overlap is oracle-checked to the row. At
+    100 TB the quantized array<tinyint> column is the persisted index;
+    this readout runs on a sample as the deploy gate."""
+    from etl_wrap_spark.operators import similarity as S
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    exact = S.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=10).select(
+        "qid", "cid"
+    )
+    quant = S.int8_topk(q, c, "vec_id", "vec_id", "embedding", k=10).select(
+        "qid", "cid"
+    )
+    ov = (
+        exact.join(quant, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    qids = q.select(F.col("vec_id").alias("qid"))
+    return (
+        qids.join(ov, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.lit(1000) * F.coalesce("n_overlap", F.lit(0))).cast("bigint").alias("overlap_bp"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ------------------------------------------------- MMR diversification (q182)
+_MMR_QUERIES = [
+    ("qa", "scan filter join"),
+    ("qb", "window order data"),
+    ("qc", "hash merge batch"),
+]
+
+
+def _mmr_oracle() -> str:
+    from etl_wrap_spark.operators import dedup as D
+
+    sums = ",\n             ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(D.SIMHASH_BITS)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    vals = ", ".join(
+        "('" + qid + "', [" + ", ".join(f"'{w}'" for w in qt.split()) + "])"
+        for qid, qt in _MMR_QUERIES
+    )
+    bits = D.SIMHASH_BITS
+
+    def sim(a: str, b: str) -> str:
+        return f"({bits} - 2 * bit_count(xor({a}, {b})))"
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, trim(text) AS text FROM documents WHERE doc_id % 2 = 0
+    ), toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok FROM base
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+    ), s AS (
+      SELECT doc_id, {sums} FROM h GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, {recon} AS code FROM s
+    ), tl AS (
+      SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS t FROM base
+    ), q(qid, qt) AS (
+      VALUES {vals}
+    ), rel AS (
+      SELECT qid, doc_id, CAST(20 * len(list_intersect(t, qt)) AS BIGINT) AS rel FROM tl, q
+    ), cand AS (
+      SELECT qid, doc_id, rel FROM (
+        SELECT qid, doc_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS rn
+        FROM rel) WHERE rn <= 8
+    ), c AS (
+      SELECT cand.qid, cand.doc_id, cand.rel, sh.code FROM cand JOIN sh USING (doc_id)
+    ), p1 AS (
+      SELECT qid, doc_id, rel, code, rel AS score FROM (
+        SELECT qid, doc_id, rel, code,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS rn
+        FROM c) WHERE rn = 1
+    ), p2 AS (
+      SELECT qid, doc_id, rel, code, score FROM (
+        SELECT c.qid, c.doc_id, c.rel, c.code,
+               c.rel - {sim("c.code", "p1.code")} AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+                 c.rel - {sim("c.code", "p1.code")} DESC, c.doc_id) AS rn
+        FROM c JOIN p1 ON c.qid = p1.qid AND c.doc_id <> p1.doc_id) WHERE rn = 1
+    ), p3 AS (
+      SELECT qid, doc_id, rel, code, score FROM (
+        SELECT c.qid, c.doc_id, c.rel, c.code,
+               c.rel - GREATEST({sim("c.code", "p1.code")}, {sim("c.code", "p2.code")}) AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+                 c.rel - GREATEST({sim("c.code", "p1.code")}, {sim("c.code", "p2.code")}) DESC,
+                 c.doc_id) AS rn
+        FROM c
+        JOIN p1 ON c.qid = p1.qid
+        JOIN p2 ON c.qid = p2.qid
+        WHERE c.doc_id <> p1.doc_id AND c.doc_id <> p2.doc_id) WHERE rn = 1
+    ), p4 AS (
+      SELECT qid, doc_id, score FROM (
+        SELECT c.qid, c.doc_id,
+               c.rel - GREATEST({sim("c.code", "p1.code")}, {sim("c.code", "p2.code")},
+                                {sim("c.code", "p3.code")}) AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+                 c.rel - GREATEST({sim("c.code", "p1.code")}, {sim("c.code", "p2.code")},
+                                  {sim("c.code", "p3.code")}) DESC, c.doc_id) AS rn
+        FROM c
+        JOIN p1 ON c.qid = p1.qid
+        JOIN p2 ON c.qid = p2.qid
+        JOIN p3 ON c.qid = p3.qid
+        WHERE c.doc_id <> p1.doc_id AND c.doc_id <> p2.doc_id AND c.doc_id <> p3.doc_id)
+      WHERE rn = 1
+    )
+    SELECT qid, CAST(1 AS INTEGER) AS pick_no, doc_id, CAST(score AS BIGINT) AS mmr_score FROM p1
+    UNION ALL
+    SELECT qid, CAST(2 AS INTEGER), doc_id, CAST(score AS BIGINT) FROM p2
+    UNION ALL
+    SELECT qid, CAST(3 AS INTEGER), doc_id, CAST(score AS BIGINT) FROM p3
+    UNION ALL
+    SELECT qid, CAST(4 AS INTEGER), doc_id, CAST(score AS BIGINT) FROM p4
+    ORDER BY qid, pick_no
+    """
+
+
+@register("q182_mmr_rerank", oracle=_mmr_oracle())
+def q182_mmr_rerank(spark, sf_dir):
+    """MMR-diversified rerank (operators/retrieval.py:mmr_rerank,
+    Carbonell & Goldstein 1998): 3 keyword queries score a half-corpus
+    by 20x token overlap, the top-8 candidates per query get SimHash
+    codes (operators/dedup.py:simhash_signatures), and the greedy
+    λ=1/2 trace picks 4 docs per query maximizing relevance minus
+    max-similarity-to-already-picked — the diversification stage of a
+    retrieval stack. Every score is int64 (the SimHash kernel
+    bits - 2·popcount(xor)), so the 4-step greedy trace is reproduced
+    step for step by an unrolled SQL oracle. The candidate frame is
+    bounded (8/query) per mmr_rerank's contract; the heavy work
+    (overlap + SimHash) is token-grain linear."""
+    from etl_wrap_spark.operators import dedup as D
+    from etl_wrap_spark.operators.retrieval import mmr_rerank
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].where(F.col("doc_id") % 2 == 0)
+    q = spark.createDataFrame(_MMR_QUERIES, "qid string, qtext string")
+    qtoks = q.select("qid", F.array_distinct(T.tokens("qtext")).alias("qt"))
+    rel = (
+        docs.select("doc_id", F.array_distinct(T.tokens("text")).alias("t"))
+        .crossJoin(F.broadcast(qtoks))
+        .select(
+            "qid", "doc_id",
+            (F.lit(20) * F.size(F.array_intersect("t", "qt"))).cast("bigint").alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "doc_id")
+    cand = rel.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 8).drop("rn")
+    codes = D.simhash_signatures(docs, "doc_id", "text")
+    cands = cand.join(codes, "doc_id").select("qid", "doc_id", "rel", "simhash")
+    picks = mmr_rerank(
+        cands, "qid", "doc_id", "rel", "simhash", k=4, lam=(1, 2), code_bits=D.SIMHASH_BITS
+    )
+    return picks.orderBy("qid", "pick_no")
+
+
+# ------------------------------------------------ calibration readout (q183)
+_TOKS_X = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "q183_calibration_readout",
+    oracle=f"""
+    WITH d AS (
+      SELECT GREATEST(0, LEAST((10000 * n_chars) // 2000, 9999)) AS s,
+             CASE WHEN 2 * len(list_distinct({_TOKS_X})) >= len({_TOKS_X})
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), b AS (
+      SELECT CAST(s // 1000 AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS ssum,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM d GROUP BY 1
+    ), g AS (
+      SELECT bin, n,
+             CAST(ssum // n AS BIGINT) AS conf_bp,
+             CAST((10000 * pos) // n AS BIGINT) AS acc_bp,
+             CAST(abs((10000 * pos) // n - ssum // n) AS BIGINT) AS gap_bp
+      FROM b
+    ), t AS (
+      SELECT CAST(SUM(n * gap_bp) // SUM(n) AS BIGINT) AS ece_bp FROM g
+    )
+    SELECT g.bin, g.n, g.conf_bp, g.acc_bp, g.gap_bp, t.ece_bp
+    FROM g, t ORDER BY g.bin
+    """,
+)
+def q183_calibration_readout(spark, sf_dir):
+    """Reliability diagram + ECE (operators/robust.py:calibration_bins,
+    Naeini et al. 2015): a length-proxy probability (score_bp =
+    10000·n_chars/2000, clamped) predicting lexical diversity
+    (label = distinct-token ratio ≥ 50%), binned into deciles with
+    per-bin confidence vs accuracy and the scalar Expected Calibration
+    Error — the probability-quality readout beside the AUC ranking gate
+    (operators/quality_model.py). All integer basis points: one
+    map-side-combining scan at any scale, an n_bins-grain reduction for
+    the ECE."""
+    from etl_wrap_spark.operators.robust import calibration_bins
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = T.tokens("text")
+    d = t["documents"].select(
+        F.expr("greatest(0, least((10000 * n_chars) div 2000, 9999))")
+        .cast("bigint").alias("score_bp"),
+        F.when(2 * F.size(F.array_distinct(toks)) >= F.size(toks), 1)
+        .otherwise(0).alias("label"),
+    )
+    return calibration_bins(d, "score_bp", "label", n_bins=10).orderBy("bin")
+
+
+# ------------------------------------------- sorted-neighborhood pairs (q184)
+@register(
+    "q184_sorted_neighborhood",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang || ':' || lpad(CAST(n_chars AS VARCHAR), 6, '0') AS key
+      FROM documents
+    ), r AS (
+      SELECT doc_id, key, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn FROM k
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.key AS key_a, b.key AS key_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q184_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators/linkage.py:
+    sorted_neighborhood_pairs, Hernández & Stolfo 1995): candidate
+    pairs within a 3-position window of the global (lang:size, doc_id)
+    sort order — the prefix-agreement blocking that complements
+    fuzzy_join's q-gram index for record linkage. The global rank is
+    distributed (range repartition + local row_number + broadcast
+    prefix offsets, the sampling.shard_balanced pattern); pair
+    generation is an offset-explode equi-join, window-linear in N —
+    never quadratic, no single-partition window."""
+    from etl_wrap_spark.operators.linkage import sorted_neighborhood_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    keyed = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("lang"), F.lit(":"), F.lpad(F.col("n_chars").cast("string"), 6, "0")
+        ).alias("key"),
+    )
+    return sorted_neighborhood_pairs(keyed, "doc_id", "key", window=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------- multi-vector maxsim (q185)
+def _maxsim_oracle() -> str:
+    from etl_wrap_spark.operators import retrieval as R
+
+    dcode = R.token_code_sql("tok")
+    qcode = R.token_code_sql("qt")
+    vals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _MMR_QUERIES)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ), dc AS (
+      SELECT doc_id, tok, CAST({dcode} AS BIGINT) AS dcode FROM toks
+    ), q(qid, qtext) AS (
+      VALUES {vals}
+    ), qtoks AS (
+      SELECT qid, unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS qt
+      FROM q
+    ), qc AS (
+      SELECT qid, qt, CAST({qcode} AS BIGINT) AS qcode FROM qtoks
+    ), best AS (
+      SELECT qc.qid, qc.qt, dc.doc_id,
+             MAX(16 - 2 * bit_count(xor(qc.qcode, dc.dcode))) AS best
+      FROM qc, dc GROUP BY 1, 2, 3
+    ), sc AS (
+      SELECT qid, doc_id, CAST(SUM(best) AS BIGINT) AS score FROM best GROUP BY 1, 2
+    ), rk AS (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      FROM sc
+    )
+    SELECT qid, rank, doc_id, score FROM rk WHERE rank <= 5 ORDER BY qid, rank
+    """
+
+
+@register("q185_maxsim_retrieval", oracle=_maxsim_oracle())
+def q185_maxsim_retrieval(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval (operators/retrieval.py:
+    maxsim_topk): per query token, the best-matching document token
+    under the exact ±1 hash-projection kernel (16 - 2·popcount(xor) on
+    16-bit token codes), summed per document, top-5 per query. The
+    query token table broadcasts; the corpus side stays token-grain
+    linear (the persistable index is one bigint code per distinct token
+    per doc); two map-side-combining aggregations and a qid-partitioned
+    rank window."""
+    from etl_wrap_spark.operators.retrieval import maxsim_topk
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        maxsim_topk(t["documents"], "doc_id", "text", _MMR_QUERIES, k=5, bits=16)
+        .select("qid", "rank", F.col("id").alias("doc_id"), "score")
+        .orderBy("qid", "rank")
+    )
+
+
+# ------------------------------------------- c-TF-IDF cluster labels (q186)
+@register(
+    "q186_cluster_labels",
+    oracle="""
+    WITH ex AS (
+      SELECT source AS cluster,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> len(t) >= 3)) AS term
+      FROM documents
+    ), ctf AS (
+      SELECT cluster, term, CAST(COUNT(*) AS BIGINT) AS ctf FROM ex GROUP BY 1, 2
+    ), ctot AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_tokens FROM ex GROUP BY 1
+    ), cf AS (
+      SELECT term, CAST(SUM(ctf) AS BIGINT) AS cf FROM ctf GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM ex
+    ), sc AS (
+      SELECT c.cluster, c.term, c.ctf, cf.cf,
+             CAST((c.ctf * tot.total_tokens * 10000)
+                  // (ct.cluster_tokens * cf.cf) AS BIGINT) AS lift_bp
+      FROM ctf c JOIN ctot ct USING (cluster) JOIN cf USING (term), tot
+      WHERE c.ctf >= 2
+    ), rk AS (
+      SELECT cluster, term, ctf, cf, lift_bp,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY lift_bp DESC, term) AS rn
+      FROM sc
+    )
+    SELECT cluster, term, ctf, cf, lift_bp FROM rk WHERE rn <= 3
+    ORDER BY cluster, term
+    """,
+)
+def q186_cluster_labels(spark, sf_dir):
+    """Cluster labeling by distinctive terms (operators/text.py:
+    cluster_label_terms — class-based tf-idf, the BERTopic c-TF-IDF
+    readout): for each source cluster, the 3 terms whose in-cluster
+    rate most exceeds their corpus rate, in exact-integer lift basis
+    points — the "what is this cluster about" stage after any document
+    clustering (near-dup CC, semantic dedup cells, topic buckets). All
+    keyed aggregations with map-side combine; the corpus total is a
+    1-row broadcast; ranking is cluster-partitioned."""
+    from etl_wrap_spark.operators.text import cluster_label_terms
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].withColumnRenamed("source", "cluster")
+    return cluster_label_terms(
+        d, "cluster", "text", top_k=3, min_len=3, min_count=2
+    ).orderBy("cluster", "term")
+
+
+# ------------------------------------------ int8 centroid drift (q187)
+def _drift_oracle() -> str:
+    from etl_wrap_spark.operators import similarity as S
+
+    q = S.quantize_int8_sql("embedding")
+    return f"""
+    WITH o AS (
+      SELECT label, {q} AS q FROM embeddings WHERE vec_id % 2 = 0
+    ), n AS (
+      SELECT label, {q} AS q FROM embeddings WHERE vec_id % 2 = 1
+    ), od AS (
+      SELECT label, i - 1 AS d, CAST(SUM(q[i]) AS BIGINT) AS s_old
+      FROM o, generate_series(1, 64) t(i) GROUP BY 1, 2
+    ), nd AS (
+      SELECT label, i - 1 AS d, CAST(SUM(q[i]) AS BIGINT) AS s_new
+      FROM n, generate_series(1, 64) t(i) GROUP BY 1, 2
+    ), oc AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_old FROM o GROUP BY 1
+    ), nc AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_new FROM n GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(od.label, nd.label) AS label,
+             COALESCE(oc.n_old, 0) AS n_old,
+             COALESCE(nc.n_new, 0) AS n_new,
+             ABS(COALESCE(od.s_old, 0) * COALESCE(nc.n_new, 0)
+                 - COALESCE(nd.s_new, 0) * COALESCE(oc.n_old, 0)) AS term
+      FROM od FULL JOIN nd ON od.label = nd.label AND od.d = nd.d
+      LEFT JOIN oc ON oc.label = COALESCE(od.label, nd.label)
+      LEFT JOIN nc ON nc.label = COALESCE(od.label, nd.label)
+    )
+    SELECT label, CAST(MAX(n_old) AS BIGINT) AS n_old,
+           CAST(MAX(n_new) AS BIGINT) AS n_new,
+           CAST(SUM(term) AS BIGINT) AS l1_scaled
+    FROM j GROUP BY label ORDER BY label
+    """
+
+
+@register("q187_centroid_drift", oracle=_drift_oracle())
+def q187_centroid_drift(spark, sf_dir):
+    """Embedding drift monitor (operators/similarity.py:
+    centroid_drift_int8): per label, the scale-free exact-integer L1
+    distance between the int8-quantized centroids of the even-id
+    (yesterday) and odd-id (today) halves — the embedding-pipeline
+    sibling of the KS/chi² feature-drift screens. A re-embedding with a
+    changed model or a shifted corpus mix moves the per-class centroids;
+    this catches it in one scan per side with no pairwise stage."""
+    from etl_wrap_spark.operators.similarity import centroid_drift_int8
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    return centroid_drift_int8(
+        e.where(F.col("vec_id") % 2 == 0),
+        e.where(F.col("vec_id") % 2 == 1),
+        "label",
+        "embedding",
+    ).orderBy("label")

@@ -118,6 +118,9 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     # largest-remainder apportionment ranks the GROUP-GRAIN quota frame
     # (rows = number of languages)
     "q178_temperature_mixture": "group-grain quota frame",
+    # sorted-neighborhood rank: same partition-count offsets frame as
+    # shard_balanced (groupBy spark_partition_id → ≤ parallelism rows)
+    "q184_sorted_neighborhood": "partition-count offsets frame",
 }
 
 _BOUNDING = {

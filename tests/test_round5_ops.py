@@ -1,0 +1,277 @@
+"""Round-5 operator tests: int8 quantization, MMR rerank, calibration
+bins, sorted-neighborhood blocking, maxsim retrieval."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ------------------------------------------------------- int8 quantization
+def test_quantize_int8_known_vector(spark):
+    from etl_wrap_spark.operators.similarity import quantize_int8_expr
+
+    # ||v|| = 5.0 exactly; floor(127 * x / 5)
+    df = spark.createDataFrame([([3.0, 4.0, 0.0, -3.0],)], "vec array<float>")
+    # norm = sqrt(9+16+0+9) = sqrt(34) — use a clean 3-4-5 instead
+    df = spark.createDataFrame([([3.0, 4.0],)], "vec array<float>")
+    (out,) = df.select(quantize_int8_expr("vec").alias("q")).collect()
+    assert out.q == [int(127 * 3 / 5), int(127 * 4 / 5)]  # [76, 101]
+
+
+def test_quantize_int8_zero_vector(spark):
+    from etl_wrap_spark.operators.similarity import quantize_int8_expr
+
+    df = spark.createDataFrame([([0.0, 0.0],)], "vec array<float>")
+    (out,) = df.select(quantize_int8_expr("vec").alias("q")).collect()
+    assert out.q == [0, 0]
+
+
+def test_int8_topk_matches_exact_on_separated_clusters(spark):
+    """On well-separated directions the quantized ranking equals the
+    exact cosine ranking."""
+    from etl_wrap_spark.operators.similarity import brute_force_topk, int8_topk
+
+    rows = []
+    # corpus: 3 tight clusters along axes of a 4-dim space
+    for i, axis in enumerate([0, 1, 2]):
+        for j in range(3):
+            v = [0.01 * j] * 4
+            v[axis] = 1.0
+            rows.append((i * 10 + j, v))
+    corpus = spark.createDataFrame(rows, "id bigint, vec array<float>")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.02, 0.0, 0.0])], "id bigint, vec array<float>"
+    )
+    ex = brute_force_topk(queries, corpus, "id", "id", "vec", k=3)
+    qu = int8_topk(queries, corpus, "id", "id", "vec", k=3)
+    assert sorted(r.cid for r in ex.collect()) == sorted(r.cid for r in qu.collect())
+
+
+# ----------------------------------------------------------------- MMR
+def test_mmr_rerank_prefers_diversity(spark):
+    """Two near-identical top docs: pick 2 must skip the duplicate."""
+    from etl_wrap_spark.operators.retrieval import mmr_rerank
+
+    # codes: doc 1 and 2 share the same 8-bit code (sim = 8), doc 3 is
+    # the complement (sim = -8 to both)
+    cands = spark.createDataFrame(
+        [("q", 1, 100, 0b11110000), ("q", 2, 90, 0b11110000), ("q", 3, 50, 0b00001111)],
+        "qid string, doc bigint, rel bigint, code bigint",
+    )
+    picks = mmr_rerank(cands, "qid", "doc", "rel", "code", k=3, lam=(1, 2), code_bits=8)
+    got = {r.pick_no: (r.doc, r.mmr_score) for r in picks.collect()}
+    # pick1: doc 1, score = rel = 100
+    assert got[1] == (1, 100)
+    # pick2: doc2 score = 90 - 8 = 82; doc3 score = 50 - (-8) = 58 → doc 2
+    assert got[2] == (2, 82)
+    assert got[3] == (3, 58)
+
+
+def test_mmr_rerank_tie_breaks_by_id(spark):
+    from etl_wrap_spark.operators.retrieval import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [("q", 7, 10, 0), ("q", 3, 10, 0)],
+        "qid string, doc bigint, rel bigint, code bigint",
+    )
+    picks = mmr_rerank(cands, "qid", "doc", "rel", "code", k=1, lam=(1, 2), code_bits=8)
+    assert picks.collect()[0].doc == 3
+
+
+def test_mmr_rerank_rejects_bad_lambda(spark):
+    from etl_wrap_spark.operators.retrieval import mmr_rerank
+
+    cands = spark.createDataFrame([("q", 1, 1, 0)], "qid string, doc bigint, rel bigint, code bigint")
+    with pytest.raises(ValueError):
+        mmr_rerank(cands, "qid", "doc", "rel", "code", k=1, lam=(3, 2))
+
+
+# ----------------------------------------------------------- calibration
+def test_calibration_bins_hand_case(spark):
+    from etl_wrap_spark.operators.robust import calibration_bins
+
+    # bin 0: scores 100, 300 → conf 200; labels 1, 0 → acc 5000; gap 4800
+    # bin 9: scores 9000, 9999 → conf 9499; labels 1, 1 → acc 10000; gap 501
+    df = spark.createDataFrame(
+        [(100, 1), (300, 0), (9000, 1), (9999, 1)], "score_bp bigint, label int"
+    )
+    out = {r.bin: r for r in calibration_bins(df, "score_bp", "label", 10).collect()}
+    assert out[0].conf_bp == 200 and out[0].acc_bp == 5000 and out[0].gap_bp == 4800
+    assert out[9].conf_bp == 9499 and out[9].acc_bp == 10000 and out[9].gap_bp == 501
+    # ece = (2*4800 + 2*501) // 4 = 2650
+    assert out[0].ece_bp == 2650 and out[9].ece_bp == 2650
+
+
+def test_calibration_bins_clamps_and_validates(spark):
+    from etl_wrap_spark.operators.robust import calibration_bins
+
+    df = spark.createDataFrame([(-50, 0), (12000, 1)], "score_bp bigint, label int")
+    out = {r.bin: r for r in calibration_bins(df, "score_bp", "label", 10).collect()}
+    assert set(out) == {0, 9}  # clamped into the edge bins
+    with pytest.raises(ValueError):
+        calibration_bins(df, "score_bp", "label", n_bins=7)
+
+
+# ------------------------------------------------- sorted neighborhood
+def test_sorted_neighborhood_pairs_exact(spark):
+    from etl_wrap_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [(i, f"k{i:02d}") for i in range(6)]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = sorted(
+        (r.id_a, r.id_b, r.rank_dist)
+        for r in sorted_neighborhood_pairs(df, "id", "key", window=2).collect()
+    )
+    want = sorted(
+        (a, a + d, d) for a in range(6) for d in (1, 2) if a + d < 6
+    )
+    assert got == want
+
+
+def test_sorted_neighborhood_partition_invariance(spark):
+    """The rank (hence the pair set) must not depend on how the range
+    partitioner splits the sort order."""
+    from etl_wrap_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [(i, f"key{(i * 7) % 20:03d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+
+    def pairs(nparts):
+        return sorted(
+            (r.id_a, r.id_b, r.rank_dist)
+            for r in sorted_neighborhood_pairs(
+                df, "id", "key", window=3, rank_partitions=nparts
+            ).collect()
+        )
+
+    assert pairs(1) == pairs(4) == pairs(8)
+
+
+def test_sorted_neighborhood_rejects_bad_window(spark):
+    from etl_wrap_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, key string")
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "key", window=0)
+
+
+# ------------------------------------------------------------ maxsim
+def test_token_code_matches_reference(spark):
+    from etl_wrap_spark.operators.retrieval import token_code_expr
+
+    df = spark.createDataFrame([("scan",), ("filter",)], "tok string")
+    got = {r.tok: r.code for r in df.select("tok", token_code_expr("tok", 16).alias("code")).collect()}
+    for tok in ("scan", "filter"):
+        want = sum(((_h60(f"{tok}#{j}") % 2) << j) for j in range(16))
+        assert got[tok] == want
+
+
+def test_maxsim_identical_doc_scores_full(spark):
+    """A doc containing exactly the query tokens scores 16 per token."""
+    from etl_wrap_spark.operators.retrieval import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    out = maxsim_topk(docs, "doc_id", "text", [("q", "alpha beta")], k=2, bits=16)
+    rows = {r.id: (r.rank, r.score) for r in out.collect()}
+    assert rows[1][0] == 1 and rows[1][1] == 32  # both tokens exact-match
+    assert rows[2][1] < 32
+
+
+def test_maxsim_score_is_sum_of_best(spark):
+    """Hand-verify the kernel against the md5 reference for one pair."""
+    from etl_wrap_spark.operators.retrieval import maxsim_topk
+
+    docs = spark.createDataFrame([(1, "foo bar")], "doc_id bigint, text string")
+    out = maxsim_topk(docs, "doc_id", "text", [("q", "baz")], k=1, bits=16).collect()
+
+    def code(tok):
+        return sum(((_h60(f"{tok}#{j}") % 2) << j) for j in range(16))
+
+    want = max(16 - 2 * bin(code("baz") ^ code(t)).count("1") for t in ("foo", "bar"))
+    assert out[0].score == want
+
+
+# ----------------------------------------------------- c-TF-IDF labels
+def test_cluster_label_terms_lift(spark):
+    from etl_wrap_spark.operators.text import cluster_label_terms
+
+    df = spark.createDataFrame(
+        [
+            ("a", "apple apple banana common common"),
+            ("a", "apple cherry common common"),
+            ("b", "dog dog cat common common"),
+            ("b", "dog bird common common"),
+        ],
+        "cluster string, text string",
+    )
+    out = cluster_label_terms(df, "cluster", "text", top_k=2, min_len=3, min_count=2)
+    rows = {(r.cluster, r.term): r for r in out.collect()}
+    # "apple": ctf=3 in a, cf=3, cluster_tokens(a)=9, total=18
+    # lift = 3*18*10000 // (9*3) = 20000 (2x corpus rate)
+    assert rows[("a", "apple")].lift_bp == 20000
+    # "common" appears everywhere → lift 10000 (rate = corpus rate):
+    # present (it survives min_count) but ranked BELOW the distinctive term
+    assert rows[("a", "common")].lift_bp == 10000
+    # dog: ctf=3 in b, cf=3, cluster_tokens(b)=9 → 20000
+    assert rows[("b", "dog")].lift_bp == 20000
+    # the top-1 distinctive label per cluster is the 2x-lift term
+    top1 = cluster_label_terms(df, "cluster", "text", top_k=1, min_len=3, min_count=2)
+    assert {(r.cluster, r.term) for r in top1.collect()} == {("a", "apple"), ("b", "dog")}
+
+
+def test_cluster_label_min_count_floor(spark):
+    from etl_wrap_spark.operators.text import cluster_label_terms
+
+    df = spark.createDataFrame(
+        [("a", "unique word word"), ("b", "word word word")],
+        "cluster string, text string",
+    )
+    out = cluster_label_terms(df, "cluster", "text", top_k=5, min_len=3, min_count=2)
+    terms = {(r.cluster, r.term) for r in out.collect()}
+    assert ("a", "unique") not in terms  # ctf=1 floored
+
+
+# ------------------------------------------------------ centroid drift
+def test_centroid_drift_zero_on_identical(spark):
+    from etl_wrap_spark.operators.similarity import centroid_drift_int8
+
+    rows = [(i, 0, [1.0, 2.0, 2.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+    out = centroid_drift_int8(df, df, "label", "embedding").collect()
+    assert len(out) == 1 and out[0].l1_scaled == 0
+    assert out[0].n_old == 4 and out[0].n_new == 4
+
+
+def test_centroid_drift_detects_shift(spark):
+    from etl_wrap_spark.operators.similarity import centroid_drift_int8
+
+    old = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0])],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [(3, 0, [0.0, 1.0])], "vec_id bigint, label int, embedding array<float>"
+    )
+    (out,) = centroid_drift_int8(old, new, "label", "embedding").collect()
+    # old sums per dim: (254, 0); new: (0, 127); n_old=2, n_new=1
+    # l1 = |254*1 - 0*2| + |0*1 - 127*2| = 254 + 254 = 508
+    assert (out.n_old, out.n_new, out.l1_scaled) == (2, 1, 508)
+
+
+def test_centroid_drift_one_sided_group(spark):
+    from etl_wrap_spark.operators.similarity import centroid_drift_int8
+
+    old = spark.createDataFrame(
+        [(1, 7, [1.0, 0.0])], "vec_id bigint, label int, embedding array<float>"
+    )
+    new = old.where(F.lit(False))
+    (out,) = centroid_drift_int8(old, new, "label", "embedding").collect()
+    assert (out.n_old, out.n_new, out.l1_scaled) == (1, 0, 0)
