@@ -329,10 +329,19 @@ def maxsim_topk(
 
     spark = docs.sparkSession
     docs = ensure_min_parallelism(docs)
-    dtok = docs.select(
+    occ = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("dt"),
-    ).withColumn("dcode", token_code_expr("dt", bits))
+    )
+    # codes are computed on the VOCABULARY-grain distinct-token table
+    # (16 md5 calls per distinct token, not per occurrence) and joined
+    # back — the dictionary join a persisted code index would also use.
+    # Vocabulary is broadcastable to ~10^7 terms; past that, drop the
+    # hint and let the join shuffle on the token key.
+    vocab = occ.select("dt").distinct().withColumn(
+        "dcode", token_code_expr("dt", bits)
+    )
+    dtok = occ.join(F.broadcast(vocab), "dt")
     q = spark.createDataFrame(queries, "qid string, qtext string")
     qtok = q.select(
         "qid", F.explode(F.array_distinct(tokens("qtext"))).alias("qt")

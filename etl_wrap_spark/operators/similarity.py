@@ -746,14 +746,23 @@ def quantize_int8_expr(vec: str) -> Column:
     Determinism: the norm is the same fixed-order IEEE fold as
     dot_expr, the scale/divide are correctly-rounded double ops, and
     FLOOR truncates identically on Spark and DuckDB (the repo-wide
-    floor-before-cast rule). Zero vectors quantize to all-zero."""
-    n = norm_expr(vec)
-    return F.transform(
-        F.col(vec),
-        lambda x: F.when(n == 0.0, F.lit(0).cast("bigint")).otherwise(
-            F.floor(F.lit(127.0) * x.cast("double") / n).cast("bigint")
-        ),
-    )
+    floor-before-cast rule). Zero vectors quantize to all-zero.
+
+    The norm is LET-BOUND through a 1-element outer transform (the
+    rolling_fingerprint trick): a lambda body re-evaluates referenced
+    expression TREES once per element, so an inline norm would cost
+    O(dim²) folds per row — binding it to the outer lambda variable
+    keeps quantization O(dim)."""
+
+    def _q(nn: Column) -> Column:
+        return F.transform(
+            F.col(vec),
+            lambda x: F.when(nn == 0.0, F.lit(0).cast("bigint")).otherwise(
+                F.floor(F.lit(127.0) * x.cast("double") / nn).cast("bigint")
+            ),
+        )
+
+    return F.transform(F.array(norm_expr(vec)), _q)[0]
 
 
 def quantize_int8_sql(vec: str, dim: int = DIM) -> str:
