@@ -762,3 +762,80 @@ def cluster_label_terms(
             "lift_bp",
         )
     )
+
+
+def readability_profile(df, id_col: str, text_col: str):
+    """Flesch reading-ease per document in exact MILLI-points →
+    (id, words, sentences, syllables, flesch_milli):
+
+        flesch_milli = 206835 - (1015·words) div sentences
+                              - (84600·syllables) div words
+
+    (the classic 206.835 − 1.015·w/s − 84.6·syl/w, every constant
+    scaled ×1000 and both rate terms floor-divided — no float division,
+    so the score is engine-exact). Sentences = [.!?]+ runs (floored at
+    1 for fragment/heading rows); syllables = [aeiouy]+ vowel groups
+    per word, floored at 1 per word — the standard cheap heuristic
+    (±1 syllable on silent-e words; fine for corpus-level filtering,
+    not for grading essays).
+
+    One scan, all per-row Column expressions + a doc-grain aggregate;
+    the quality-filter sibling of quality_flags/gopher signals (low
+    flesch = dense legalese/boilerplate; very high = fragment soup)."""
+    t = tokens(text_col)
+    words = F.size(t)
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.trim(_c(text_col)), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syl = F.aggregate(
+        F.transform(
+            t,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = df.select(
+        F.col(id_col),
+        words.cast("bigint").alias("words"),
+        sentences.cast("bigint").alias("sentences"),
+        syl.alias("syllables"),
+    ).where(F.col("words") > 0)
+    return d.select(
+        id_col, "words", "sentences", "syllables",
+        (
+            F.lit(206835)
+            - F.expr("(1015 * words) div sentences")
+            - F.expr("(84600 * syllables) div words")
+        ).cast("bigint").alias("flesch_milli"),
+    )
+
+
+# second-level labels under which a country-code registrar sells names
+# (simplified public-suffix heuristic — the full PSL is a data file; this
+# covers the dominant patterns for crawl-scale rollups)
+SECOND_LEVEL_LABELS = ("co", "com", "net", "org", "ac", "gov", "edu")
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Registered (pay-level) domain of a hostname: the last two labels,
+    or the last THREE when the second-to-last label is a registrar
+    second-level label (``example.co.uk`` → ``example.co.uk``, not
+    ``co.uk``). Simplified public-suffix heuristic — swap in the full
+    PSL table (a broadcast join on the suffix) when exactness matters;
+    the crawl-curation rollup (per-site quotas, host dedup, spam-domain
+    screens) keys on this."""
+    h = F.lower(_c(host))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    take3 = (n >= 3) & second.isin(*SECOND_LEVEL_LABELS)
+    return F.when(
+        n <= 2, h
+    ).when(
+        take3, F.concat_ws(".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1))
+    ).otherwise(F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)))

@@ -5702,14 +5702,16 @@ def q181_int8_ann_overlap(spark, sf_dir):
     quant = S.int8_topk(q, c, "vec_id", "vec_id", "embedding", k=10).select(
         "qid", "cid"
     )
+    # both ranked frames are |Q|·k grain (bounded by the query-batch
+    # contract) — broadcast one side so the overlap is never an SMJ
     ov = (
-        exact.join(quant, ["qid", "cid"])
+        exact.join(F.broadcast(quant), ["qid", "cid"])
         .groupBy("qid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
     )
     qids = q.select(F.col("vec_id").alias("qid"))
     return (
-        qids.join(ov, "qid", "left")
+        qids.join(F.broadcast(ov), "qid", "left")
         .select(
             "qid",
             F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
@@ -6114,3 +6116,104 @@ def q187_centroid_drift(spark, sf_dir):
         "label",
         "embedding",
     ).orderBy("label")
+
+
+# ---------------------------------------------- readability profile (q188)
+@register(
+    "q188_readability",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_X} AS t, trim(text) AS tx
+      FROM documents WHERE doc_id % 7 = 0
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS words,
+             CAST(GREATEST(len(regexp_extract_all(tx, '[.!?]+')), 1) AS BIGINT) AS sentences,
+             CAST(list_sum(list_transform(t,
+               w -> GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)
+             )) AS BIGINT) AS syllables
+      FROM d
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CAST(206835 - (1015 * words) // sentences
+                       - (84600 * syllables) // words AS BIGINT) AS flesch_milli
+    FROM m WHERE words > 0 ORDER BY doc_id
+    """,
+)
+def q188_readability(spark, sf_dir):
+    """Flesch reading-ease in exact milli-points (operators/text.py:
+    readability_profile): the classic 206.835 − 1.015·w/s − 84.6·syl/w
+    with every constant scaled ×1000 and both rates floor-divided —
+    engine-exact, no float division. Vowel-group syllables, [.!?]+
+    sentence runs floored at 1. The corpus-level readability screen
+    beside quality_flags/gopher signals; one scan, pure Column
+    expressions."""
+    from etl_wrap_spark.operators.text import readability_profile
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].where(F.col("doc_id") % 7 == 0)
+    return readability_profile(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ------------------------------------------ registered-domain rollup (q189)
+@register(
+    "q189_domain_rollup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'www.Site' || CAST(doc_id % 5 AS VARCHAR) || '.example.co.uk'
+               WHEN 1 THEN 'CDN.site' || CAST(doc_id % 5 AS VARCHAR) || '.test.com'
+               ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.blog.org'
+             END AS host
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lower(host) AS host,
+             string_split(lower(host), '.') AS l
+      FROM u
+    ), reg AS (
+      SELECT doc_id, host,
+             CASE
+               WHEN len(l) <= 2 THEN host
+               WHEN l[-2] IN ('co','com','net','org','ac','gov','edu')
+                 THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+               ELSE l[-2] || '.' || l[-1]
+             END AS domain
+      FROM r
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM reg GROUP BY domain ORDER BY domain
+    """,
+)
+def q189_domain_rollup(spark, sf_dir):
+    """Registered-domain (pay-level-domain) rollup (operators/text.py:
+    registered_domain): deterministic synthetic hostnames (mixed case,
+    www/cdn subdomains, .co.uk second-level registrations) reduced to
+    their registrable domain with the simplified public-suffix
+    heuristic, then counted per domain with distinct-host fan-in — the
+    per-site quota/spam-screen aggregation of crawl curation. One
+    groupBy; swap the label heuristic for a broadcast PSL table when
+    exactness matters (documented on the operator)."""
+    from etl_wrap_spark.operators.text import registered_domain
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    hosts = t["documents"].select(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("www.Site"), (F.col("doc_id") % 5).cast("string"), F.lit(".example.co.uk")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("CDN.site"), (F.col("doc_id") % 5).cast("string"), F.lit(".test.com")))
+        .otherwise(F.concat(F.lit("site"), (F.col("doc_id") % 5).cast("string"), F.lit(".blog.org")))
+        .alias("raw_host")
+    )
+    return (
+        hosts.select(F.lower(F.col("raw_host")).alias("host"),
+                     registered_domain("raw_host").alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+        .orderBy("domain")
+    )

@@ -275,3 +275,38 @@ def test_centroid_drift_one_sided_group(spark):
     new = old.where(F.lit(False))
     (out,) = centroid_drift_int8(old, new, "label", "embedding").collect()
     assert (out.n_old, out.n_new, out.l1_scaled) == (1, 0, 0)
+
+
+# ---------------------------------------------------------- readability
+def test_readability_hand_case(spark):
+    from etl_wrap_spark.operators.text import readability_profile
+
+    # "the cat sat. it ran!" → words=5, sentences=2,
+    # syllables: the=1 cat=1 sat.=1 it=1 ran!=1 → 5
+    df = spark.createDataFrame([(1, "the cat sat. it ran!")], "id bigint, text string")
+    (r,) = readability_profile(df, "id", "text").collect()
+    assert (r.words, r.sentences, r.syllables) == (5, 2, 5)
+    want = 206835 - (1015 * 5) // 2 - (84600 * 5) // 5
+    assert r.flesch_milli == want
+
+
+def test_readability_fragment_floor(spark):
+    from etl_wrap_spark.operators.text import readability_profile
+
+    # no terminal punctuation → sentences floored at 1; "xyzzy" has no
+    # vowel groups except y runs → "xyzzy" = x y zz y → 2 groups
+    df = spark.createDataFrame([(1, "xyzzy")], "id bigint, text string")
+    (r,) = readability_profile(df, "id", "text").collect()
+    assert (r.words, r.sentences, r.syllables) == (1, 1, 2)
+
+
+# ----------------------------------------------------- registered domain
+def test_registered_domain_rules(spark):
+    from etl_wrap_spark.operators.text import registered_domain
+
+    df = spark.createDataFrame(
+        [("WWW.Example.CO.uk",), ("a.b.test.com",), ("blog.org",), ("localhost",)],
+        "host string",
+    )
+    got = [r.d for r in df.select(registered_domain("host").alias("d")).collect()]
+    assert got == ["example.co.uk", "test.com", "blog.org", "localhost"]
