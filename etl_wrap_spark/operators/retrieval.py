@@ -246,8 +246,8 @@ def mmr_rerank(
     import pandas as pd
 
     num, den = lam
-    if not (0 < num <= den):
-        raise ValueError(f"lambda must satisfy 0 < num <= den, got {lam}")
+    if not (0 <= num <= den and den > 0):
+        raise ValueError(f"lambda must satisfy 0 <= num <= den, den > 0, got {lam}")
     out_schema = (
         f"{query_col} string, pick_no int, {id_col} bigint, mmr_score bigint"
     )
@@ -355,3 +355,30 @@ def maxsim_topk(
     per_doc = per_qtok.groupBy("qid", "id").agg(F.sum("best").cast("bigint").alias("score"))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id"))
     return per_doc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def kcenter_select(
+    cands: DataFrame,
+    group_col: str,
+    id_col: str,
+    code_col: str,
+    k: int,
+    code_bits: int = 60,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal) → (group, pick_no, id, mmr_score): per group, k exemplars
+    chosen so each new pick is the candidate FARTHEST (least similar
+    under the integer SimHash kernel) from everything already picked —
+    the diversity-only limit of MMR (λ = 0), the standard cheap coreset
+    for training-data pruning ("keep k maximally-diverse examples per
+    bucket"). Seed pick is the smallest id (scores all tie at 0);
+    mmr_score of later picks is -(max similarity to the picked set), so
+    HIGHER = farther = better coverage.
+
+    Same bounded-per-group contract and applyInPandas shape as
+    mmr_rerank; the whole trace is int64 and oracle-replayable."""
+    zero = cands.withColumn("__rel0", F.lit(0).cast("bigint"))
+    return mmr_rerank(
+        zero, group_col, id_col, "__rel0", code_col,
+        k=k, lam=(0, 1), code_bits=code_bits,
+    )

@@ -6217,3 +6217,82 @@ def q189_domain_rollup(spark, sf_dir):
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------- k-center coreset (q190)
+def _kcenter_oracle(k: int = 4) -> str:
+    from etl_wrap_spark.operators import dedup as D
+
+    bits = D.SIMHASH_BITS
+    sums = ",\n             ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    steps = []
+    for i in range(2, k + 1):
+        prevs = list(range(1, i))
+        sims = [f"({bits} - 2 * bit_count(xor(c.code, p{j}.code)))" for j in prevs]
+        maxsim = sims[0] if len(sims) == 1 else "GREATEST(" + ", ".join(sims) + ")"
+        joins = "\n        ".join(f"JOIN p{j} ON c.lang = p{j}.lang" for j in prevs)
+        excl = " AND ".join(f"c.doc_id <> p{j}.doc_id" for j in prevs)
+        steps.append(f"""p{i} AS (
+      SELECT lang, doc_id, code, score FROM (
+        SELECT c.lang, c.doc_id, c.code, CAST(-({maxsim}) AS BIGINT) AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.lang
+                                  ORDER BY -({maxsim}) DESC, c.doc_id) AS rn
+        FROM c
+        {joins}
+        WHERE {excl}) WHERE rn = 1
+    )""")
+    finals = ["SELECT lang, CAST(1 AS INTEGER) AS pick_no, doc_id, score AS mmr_score FROM p1"]
+    finals += [
+        f"SELECT lang, CAST({i} AS INTEGER), doc_id, score FROM p{i}" for i in range(2, k + 1)
+    ]
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, trim(text) AS text FROM documents WHERE doc_id % 4 = 0
+    ), toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok FROM base
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+    ), s AS (
+      SELECT doc_id, {sums} FROM h GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, {recon} AS code FROM s
+    ), c AS (
+      SELECT b.lang, sh.doc_id, sh.code FROM sh JOIN base b USING (doc_id)
+    ), p1 AS (
+      SELECT lang, doc_id, code, CAST(0 AS BIGINT) AS score FROM (
+        SELECT lang, doc_id, code,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM c) WHERE rn = 1
+    ), {", ".join(steps)}
+    {" UNION ALL ".join(finals)}
+    ORDER BY lang, pick_no
+    """
+
+
+@register("q190_kcenter_coreset", oracle=_kcenter_oracle(4))
+def q190_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset (operators/retrieval.py:kcenter_select,
+    Gonzalez 1985): per language, 4 maximally-diverse exemplar docs by
+    farthest-point traversal over SimHash codes — the diversity-only
+    limit of MMR (λ=0) and the standard cheap data-pruning coreset
+    ("keep k diverse examples per bucket"). Every pick score is the
+    exact negative integer max-similarity to the picked set, so the
+    whole greedy trace replays in the unrolled SQL oracle."""
+    from etl_wrap_spark.operators import dedup as D
+    from etl_wrap_spark.operators.retrieval import kcenter_select
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].where(F.col("doc_id") % 4 == 0)
+    codes = D.simhash_signatures(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    picks = kcenter_select(
+        codes, "lang", "doc_id", "simhash", k=4, code_bits=D.SIMHASH_BITS
+    )
+    return picks.orderBy("lang", "pick_no")

@@ -310,3 +310,20 @@ def test_registered_domain_rules(spark):
     )
     got = [r.d for r in df.select(registered_domain("host").alias("d")).collect()]
     assert got == ["example.co.uk", "test.com", "blog.org", "localhost"]
+
+
+# ------------------------------------------------------------ k-center
+def test_kcenter_farthest_point(spark):
+    from etl_wrap_spark.operators.retrieval import kcenter_select
+
+    # codes on a line: 0b0000, 0b0011, 0b1111 (8-bit space)
+    cands = spark.createDataFrame(
+        [("g", 1, 0b00000000), ("g", 2, 0b00000011), ("g", 3, 0b11111111)],
+        "grp string, id bigint, code bigint",
+    )
+    picks = kcenter_select(cands, "grp", "id", "code", k=3, code_bits=8)
+    got = [(r.pick_no, r.id, r.mmr_score) for r in picks.orderBy("pick_no").collect()]
+    # seed = min id (1, code 0). farthest from 1 is 3 (hamming 8 → sim -8).
+    # then 2: maxsim to {1,3} = max(sim(2,1)=8-4=4, sim(2,3)=8-12=-4) = 4
+    assert got == [(1, 1, 0), (2, 3, -(-8)), (3, 2, -4)] or got == [
+        (1, 1, 0), (2, 3, 8), (3, 2, -4)]
