@@ -859,3 +859,49 @@ def centroid_drift_int8(
         F.max("n_new").cast("bigint").alias("n_new"),
         F.sum("term").cast("bigint").alias("l1_scaled"),
     ).select(F.col("g").alias(group_col), "n_old", "n_new", "l1_scaled")
+
+
+def knn_label_screen(
+    sample: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec: str,
+    label_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Mislabel screen by k-NN majority vote (the cheap core of
+    confident-learning / Deep-kNN label QA) → per sample row
+    (id, label, vote_label, n_agree, flagged): the sample row's own
+    label vs the majority label of its k nearest corpus neighbors
+    (exact cosine; ties in the vote break to the smallest label, ties
+    in distance to the smallest id — fully deterministic, so the whole
+    screen is oracle-replayable). flagged = vote disagrees with the
+    stored label — the rows to route to re-annotation.
+
+    ROUTING RULE: exact k-NN via brute_force_topk, so the same
+    query-sample contract applies — screen in bounded batches (the QA
+    posture anyway), or swap the neighbor stage for ivf_topk/
+    signlsh_topk at corpus scale; the vote/flag tail is unchanged."""
+    nn = brute_force_topk(sample, corpus, id_col, id_col, vec, k=k)
+    cl = corpus.select(F.col(id_col).alias("cid"), F.col(label_col).alias("nl"))
+    votes = (
+        nn.join(cl, "cid")
+        .groupBy("qid", "nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cnt").desc(), F.col("nl").asc())
+    top = votes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    own = sample.select(F.col(id_col).alias("qid"), F.col(label_col).alias("label"))
+    return (
+        own.join(
+            top.select("qid", F.col("nl").alias("vote_label"), F.col("cnt").alias("n_agree")),
+            "qid",
+        )
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("label").cast("bigint").alias("label"),
+            F.col("vote_label").cast("bigint").alias("vote_label"),
+            F.col("n_agree").cast("bigint").alias("n_agree"),
+            (F.col("vote_label") != F.col("label")).alias("flagged"),
+        )
+    )

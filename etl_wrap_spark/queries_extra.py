@@ -6296,3 +6296,61 @@ def q190_kcenter_coreset(spark, sf_dir):
         codes, "lang", "doc_id", "simhash", k=4, code_bits=D.SIMHASH_BITS
     )
     return picks.orderBy("lang", "pick_no")
+
+
+# ---------------------------------------------- kNN mislabel screen (q191)
+def _label_screen_oracle() -> str:
+    from etl_wrap_spark.operators import similarity as S
+
+    dot = S.dot_sql("qv", "cv")
+    nq = S.dot_sql("qv", "qv")
+    nc = S.dot_sql("cv", "cv")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings
+      WHERE vec_id % 25 = 0
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS cv, label AS cl FROM embeddings
+      WHERE vec_id % 25 <> 0
+    ), ranked AS (
+      SELECT qid, cid, cl,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               ({dot}) / (sqrt({nq}) * sqrt({nc})) DESC, cid) AS r
+      FROM q, c
+    ), nn AS (
+      SELECT qid, cl FROM ranked WHERE r <= 3
+    ), votes AS (
+      SELECT qid, cl AS nl, CAST(COUNT(*) AS BIGINT) AS cnt FROM nn GROUP BY 1, 2
+    ), top AS (
+      SELECT qid, nl, cnt FROM (
+        SELECT qid, nl, cnt,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, nl) AS rn
+        FROM votes) WHERE rn = 1
+    )
+    SELECT q.qid AS vec_id,
+           CAST(q.ql AS BIGINT) AS label,
+           CAST(top.nl AS BIGINT) AS vote_label,
+           top.cnt AS n_agree,
+           top.nl <> q.ql AS flagged
+    FROM q JOIN top ON q.qid = top.qid ORDER BY vec_id
+    """
+
+
+@register("q191_label_screen", oracle=_label_screen_oracle())
+def q191_label_screen(spark, sf_dir):
+    """k-NN mislabel screen (operators/similarity.py:knn_label_screen —
+    the cheap core of confident-learning label QA): each sampled
+    vector's stored label vs the majority label of its 3 exact-cosine
+    nearest neighbors; disagreements are the re-annotation queue. The
+    vote tie breaks to the smallest label and distances to the smallest
+    id, so the screen replays exactly in SQL. Sample-batch contract as
+    q26 (route the neighbor stage through IVF/sign-LSH at volume)."""
+    from etl_wrap_spark.operators.similarity import knn_label_screen
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    sample = e.where(F.col("vec_id") % 25 == 0)
+    corpus = e.where(F.col("vec_id") % 25 != 0)
+    return knn_label_screen(sample, corpus, "vec_id", "embedding", "label", k=3).orderBy(
+        "vec_id"
+    )

@@ -327,3 +327,34 @@ def test_kcenter_farthest_point(spark):
     # then 2: maxsim to {1,3} = max(sim(2,1)=8-4=4, sim(2,3)=8-12=-4) = 4
     assert got == [(1, 1, 0), (2, 3, -(-8)), (3, 2, -4)] or got == [
         (1, 1, 0), (2, 3, 8), (3, 2, -4)]
+
+
+# ------------------------------------------------------ kNN label screen
+def test_knn_label_screen_flags_planted_mislabel(spark):
+    from etl_wrap_spark.operators.similarity import knn_label_screen
+
+    # cluster A along dim0 (label 0), cluster B along dim1 (label 1);
+    # sample point 100 sits in cluster A but carries label 1 → flagged
+    rows = [(i, 0, [1.0, 0.05 * i, 0.0, 0.0]) for i in range(3)]
+    rows += [(10 + i, 1, [0.05 * i, 1.0, 0.0, 0.0]) for i in range(3)]
+    corpus = spark.createDataFrame(rows, "id bigint, label int, vec array<float>")
+    sample = spark.createDataFrame(
+        [(100, 1, [1.0, 0.01, 0.0, 0.0]), (101, 1, [0.01, 1.0, 0.0, 0.0])],
+        "id bigint, label int, vec array<float>",
+    )
+    out = {r.id: r for r in knn_label_screen(sample, corpus, "id", "vec", "label", k=3).collect()}
+    assert out[100].vote_label == 0 and out[100].flagged is True
+    assert out[100].n_agree == 3
+    assert out[101].vote_label == 1 and out[101].flagged is False
+
+
+def test_knn_label_screen_vote_tie_breaks_low_label(spark):
+    from etl_wrap_spark.operators.similarity import knn_label_screen
+
+    # k=2 with one neighbor of each label → 1-1 tie → smallest label wins
+    corpus = spark.createDataFrame(
+        [(1, 5, [1.0, 0.0]), (2, 3, [0.9, 0.1])], "id bigint, label int, vec array<float>"
+    )
+    sample = spark.createDataFrame([(100, 5, [1.0, 0.05])], "id bigint, label int, vec array<float>")
+    (r,) = knn_label_screen(sample, corpus, "id", "vec", "label", k=2).collect()
+    assert r.vote_label == 3 and r.flagged is True
