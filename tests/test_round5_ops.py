@@ -358,3 +358,109 @@ def test_knn_label_screen_vote_tie_breaks_low_label(spark):
     sample = spark.createDataFrame([(100, 5, [1.0, 0.05])], "id bigint, label int, vec array<float>")
     (r,) = knn_label_screen(sample, corpus, "id", "vec", "label", k=2).collect()
     assert r.vote_label == 3 and r.flagged is True
+
+
+# ------------------------------------------- quantized index persistence
+def test_int8_index_persists_through_lake(spark, tmp_path):
+    """The serving story end-to-end: quantize once, commit the int8
+    index to an AtomicTable, and score queries from the PERSISTED codes
+    — rankings must equal quantize-on-the-fly exactly (the int64 dot is
+    bit-stable through parquet)."""
+    from etl_wrap_spark.operators.similarity import (
+        int8_topk, int_dot_expr, quantize_int8_expr,
+    )
+    from etl_wrap_spark.sinks.lake import AtomicTable
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "id bigint, vec array<float>")
+    queries = spark.createDataFrame(rows[:3], "id bigint, vec array<float>")
+
+    t = AtomicTable(spark, str(tmp_path / "int8_index"))
+    t.write(corpus.select("id", quantize_int8_expr("vec").alias("q8")))
+
+    direct = int8_topk(queries, corpus, "id", "id", "vec", k=5)
+
+    persisted = t.read()
+    q = queries.select(F.col("id").alias("qid"), quantize_int8_expr("vec").alias("qq"))
+    scored = persisted.select(F.col("id").alias("cid"), F.col("q8").alias("cq")).crossJoin(
+        F.broadcast(q)
+    ).select("qid", "cid", int_dot_expr("qq", "cq").alias("qdot"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("qdot").desc(), F.col("cid"))
+    from_lake = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+    a = sorted((r.qid, r.rank, r.cid, r.qdot) for r in direct.collect())
+    b = sorted((r.qid, r.rank, r.cid, r.qdot) for r in from_lake.collect())
+    assert a == b
+
+
+# ------------------------------------- streaming centroid-sum maintenance
+def test_streaming_centroid_sums_drain_equals_batch(spark, tmp_path):
+    """Drift monitoring as a stream: per-(label, dim) quantized partial
+    sums maintained incrementally over micro-batches via foreachBatch
+    MERGE into an AtomicTable must equal the one-shot batch aggregation
+    bit-for-bit (pure int64 — no float drift across batch boundaries).
+    This is the NEW-side state centroid_drift_int8 consumes without
+    rescanning history."""
+    import json
+
+    from etl_wrap_spark.operators.similarity import quantize_int8_expr
+    from etl_wrap_spark.sinks.lake import AtomicTable
+
+    rows = [
+        (i, i % 3, [float((i * 5 + j) % 7 - 3) for j in range(4)]) for i in range(24)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # two micro-batch files
+    for b in range(2):
+        (src / f"b{b}.json").write_text(
+            "".join(
+                json.dumps({"vec_id": r[0], "label": r[1], "embedding": r[2]}) + "\n"
+                for r in rows[b * 12 : (b + 1) * 12]
+            )
+        )
+    schema = "vec_id bigint, label int, embedding array<float>"
+    state = AtomicTable(spark, str(tmp_path / "sums"))
+
+    def upsert(batch_df, batch_id):
+        part = (
+            batch_df.select(F.col("label"), quantize_int8_expr("embedding").alias("q"))
+            .select("label", F.posexplode("q").alias("d", "v"))
+            .groupBy("label", "d")
+            .agg(F.sum("v").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        try:
+            old = state.read()
+        except Exception:
+            old = None
+        if old is None or not old.columns:
+            merged = part
+        else:
+            merged = (
+                old.unionByName(part)
+                .groupBy("label", "d")
+                .agg(F.sum("s").cast("bigint").alias("s"), F.sum("n").cast("bigint").alias("n"))
+            )
+        state.write(merged)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.createDataFrame(rows, schema)
+        .select("label", quantize_int8_expr("embedding").alias("q"))
+        .select("label", F.posexplode("q").alias("d", "v"))
+        .groupBy("label", "d")
+        .agg(F.sum("v").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    got = sorted((r.label, r.d, r.s, r.n) for r in state.read().collect())
+    want = sorted((r.label, r.d, r.s, r.n) for r in batch.collect())
+    assert got == want
