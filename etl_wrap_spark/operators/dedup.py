@@ -463,6 +463,113 @@ def exact_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num: int = 5,
+    den: int = 4,
+) -> DataFrame:
+    """LOSSLESS prefix-filtered exact Jaccard join — the All-Pairs /
+    PPJoin family (Bayardo, Ma & Srikant, WWW'07; Xiao et al., WWW'08)
+    — returning every pair with J >= den/num (num=5, den=4 → J >= 0.8)
+    as (id_a, id_b, inter, uni). Same threshold convention as
+    ``near_dup_pairs_minhash``; ``den > num`` (an impossible J > 1) is
+    rejected.
+
+    Why this exists next to ``exact_jaccard_pairs``: the df-cap there is
+    the quadratic-blowup guard, but it is LOSSY — pairs whose shared
+    shingles are all boilerplate are missed (measured recall 0.74 at
+    1e5 docs, SCALING.md round 4). The prefix filter bounds candidate
+    volume with zero recall loss *given a threshold*:
+
+    1. Order every document's shingle set by GLOBAL document frequency
+       ascending (rarest first; shingle string breaks ties) — one
+       window over the shingle partition, the same exchange the
+       pairing join reuses.
+    2. A doc with s shingles can match at J >= t only through a pair
+       intersection of at least ceil(t*s), so if the first
+       p = s - ceil(t*s) + 1 shingles (its PREFIX) of both docs are
+       disjoint the pair cannot qualify — index ONLY the prefix.
+       At t = 0.8 that is ~20% of the postings, and they are the
+       RAREST 20%: candidate pairs concentrate on low-df shingles, so
+       boilerplate never drives the join. ceil is exact-integer:
+       ceil(den*s/num) = (den*s + num - 1) div num.
+    3. Candidates additionally pass the length filter
+       den*max(sa,sb) <= num*min(sa,sb) (J >= t forces size ratio
+       within [t, 1/t]).
+    4. Verification is exact: array_intersect of the two FULL shingle
+       sets (JVM-side, no UDF) — no estimate anywhere.
+
+    Plan shape: shingle explode → df window (shuffle on shingle) → doc
+    window for prefix ranks (shuffle on id) → prefix self-join on
+    shingle (reuses the shingle hash partitioning) → distinct pairs →
+    verify against collected shingle sets. At 100 TB the shingle frame
+    feeds three branches (prefix index ×2 sides + verification sets);
+    checkpoint/persist it once per run rather than recompute — the
+    catalog query documents that posture, the small-sf plan just
+    recomputes the linear explode.
+
+    Extension surface beyond the reference (training-data curation);
+    reference ships no similarity ops (SURVEY §7.1 M9).
+    """
+    if den > num:
+        raise ValueError(
+            f"threshold J >= den/num = {den}/{num} > 1 can never match "
+            "(num=5, den=4 means J >= 0.8)"
+        )
+    sf = shingle_frame(df, id_col, text_col, n)
+    # global df of each shingle via a window: the hash-exchange on
+    # `shingle` is the same one the prefix self-join needs (q43's
+    # single-pass-cap lesson, dedup.py:436)
+    sf = sf.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    w_rank = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    ranked = (
+        sf.withColumn("__r", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # prefix length p = n - ceil(t*n) + 1, exact in integers
+    alpha = F.floor((F.lit(den) * F.col("__n") + num - 1) / num).cast("bigint")
+    prefix = ranked.where(F.col("__r") <= F.col("__n") - alpha + 1)
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"), "shingle"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"), "shingle"
+    )
+    cand = (
+        a.join(b, on="shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(den) * F.col("n_a") <= F.lit(num) * F.col("n_b"))
+            & (F.lit(den) * F.col("n_b") <= F.lit(num) * F.col("n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = ranked.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+    return (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")),
+            on="id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb")),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("inter"),
+            (F.size("__sa") + F.size("__sb")).alias("__s"),
+        )
+        .withColumn("uni", F.col("__s") - F.col("inter"))
+        .where(F.lit(num) * F.col("inter") >= F.lit(den) * F.col("uni"))
+        .select("id_a", "id_b", "inter", "uni")
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup groups: (fingerprint, n_copies, canonical_id) for
     fingerprints occurring more than once. One shuffle on the hash."""

@@ -6354,3 +6354,51 @@ def q191_label_screen(spark, sf_dir):
     return knn_label_screen(sample, corpus, "vec_id", "embedding", "label", k=3).orderBy(
         "vec_id"
     )
+
+
+# ----------------------------- prefix-filtered exact Jaccard join (q192)
+@register(
+    "q192_prefix_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+      FROM inter
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, inter, uni FROM sized
+    WHERE 5 * inter >= 4 * uni
+    ORDER BY id_a, id_b
+    """,
+)
+def q192_prefix_jaccard(spark, sf_dir):
+    """Lossless prefix-filtered exact Jaccard join at J >= 0.8
+    (operators/dedup.py:prefix_jaccard_pairs — the All-Pairs/PPJoin
+    prefix filter): documents index only their rarest
+    s - ceil(0.8*s) + 1 shingles, candidates must collide on a prefix
+    shingle AND pass the size-ratio filter, then exact array_intersect
+    verification. The oracle is the UNFILTERED brute-force inverted
+    index at the same threshold — row-identical output IS the proof
+    that the prefix filter dropped no qualifying pair (the property the
+    df-capped q43 path trades away for its scale guard). The scale
+    story inverts q43's: work concentrates on each doc's RAREST
+    shingles, so boilerplate n-grams never enter the pairing join at
+    all, and recall stays 1.0 by construction."""
+    from etl_wrap_spark.operators.dedup import prefix_jaccard_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = prefix_jaccard_pairs(t["documents"], "doc_id", "text", n=3, num=5, den=4)
+    return pairs.orderBy("id_a", "id_b")

@@ -464,3 +464,73 @@ def test_streaming_centroid_sums_drain_equals_batch(spark, tmp_path):
     got = sorted((r.label, r.d, r.s, r.n) for r in state.read().collect())
     want = sorted((r.label, r.d, r.s, r.n) for r in batch.collect())
     assert got == want
+
+
+# ------------------------------------------- prefix-filtered Jaccard join
+def _ppjoin_corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "one two three four five six seven eight nine"),
+        (4, "one two three four five six seven eight ten"),    # near-dup of 3
+        (5, "totally different words appear here only once"),
+        (6, "alpha beta gamma delta"),                          # partial of 1
+        (7, "x"),                                               # singleton shingle
+        (8, "x"),                                               # exact dup of 7
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_prefix_jaccard_lossless_vs_bruteforce(spark):
+    """The headline property: prefix-filtered output == unfiltered
+    exact output at the same threshold, row for row."""
+    from etl_wrap_spark.operators.dedup import exact_jaccard_pairs, prefix_jaccard_pairs
+
+    df = _ppjoin_corpus(spark)
+    brute = (
+        exact_jaccard_pairs(df, "doc_id", "text", n=3, max_df=None)
+        .where(5 * F.col("inter") >= 4 * F.col("uni"))
+    )
+    pp = prefix_jaccard_pairs(df, "doc_id", "text", n=3, num=5, den=4)
+    key = lambda r: (r.id_a, r.id_b, r.inter, r.uni)
+    assert sorted(map(key, pp.collect())) == sorted(map(key, brute.collect()))
+    assert pp.count() > 0  # planted near-dups actually matched
+
+
+def test_prefix_jaccard_threshold_excludes_partials(spark):
+    from etl_wrap_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = _ppjoin_corpus(spark)
+    got = {(r.id_a, r.id_b) for r in prefix_jaccard_pairs(df, "doc_id", "text").collect()}
+    assert (1, 6) not in got          # J(1,6) well below 0.8
+    assert (7, 8) in got              # exact dup of singleton shingles
+
+
+def test_prefix_jaccard_rejects_impossible_threshold(spark):
+    from etl_wrap_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = _ppjoin_corpus(spark)
+    with pytest.raises(ValueError, match="never match"):
+        prefix_jaccard_pairs(df, "doc_id", "text", num=2, den=3)
+
+
+def test_prefix_jaccard_indexes_only_prefixes(spark):
+    """The filter actually shrinks the index: at t=0.8 a doc with s
+    shingles indexes s - ceil(0.8 s) + 1 of them (~20% + 1)."""
+    from etl_wrap_spark.operators import dedup as D
+
+    df = _ppjoin_corpus(spark)
+    sf = D.shingle_frame(df, "doc_id", "text", 3)
+    total = sf.count()
+    from pyspark.sql.window import Window
+
+    sfd = sf.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    ranked = (
+        sfd.withColumn(
+            "__r",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("__df", "shingle")),
+        ).withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    alpha = F.floor((F.lit(4) * F.col("__n") + 5 - 1) / 5).cast("bigint")
+    prefix_n = ranked.where(F.col("__r") <= F.col("__n") - alpha + 1).count()
+    assert prefix_n < total / 2
