@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel_stages(
@@ -419,5 +420,123 @@ def time_decay_attribution(
             F.expr("(weight_scaled * 10000) div __tw").cast("bigint").alias(
                 "share_bp"
             ),
+        )
+    )
+
+
+def sessions_by_gap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    gap_us: int = 1_800_000_000,
+) -> DataFrame:
+    """Plain gap sessionization as pure window algebra → one interval
+    row (key, sess_idx, start_us, end_us, n_events) per session, times
+    in exact epoch MICROSECONDS (``unix_micros`` ≡ DuckDB ``epoch_us``,
+    no float seconds anywhere).
+
+    A new session starts when the gap to the previous event exceeds
+    ``gap_us`` STRICTLY (the q142 convention); ``sess_idx`` is the
+    running sum of break flags over (ts, order_col) — ``order_col``
+    must make the per-key ordering total or the lag/sum pair is
+    nondeterministic. Unlike ``sessionize_capped`` (a prefix-dependent
+    recurrence that needs an ordered per-key scan), the uncapped rule
+    is frame-expressible: two WindowExecs sharing one exchange on the
+    key, then a map-side-combinable aggregate — nothing leaves the
+    key's partition until the tiny interval frame."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    us = F.unix_micros(F.col(ts_col))
+    brk = (
+        F.when(us - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        df.withColumn("__sidx", F.sum(brk).over(w))
+        .groupBy(F.col(key_col), F.col("__sidx").alias("sess_idx"))
+        .agg(
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def interval_overlap_pairs(
+    iv: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    cell_us: int = 3_600_000_000,
+) -> DataFrame:
+    """All STRICTLY overlapping interval pairs across DISTINCT keys →
+    (key_a, start_a, end_a, key_b, start_b, end_b, overlap_us) — the
+    1-D temporal sibling of ``spatial.radius_join_2d``, turning the
+    non-equi range predicate into an equi join Spark can shuffle.
+
+    Each interval explodes into the ``cell_us``-grain cells it spans;
+    candidates equi-join on the cell. Two overlapping intervals share
+    the cell containing the overlap's START, so keeping only the pair
+    instance found in exactly that cell yields every pair ONCE with no
+    distinct shuffle (the radius-join exactly-once argument, adapted:
+    position replaces the one-sided neighbor expansion). Overlap is
+    half-open [s,e): pairs match iff greatest(start) < least(end), so
+    point sessions never match and every emitted overlap_us is > 0.
+
+    At 100 TB: work per cell is quadratic in that cell's interval
+    count, so size ``cell_us`` near the typical interval length (more
+    cells per interval = more map-out rows; fewer = hotter cells), and
+    a pathological hour (flash event) is the documented salting case —
+    operators/skew applies on the cell key. Long intervals emit
+    duration/cell_us rows — linear, bounded by total covered time."""
+    cells = iv.select(
+        F.col(key_col).alias("key_a"),
+        F.col(start_col).alias("start_a"),
+        F.col(end_col).alias("end_a"),
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {cell_us}"),
+                F.expr(f"{end_col} div {cell_us}"),
+            )
+        ).alias("__cell"),
+    )
+    right = iv.select(
+        F.col(key_col).alias("key_b"),
+        F.col(start_col).alias("start_b"),
+        F.col(end_col).alias("end_b"),
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {cell_us}"),
+                F.expr(f"{end_col} div {cell_us}"),
+            )
+        ).alias("__cell"),
+    )
+    ov_start = F.greatest(F.col("start_a"), F.col("start_b"))
+    return (
+        cells.join(right, on="__cell")
+        .where(F.col("key_a") < F.col("key_b"))
+        # half-open [s,e) overlap: greatest(start) < least(end) — the
+        # single predicate that also rejects point intervals and the
+        # point-strictly-inside case ("a.s<b.e AND b.s<a.e" admits a
+        # zero-length overlap when one interval is a point inside the
+        # other)
+        .where(
+            F.greatest(F.col("start_a"), F.col("start_b"))
+            < F.least(F.col("end_a"), F.col("end_b"))
+        )
+        .withColumn("__ovs", ov_start)
+        # exactly-once: keep the instance in the overlap-start cell
+        # (integer div — epoch micros stay exact, no double quotient)
+        .where(F.col("__cell") == F.expr(f"__ovs div {cell_us}"))
+        .select(
+            "key_a",
+            "start_a",
+            "end_a",
+            "key_b",
+            "start_b",
+            "end_b",
+            (
+                F.least(F.col("end_a"), F.col("end_b")) - ov_start
+            ).alias("overlap_us"),
         )
     )

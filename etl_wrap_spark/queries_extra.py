@@ -6402,3 +6402,68 @@ def q192_prefix_jaccard(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["documents"])
     pairs = prefix_jaccard_pairs(t["documents"], "doc_id", "text", n=3, num=5, den=4)
     return pairs.orderBy("id_a", "id_b")
+
+
+# ------------------------------------- co-activity interval-overlap join (q193)
+@register(
+    "q193_coactivity_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events
+    ), seq AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), sess AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sidx
+      FROM seq
+    ), iv AS (
+      SELECT user_id, sidx, MIN(us) AS s, MAX(us) AS e
+      FROM sess GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS ov
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id AND GREATEST(a.s, b.s) < LEAST(a.e, b.e)
+    )
+    SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_joint,
+           CAST(SUM(ov) AS BIGINT) AS co_us
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q193_coactivity_overlap(spark, sf_dir):
+    """Cross-user co-activity via the batch interval-overlap join
+    (operators/events_analytics.py:sessions_by_gap +
+    interval_overlap_pairs): 30-minute-gap sessions become half-open
+    [start,end) intervals; pairs of DIFFERENT users whose sessions
+    overlap in time are found by exploding hour-grain cells and
+    equi-joining on the cell — the 1-D temporal radius join (same
+    exactly-once construction as spatial.radius_join_2d, via the
+    overlap-start cell). The oracle is the brute-force non-equi range
+    self-join, so the gate proves the grid decomposition finds exactly
+    the overlapping pairs. Readout: per user pair, joint-session count
+    and total co-active microseconds — the bot-ring / shared-operator
+    screen. At 100 TB the non-equi join is the part DuckDB/Spark would
+    otherwise nested-loop; the grid shuffles on cell keys instead."""
+    from etl_wrap_spark.operators.events_analytics import (
+        interval_overlap_pairs,
+        sessions_by_gap,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    iv = sessions_by_gap(t["events"], "user_id", "ts", "event_id")
+    pairs = interval_overlap_pairs(iv, "user_id", "start_us", "end_us")
+    return (
+        pairs.groupBy(
+            F.col("key_a").alias("user_a"), F.col("key_b").alias("user_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_joint"),
+            F.sum("overlap_us").alias("co_us"),
+        )
+        .orderBy("user_a", "user_b")
+    )

@@ -534,3 +534,63 @@ def test_prefix_jaccard_indexes_only_prefixes(spark):
     alpha = F.floor((F.lit(4) * F.col("__n") + 5 - 1) / 5).cast("bigint")
     prefix_n = ranked.where(F.col("__r") <= F.col("__n") - alpha + 1).count()
     assert prefix_n < total / 2
+
+
+# ---------------------------------------------- interval overlap join
+def test_sessions_by_gap_hand_case(spark):
+    from etl_wrap_spark.operators.events_analytics import sessions_by_gap
+
+    rows = [
+        # user 1: two sessions split by a 31-min gap
+        (1, "2024-01-01 10:00:00", 1),
+        (1, "2024-01-01 10:10:00", 2),
+        (1, "2024-01-01 10:41:00", 3),
+        # user 2: one point session
+        (2, "2024-01-01 10:05:00", 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, event_id bigint").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (r.user_id, r.sess_idx): (r.start_us, r.end_us, r.n_events)
+        for r in sessions_by_gap(df, "user_id", "ts", "event_id").collect()
+    }
+    base = 1704103200_000000  # 2024-01-01 10:00:00 UTC in micros
+    assert got[(1, 0)] == (base, base + 600_000_000, 2)
+    assert got[(1, 1)] == (base + 2460_000_000, base + 2460_000_000, 1)
+    assert got[(2, 0)][2] == 1
+
+
+def test_interval_overlap_exactly_once_across_cells(spark):
+    """A pair overlapping for many grid cells must appear exactly once."""
+    from etl_wrap_spark.operators.events_analytics import interval_overlap_pairs
+
+    h = 3_600_000_000
+    rows = [(1, 0, 10 * h), (2, 1 * h + 5, 9 * h)]  # overlap spans ~8 cells
+    iv = spark.createDataFrame(rows, "k bigint, s bigint, e bigint")
+    out = interval_overlap_pairs(iv, "k", "s", "e", cell_us=h).collect()
+    assert len(out) == 1
+    assert out[0].overlap_us == 9 * h - (1 * h + 5)
+
+
+def test_interval_overlap_half_open_semantics(spark):
+    from etl_wrap_spark.operators.events_analytics import interval_overlap_pairs
+
+    h = 3_600_000_000
+    rows = [
+        (1, 0, h),          # [0, h)
+        (2, h, 2 * h),      # touches at h -> no overlap
+        (3, 500, 500),      # point inside [0,h) -> no overlap
+        (4, 500, 600),      # genuine sub-interval of k=1
+    ]
+    iv = spark.createDataFrame(rows, "k bigint, s bigint, e bigint")
+    got = {(r.key_a, r.key_b): r.overlap_us for r in interval_overlap_pairs(iv, "k", "s", "e", cell_us=h).collect()}
+    assert got == {(1, 4): 100}
+
+
+def test_interval_overlap_same_key_excluded(spark):
+    from etl_wrap_spark.operators.events_analytics import interval_overlap_pairs
+
+    rows = [(1, 0, 100), (1, 50, 150)]
+    iv = spark.createDataFrame(rows, "k bigint, s bigint, e bigint")
+    assert interval_overlap_pairs(iv, "k", "s", "e", cell_us=1000).count() == 0
