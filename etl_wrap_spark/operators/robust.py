@@ -459,3 +459,88 @@ def calibration_bins(
     return stats.crossJoin(F.broadcast(tot)).select(
         "bin", "n", "conf_bp", "acc_bp", "gap_bp", "ece_bp"
     )
+
+
+def mann_kendall_trend(
+    series: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    z_num: int = 49,
+    z_den: int = 25,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend screen per group, exact-integer →
+    (group, n_periods, s_stat, var18, significant, trend).
+
+    The nonparametric drift test for per-entity time series (Mann 1945,
+    Kendall's tau family): S = Σ_{i<j} sign(x_j − x_i) over the group's
+    period-ordered values — distribution-free, tie-tolerant, and, with
+    integer-scaled inputs, EXACT on any engine (the monitoring sibling
+    of the KS/chi²/CUSUM family; those detect level shifts, this ranks
+    monotone drifts).
+
+    Input contract: one row per (group, period), value already an
+    exact integer (floor-scaled cents/bp — the catalog idiom).
+    Pre-aggregate raw facts first: the pair join is O(m²) per group on
+    the AGGREGATED series (m periods), never on raw rows — at 100 TB
+    the heavy stage is the map-side-combinable pre-aggregation; this
+    join touches only the tiny period-grain frame, shuffled once on the
+    group key for both the pairing and the counts.
+
+    Significance: |z| > z_num/z_den (default 49/25 = 1.96, two-sided
+    5%) with the standard continuity correction S' = S − sign(S) and
+    Var(S) = n(n−1)(2n+5)/18, tested entirely in integers:
+    18·z_den²·S'² > z_num²·n(n−1)(2n+5). int64-safe to m ≈ 7,500
+    periods per group (S'⁴-free — the largest term is 11250·S'² ≤
+    11250·m⁴/4 < 2⁶³); raise the series to coarser periods past that.
+    ``trend`` is 'up'/'down' only when significant, else 'none'.
+    """
+    g = F.col(group_col)
+    a = series.select(
+        g, F.col(period_col).alias("__pi"), F.col(value_col).alias("__vi")
+    )
+    b = series.select(
+        g, F.col(period_col).alias("__pj"), F.col(value_col).alias("__vj")
+    )
+    sg = (
+        F.when(F.col("__vj") > F.col("__vi"), F.lit(1))
+        .when(F.col("__vj") < F.col("__vi"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        a.join(b, on=group_col)
+        .where(F.col("__pi") < F.col("__pj"))
+        .groupBy(group_col)
+        .agg(F.sum(sg).cast("bigint").alias("s_stat"))
+    )
+    n = series.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_periods"))
+    out = n.join(s, on=group_col, how="left").withColumn(
+        "s_stat", F.coalesce(F.col("s_stat"), F.lit(0).cast("bigint"))
+    )
+    sp = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+    )
+    var18 = (
+        F.col("n_periods")
+        * (F.col("n_periods") - 1)
+        * (2 * F.col("n_periods") + 5)
+    ).cast("bigint")
+    out = (
+        out.withColumn("var18", var18)
+        .withColumn("__sp", sp)
+        .withColumn(
+            "significant",
+            F.lit(18 * z_den * z_den) * F.col("__sp") * F.col("__sp")
+            > F.lit(z_num * z_num) * F.col("var18"),
+        )
+        .withColumn(
+            "trend",
+            F.when(F.col("significant") & (F.col("s_stat") > 0), F.lit("up"))
+            .when(F.col("significant") & (F.col("s_stat") < 0), F.lit("down"))
+            .otherwise(F.lit("none")),
+        )
+        .drop("__sp")
+    )
+    return out.select(group_col, "n_periods", "s_stat", "var18", "significant", "trend")

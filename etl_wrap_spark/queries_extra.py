@@ -6467,3 +6467,68 @@ def q193_coactivity_overlap(spark, sf_dir):
         )
         .orderBy("user_a", "user_b")
     )
+
+
+# ------------------------------------------ Mann-Kendall trend screen (q194)
+@register(
+    "q194_mann_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey % 50 AS cohort,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS period,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ), p AS (
+      SELECT a.cohort,
+             CASE WHEN b.rev_c > a.rev_c THEN 1
+                  WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END AS sg
+      FROM m a JOIN m b ON a.cohort = b.cohort AND a.period < b.period
+    ), s AS (
+      SELECT cohort, CAST(SUM(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1
+    ), n AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_periods FROM m GROUP BY 1
+    ), j AS (
+      SELECT n.cohort, n.n_periods, COALESCE(s.s_stat, 0) AS s_stat,
+             n_periods * (n_periods - 1) * (2 * n_periods + 5) AS var18
+      FROM n LEFT JOIN s ON n.cohort = s.cohort
+    ), z AS (
+      SELECT cohort, n_periods, s_stat, var18,
+             CASE WHEN s_stat > 0 THEN s_stat - 1
+                  WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS sp
+      FROM j
+    )
+    SELECT cohort, n_periods, s_stat, var18,
+           11250 * sp * sp > 2401 * var18 AS significant,
+           CASE WHEN 11250 * sp * sp > 2401 * var18 AND s_stat > 0 THEN 'up'
+                WHEN 11250 * sp * sp > 2401 * var18 AND s_stat < 0 THEN 'down'
+                ELSE 'none' END AS trend
+    FROM z ORDER BY cohort
+    """,
+)
+def q194_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend screen (operators/robust.py:
+    mann_kendall_trend) over per-cohort monthly revenue: S = sum of
+    pairwise value-difference signs across the period-ordered series,
+    significance at |z| > 1.96 with continuity correction — all in
+    exact integers (floor-scaled cents, the engine-portable idiom), so
+    the nonparametric drift verdict replays bit-for-bit in SQL. The
+    heavy stage is the map-side-combinable month pre-aggregation; the
+    O(m^2) pair join runs on the tiny period-grain frame only."""
+    from etl_wrap_spark.operators.robust import mann_kendall_trend
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    m = (
+        o.groupBy(
+            (F.col("o_custkey") % 50).alias("cohort"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    return mann_kendall_trend(m, "cohort", "period", "rev_c").orderBy("cohort")

@@ -594,3 +594,30 @@ def test_interval_overlap_same_key_excluded(spark):
     rows = [(1, 0, 100), (1, 50, 150)]
     iv = spark.createDataFrame(rows, "k bigint, s bigint, e bigint")
     assert interval_overlap_pairs(iv, "k", "s", "e", cell_us=1000).count() == 0
+
+
+# ------------------------------------------------- Mann-Kendall trend
+def test_mann_kendall_hand_case(spark):
+    from etl_wrap_spark.operators.robust import mann_kendall_trend
+
+    # series 1,3,2: pairs (1,3)+1 (1,2)+1 (3,2)-1 -> S=1, n=3 (not significant)
+    rows = [(0, 1, 1), (0, 2, 3), (0, 3, 2)]
+    df = spark.createDataFrame(rows, "g bigint, p bigint, v bigint")
+    (r,) = mann_kendall_trend(df, "g", "p", "v").collect()
+    assert (r.n_periods, r.s_stat, r.var18) == (3, 1, 3 * 2 * 11)
+    assert not r.significant and r.trend == "none"
+
+
+def test_mann_kendall_monotone_significant(spark):
+    from etl_wrap_spark.operators.robust import mann_kendall_trend
+
+    inc = [(1, p, p * 10) for p in range(10)]            # strictly up
+    dec = [(2, p, -p) for p in range(10)]                # strictly down
+    flat = [(3, p, 7) for p in range(10)]                # all ties
+    single = [(4, 0, 5)]                                 # one period
+    df = spark.createDataFrame(inc + dec + flat + single, "g bigint, p bigint, v bigint")
+    got = {r.g: r for r in mann_kendall_trend(df, "g", "p", "v").collect()}
+    assert got[1].s_stat == 45 and got[1].significant and got[1].trend == "up"
+    assert got[2].s_stat == -45 and got[2].significant and got[2].trend == "down"
+    assert got[3].s_stat == 0 and not got[3].significant and got[3].trend == "none"
+    assert got[4].s_stat == 0 and got[4].var18 == 0 and got[4].trend == "none"
