@@ -20,7 +20,7 @@ work, no UDFs: cell ids and distances are Column arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -90,3 +90,42 @@ def radius_join_2d(
         .where(F.col("dist2") <= F.lit(radius) * F.lit(radius))
         .select("id_a", "id_b", "dist2")
     )
+
+
+def morton_key_expr(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two non-negative ints → bigint
+    key; x takes the even bit positions, y the odd. The lakehouse
+    multi-column clustering key: files written in morton-key order get
+    TIGHT zone maps on BOTH dimensions simultaneously (a single-column
+    sort leaves the other column's per-file [min,max] spanning the full
+    range, so zone-map pruning only ever helps one predicate — the
+    prefix of the curve bounds a quadtree cell, so every contiguous key
+    range bounds both columns).
+
+    Unrolled shift-and-or tree over ``bits`` positions (default 16 →
+    32-bit keys): pure integer ops, bit-identical on any engine —
+    ``morton_key_sql`` emits the same tree for the DuckDB oracle.
+    Inputs MUST be in [0, 2^bits); quantize wider domains first (the
+    caller owns the quantization, e.g. ``value div step`` — rank-based
+    quantiles make the curve adaptive but cost a pass). 2·bits <= 62.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    if 2 * bits > 62:
+        raise ValueError("2*bits must be <= 62 to stay in int64")
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        key = key + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        key = key + F.shiftleft(
+            F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return key
+
+
+def morton_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The identical Morton-interleave tree as ANSI/DuckDB SQL."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -6532,3 +6532,64 @@ def q194_mann_kendall(spark, sf_dir):
         )
     )
     return mann_kendall_trend(m, "cohort", "period", "rev_c").orderBy("cohort")
+
+
+# ------------------------------------- Z-order clustering zone maps (q195)
+def _zorder_oracle() -> str:
+    from etl_wrap_spark.operators.spatial import morton_key_sql
+
+    z = morton_key_sql("user_id", "db", 16)
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ), r AS (
+      SELECT user_id, day - (SELECT MIN(day) FROM e) AS db FROM e
+    ), k AS (
+      SELECT user_id, db, {z} // 256 AS bucket FROM r
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+           MIN(db) AS d_min, MAX(db) AS d_max
+    FROM k GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register("q195_zorder_zonemap", oracle=_zorder_oracle())
+def q195_zorder_zonemap(spark, sf_dir):
+    """Z-order (Morton) clustering zone maps (operators/spatial.py:
+    morton_key_expr): events keyed by the bit-interleave of user_id and
+    day-since-corpus-start, bucketed by the 256-key quadtree cell (the
+    file grain a z-ordered writer would produce). The per-bucket
+    [min,max] of BOTH dimensions is the payoff readout: every bucket
+    bounds user AND day within a 16-wide window simultaneously — the
+    property that makes lake zone-map pruning (q100's mechanism,
+    sinks/lake.py:prune_files) effective for predicates on EITHER
+    column after one clustered write. A single-column sort gives tight
+    zones on one dimension and full-range zones on the other. The
+    interleave is an unrolled integer shift-and tree, bit-identical in
+    SQL (morton_key_sql)."""
+    from etl_wrap_spark.operators.spatial import morton_key_expr
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    d0 = ev.agg(F.min("day").alias("__d0"))
+    r = ev.crossJoin(F.broadcast(d0)).withColumn(
+        "db", F.col("day") - F.col("__d0")
+    )
+    k = r.withColumn(
+        "__zkey", morton_key_expr(F.col("user_id"), F.col("db"), 16)
+    ).withColumn("bucket", F.expr("__zkey div 256"))
+    return (
+        k.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("db").alias("d_min"),
+            F.max("db").alias("d_max"),
+        )
+        .orderBy("bucket")
+    )

@@ -621,3 +621,63 @@ def test_mann_kendall_monotone_significant(spark):
     assert got[2].s_stat == -45 and got[2].significant and got[2].trend == "down"
     assert got[3].s_stat == 0 and not got[3].significant and got[3].trend == "none"
     assert got[4].s_stat == 0 and got[4].var18 == 0 and got[4].trend == "none"
+
+
+# ------------------------------------------------------ Z-order / Morton
+def test_morton_key_hand_values(spark):
+    from etl_wrap_spark.operators.spatial import morton_key_expr
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 2), (1, 0), (0, 1), (65535, 65535)], "x bigint, y bigint"
+    )
+    got = [r.k for r in df.select(morton_key_expr("x", "y", 16).alias("k")).collect()]
+    # interleave: x even bits, y odd bits
+    assert got[0] == 0
+    assert got[1] == 0b1101          # x=11, y=10 -> y1 x1 y0 x0 = 1101 = 13
+    assert got[2] == 1
+    assert got[3] == 2
+    assert got[4] == 2**32 - 1
+
+
+def test_morton_sql_matches_expr(spark):
+    import duckdb
+
+    from etl_wrap_spark.operators.spatial import morton_key_expr, morton_key_sql
+
+    rows = [(i * 37 % 256, i * 91 % 256) for i in range(50)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = [r.k for r in df.select(morton_key_expr("x", "y", 8).alias("k")).collect()]
+    con = duckdb.connect()
+    exp = [
+        con.execute(f"SELECT {morton_key_sql('x', 'y', 8)} FROM (SELECT {x} AS x, {y} AS y)").fetchone()[0]
+        for x, y in rows
+    ]
+    assert got == exp
+
+
+def test_morton_quadtree_cell_bounds_both_dims(spark):
+    """key div 4^k confines BOTH coordinates to a 2^k-wide window —
+    the zone-map tightness property."""
+    from etl_wrap_spark.operators.spatial import morton_key_expr
+
+    rows = [((i * 7919) % 256, (i * 104729) % 256) for i in range(400)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    spans = (
+        df.select(
+            "x", "y", (morton_key_expr("x", "y", 8) / (4**4)).cast("bigint").alias("b")
+        )
+        .groupBy("b")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert spans and all(r.xs <= 15 and r.ys <= 15 for r in spans)
+
+
+def test_morton_rejects_wide_bits(spark):
+    from etl_wrap_spark.operators.spatial import morton_key_expr
+
+    with pytest.raises(ValueError, match="62"):
+        morton_key_expr("x", "y", 32)
