@@ -109,23 +109,28 @@ def morton_key_expr(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     caller owns the quantization, e.g. ``value div step`` — rank-based
     quantiles make the curve adaptive but cost a pass). 2·bits <= 62.
     """
+    from etl_wrap_spark.sinks.parquet import zorder_key
+
+    # ONE interleave definition repo-wide: delegate to the lake write
+    # path's clustering key (sinks/parquet.py:zorder_key — x even bits,
+    # y odd under its i + j*n layout). This surface fixes n=2 and adds
+    # the SQL twin; zorder_key CLAMPS out-of-range inputs to
+    # [0, 2^bits), and morton_key_sql emits the same clamp.
     xc = F.col(x) if isinstance(x, str) else x
     yc = F.col(y) if isinstance(y, str) else y
     if 2 * bits > 62:
         raise ValueError("2*bits must be <= 62 to stay in int64")
-    key = F.lit(0).cast("bigint")
-    for i in range(bits):
-        key = key + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
-        key = key + F.shiftleft(
-            F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
-    return key
+    return zorder_key([xc, yc], bits)
 
 
 def morton_key_sql(x: str, y: str, bits: int = 16) -> str:
-    """The identical Morton-interleave tree as ANSI/DuckDB SQL."""
+    """The identical Morton-interleave tree (clamp included) as
+    ANSI/DuckDB SQL — the oracle twin of ``morton_key_expr``."""
+    mask = (1 << bits) - 1
+    cx = f"least(greatest({x}, 0), {mask})"
+    cy = f"least(greatest({y}, 0), {mask})"
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({cx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({cy} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"

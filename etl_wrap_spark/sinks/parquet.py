@@ -121,10 +121,13 @@ def zorder_key(cols: Sequence[str], bits: int = 14) -> "Column":  # noqa: F821
     if not 2 <= len(cols) <= 4:
         raise ValueError("zorder_key interleaves 2-4 columns")
     n = len(cols)
+    if n * bits > 62:
+        raise ValueError("cols*bits must be <= 62 to stay in int64")
     mask = (1 << bits) - 1
     key = F.lit(0).cast("bigint")
     for i, c in enumerate(cols):
-        v = F.least(F.greatest(F.col(c).cast("bigint"), F.lit(0)), F.lit(mask))
+        c = F.col(c) if isinstance(c, str) else c
+        v = F.least(F.greatest(c.cast("bigint"), F.lit(0)), F.lit(mask))
         for j in range(bits):
             key = key + (F.shiftright(v, j).bitwiseAND(F.lit(1)) * F.lit(1 << (j * n + i))).cast(
                 "bigint"
