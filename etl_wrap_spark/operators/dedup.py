@@ -249,6 +249,66 @@ def estimate_pairs(sig: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _collapsed_pairs(df, id_col, text_col, n, pair_fn):
+    """Value-class collapse shared by the fuzzy-pair family
+    (MinHash-LSH and the prefix-filtered exact join): group
+    BYTE-IDENTICAL texts into classes (md5 fingerprint, the q22
+    exact-dedup precedent), run ``pair_fn`` on one REPRESENTATIVE per
+    class, then expand class pairs back to id pairs.
+
+    Sound for any pair predicate that (a) depends only on the two
+    texts — Jaccard does — and (b) identical texts always satisfy:
+    between-class pairs inherit the representative verdict verbatim
+    (inter/uni carried over), within-class pairs are identical texts
+    (inter = uni = |shingles|, passing every valid threshold <= 1).
+    Output is row-for-row identical to the uncollapsed run; candidate
+    and verify work become linear in DISTINCT texts — the replicated-
+    corpus (sf1 probe) and real-crawl regime where exact clones
+    dominate pays clone-quadratic flops in every stage without this."""
+    keyed = df.select(
+        F.col(id_col), F.col(text_col), fingerprint_md5(text_col).alias("__fp")
+    )
+    classes = keyed.groupBy("__fp").agg(
+        F.min(id_col).alias("__cls"),
+        F.count(F.lit(1)).alias("__cnt"),
+        F.first(text_col).alias("__txt"),  # identical within a class
+    ).localCheckpoint(eager=False)
+    reps = classes.select(
+        F.col("__cls").alias(id_col), F.col("__txt").alias(text_col)
+    )
+    rep_pairs = pair_fn(reps)
+    members = keyed.select(F.col(id_col).alias("__mid"), "__fp").join(
+        classes.select("__fp", "__cls"), "__fp"
+    ).select("__mid", "__cls")
+    between = (
+        rep_pairs
+        .join(members.select(F.col("__cls").alias("id_a"),
+                             F.col("__mid").alias("__a")), "id_a")
+        .join(members.select(F.col("__cls").alias("id_b"),
+                             F.col("__mid").alias("__b")), "id_b")
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+            "inter", "uni",
+        )
+    )
+    selfq = classes.where(F.col("__cnt") >= 2).select(
+        "__cls", F.size(shingles(F.col("__txt"), n)).alias("__s")
+    )
+    m_s = members.join(selfq, "__cls")
+    within = (
+        m_s.alias("x").join(m_s.alias("y"), "__cls")
+        .where(F.col("x.__mid") < F.col("y.__mid"))
+        .select(
+            F.col("x.__mid").alias("id_a"),
+            F.col("y.__mid").alias("id_b"),
+            F.col("x.__s").alias("inter"),
+            F.col("x.__s").alias("uni"),
+        )
+    )
+    return between.unionByName(within)
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     id_col: str,
@@ -319,53 +379,18 @@ def near_dup_pairs_minhash(
         )
 
     if collapse_duplicates:
-        keyed = df.select(
-            F.col(id_col), F.col(text_col), fingerprint_md5(text_col).alias("__fp")
+        return _collapsed_pairs(
+            df,
+            id_col,
+            text_col,
+            n,
+            lambda reps: near_dup_pairs_minhash(
+                reps, id_col, text_col, n=n, num=num, den=den,
+                auto_tune=auto_tune, num_perm=num_perm, max_bucket=max_bucket,
+                est_prefilter_margin_bp=est_prefilter_margin_bp,
+                collapse_duplicates=False,
+            ),
         )
-        classes = keyed.groupBy("__fp").agg(
-            F.min(id_col).alias("__cls"),
-            F.count(F.lit(1)).alias("__cnt"),
-            F.first(text_col).alias("__txt"),  # identical within a class
-        ).localCheckpoint(eager=False)
-        reps = classes.select(
-            F.col("__cls").alias(id_col), F.col("__txt").alias(text_col)
-        )
-        rep_pairs = near_dup_pairs_minhash(
-            reps, id_col, text_col, n=n, num=num, den=den,
-            auto_tune=auto_tune, num_perm=num_perm, max_bucket=max_bucket,
-            est_prefilter_margin_bp=est_prefilter_margin_bp,
-            collapse_duplicates=False,
-        )
-        members = keyed.select(F.col(id_col).alias("__mid"), "__fp").join(
-            classes.select("__fp", "__cls"), "__fp"
-        ).select("__mid", "__cls")
-        between = (
-            rep_pairs
-            .join(members.select(F.col("__cls").alias("id_a"),
-                                 F.col("__mid").alias("__a")), "id_a")
-            .join(members.select(F.col("__cls").alias("id_b"),
-                                 F.col("__mid").alias("__b")), "id_b")
-            .select(
-                F.least("__a", "__b").alias("id_a"),
-                F.greatest("__a", "__b").alias("id_b"),
-                "inter", "uni",
-            )
-        )
-        selfq = classes.where(F.col("__cnt") >= 2).select(
-            "__cls", F.size(shingles(F.col("__txt"), n)).alias("__s")
-        )
-        m_s = members.join(selfq, "__cls")
-        within = (
-            m_s.alias("x").join(m_s.alias("y"), "__cls")
-            .where(F.col("x.__mid") < F.col("y.__mid"))
-            .select(
-                F.col("x.__mid").alias("id_a"),
-                F.col("y.__mid").alias("id_b"),
-                F.col("x.__s").alias("inter"),
-                F.col("x.__s").alias("uni"),
-            )
-        )
-        return between.unionByName(within)
 
     # spread ONCE here so the signature build and the exact-verify
     # text rejoin share a single (reused) exchange instead of each
@@ -470,6 +495,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     num: int = 5,
     den: int = 4,
+    collapse_duplicates: bool = True,
 ) -> DataFrame:
     """LOSSLESS prefix-filtered exact Jaccard join — the All-Pairs /
     PPJoin family (Bayardo, Ma & Srikant, WWW'07; Xiao et al., WWW'08)
@@ -518,6 +544,19 @@ def prefix_jaccard_pairs(
         raise ValueError(
             f"threshold J >= den/num = {den}/{num} > 1 can never match "
             "(num=5, den=4 means J >= 0.8)"
+        )
+    if collapse_duplicates:
+        # value-class collapse (default, as in near_dup_pairs_minhash):
+        # prefix/candidate/verify work linear in DISTINCT texts
+        return _collapsed_pairs(
+            df,
+            id_col,
+            text_col,
+            n,
+            lambda reps: prefix_jaccard_pairs(
+                reps, id_col, text_col, n=n, num=num, den=den,
+                collapse_duplicates=False,
+            ),
         )
     sf = shingle_frame(df, id_col, text_col, n)
     # global df of each shingle via a window: the hash-exchange on
