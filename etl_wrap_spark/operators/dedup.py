@@ -609,6 +609,79 @@ def prefix_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num: int = 10,
+    den: int = 9,
+) -> DataFrame:
+    """ASYMMETRIC shingle-containment join: every DIRECTED pair with
+    C(a→b) = |Sa ∩ Sb| / |Sa| >= den/num → (id_a, id_b, inter, n_a),
+    id_a the (near-)contained document. The quote / subset-duplicate
+    detector: a short doc embedded in a long one has high containment
+    but LOW Jaccard (the union is dominated by the container), so the
+    symmetric joins (``prefix_jaccard_pairs``, the LSH cascade) never
+    surface it — Broder's resemblance-vs-containment distinction.
+
+    Same lossless prefix-filter machinery as ``prefix_jaccard_pairs``,
+    adapted to the one-sided threshold: C >= t bounds only the
+    CONTAINED side's intersection (inter >= ceil(t·|Sa|)), so the
+    a-side indexes its rarest |Sa| − ceil(t·|Sa|) + 1 shingles while
+    the b-side indexes ALL of its shingles (no symmetric prefix exists
+    — the container's size is unbounded), plus the one-sided size
+    filter den·|Sa| <= num·|Sb| (inter <= |Sb|). Exact array_intersect
+    verification; directed output (a clone pair qualifies both ways).
+    At 100 TB the full b-side posting list is the cost of asymmetry —
+    run the symmetric join first and this only on the residual short
+    docs if container volume dominates.
+    """
+    if den > num:
+        raise ValueError(
+            f"threshold C >= den/num = {den}/{num} > 1 can never match"
+        )
+    sf = shingle_frame(df, id_col, text_col, n)
+    sf = sf.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    w_rank = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    ranked = (
+        sf.withColumn("__r", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    alpha = F.floor((F.lit(den) * F.col("__n") + num - 1) / num).cast("bigint")
+    a = ranked.where(F.col("__r") <= F.col("__n") - alpha + 1).select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"), "shingle"
+    )
+    b = ranked.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"), "shingle"
+    )
+    cand = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.lit(den) * F.col("n_a") <= F.lit(num) * F.col("n_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = ranked.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+    return (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")),
+            on="id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb")),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("inter"),
+            F.size("__sa").alias("n_a"),
+        )
+        .where(F.lit(num) * F.col("inter") >= F.lit(den) * F.col("n_a"))
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup groups: (fingerprint, n_copies, canonical_id) for
     fingerprints occurring more than once. One shuffle on the hash."""

@@ -6593,3 +6593,47 @@ def q195_zorder_zonemap(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# -------------------------------------- shingle-containment join (q196)
+@register(
+    "q196_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT id_a, id_b, inter, sa.n AS n_a
+      FROM inter
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+    )
+    SELECT id_a, id_b, inter, n_a FROM sized
+    WHERE 10 * inter >= 9 * n_a
+    ORDER BY id_a, id_b
+    """,
+)
+def q196_containment(spark, sf_dir):
+    """Directed shingle-containment join at C >= 0.9 (operators/
+    dedup.py:containment_pairs — Broder's containment, the quote /
+    subset-duplicate detector the symmetric Jaccard joins cannot see):
+    the contained side indexes only its rarest prefix shingles, the
+    container side its full posting list, one-sided size filter, exact
+    array_intersect verification. The oracle is the brute-force
+    directed inverted-index join at the same threshold — row-identical
+    output proves the one-sided prefix filter lossless."""
+    from etl_wrap_spark.operators.dedup import containment_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return containment_pairs(t["documents"], "doc_id", "text", n=3, num=10, den=9).orderBy(
+        "id_a", "id_b"
+    )

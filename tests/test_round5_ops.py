@@ -681,3 +681,46 @@ def test_morton_rejects_wide_bits(spark):
 
     with pytest.raises(ValueError, match="62"):
         morton_key_expr("x", "y", 32)
+
+
+# ------------------------------------------------- containment join
+def test_containment_finds_embedded_quote(spark):
+    """A short doc embedded verbatim in a long one: high containment,
+    low Jaccard — found by containment_pairs, invisible to the
+    symmetric join at the same strictness."""
+    from etl_wrap_spark.operators.dedup import containment_pairs, prefix_jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [(1, quote), (2, filler + " " + quote + " " + filler.replace("w", "v"))]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cont = {(r.id_a, r.id_b) for r in containment_pairs(df, "doc_id", "text", num=10, den=9).collect()}
+    assert (1, 2) in cont and (2, 1) not in cont     # directed
+    jac = prefix_jaccard_pairs(df, "doc_id", "text", num=10, den=9).collect()
+    assert jac == []                                  # Jaccard misses it
+
+
+def test_containment_lossless_vs_bruteforce(spark):
+    from etl_wrap_spark.operators.dedup import containment_pairs, shingle_frame
+
+    df = _ppjoin_corpus(spark)
+    got = {
+        (r.id_a, r.id_b, r.inter, r.n_a)
+        for r in containment_pairs(df, "doc_id", "text", num=10, den=9).collect()
+    }
+    # brute force from the shingle frame
+    sf = shingle_frame(df, "doc_id", "text", 3)
+    a = sf.toDF("id_a", "shingle")
+    b = sf.toDF("id_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .count()
+    )
+    sizes = sf.groupBy("doc_id").count().toDF("id_a", "n_a")
+    brute = {
+        (r.id_a, r.id_b, r["count"], r.n_a)
+        for r in inter.join(sizes, "id_a").where(10 * F.col("count") >= 9 * F.col("n_a")).collect()
+    }
+    assert got == brute and got  # nonempty (exact dups both directions)
