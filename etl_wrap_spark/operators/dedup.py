@@ -249,7 +249,7 @@ def estimate_pairs(sig: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _collapsed_pairs(df, id_col, text_col, n, pair_fn):
+def _collapsed_pairs(df, id_col, text_col, n, pair_fn, directed=False):
     """Value-class collapse shared by the fuzzy-pair family
     (MinHash-LSH and the prefix-filtered exact join): group
     BYTE-IDENTICAL texts into classes (md5 fingerprint, the q22
@@ -264,7 +264,14 @@ def _collapsed_pairs(df, id_col, text_col, n, pair_fn):
     Output is row-for-row identical to the uncollapsed run; candidate
     and verify work become linear in DISTINCT texts — the replicated-
     corpus (sf1 probe) and real-crawl regime where exact clones
-    dominate pays clone-quadratic flops in every stage without this."""
+    dominate pays clone-quadratic flops in every stage without this.
+
+    ``directed=True`` is the containment-join flavor: ``pair_fn``
+    returns DIRECTED (id_a, id_b, inter, n_a) rows, between-class
+    expansion preserves direction (no least/greatest re-ordering;
+    n_a is a property of a's text, so it carries to every class
+    member), and within-class identical texts qualify in BOTH
+    directions with inter = n_a = |shingles|."""
     keyed = df.select(
         F.col(id_col), F.col(text_col), fingerprint_md5(text_col).alias("__fp")
     )
@@ -280,22 +287,37 @@ def _collapsed_pairs(df, id_col, text_col, n, pair_fn):
     members = keyed.select(F.col(id_col).alias("__mid"), "__fp").join(
         classes.select("__fp", "__cls"), "__fp"
     ).select("__mid", "__cls")
-    between = (
+    expanded = (
         rep_pairs
         .join(members.select(F.col("__cls").alias("id_a"),
                              F.col("__mid").alias("__a")), "id_a")
         .join(members.select(F.col("__cls").alias("id_b"),
                              F.col("__mid").alias("__b")), "id_b")
-        .select(
-            F.least("__a", "__b").alias("id_a"),
-            F.greatest("__a", "__b").alias("id_b"),
-            "inter", "uni",
-        )
     )
     selfq = classes.where(F.col("__cnt") >= 2).select(
         "__cls", F.size(shingles(F.col("__txt"), n)).alias("__s")
     )
     m_s = members.join(selfq, "__cls")
+    if directed:
+        between = expanded.select(
+            F.col("__a").alias("id_a"), F.col("__b").alias("id_b"), "inter", "n_a"
+        )
+        within = (
+            m_s.alias("x").join(m_s.alias("y"), "__cls")
+            .where(F.col("x.__mid") != F.col("y.__mid"))
+            .select(
+                F.col("x.__mid").alias("id_a"),
+                F.col("y.__mid").alias("id_b"),
+                F.col("x.__s").alias("inter"),
+                F.col("x.__s").alias("n_a"),
+            )
+        )
+        return between.unionByName(within)
+    between = expanded.select(
+        F.least("__a", "__b").alias("id_a"),
+        F.greatest("__a", "__b").alias("id_b"),
+        "inter", "uni",
+    )
     within = (
         m_s.alias("x").join(m_s.alias("y"), "__cls")
         .where(F.col("x.__mid") < F.col("y.__mid"))
@@ -616,6 +638,7 @@ def containment_pairs(
     n: int = 3,
     num: int = 10,
     den: int = 9,
+    collapse_duplicates: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC shingle-containment join: every DIRECTED pair with
     C(a→b) = |Sa ∩ Sb| / |Sa| >= den/num → (id_a, id_b, inter, n_a),
@@ -640,6 +663,21 @@ def containment_pairs(
     if den > num:
         raise ValueError(
             f"threshold C >= den/num = {den}/{num} > 1 can never match"
+        )
+    if collapse_duplicates:
+        # value-class collapse, directed flavor (clone corpora pay
+        # clone-quadratic candidates on the full-posting b-side
+        # otherwise: measured 6.9s -> ~1s at the replicated sf1)
+        return _collapsed_pairs(
+            df,
+            id_col,
+            text_col,
+            n,
+            lambda reps: containment_pairs(
+                reps, id_col, text_col, n=n, num=num, den=den,
+                collapse_duplicates=False,
+            ),
+            directed=True,
         )
     sf = shingle_frame(df, id_col, text_col, n)
     sf = sf.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
