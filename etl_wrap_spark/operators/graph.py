@@ -357,3 +357,130 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-hop weighted shortest path (multi-source) → (node, cost)
+    with cost = min total edge weight over any path of ≤ ``max_hops``
+    edges from any source (unreached nodes absent, sources at 0). The
+    weighted sibling of ``bfs_hops`` — delta-stepping-style frontier
+    Bellman-Ford: each round relaxes ONLY edges out of nodes whose best
+    cost improved last round.
+
+    Correctness of frontier-only relaxation: after round h, best(v) =
+    min cost over ≤h-edge walks. If the minimizing walk's predecessor u
+    improved at round j < h, edge (u,v) was already relaxed at round
+    j+1 ≤ h with the same value — nothing is missed (standard
+    Bellman-Ford invariant). Weights may be any bigints ≥ 0; the
+    hop-bounded result is exactly replayable by a recursive CTE
+    carrying (node, cost, hop) and taking MIN(cost).
+
+    Scale shape: per-round cost is O(improved-set adjacency), not O(E)
+    — on small-diameter trade/link graphs the improved set collapses
+    after 2-3 rounds. Edge frame checkpointed once (every round joins
+    it); per-round best/frontier frames are node-sized and pinned
+    (the CC/PageRank lineage discipline)."""
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.col(weight).cast("bigint").alias("__w"),
+    ).localCheckpoint(eager=True)
+    best = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), (F.col("cost") + F.col("__w")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = (
+            cand.join(
+                best.select("node", F.col("cost").alias("__old")), "node", "left"
+            )
+            .where(F.col("__old").isNull() | (F.col("cost") < F.col("__old")))
+            .select("node", "cost")
+            .localCheckpoint(eager=True)
+        )
+        best = (
+            best.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best
+
+
+RA_SCALE = 10**6
+
+
+def ra_link_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_z_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou-Lü-Zhang 2009) →
+    (a, b, common, ra_micro) for every NON-adjacent pair a < b with
+    ≥ ``min_common`` common neighbors: common = |Γ(a)∩Γ(b)| and
+    ra_micro = Σ_{z ∈ Γ(a)∩Γ(b)} (10^6 div deg(z)) — the exact-integer
+    form of Σ 1/deg(z), bit-replayable on any engine (the float RA sum
+    is partition-order-dependent; the floor-divided micro-unit sum is
+    not). High-deg common neighbors contribute ~0 by construction —
+    RA's own damping, which is why it beats raw common-neighbor counts
+    on hub-heavy graphs (recommendation candidates, collaboration /
+    co-purchase link prediction, knowledge-graph completion).
+
+    Scale shape: candidate generation enumerates wedges THROUGH each
+    common neighbor z — Σ deg(z)² pairs, the hub hazard. The
+    ``max_z_degree`` cut bounds it at Σ min(deg, D)²: a spam hub with
+    deg 1e6 would contribute 1e12 wedges and at most 1 micro-unit per
+    pair; dropping z with deg > D is part of the operator's SEMANTICS
+    (both the Spark side and any oracle apply the same cut), so the
+    gate stays exact while the plan stays feasible. One adjacency
+    self-join on z + one (a,b) aggregation + one anti-join vs the edge
+    set."""
+    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    deg = degrees(und)
+    if max_z_degree is not None:
+        deg = deg.where(F.col("deg") <= F.lit(max_z_degree))
+    # adjacency both directions, z annotated with its (possibly cut) degree
+    adj = (
+        und.select(F.col("lo").alias("z"), F.col("hi").alias("n"))
+        .unionByName(und.select(F.col("hi").alias("z"), F.col("lo").alias("n")))
+        .join(deg.withColumnRenamed("node", "z"), "z")
+        .select("z", "n", F.expr(f"{RA_SCALE} div deg").alias("__ra"))
+    )
+    l, r = adj.alias("l"), adj.alias("r")
+    wedges = l.join(
+        r, (F.col("l.z") == F.col("r.z")) & (F.col("l.n") < F.col("r.n"))
+    ).select(
+        F.col("l.n").alias("a"),
+        F.col("r.n").alias("b"),
+        F.col("l.__ra").alias("__ra"),
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common"),
+        F.sum("__ra").cast("bigint").alias("ra_micro"),
+    )
+    if min_common > 1:
+        scored = scored.where(F.col("common") >= F.lit(min_common))
+    return scored.join(
+        und.select(F.col("lo").alias("a"), F.col("hi").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )

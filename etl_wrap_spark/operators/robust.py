@@ -544,3 +544,91 @@ def mann_kendall_trend(
         .drop("__sp")
     )
     return out.select(group_col, "n_periods", "s_stat", "var18", "significant", "trend")
+
+
+def acf_bp(
+    series: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1,),
+) -> DataFrame:
+    """Autocorrelation per group at the given row-lags, exact-integer
+    inner sums → (group, lag, n_pairs, acf_bp) with acf_bp = Pearson r
+    between (x_t, x_{t+k}) in basis points (NULL when either side is
+    constant). The seasonality/persistence diagnostic beside the drift
+    screens (mann_kendall_trend ranks monotone drifts, CUSUM finds
+    level shifts; ACF answers "does last week predict this week" —
+    lag-7 spikes = weekly cycle, slow decay = regime persistence).
+
+    Input contract: one row per (group, period), value an exact
+    integer. Lags are ROW lags over the period-ordered series —
+    calendar regularization (filling absent periods) is
+    ``resample_ffill``'s job upstream. Determinism: all six inner sums
+    (n, Σx, Σy, Σx², Σy², Σxy) are exact bigints — partition-order
+    independent — and the final r is a fixed 4-op IEEE tree
+    (floor(10⁴·(num/√(d₁·d₂)))), identical on any engine. int64-safe
+    while n·B² < 9·10¹⁸ for |value| ≤ B (n·Σx² ≤ n²B²); pre-scale
+    coarser if the series breaks that.
+
+    Scale shape: ONE window exchange+sort per group computes every
+    lag's lead column in a single pass; the explode to (lag, x, y)
+    rows is map-side; one map-side-combinable aggregation ends it.
+    The heavy stage at 100 TB is the caller's pre-aggregation to the
+    period grain, not this — the series frame is |groups|·|periods|
+    rows."""
+    if not lags or any(int(k) < 1 for k in lags):
+        raise ValueError("lags must be positive row offsets")
+    w = Window.partitionBy(group_col).orderBy(period_col)
+    leads = [
+        F.lead(F.col(value_col), int(k)).over(w).cast("bigint").alias(f"__l{k}")
+        for k in lags
+    ]
+    base = series.select(
+        F.col(group_col), F.col(value_col).cast("bigint").alias("__x"), *leads
+    )
+    pairs = (
+        base.select(
+            group_col,
+            "__x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(k)).cast("bigint").alias("lag"),
+                            F.col(f"__l{k}").alias("y"),
+                        )
+                        for k in lags
+                    ]
+                )
+            ).alias("__p"),
+        )
+        .select(
+            group_col,
+            F.col("__p.lag").alias("lag"),
+            F.col("__x").alias("__x"),
+            F.col("__p.y").alias("__y"),
+        )
+        .where(F.col("__y").isNotNull())
+    )
+    agg = pairs.groupBy(group_col, "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
+    )
+    num = F.col("n_pairs") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    d1 = F.col("n_pairs") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    d2 = F.col("n_pairs") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    r_bp = F.floor(
+        F.lit(10000.0)
+        * (num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")))
+    ).cast("bigint")
+    return agg.select(
+        group_col,
+        "lag",
+        "n_pairs",
+        F.when((d1 > 0) & (d2 > 0), r_bp).alias("acf_bp"),
+    )

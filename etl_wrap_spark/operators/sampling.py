@@ -373,3 +373,54 @@ def temperature_quotas(
             ).cast("bigint").alias("seats"),
         )
     )
+
+
+def epoch_shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int,
+    salt: str = "epoch",
+    rank_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic epoch shuffle + balanced sharding → input columns
+    plus (shard, pos): rows are globally ordered by
+    (hash60(salt:epoch:id), id) — a fresh pseudo-random permutation
+    every epoch, bit-reproducible from (salt, epoch) alone — then dealt
+    round-robin: shard = rank % n_shards, pos = rank div n_shards (the
+    consumption order WITHIN the shard). The training-loader contract:
+    every epoch sees every row exactly once, in a different order, with
+    shard sizes within one row of each other — and a crashed run can
+    recompute the exact same epoch order from the salt instead of
+    persisting a permutation table.
+
+    The global rank is computed DISTRIBUTED (the shard_balanced
+    machinery): range-repartition on the total order (hash, id), local
+    row_numbers, broadcast prefix-offset join — no single-partition
+    window anywhere, so the permutation of 10¹⁰ rows costs one range
+    exchange. The (hash, id) pair is a total order even under md5-60
+    collisions, which keeps the rank — and therefore every shard file —
+    deterministic across partitionings."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = hash60(
+        F.concat(F.lit(f"{salt}:{int(epoch)}:"), F.col(id_col).cast("string"))
+    )
+    slim = df.withColumn("__hk", key)
+    nparts = rank_partitions or slim.sparkSession.sparkContext.defaultParallelism
+    parted = slim.repartitionByRange(nparts, F.col("__hk"), F.col(id_col))
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    wl = Window.partitionBy("__pid").orderBy(F.col("__hk"), F.col(id_col))
+    local = with_pid.withColumn("__lrn", F.row_number().over(wl))
+    sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(wo), F.lit(0))
+    ).select("__pid", "__off")
+    rank = F.col("__off") + F.col("__lrn") - 1
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("shard", (rank % n_shards).cast("bigint"))
+        .withColumn("pos", F.expr(f"(__off + __lrn - 1) div {int(n_shards)}"))
+        .drop("__hk", "__pid", "__lrn", "__off")
+    )

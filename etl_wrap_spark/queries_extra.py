@@ -6637,3 +6637,246 @@ def q196_containment(spark, sf_dir):
     return containment_pairs(t["documents"], "doc_id", "text", n=3, num=10, den=9).orderBy(
         "id_a", "id_b"
     )
+
+
+# ------------------------------------ bounded weighted shortest path (q197)
+@register(
+    "q197_sssp_trade_cost",
+    oracle="""
+    WITH RECURSIVE li AS (
+      SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem WHERE l_partkey % 10 = 0
+    ), pairs AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi,
+             MIN(a.q + b.q) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT lo AS src, hi AS dst, w FROM pairs
+      UNION ALL
+      SELECT hi AS src, lo AS dst, w FROM pairs
+    ), srcs AS (
+      SELECT DISTINCT src AS node FROM e WHERE src % 50 = 0
+    ), walk(node, cost, hop) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM srcs
+      UNION
+      SELECT e.dst, w.cost + e.w, w.hop + 1
+      FROM walk w JOIN e ON e.src = w.node WHERE w.hop < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(cost) AS BIGINT) AS cost
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def q197_sssp_trade_cost(spark, sf_dir):
+    """Bounded-hop weighted shortest path (operators/graph.py:
+    sssp_bounded — frontier Bellman-Ford, the weighted sibling of
+    q157's BFS) over the part co-purchase graph: edge weight = the
+    cheapest combined quantity any order co-bought the two parts at,
+    sources = the round-number part cohort, 3 relaxation rounds. The
+    proximity-with-cost primitive (supply-chain substitution distance,
+    related-item discovery, weighted influence radius). The oracle
+    replays it as a cost-carrying hop-bounded recursive CTE taking
+    MIN(cost) — exact because every cost is an integer sum of bigint
+    weights, so frontier relaxation order cannot perturb the result."""
+    from etl_wrap_spark.operators.graph import sssp_bounded
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = (
+        t["lineitem"]
+        .where(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey", F.col("l_quantity").cast("bigint").alias("q"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .agg(F.min(F.col("a.q") + F.col("b.q")).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "w"))
+    sources = edges.select(F.col("src").alias("node")).where(
+        F.col("node") % 50 == 0
+    ).distinct()
+    return (
+        sssp_bounded(edges, sources, max_hops=3)
+        .select(F.col("node").cast("bigint").alias("node"), "cost")
+        .orderBy("node")
+    )
+
+
+# ------------------------------------ resource-allocation link prediction (q198)
+@register(
+    "q198_ra_link_prediction",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+    ), und AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT lo AS node FROM und UNION ALL SELECT hi AS node FROM und)
+      GROUP BY node
+    ), adj AS (
+      SELECT z, n, 1000000 // deg AS ra FROM (
+        SELECT lo AS z, hi AS n FROM und UNION ALL SELECT hi AS z, lo AS n FROM und
+      ) JOIN deg ON node = z
+    ), wedges AS (
+      SELECT l.n AS a, r.n AS b, l.ra
+      FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+    ), scored AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(ra) AS BIGINT) AS ra_micro
+      FROM wedges GROUP BY a, b
+    )
+    SELECT CAST(s.a AS BIGINT) AS a, CAST(s.b AS BIGINT) AS b, s.common, s.ra_micro
+    FROM scored s LEFT JOIN und ON und.lo = s.a AND und.hi = s.b
+    WHERE und.lo IS NULL AND s.common >= 3
+    ORDER BY a, b
+    """,
+)
+def q198_ra_link_prediction(spark, sf_dir):
+    """Resource-allocation link prediction (operators/graph.py:
+    ra_link_scores — Zhou-Lü-Zhang 2009) on the part co-purchase
+    graph: for every NON-adjacent part pair sharing ≥3 co-purchase
+    neighbors, the RA score Σ 1/deg(z) in exact integer micro-units.
+    The 'which edge is missing' signal (recommendation candidates,
+    KG completion, assortment gaps) — RA's inverse-degree damping
+    makes popular hub parts contribute ~nothing, which is exactly why
+    it beats raw common-neighbor counts on hub-heavy graphs. The
+    exact-integer micro-unit sum is what lets a SQL oracle replay a
+    score that a float Σ 1/deg could never bit-match across partition
+    orders."""
+    from etl_wrap_spark.operators.graph import ra_link_scores
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = (
+        t["lineitem"]
+        .where(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return (
+        ra_link_scores(edges, min_common=3)
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            "common",
+            "ra_micro",
+        )
+        .orderBy("a", "b")
+    )
+
+
+# ------------------------------------ autocorrelation diagnostic (q199)
+@register(
+    "q199_acf_daily_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, CAST(1 AS BIGINT) AS lag, v AS x,
+             LEAD(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM s
+      UNION ALL
+      SELECT event_type, CAST(7 AS BIGINT), v,
+             LEAD(v, 7) OVER (PARTITION BY event_type ORDER BY day)
+      FROM s
+    ), p AS (
+      SELECT * FROM lagged WHERE y IS NOT NULL
+    ), agg AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(FLOOR(10000.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+                ELSE NULL END AS acf_bp
+    FROM agg ORDER BY event_type, lag
+    """,
+)
+def q199_acf_daily_events(spark, sf_dir):
+    """Lag-1/lag-7 autocorrelation of daily event volume per event type
+    (operators/robust.py:acf_bp): the seasonality/persistence
+    diagnostic — a lag-7 spike says the weekly cycle dominates (gate
+    anomaly screens on deseasonalized residuals, q161), lag-1 decay
+    says volume is regime-persistent (yesterday predicts today). All
+    six inner sums are exact bigints and the final Pearson r is a
+    fixed 4-op IEEE tree, so the DuckDB window replay bit-matches —
+    the float-sum ACF of any stats library could not be gated this
+    way. One window pass computes BOTH lags' lead columns."""
+    from etl_wrap_spark.operators.robust import acf_bp
+
+    t = load_tables(spark, sf_dir, ["events"])
+    s = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    return (
+        acf_bp(s, "event_type", "day", "v", lags=(1, 7))
+        .orderBy("event_type", "lag")
+    )
+
+
+# ------------------------------------ deterministic epoch shuffle (q200)
+@register(
+    "q200_epoch_shuffle_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('epoch:3:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hk
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS rk
+      FROM h
+    )
+    SELECT doc_id, CAST(rk % 8 AS BIGINT) AS shard, CAST(rk // 8 AS BIGINT) AS pos
+    FROM r ORDER BY doc_id
+    """,
+)
+def q200_epoch_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch-3 shuffle of the document corpus into 8
+    balanced shards (operators/sampling.py:epoch_shuffle_shards): rows
+    globally ordered by (md5-60('epoch:3:'+id), id) and dealt
+    round-robin — the training-loader contract (every epoch a fresh
+    bit-reproducible permutation, shard sizes within one row, pos =
+    consumption order within the shard) with NO persisted permutation
+    table: a crashed run recomputes the identical epoch order from the
+    salt. The Spark side ranks DISTRIBUTED (range partition + local
+    row_number + broadcast prefix offsets); the oracle replays it as
+    the sequential ROW_NUMBER it is equivalent to by total-order
+    invariance."""
+    from etl_wrap_spark.operators.sampling import epoch_shuffle_shards
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        epoch_shuffle_shards(t["documents"].select("doc_id"), "doc_id", 3, 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )

@@ -121,6 +121,8 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     # sorted-neighborhood rank: same partition-count offsets frame as
     # shard_balanced (groupBy spark_partition_id → ≤ parallelism rows)
     "q184_sorted_neighborhood": "partition-count offsets frame",
+    # epoch shuffle rank: same partition-count offsets frame
+    "q200_epoch_shuffle_shards": "partition-count offsets frame",
 }
 
 _BOUNDING = {

@@ -724,3 +724,162 @@ def test_containment_lossless_vs_bruteforce(spark):
         for r in inter.join(sizes, "id_a").where(10 * F.col("count") >= 9 * F.col("n_a")).collect()
     }
     assert got == brute and got  # nonempty (exact dups both directions)
+
+
+# ---------------------------------------------------------- sssp_bounded
+
+
+def _sssp(spark, edges, sources, **kw):
+    from etl_wrap_spark.operators.graph import sssp_bounded
+
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    out = sssp_bounded(e, s, **kw)
+    return {r["node"]: r["cost"] for r in out.collect()}
+
+
+def test_sssp_hand_graph(spark):
+    """s→a(1), s→b(10), a→b(2), b→c(1), a→c(100): the cheap route to b
+    and c needs MORE hops than the direct edge — b improves from 10 to
+    3 in round 2, and c's best (4) rides that round-2 improvement
+    through the round-3 frontier (the frontier-only relaxation
+    invariant under test)."""
+    edges = [(0, 1, 1), (0, 2, 10), (1, 2, 2), (2, 3, 1), (1, 3, 100)]
+    got = _sssp(spark, edges, [0], max_hops=3)
+    assert got == {0: 0, 1: 1, 2: 3, 3: 4}
+
+
+def test_sssp_hop_bound(spark):
+    """At max_hops=2 the 3-edge route s→a→b→c is out of reach: c costs
+    11 via s→b→c (2 hops); at max_hops=1, c is unreached entirely."""
+    edges = [(0, 1, 1), (0, 2, 10), (1, 2, 2), (2, 3, 1), (1, 3, 100)]
+    assert _sssp(spark, edges, [0], max_hops=2)[3] == 11
+    assert 3 not in _sssp(spark, edges, [0], max_hops=1)
+
+
+def test_sssp_multi_source_min(spark):
+    """Two sources: every node takes the cheaper origin; sources pin 0
+    even when an incoming path would be costlier."""
+    edges = [(0, 1, 5), (9, 1, 2), (1, 0, 1)]
+    got = _sssp(spark, edges, [0, 9], max_hops=3)
+    assert got == {0: 0, 9: 0, 1: 2}
+
+
+# ---------------------------------------------------------- ra_link_scores
+
+
+def _ra(spark, edges, **kw):
+    from etl_wrap_spark.operators.graph import ra_link_scores
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = ra_link_scores(e, **kw)
+    return {(r["a"], r["b"]): (r["common"], r["ra_micro"]) for r in out.collect()}
+
+
+def test_ra_hand_graph(spark):
+    """Triangle 1-2-3 plus pendant 3-4: the only non-adjacent pairs
+    sharing a neighbor are (1,4) and (2,4) through z=3 (deg 3) →
+    ra = 10^6 div 3 = 333333. Adjacent pairs never emitted."""
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    got = _ra(spark, edges)
+    assert got == {(1, 4): (1, 333333), (2, 4): (1, 333333)}
+
+
+def test_ra_z_degree_cut(spark):
+    """max_z_degree=2 removes z=3 (deg 3) from the wedge index: no
+    candidates survive — the hub-cut semantics, not a post-filter."""
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    assert _ra(spark, edges, max_z_degree=2) == {}
+
+
+def test_ra_min_common_and_sum(spark):
+    """4-cycle 1-3-2-4-1: (1,2) and (3,4) each share TWO deg-2
+    neighbors → common=2, ra = 2·(10^6 div 2) = 1000000; min_common=2
+    keeps both, min_common=3 keeps none."""
+    edges = [(1, 3), (1, 4), (2, 3), (2, 4)]
+    got = _ra(spark, edges, min_common=2)
+    assert got == {(1, 2): (2, 1000000), (3, 4): (2, 1000000)}
+    assert _ra(spark, edges, min_common=3) == {}
+
+
+# ---------------------------------------------------------- acf_bp
+
+
+def _acf(spark, rows, lags):
+    from etl_wrap_spark.operators.robust import acf_bp
+
+    df = spark.createDataFrame(rows, "g string, p long, v long")
+    out = acf_bp(df, "g", "p", "v", lags=lags)
+    return {(r["g"], r["lag"]): (r["n_pairs"], r["acf_bp"]) for r in out.collect()}
+
+
+def test_acf_alternating_series(spark):
+    """1,2,1,2,1,2: lag-1 is perfect anti-correlation (−10000 bp on the
+    hand sums n=5, num=−6, d=6·6), lag-2 perfect correlation (+10000)."""
+    rows = [("a", i, 1 + i % 2) for i in range(6)]
+    got = _acf(spark, rows, lags=(1, 2))
+    assert got[("a", 1)] == (5, -10000)
+    assert got[("a", 2)] == (4, 10000)
+
+
+def test_acf_constant_is_null_and_short_series_absent(spark):
+    """A constant series has zero variance → acf_bp NULL (not 0, not a
+    crash); a lag beyond the series length yields no row at all."""
+    rows = [("c", i, 7) for i in range(4)]
+    got = _acf(spark, rows, lags=(1, 9))
+    assert got[("c", 1)] == (3, None)
+    assert ("c", 9) not in got
+
+
+def test_acf_linear_trend_and_lag_guard(spark):
+    """A strictly linear series is +10000 at every lag; non-positive
+    lags are rejected loudly."""
+    import pytest as _pytest
+
+    rows = [("t", i, 10 * i) for i in range(8)]
+    got = _acf(spark, rows, lags=(1, 3))
+    assert got[("t", 1)] == (7, 10000)
+    assert got[("t", 3)] == (5, 10000)
+    with _pytest.raises(ValueError):
+        _acf(spark, rows, lags=(0,))
+
+
+# ---------------------------------------------------------- epoch_shuffle_shards
+
+
+def _epoch(spark, n, epoch, n_shards, parts=None):
+    from etl_wrap_spark.operators.sampling import epoch_shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = epoch_shuffle_shards(df, "doc_id", epoch, n_shards, rank_partitions=parts)
+    return {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+
+
+def test_epoch_shards_matches_md5_reference(spark):
+    """The permutation is exactly rank-by-(md5-60('epoch:3:'+id), id)
+    dealt round-robin — replayed here in pure Python."""
+    got = _epoch(spark, 40, 3, 8)
+    keys = sorted(
+        (int(hashlib.md5(f"epoch:3:{i}".encode()).hexdigest()[:15], 16), i)
+        for i in range(40)
+    )
+    want = {i: (rk % 8, rk // 8) for rk, (_, i) in enumerate(keys)}
+    assert got == want
+
+
+def test_epoch_shards_balance_and_epoch_variation(spark):
+    """Shard sizes within one row of each other at a non-dividing
+    count; a different epoch yields a different permutation while both
+    remain per-epoch deterministic and partition-count invariant."""
+    e1 = _epoch(spark, 37, 1, 5)
+    sizes = {}
+    for s, _ in e1.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sorted(sizes) == [0, 1, 2, 3, 4]
+    assert e1 == _epoch(spark, 37, 1, 5, parts=3)  # partition invariance
+    assert e1 != _epoch(spark, 37, 2, 5)  # fresh order per epoch
+    # every shard's pos sequence is contiguous from 0
+    for s in sizes:
+        poss = sorted(p for sh, p in e1.values() if sh == s)
+        assert poss == list(range(len(poss)))
