@@ -171,6 +171,9 @@ class AtomicTable:
         stats_cols: Sequence[str] | None = None,
         cluster_by: str | Column | None = None,
         cluster_files: int | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int = 4096,
+        bloom_hashes: int = 5,
     ) -> str:
         """Write the full new state into a uniquely-named staging dir —
         never into a version dir, so a losing writer can never clobber a
@@ -201,6 +204,8 @@ class AtomicTable:
         out.write.mode("overwrite").parquet(staged)
         if stats_cols:
             self._write_stats(staged, list(stats_cols))
+        if bloom_cols:
+            self._write_blooms(staged, list(bloom_cols), bloom_bits, bloom_hashes)
         return staged
 
     @staticmethod
@@ -251,6 +256,122 @@ class AtomicTable:
         with open(tmp, "w") as fh:
             json.dump(stats, fh)
 
+    def _write_blooms(
+        self, staged: str, bloom_cols: list[str], m_bits: int, k_hashes: int
+    ) -> None:
+        """Per-file bloom filters for the given columns, recorded under
+        the reserved ``__bloom__`` key of each file's ``_stats.json``
+        entry — the point-lookup complement of the min/max zone maps
+        (zones prune RANGES on clustered layouts; blooms prune EQUALITY
+        probes on high-cardinality columns regardless of layout, the
+        Delta/Iceberg bloom-index pattern). Bit positions are the
+        engine-portable md5 double-hash of operators/sketches.py, so a
+        driver-side Python probe reproduces them exactly.
+
+        Computed DISTRIBUTED in one column-pruned pass over the staged
+        files (input_file_name → explode k positions → per-(file, word)
+        bit_or); only the finished words — files × m/63 bigints,
+        manifest-scale — ever reach the driver. NULLs set no bits
+        (point lookup is `=`, never `IS NULL`)."""
+        from etl_wrap_spark.operators.sketches import _bloom_positions
+
+        files = [f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")]
+        n_words = (m_bits + 62) // 63
+        blooms: dict[str, dict] = {
+            fn: {c: [0] * n_words for c in bloom_cols} for fn in files
+        }
+        src = self.spark.read.parquet(staged).select(
+            F.input_file_name().alias("__f"), *[F.col(c) for c in bloom_cols]
+        )
+        for col in bloom_cols:
+            pos = F.explode(
+                F.array(*_bloom_positions(F.col(col), k_hashes, m_bits))
+            ).alias("p")
+            words = (
+                src.where(F.col(col).isNotNull())
+                .select("__f", pos)
+                .select(
+                    "__f",
+                    (F.col("p") / 63).cast("int").alias("w"),
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("bigint"), (F.col("p") % 63).cast("int")
+                    ).alias("b"),
+                )
+                .groupBy("__f", "w")
+                .agg(F.bit_or("b").alias("word"))
+            )
+            for r in words.collect():
+                fn = os.path.basename(r["__f"])
+                if fn in blooms:
+                    blooms[fn][col][r["w"]] = r["word"]
+        path = os.path.join(staged, STATS)
+        try:
+            with open(path) as fh:
+                stats = json.load(fh)
+        except (OSError, ValueError):
+            stats = {}
+        for fn in files:
+            entry = stats.setdefault(fn, {})
+            entry["__bloom__"] = {
+                c: {"m": m_bits, "k": k_hashes, "w": blooms[fn][c]}
+                for c in bloom_cols
+            }
+        with open(path, "w") as fh:
+            json.dump(stats, fh)
+
+    @staticmethod
+    def _py_bloom_hit(value, bloom: dict) -> bool:
+        """Driver-side replay of operators/sketches._bloom_positions
+        (md5 halves, Kirsch-Mitzenmacher h1 + i·h2): True iff every one
+        of the value's k bits is set in the recorded words."""
+        import hashlib
+
+        hx = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+        h1, h2 = int(hx[0:7], 16), int(hx[7:14], 16)
+        for i in range(int(bloom["k"])):
+            p = (h1 + i * h2) % int(bloom["m"])
+            if not (int(bloom["w"][p // 63]) >> (p % 63)) & 1:
+                return False
+        return True
+
+    def pruned_files_eq(self, col: str, value, version: int | None = None) -> list[str] | None:
+        """Data files that may contain ``col = value`` — bloom membership
+        AND (when a zone exists) min/max containment; None when no stats
+        were recorded (caller falls back to a full read). Fail-open like
+        ``pruned_files``: a file lacking a bloom or zone for `col` is
+        kept. ``value`` must be an int or string (the bloom hashed the
+        column's string cast)."""
+        v = version if version is not None else self.current_version()
+        stats = self.file_stats(v)
+        if stats is None:
+            return None
+        vd = self._version_dir(v)
+        keep = []
+        for fn, zones in stats.items():
+            z = zones.get(col)
+            if z is not None and (value < z[0] or value > z[1]):
+                continue
+            bloom = zones.get("__bloom__", {}).get(col)
+            if bloom is not None and not self._py_bloom_hit(value, bloom):
+                continue
+            keep.append(os.path.join(vd, fn))
+        return keep
+
+    def read_point(self, col: str, value, version: int | None = None) -> DataFrame:
+        """``read().where(col = value)`` that opens ONLY the files whose
+        bloom (and zone, if any) can match — the needle-in-100-TB path:
+        a point probe on a high-cardinality key touches k bits per file
+        in the MANIFEST instead of listing/scanning the table. The
+        residual equality filter still applies (blooms false-positive),
+        so the result is exact regardless of pruning quality."""
+        files = self.pruned_files_eq(col, value, version)
+        pred = F.col(col) == F.lit(value)
+        if files is None:
+            return self.read(version).where(pred)
+        if not files:
+            return self.read(version).where(pred).limit(0)
+        return self.spark.read.parquet(*files).where(pred)
+
     def _promote(
         self,
         staged: str,
@@ -284,6 +405,9 @@ class AtomicTable:
         cluster_by: str | Column | None = None,
         cluster_files: int | None = None,
         txn: tuple[str, int] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int = 4096,
+        bloom_hashes: int = 5,
     ) -> int:
         if txn is not None:
             last = self.last_txn_version(txn[0])
@@ -292,7 +416,10 @@ class AtomicTable:
                 # skip without staging (the exactly-once contract)
                 return self.current_version() or 0
         new_v = (expected or 0) + 1
-        staged = self._stage(df, stats_cols, cluster_by, cluster_files)
+        staged = self._stage(
+            df, stats_cols, cluster_by, cluster_files, bloom_cols,
+            bloom_bits, bloom_hashes,
+        )
         self._promote(staged, new_v, expected, txn)
         return new_v
 
@@ -303,14 +430,21 @@ class AtomicTable:
         cluster_by: str | Column | None = None,
         cluster_files: int | None = None,
         txn: tuple[str, int] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int = 4096,
+        bloom_hashes: int = 5,
     ) -> int:
         """Full refresh (reference K5) as one atomic version bump; see
         ``_stage`` for the zone-map / clustering options
         (``cluster_files`` pins the range-partition count — zone
         granularity — where AQE would otherwise coalesce small tables
-        into one file). ``txn`` as in ``upsert``."""
+        into one file) and the per-file ``bloom_cols`` point-lookup
+        index (read back via ``read_point``). ``txn`` as in
+        ``upsert``."""
         return self._commit_df(
-            df, self.current_version(), stats_cols, cluster_by, cluster_files, txn=txn
+            df, self.current_version(), stats_cols, cluster_by, cluster_files,
+            txn=txn, bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+            bloom_hashes=bloom_hashes,
         )
 
     def upsert(

@@ -293,3 +293,62 @@ def test_table_changes_on_partitioned_table(spark, ptable):
         for r in table_changes(ptable, 1, 2, ["k"]).collect()
     }
     assert feed == {(1, "update"), (9, "insert")}
+
+
+def test_bloom_point_pruning_no_false_negatives(spark, table):
+    # high-cardinality key scattered across files by a DIFFERENT
+    # clustering column: zones on k are useless (every file spans the
+    # whole key space), blooms still prune. Every probe must keep all
+    # files truly containing the key (no false negatives) and the
+    # read_point result must equal the full equality filter.
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 16).alias("grp")
+    )
+    table.write(df, stats_cols=["grp"], cluster_by="grp", cluster_files=8,
+                bloom_cols=["k"])
+    stats = table.file_stats()
+    assert stats and all("__bloom__" in z for z in stats.values())
+    import os as _os
+    vd = table._version_dir(table.current_version())
+    truth = {}
+    for fn in sorted(_os.listdir(vd)):
+        if fn.endswith(".parquet"):
+            ks = {r.k for r in spark.read.parquet(_os.path.join(vd, fn)).collect()}
+            truth[fn] = ks
+    pruned_any = False
+    for probe in [0, 1, 777, 4_321, 4_999]:
+        keep = {_os.path.basename(p) for p in table.pruned_files_eq("k", probe)}
+        must = {fn for fn, ks in truth.items() if probe in ks}
+        assert must <= keep  # fail-open: never drops a containing file
+        if len(keep) < len(truth):
+            pruned_any = True
+        got = [r.k for r in table.read_point("k", probe).collect()]
+        assert got == [probe]
+    assert pruned_any  # the index actually prunes something
+
+
+def test_bloom_absent_key_and_fail_open(spark, table):
+    # a key never written: blooms should prune every file with high
+    # probability (tolerate FPs; result must still be empty); a version
+    # without blooms keeps every file but stays correct.
+    df = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    table.write(df, bloom_cols=["k"], cluster_by="k", cluster_files=4)
+    assert table.read_point("k", 99_999_999).count() == 0
+    table.write(df)  # v2: no stats at all
+    assert table.file_stats() is None
+    assert table.pruned_files_eq("k", 5) is None
+    assert table.read_point("k", 5).count() == 1
+
+
+def test_bloom_string_keys_and_zone_combination(spark, table):
+    # string bloom keys; zone + bloom combine (both fail-open): a value
+    # outside the zone is pruned even when the bloom would pass.
+    rows = [(i, f"user_{i}") for i in range(1_000)]
+    df = spark.createDataFrame(rows, "k long, u string")
+    table.write(df, stats_cols=["k"], cluster_by="k", cluster_files=4,
+                bloom_cols=["u", "k"])
+    got = [r.u for r in table.read_point("u", "user_123").collect()]
+    assert got == ["user_123"]
+    # k=5000 is outside every file's zone: pruned to zero files
+    assert table.pruned_files_eq("k", 5_000) == []
+    assert table.read_point("k", 5_000).count() == 0
