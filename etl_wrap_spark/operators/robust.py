@@ -632,3 +632,66 @@ def acf_bp(
         "n_pairs",
         F.when((d1 > 0) & (d2 > 0), r_bp).alias("acf_bp"),
     )
+
+
+def theil_sen_slope_milli(
+    series: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend slope per group, exact milli-units →
+    (group, n_pairs, slope_milli): the lower weighted median of all
+    pairwise slopes (v_j−v_i)/(p_j−p_i) over the period-ordered series
+    (Theil 1950 / Sen 1968 — up to ~29% contaminated points cannot move
+    it, unlike OLS where one spike owns the fit). The "how steep"
+    companion of ``mann_kendall_trend``'s "is it monotone": run MK to
+    rank drifting cohorts, Theil-Sen to size the drift.
+
+    Engine-exact construction: each pair's slope is quantized to
+    sign(Δv)·((1000·|Δv|) div Δp) — trunc-toward-zero on the POSITIVE
+    magnitude, so Spark's ``div`` and any SQL engine's integer division
+    agree even for negative slopes (floor-vs-trunc never diverges on
+    positives) — and the median is the all-integer lower weighted
+    median (``weighted_median``), so the result replays bit-for-bit.
+    Milli-resolution quantization error (< 0.001 value-units/period per
+    pair, before the median) is far below any trend-sizing decision.
+
+    Input contract: one row per (group, period); value an exact
+    integer; period an integer on a UNIFORM scale (day number, month
+    index year·12+month — NOT year·100+month, whose Dec→Jan gap of 89
+    would silently flatten winter slopes). Pre-aggregate raw facts
+    first: the O(m²) pair join runs on the period-grain frame only —
+    the same scale shape as mann_kendall_trend."""
+    g = F.col(group_col)
+    a = series.select(
+        g, F.col(period_col).cast("bigint").alias("__pi"),
+        F.col(value_col).cast("bigint").alias("__vi"),
+    )
+    b = series.select(
+        g, F.col(period_col).cast("bigint").alias("__pj"),
+        F.col(value_col).cast("bigint").alias("__vj"),
+    )
+    pairs = (
+        a.join(b, on=group_col)
+        .where(F.col("__pi") < F.col("__pj"))
+        .select(
+            group_col,
+            (F.col("__vj") - F.col("__vi")).alias("__dv"),
+            (F.col("__pj") - F.col("__pi")).alias("__dp"),
+        )
+        .select(
+            group_col,
+            (
+                F.when(F.col("__dv") >= 0, F.lit(1)).otherwise(F.lit(-1))
+                * F.expr("(1000 * abs(__dv)) div __dp")
+            ).alias("__slope"),
+            F.lit(1).alias("__one"),
+        )
+    )
+    med = weighted_median(pairs, [group_col], "__slope", "__one")
+    return med.select(
+        group_col,
+        F.col("total_w").cast("bigint").alias("n_pairs"),
+        F.col("wmedian").cast("bigint").alias("slope_milli"),
+    )

@@ -6880,3 +6880,63 @@ def q200_epoch_shuffle_shards(spark, sf_dir):
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------ Theil-Sen trend slopes (q201)
+@register(
+    "q201_theil_sen_slopes",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey % 50 AS cohort,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS period,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ), p AS (
+      SELECT a.cohort,
+             (CASE WHEN b.rev_c >= a.rev_c THEN 1 ELSE -1 END)
+             * ((1000 * ABS(b.rev_c - a.rev_c)) // (b.period - a.period)) AS slope
+      FROM m a JOIN m b ON a.cohort = b.cohort AND a.period < b.period
+    ), v AS (
+      SELECT cohort, slope, CAST(COUNT(*) AS BIGINT) AS w FROM p GROUP BY 1, 2
+    ), c AS (
+      SELECT cohort, slope, w,
+             SUM(w) OVER (PARTITION BY cohort ORDER BY slope
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY cohort) AS tw
+      FROM v
+    )
+    SELECT cohort, CAST(tw AS BIGINT) AS n_pairs,
+           CAST(MIN(slope) AS BIGINT) AS slope_milli
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY cohort, tw ORDER BY cohort
+    """,
+)
+def q201_theil_sen_slopes(spark, sf_dir):
+    """Theil-Sen robust trend slope of monthly cohort revenue
+    (operators/robust.py:theil_sen_slope_milli) on a UNIFORM month
+    index (year·12+month): the outlier-proof drift SIZE beside q194's
+    Mann-Kendall drift VERDICT — one holiday-season revenue spike
+    cannot move the pairwise-median slope the way it owns an OLS fit
+    (q99's grouped OLS is the contrast). Pair slopes are quantized to
+    exact milli-units with trunc-toward-zero on the positive magnitude
+    (the div convention Spark and DuckDB share), the median is the
+    all-integer lower weighted median, so the whole estimator replays
+    bit-for-bit in SQL."""
+    from etl_wrap_spark.operators.robust import theil_sen_slope_milli
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    m = (
+        t["orders"]
+        .groupBy(
+            (F.col("o_custkey") % 50).alias("cohort"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    return theil_sen_slope_milli(m, "cohort", "period", "rev_c").orderBy("cohort")

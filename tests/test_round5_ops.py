@@ -883,3 +883,45 @@ def test_epoch_shards_balance_and_epoch_variation(spark):
     for s in sizes:
         poss = sorted(p for sh, p in e1.values() if sh == s)
         assert poss == list(range(len(poss)))
+
+
+# ---------------------------------------------------------- theil_sen_slope_milli
+
+
+def _ts_slope(spark, rows):
+    from etl_wrap_spark.operators.robust import theil_sen_slope_milli
+
+    df = spark.createDataFrame(rows, "g string, p long, v long")
+    out = theil_sen_slope_milli(df, "g", "p", "v")
+    return {r["g"]: (r["n_pairs"], r["slope_milli"]) for r in out.collect()}
+
+
+def test_theil_sen_outlier_resistant(spark):
+    """Clean slope 10/period with one wild spike: OLS would bend, the
+    pairwise-median slope stays 10000 milli. Hand check: 5 points give
+    10 pair slopes, the 4 spike-involved ones split two high / two low
+    around the 6 clean ones."""
+    rows = [("a", p, 10 * p) for p in range(5)]
+    rows[2] = ("a", 2, 1000)  # spike
+    got = _ts_slope(spark, rows)
+    assert got["a"] == (10, 10000)
+
+
+def test_theil_sen_negative_slope_quantization(spark):
+    """Falling series v = −7·p/2: slopes are −3.5/period → quantized
+    trunc-toward-zero to −3500 milli on every pair (the div convention
+    both engines share on the positive magnitude)."""
+    rows = [("d", p, -7 * p // 2 if p % 2 == 0 else -(7 * p - 1) // 2) for p in range(4)]
+    # exact: v = floor(-3.5 p) gives pairwise slopes straddling −3500
+    rows = [("d", 0, 0), ("d", 2, -7), ("d", 4, -14), ("d", 6, -21)]
+    got = _ts_slope(spark, rows)
+    assert got["d"] == (6, -3500)
+
+
+def test_theil_sen_flat_and_single_period(spark):
+    """Constant series → slope 0; a single-period group has no pairs →
+    absent (the caller sees it's unsizeable, not 'flat')."""
+    rows = [("f", p, 42) for p in range(3)] + [("s", 1, 5)]
+    got = _ts_slope(spark, rows)
+    assert got["f"] == (3, 0)
+    assert "s" not in got
