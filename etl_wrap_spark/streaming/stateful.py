@@ -199,3 +199,72 @@ def streaming_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    k: int = 20,
+    key_col: str = "key",
+    order_col: str = "t",
+    item_col: str = "item",
+) -> DataFrame:
+    """Streaming twin of operators/frequent.frequent_items_sketch_df:
+    per-key Misra-Gries heavy hitters maintained ACROSS micro-batches —
+    the state IS the k-counter summary (items + lower-bound counts +
+    items-seen), so memory per key is k counters forever while the
+    stream is unbounded. Emits the full current summary each batch with
+    a monotone ``n_seen`` cursor (consumers keep the max-n_seen rows
+    per key; update output mode re-emits evolving groups only).
+
+    Exactness contract: because MG is a sequential algorithm, the
+    cross-batch run is BIT-IDENTICAL to a single sequential MG pass
+    over the concatenated stream (same decrement-all rule as the batch
+    operator's partition pass) — which is what the drain≡reference test
+    pins. The classic bound carries over: total undercount ≤ N/k, so
+    every item with true frequency > N/k is guaranteed present.
+
+    Ordering contract (as streaming_cusum): rows sort by ``order_col``
+    within each batch and batches are time-ordered per key; route late
+    data through the watermarking ingest first. Item values are
+    processed as strings (the state store schema is fixed)."""
+    kk = int(k)
+    if kk < 1:
+        raise ValueError("k must be >= 1")
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            items, counts, n_seen = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, n_seen = {}, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(order_col, kind="mergesort")
+            for v in batch[item_col].astype(str):
+                n_seen += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < kk:
+                    counters[v] = 1
+                else:
+                    counters = {i: c - 1 for i, c in counters.items() if c > 1}
+        state.update(
+            (list(counters), [int(c) for c in counters.values()], int(n_seen))
+        )
+        out = sorted(counters.items())
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out),
+                "item": [i for i, _ in out],
+                "cnt_lb": [c for _, c in out],
+                "n_seen": [int(n_seen)] * len(out),
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, item string, cnt_lb long, n_seen long",
+        stateStructType="items array<string>, counts array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

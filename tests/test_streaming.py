@@ -557,3 +557,69 @@ def test_streaming_cusum_skips_unknown_keys(spark, tmp_path):
     keys = {r["key"] for r in out_rows}
     assert keys == {"g"}
     assert len(out_rows) == 2
+
+
+def test_streaming_heavy_hitters_equals_sequential_mg(spark, tmp_path):
+    """Cross-batch Misra-Gries: two drains over a split stream leave
+    exactly the state a single sequential MG pass over the full stream
+    would hold — the k-counter state carries the summary identity
+    across micro-batches — and the heavy item survives with the
+    textbook lower bound."""
+    from etl_wrap_spark.streaming.stateful import streaming_heavy_hitters
+
+    # 60 items: 'hot' appears 24x (> N/k = 15), filler cycles 9 values
+    items = []
+    for i in range(60):
+        items.append("hot" if i % 5 in (0, 2) else f"f{i % 9}")
+    k = 4
+
+    def seq_mg(vals):
+        counters = {}
+        for v in vals:
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < k:
+                counters[v] = 1
+            else:
+                counters = {i: c - 1 for i, c in counters.items() if c > 1}
+        return counters
+
+    expect = seq_mg(items)
+
+    d = tmp_path / "hh_in"
+    d.mkdir()
+    out_rows = []
+
+    def drain():
+        stream = (
+            spark.readStream.schema("key STRING, t BIGINT, item STRING")
+            .option("header", "false")
+            .csv(str(d))
+        )
+        hh = streaming_heavy_hitters(stream, k=k)
+        q = (
+            hh.writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "hh_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (d / "b1.csv").write_text(
+        "\n".join(f"g,{t},{v}" for t, v in enumerate(items[:35])) + "\n"
+    )
+    drain()
+    (d / "b2.csv").write_text(
+        "\n".join(f"g,{t + 35},{v}" for t, v in enumerate(items[35:])) + "\n"
+    )
+    drain()
+
+    last = max(r["n_seen"] for r in out_rows)
+    assert last == 60
+    got = {r["item"]: r["cnt_lb"] for r in out_rows if r["n_seen"] == last}
+    assert got == expect
+    # MG guarantee: true count 24, undercount <= N/k = 15
+    assert got.get("hot", 0) >= 24 - 60 // k
