@@ -695,3 +695,120 @@ def theil_sen_slope_milli(
         F.col("total_w").cast("bigint").alias("n_pairs"),
         F.col("wmedian").cast("bigint").alias("slope_milli"),
     )
+
+
+# floor(P(X≤k)·2^60) for k = 0..6, X ~ Poisson(1): module-level literals
+# baked identically into the Column expression AND any SQL oracle, so
+# both engines compare the seeded uniform against the SAME integers.
+# The k>6 tail (~8·10⁻⁵) is clamped to weight 7 — identically on both
+# engines, a negligible and deterministic distortion of the resample
+# weights.
+import math as _math
+
+POISSON1_THRESHOLDS = [
+    min(
+        int(_math.exp(-1) * sum(1 / _math.factorial(i) for i in range(k + 1)) * (1 << 60)),
+        1 << 60,
+    )
+    for k in range(7)
+]
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    value_col: str,
+    b: int = 40,
+    salt: str = "boot",
+    alpha_bp: int = 250,
+) -> DataFrame:
+    """Percentile bootstrap CI for the per-group mean via the POISSON
+    bootstrap (Chamandy et al. 2012 — the distributed bootstrap: each
+    row enters replicate j with weight ~ Poisson(1), drawn independently
+    per (row, replicate), so no replicate ever needs a global sample of
+    size n) → (group…, n_reps, point_milli, lo_milli, hi_milli), means
+    in exact milli-units, bounds at the alpha_bp/10⁴ and 1−alpha_bp/10⁴
+    percentile replicates (default 250 bp = a 95% interval).
+
+    Fully DERANDOMIZED: the weight is #(thresholds ≤ md5-60(salt:j:id))
+    against the module-level Poisson(1) inverse-CDF literals — the
+    ε-DP mechanism's seeded-uniform idiom — so the whole resampling
+    replays bit-for-bit on any engine and reruns are reproducible from
+    (salt, b) alone. Every statistic is exact-integer: replicate means
+    are sign·((1000·|Σwx|) div Σw) (the div convention engines share on
+    positive magnitudes); the percentile pick is an all-integer rank
+    selection. Replicates whose total weight lands at 0 are dropped
+    (deterministically — visible in n_reps).
+
+    Scale shape: the explode is a ×b map-side blow-up aggregated in the
+    SAME stage (partial aggregation applies — the shuffle carries
+    groups×b partial sums, not rows×b); the rank window runs on the
+    replicate grain (≤ b rows per group). At 100 TB keep b modest
+    (20–50) and bootstrap the heavy fact table directly — that is the
+    point of the Poisson form."""
+    from etl_wrap_spark.operators.text import hash60
+
+    groups = list(group_cols)
+    if b < 2:
+        raise ValueError("b must be >= 2")
+    if not (0 < alpha_bp < 5000):
+        raise ValueError("alpha_bp must be in (0, 5000)")
+    base = df.select(
+        *groups,
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("bigint").alias("__x"),
+    )
+    reps = base.select(
+        *groups, "__id", "__x",
+        F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("__b"),
+    )
+    u = hash60(
+        F.concat(
+            F.lit(salt + ":"), F.col("__b").cast("string"),
+            F.lit(":"), F.col("__id").cast("string"),
+        )
+    )
+    tarr = F.array(*[F.lit(t).cast("bigint") for t in POISSON1_THRESHOLDS])
+    w = F.size(F.filter(tarr, lambda t: t <= u)).cast("bigint")
+    means = (
+        reps.select(*groups, "__b", w.alias("__w"), F.col("__x"))
+        .groupBy(*groups, "__b")
+        .agg(
+            F.sum("__w").alias("__n"),
+            F.sum(F.col("__w") * F.col("__x")).alias("__s"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            *groups, "__b",
+            (
+                F.when(F.col("__s") >= 0, F.lit(1)).otherwise(F.lit(-1))
+                * F.expr("(1000 * abs(__s)) div __n")
+            ).alias("__m"),
+        )
+    )
+    wg = Window.partitionBy(*groups)
+    ranked = means.select(
+        *groups, "__m",
+        F.row_number().over(wg.orderBy(F.col("__m"), F.col("__b"))).alias("__rk"),
+        F.count(F.lit(1)).over(wg).alias("__bn"),
+    )
+    rk_lo = F.greatest(F.expr(f"({int(alpha_bp)} * __bn + 9999) div 10000"), F.lit(1).cast("bigint"))
+    rk_hi = F.col("__bn") + 1 - rk_lo
+    ci = ranked.groupBy(*groups).agg(
+        F.max("__bn").cast("bigint").alias("n_reps"),
+        F.min(F.when(F.col("__rk") == rk_lo, F.col("__m"))).alias("lo_milli"),
+        F.min(F.when(F.col("__rk") == rk_hi, F.col("__m"))).alias("hi_milli"),
+    )
+    point = base.groupBy(*groups).agg(
+        F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n")
+    ).select(
+        *groups,
+        (
+            F.when(F.col("__s") >= 0, F.lit(1)).otherwise(F.lit(-1))
+            * F.expr("(1000 * abs(__s)) div __n")
+        ).alias("point_milli"),
+    )
+    return point.join(ci, groups).select(
+        *groups, "n_reps", "point_milli", "lo_milli", "hi_milli"
+    )

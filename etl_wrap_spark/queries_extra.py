@@ -6940,3 +6940,81 @@ def q201_theil_sen_slopes(spark, sf_dir):
         )
     )
     return theil_sen_slope_milli(m, "cohort", "period", "rev_c").orderBy("cohort")
+
+
+# ------------------------------------ Poisson bootstrap mean CI (q202)
+def _bootstrap_oracle() -> str:
+    from etl_wrap_spark.operators.robust import POISSON1_THRESHOLDS
+
+    wsum = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_THRESHOLDS
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_orderkey AS id,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ), reps AS (
+      SELECT g, id, x, t.b,
+             CAST('0x' || substr(md5('boot:' || CAST(t.b AS VARCHAR) || ':'
+                  || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS u
+      FROM base CROSS JOIN range(32) t(b)
+    ), wrows AS (
+      SELECT g, b, x, {wsum} AS w FROM reps
+    ), means AS (
+      SELECT g, b, CAST(SUM(w) AS BIGINT) AS n, CAST(SUM(w * x) AS BIGINT) AS s
+      FROM wrows GROUP BY 1, 2 HAVING SUM(w) > 0
+    ), m AS (
+      SELECT g, b,
+             (CASE WHEN s >= 0 THEN 1 ELSE -1 END) * ((1000 * ABS(s)) // n) AS m
+      FROM means
+    ), ranked AS (
+      SELECT g, m, ROW_NUMBER() OVER (PARTITION BY g ORDER BY m, b) AS rk,
+             COUNT(*) OVER (PARTITION BY g) AS bn
+      FROM m
+    ), ci AS (
+      SELECT g, CAST(MAX(bn) AS BIGINT) AS n_reps,
+             CAST(MIN(CASE WHEN rk = GREATEST((250 * bn + 9999) // 10000, 1)
+                           THEN m END) AS BIGINT) AS lo_milli,
+             CAST(MIN(CASE WHEN rk = bn + 1 - GREATEST((250 * bn + 9999) // 10000, 1)
+                           THEN m END) AS BIGINT) AS hi_milli
+      FROM ranked GROUP BY g
+    ), pt AS (
+      SELECT g, (CASE WHEN SUM(x) >= 0 THEN 1 ELSE -1 END)
+             * ((1000 * ABS(CAST(SUM(x) AS BIGINT))) // CAST(COUNT(*) AS BIGINT))
+             AS point_milli
+      FROM base GROUP BY g
+    )
+    SELECT pt.g AS o_orderpriority, ci.n_reps, pt.point_milli,
+           ci.lo_milli, ci.hi_milli
+    FROM pt JOIN ci ON pt.g = ci.g
+    ORDER BY o_orderpriority
+    """
+
+
+@register("q202_poisson_bootstrap_ci", oracle=_bootstrap_oracle())
+def q202_poisson_bootstrap_ci(spark, sf_dir):
+    """95% Poisson-bootstrap CI (operators/robust.py:
+    poisson_bootstrap_mean_ci — Chamandy et al. 2012, the distributed
+    bootstrap) for mean order value per priority, in exact milli-cents:
+    every row enters each of 32 replicates with a Poisson(1) weight
+    drawn from the seeded md5-60 uniform against module-level
+    inverse-CDF literals, so the ENTIRE resampling — usually the
+    archetype of unreproducible float/RNG computation — replays
+    bit-for-bit in SQL. The error bar beside every point estimate the
+    catalog publishes (the A/B readout q174 and drift screens tell you
+    IF something moved; this sizes how sure the mean itself is)."""
+    from etl_wrap_spark.operators.robust import poisson_bootstrap_mean_ci
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    base = t["orders"].select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        poisson_bootstrap_mean_ci(
+            base, ["o_orderpriority"], "o_orderkey", "cents", b=32
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -925,3 +925,62 @@ def test_theil_sen_flat_and_single_period(spark):
     got = _ts_slope(spark, rows)
     assert got["f"] == (3, 0)
     assert "s" not in got
+
+
+# ---------------------------------------------------------- poisson_bootstrap_mean_ci
+
+
+def test_poisson_bootstrap_matches_python_replay(spark):
+    """Bit-for-bit: replicate the md5-60 draws, the trunc-toward-zero
+    milli means, and the rank selection in pure Python."""
+    from etl_wrap_spark.operators.robust import (
+        POISSON1_THRESHOLDS,
+        poisson_bootstrap_mean_ci,
+    )
+
+    rows = [("g", i, 10 + (i * 7) % 23) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = poisson_bootstrap_mean_ci(df, ["g"], "id", "v", b=16, salt="t").collect()[0]
+
+    def draw(b, i):
+        u = int(hashlib.md5(f"t:{b}:{i}".encode()).hexdigest()[:15], 16)
+        return sum(1 for t in POISSON1_THRESHOLDS if t <= u)
+
+    means = []
+    for b in range(16):
+        n = s = 0
+        for _, i, v in rows:
+            w = draw(b, i)
+            n += w
+            s += w * v
+        if n > 0:
+            sign = 1 if s >= 0 else -1
+            means.append((sign * ((1000 * abs(s)) // n), b))
+    means.sort()
+    bn = len(means)
+    rk_lo = max(-(-250 * bn // 10000), 1)  # ceil
+    lo, hi = means[rk_lo - 1][0], means[bn - rk_lo][0]
+    s_all = sum(v for _, _, v in rows)
+    point = (1000 * s_all) // len(rows)
+    assert (got["n_reps"], got["point_milli"], got["lo_milli"], got["hi_milli"]) == (
+        bn, point, lo, hi,
+    )
+
+
+def test_poisson_bootstrap_interval_sane_and_guards(spark):
+    """On a 500-row group the 95% interval brackets the point estimate
+    and is reproducible (same salt → same interval); b/alpha guards."""
+    import pytest as _pytest
+    from etl_wrap_spark.operators.robust import poisson_bootstrap_mean_ci
+
+    rows = [("a", i, 100 + (i % 41)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    r1 = poisson_bootstrap_mean_ci(df, ["g"], "id", "v", b=24).collect()[0]
+    assert r1["lo_milli"] <= r1["point_milli"] <= r1["hi_milli"]
+    assert r1["n_reps"] == 24
+    r2 = poisson_bootstrap_mean_ci(df, ["g"], "id", "v", b=24).collect()[0]
+    assert r1 == r2
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_mean_ci(df, ["g"], "id", "v", b=1)
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_mean_ci(df, ["g"], "id", "v", alpha_bp=0)
