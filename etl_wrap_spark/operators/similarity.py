@@ -905,3 +905,68 @@ def knn_label_screen(
             (F.col("vote_label") != F.col("label")).alias("flagged"),
         )
     )
+
+
+def margin_mutual_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_l: str,
+    id_r: str,
+    vec: str,
+    k: int = 4,
+    margin_bp: int = 10600,
+) -> DataFrame:
+    """Margin-based mutual-kNN pair mining (Artetxe & Schwenk 2019 —
+    the bitext-mining scorer behind the large public parallel corpora:
+    CCMatrix/WikiMatrix mine translation pairs exactly this way) →
+    (id_a, id_b, dot, sum_a, sum_b) for pairs that are (1) in each
+    other's k-NN sets and (2) pass the RATIO margin: score(x,y) =
+    d(x,y) / ((mean of x's k-NN dots + mean of y's k-NN dots)/2) ≥
+    margin_bp/10⁴ — absolute cosine is uncalibrated across hubs, the
+    margin normalizes by each side's local similarity level, which is
+    what kills the hub false-positives a plain threshold keeps.
+
+    Engine-exact: the int8 kernel (quantize once per side, pure-int64
+    dots) makes every d and every k-NN sum an exact bigint, and the
+    margin test multiplies out to 10⁴·2k·d ≥ margin_bp·(sum_x+sum_y) —
+    no division anywhere, so the mined pair set replays bit-for-bit in
+    SQL. Intended for similarity-positive embedding spaces (margins
+    over negative sums are deterministic but not meaningful).
+
+    This is the exact labeled baseline (one |L|×|R| broadcast cross
+    score, two rank windows on it — the q26 posture): at volume, route
+    candidate generation through the IVF/sign-LSH indexes (ivf_topk /
+    int8_topk per direction) and margin-score ONLY the candidate
+    union; the scorer below is unchanged by that swap."""
+    l = left.select(F.col(id_l).alias("aid"), quantize_int8_expr(vec).alias("av"))
+    r = right.select(F.col(id_r).alias("bid"), quantize_int8_expr(vec).alias("bv"))
+    scored = r.crossJoin(F.broadcast(l)).select(
+        "aid", "bid", int_dot_expr("av", "bv").alias("dot")
+    )
+    wa = Window.partitionBy("aid").orderBy(F.col("dot").desc(), F.col("bid"))
+    wb = Window.partitionBy("bid").orderBy(F.col("dot").desc(), F.col("aid"))
+    ranked = scored.select(
+        "aid", "bid", "dot",
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    sa = (
+        ranked.where(F.col("__ra") <= k)
+        .groupBy("aid")
+        .agg(F.sum("dot").cast("bigint").alias("sum_a"))
+    )
+    sb = (
+        ranked.where(F.col("__rb") <= k)
+        .groupBy("bid")
+        .agg(F.sum("dot").cast("bigint").alias("sum_b"))
+    )
+    mutual = ranked.where((F.col("__ra") <= k) & (F.col("__rb") <= k))
+    return (
+        mutual.join(sa, "aid")
+        .join(sb, "bid")
+        .where(
+            F.lit(10000 * 2 * int(k)) * F.col("dot")
+            >= F.lit(int(margin_bp)) * (F.col("sum_a") + F.col("sum_b"))
+        )
+        .select("aid", "bid", F.col("dot").cast("bigint").alias("dot"), "sum_a", "sum_b")
+    )

@@ -7018,3 +7018,65 @@ def q202_poisson_bootstrap_ci(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------ margin-based bitext mining (q203)
+def _margin_oracle() -> str:
+    from etl_wrap_spark.operators import similarity as S
+
+    aq = S.quantize_int8_sql("av0")
+    bq = S.quantize_int8_sql("bv0")
+    idot = S.int_dot_sql("av", "bv")
+    return f"""
+    WITH l0 AS (
+      SELECT vec_id AS aid, embedding AS av0 FROM embeddings WHERE vec_id % 2 = 0
+    ), r0 AS (
+      SELECT vec_id AS bid, embedding AS bv0 FROM embeddings WHERE vec_id % 2 = 1
+    ), l AS (
+      SELECT aid, {aq} AS av FROM l0
+    ), r AS (
+      SELECT bid, {bq} AS bv FROM r0
+    ), scored AS (
+      SELECT aid, bid, CAST({idot} AS BIGINT) AS dot FROM l, r
+    ), ranked AS (
+      SELECT aid, bid, dot,
+             ROW_NUMBER() OVER (PARTITION BY aid ORDER BY dot DESC, bid) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY bid ORDER BY dot DESC, aid) AS rb
+      FROM scored
+    ), sa AS (
+      SELECT aid, CAST(SUM(dot) AS BIGINT) AS sum_a FROM ranked WHERE ra <= 4 GROUP BY aid
+    ), sb AS (
+      SELECT bid, CAST(SUM(dot) AS BIGINT) AS sum_b FROM ranked WHERE rb <= 4 GROUP BY bid
+    )
+    SELECT m.aid AS aid, m.bid AS bid, m.dot AS dot, sa.sum_a, sb.sum_b
+    FROM ranked m JOIN sa ON m.aid = sa.aid JOIN sb ON m.bid = sb.bid
+    WHERE m.ra <= 4 AND m.rb <= 4
+      AND 10000 * 8 * m.dot >= 10300 * (sa.sum_a + sb.sum_b)
+    ORDER BY m.aid, m.bid
+    """
+
+
+@register("q203_margin_bitext_mining", oracle=_margin_oracle())
+def q203_margin_bitext_mining(spark, sf_dir):
+    """Margin-based mutual-kNN pair mining (operators/similarity.py:
+    margin_mutual_pairs — Artetxe & Schwenk 2019, the CCMatrix/
+    WikiMatrix bitext-mining scorer) between the even- and odd-id
+    halves of the embedding corpus at k=4, margin 1.03: pairs in each
+    other's k-NN whose dot clears the RATIO margin over both sides'
+    local k-NN similarity level — the hub-robust alternative to an
+    absolute cosine threshold. The int8 kernel + cross-multiplied
+    margin test make the mined set exact integers end-to-end; the
+    oracle replays kNN ranks, k-NN sums, and the margin inequality
+    verbatim."""
+    from etl_wrap_spark.operators.similarity import margin_mutual_pairs
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    left = e.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    right = e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    return (
+        margin_mutual_pairs(
+            left, right, "vec_id", "vec_id", "embedding", k=4, margin_bp=10300
+        )
+        .orderBy("aid", "bid")
+    )

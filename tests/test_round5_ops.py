@@ -984,3 +984,82 @@ def test_poisson_bootstrap_interval_sane_and_guards(spark):
         poisson_bootstrap_mean_ci(df, ["g"], "id", "v", b=1)
     with _pytest.raises(ValueError):
         poisson_bootstrap_mean_ci(df, ["g"], "id", "v", alpha_bp=0)
+
+
+# ---------------------------------------------------------- margin_mutual_pairs
+
+
+def test_margin_mining_hand_case(spark):
+    """Left {e1, e2}, right {e1, hub=(e1+e2)/√2}, k=2: the true pair
+    (x1,y1) passes; (x1,hub) FAILS the ratio margin even though its
+    absolute dot (11303) is far above the (x2,y1) noise floor — the
+    hub's own high k-NN sum is what kills it (the Artetxe-Schwenk
+    point); (x2,hub) passes because the hub is x2's only neighbor.
+    All values exact int8-kernel integers, hand-checked."""
+    from etl_wrap_spark.operators.similarity import margin_mutual_pairs
+
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, embedding array<double>"
+    )
+    right = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.70710678, 0.70710678])],
+        "id long, embedding array<double>",
+    )
+    got = {
+        (r["aid"], r["bid"]): r["dot"]
+        for r in margin_mutual_pairs(left, right, "id", "id", "embedding", k=2).collect()
+    }
+    assert got == {(1, 10): 16129, (2, 11): 11303}
+
+
+def test_margin_mining_matches_python_replay(spark):
+    """Bit-for-bit against a pure-Python replay of the int8 kernel,
+    both rank directions, k-NN sums, and the cross-multiplied margin."""
+    import math
+
+    from etl_wrap_spark.operators.similarity import margin_mutual_pairs
+
+    def vec(seed, d=6):
+        vals = [((seed * 37 + j * 17) % 19) - 9 for j in range(d)]
+        return [float(v) for v in vals]
+
+    L = [(i, vec(i)) for i in range(8)]
+    R = [(100 + i, vec(i * 3 + 1)) for i in range(10)]
+    ldf = spark.createDataFrame(L, "id long, embedding array<double>")
+    rdf = spark.createDataFrame(R, "id long, embedding array<double>")
+    k, mbp = 3, 10200
+    got = {
+        (r["aid"], r["bid"])
+        for r in margin_mutual_pairs(ldf, rdf, "id", "id", "embedding", k=k, margin_bp=mbp).collect()
+    }
+
+    def q8(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [0 if n == 0 else math.floor(127.0 * x / n) for x in v]
+
+    lq = {i: q8(v) for i, v in L}
+    rq = {i: q8(v) for i, v in R}
+    dots = {
+        (a, b): sum(x * y for x, y in zip(lq[a], rq[b])) for a in lq for b in rq
+    }
+    ra = {}
+    for a in lq:
+        order = sorted(rq, key=lambda b: (-dots[(a, b)], b))
+        for rk, b in enumerate(order, 1):
+            ra[(a, b)] = rk
+    rb = {}
+    for b in rq:
+        order = sorted(lq, key=lambda a: (-dots[(a, b)], a))
+        for rk, a in enumerate(order, 1):
+            rb[(a, b)] = rk
+    sa = {a: sum(dots[(a, b)] for b in rq if ra[(a, b)] <= k) for a in lq}
+    sb = {b: sum(dots[(a, b)] for a in lq if rb[(a, b)] <= k) for b in rq}
+    want = {
+        (a, b)
+        for a in lq
+        for b in rq
+        if ra[(a, b)] <= k
+        and rb[(a, b)] <= k
+        and 10000 * 2 * k * dots[(a, b)] >= mbp * (sa[a] + sb[b])
+    }
+    assert got == want and want  # non-empty and identical
