@@ -210,6 +210,7 @@ def pagerank_fixedpoint(
     damping_den: int = 100,
     checkpoint_every: int = 8,
     seeds: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """K-iteration PageRank → (node, rank_fp) with rank_fp a scaled
     bigint (sum ≈ ``scale``; floor-truncation leaks only downward).
@@ -217,6 +218,16 @@ def pagerank_fixedpoint(
     r_0(v)   = scale // N
     r_k+1(v) = (scale·(den−num)) // (den·N)
              + Σ_{(u,v)∈E} (r_k(u)·num) // (den·outdeg(u))
+
+    ``weight`` names a POSITIVE bigint edge-weight column and switches
+    to weighted PageRank: each source splits its damped rank
+    proportionally to edge weight — contribution becomes
+    (r_k(u)·num·w_uv) div (den·W_u) with W_u = Σ out-weights of u (the
+    trade-volume/click-count random surfer). Rows with w ≤ 0 are
+    dropped up front (a zero-weight edge is no edge). Same fixed-point
+    arithmetic, still oracle-replayable; int64 bound: scale·num·w_max
+    must stay < 2⁶³ — w_max ≈ 10⁵ at the default scale (pre-bucket
+    heavier weights).
 
     ``seeds`` (a (node) frame) switches to PERSONALIZED PageRank: the
     teleport mass and the initial rank go only to the seed set S (N is
@@ -236,9 +247,13 @@ def pagerank_fixedpoint(
     runs exactly once — nodes, degrees, seeds, and every iteration all
     derive from the pinned frame.
     """
-    e = edges.select(
-        F.col(src).alias("__src"), F.col(dst).alias("__dst")
-    ).localCheckpoint(eager=True)
+    wcols = (
+        [F.col(weight).cast("bigint").alias("__w")] if weight is not None else []
+    )
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), *wcols)
+    if weight is not None:
+        e = e.where(F.col("__w") > 0)
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
@@ -282,18 +297,22 @@ def pagerank_fixedpoint(
             .cast("bigint")
             .alias("rank_fp"),
         )
+    degv = F.sum("__w") if weight is not None else F.count(F.lit(1))
     deg = e.groupBy(F.col("__src").alias("__dn")).agg(
-        F.count(F.lit(1)).alias("__deg")
+        degv.cast("bigint").alias("__deg")
     ).localCheckpoint(eager=True)
+    contrib_expr = (
+        f"(rank_fp * {damping_num} * __w) div ({damping_den} * __deg)"
+        if weight is not None
+        else f"(rank_fp * {damping_num}) div ({damping_den} * __deg)"
+    )
     for i in range(iterations):
         contrib = (
             e.join(r.withColumnRenamed("node", "__src"), on="__src")
             .join(deg, F.col("__src") == F.col("__dn"))
             .select(
                 F.col("__dst").alias("node"),
-                F.expr(f"(rank_fp * {damping_num}) div ({damping_den} * __deg)").alias(
-                    "__c"
-                ),
+                F.expr(contrib_expr).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__contrib"))

@@ -7080,3 +7080,93 @@ def q203_margin_bitext_mining(spark, sf_dir):
         )
         .orderBy("aid", "bid")
     )
+
+
+# ------------------------------------ weighted PageRank (q204)
+@register(
+    "q204_weighted_pagerank",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+    ), pairs AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi, CAST(COUNT(*) AS BIGINT) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT lo AS src, hi AS dst, w FROM pairs
+      UNION ALL
+      SELECT hi AS src, lo AS dst, w FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), params AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), deg AS (
+      SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wdeg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, 1000000000000 // (SELECT n FROM params) AS r FROM nodes
+    ), c1 AS (
+      SELECT e.dst AS node, SUM((r.r * 85 * e.w) // (100 * d.wdeg)) AS c
+      FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n.node,
+             150000000000 // (SELECT n FROM params) + COALESCE(c1.c, 0) AS r
+      FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+    ), c2 AS (
+      SELECT e.dst AS node, SUM((r.r * 85 * e.w) // (100 * d.wdeg)) AS c
+      FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n.node,
+             150000000000 // (SELECT n FROM params) + COALESCE(c2.c, 0) AS r
+      FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+    ), c3 AS (
+      SELECT e.dst AS node, SUM((r.r * 85 * e.w) // (100 * d.wdeg)) AS c
+      FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT n.node,
+             150000000000 // (SELECT n FROM params) + COALESCE(c3.c, 0) AS r
+      FROM nodes n LEFT JOIN c3 ON c3.node = n.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_fp
+    FROM r3 ORDER BY node
+    """,
+)
+def q204_weighted_pagerank(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py:pagerank_fixedpoint with
+    weight=) over the part co-purchase graph, edge weight = number of
+    orders co-buying the pair: each part splits its damped rank
+    proportionally to co-purchase VOLUME, so frequently-bundled parts
+    concentrate centrality where q129's unweighted surfer treats a
+    one-off bundle like a staple — the volume-weighted random surfer
+    of trade/click graphs. Same exact scaled-integer fixed point
+    ((r·85·w) div (100·W_u)), 3 iterations, unrolled-CTE replay."""
+    from etl_wrap_spark.operators.graph import pagerank_fixedpoint
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = (
+        t["lineitem"]
+        .where(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "w"))
+    return (
+        pagerank_fixedpoint(edges, iterations=3, weight="w")
+        .select(F.col("node").cast("bigint").alias("node"), "rank_fp")
+        .orderBy("node")
+    )

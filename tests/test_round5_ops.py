@@ -1063,3 +1063,46 @@ def test_margin_mining_matches_python_replay(spark):
         and 10000 * 2 * k * dots[(a, b)] >= mbp * (sa[a] + sb[b])
     }
     assert got == want and want  # non-empty and identical
+
+
+# ---------------------------------------------------------- weighted pagerank
+
+
+def test_weighted_pagerank_hand_replay(spark):
+    """Star u→{a,b} with weights 3:1 — after one iteration a gets 3x
+    b's damped contribution, replayed exactly in integers; zero-weight
+    edges are dropped (c receives nothing, contributes N to the
+    divisor only if kept — it must NOT be)."""
+    from etl_wrap_spark.operators.graph import pagerank_fixedpoint
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (1, 4, 0)], "src long, dst long, w long"
+    )
+    out = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(edges, iterations=1, weight="w").collect()
+    }
+    # nodes = {1,2,3} (the w=0 edge is no edge); N=3
+    scale = 10**12
+    r0 = scale // 3
+    base = (scale * 15) // (100 * 3)
+    c2 = (r0 * 85 * 3) // (100 * 4)
+    c3 = (r0 * 85 * 1) // (100 * 4)
+    assert out == {1: base, 2: base + c2, 3: base + c3}
+    assert 4 not in out
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    """Constant weights are a no-op: the weighted fixed point equals
+    the unweighted one bit-for-bit (w cancels in num·w div (den·W))."""
+    from etl_wrap_spark.operators.graph import pagerank_fixedpoint
+
+    rows = [(a, b) for a in range(5) for b in range(5) if (a + b) % 3 == 0 and a != b]
+    e1 = spark.createDataFrame(rows, "src long, dst long")
+    e2 = spark.createDataFrame([(a, b, 7) for a, b in rows], "src long, dst long, w long")
+    u = {r["node"]: r["rank_fp"] for r in pagerank_fixedpoint(e1, iterations=3).collect()}
+    w = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(e2, iterations=3, weight="w").collect()
+    }
+    assert u == w
