@@ -731,11 +731,19 @@ def poisson_bootstrap_mean_ci(
     in exact milli-units, bounds at the alpha_bp/10⁴ and 1−alpha_bp/10⁴
     percentile replicates (default 250 bp = a 95% interval).
 
-    Fully DERANDOMIZED: the weight is #(thresholds ≤ md5-60(salt:j:id))
+    Fully DERANDOMIZED: replicate j's uniform is md5-60(salt:j:id)
     against the module-level Poisson(1) inverse-CDF literals — the
     ε-DP mechanism's seeded-uniform idiom — so the whole resampling
     replays bit-for-bit on any engine and reruns are reproducible from
-    (salt, b) alone. Every statistic is exact-integer: replicate means
+    (salt, b) alone. The md5 must be INDEPENDENT per (row, replicate):
+    a Kirsch-Mitzenmacher variant (one md5 per row, u_j = h1 + j·h2
+    mod 2⁶⁰) was measured 2.2× faster and REJECTED — its per-row orbit
+    is monotone in j, so one realized correlation between row-hash and
+    value shifts every replicate identically (observed: all 24
+    replicate means landed above the point estimate, a 2⁻²⁴ event
+    under independence — the CI was offset and too narrow). Double
+    hashing is fine for blooms (marginal uniformity suffices), not for
+    resampling. Every statistic is exact-integer: replicate means
     are sign·((1000·|Σwx|) div Σw) (the div convention engines share on
     positive magnitudes); the percentile pick is an all-integer rank
     selection. Replicates whose total weight lands at 0 are dropped
@@ -770,7 +778,14 @@ def poisson_bootstrap_mean_ci(
         )
     )
     tarr = F.array(*[F.lit(t).cast("bigint") for t in POISSON1_THRESHOLDS])
-    w = F.size(F.filter(tarr, lambda t: t <= u)).cast("bigint")
+    # LET-BIND the md5 uniform through a 1-element outer transform: the
+    # filter lambda would otherwise re-evaluate the concat+md5+conv TREE
+    # once per threshold (7 md5s per row-replicate — measured 39.8s →
+    # 8.4s cold / 3.4s warm at sf0.1, the repo-wide HOF-recompute gotcha)
+    w = F.transform(
+        F.array(u),
+        lambda uu: F.size(F.filter(tarr, lambda t: t <= uu)),
+    )[0].cast("bigint")
     means = (
         reps.select(*groups, "__b", w.alias("__w"), F.col("__x"))
         .groupBy(*groups, "__b")
