@@ -7029,7 +7029,7 @@ def _margin_oracle() -> str:
     idot = S.int_dot_sql("av", "bv")
     return f"""
     WITH l0 AS (
-      SELECT vec_id AS aid, embedding AS av0 FROM embeddings WHERE vec_id % 2 = 0
+      SELECT vec_id AS aid, embedding AS av0 FROM embeddings WHERE vec_id % 50 = 0
     ), r0 AS (
       SELECT vec_id AS bid, embedding AS bv0 FROM embeddings WHERE vec_id % 2 = 1
     ), l AS (
@@ -7061,7 +7061,10 @@ def q203_margin_bitext_mining(spark, sf_dir):
     """Margin-based mutual-kNN pair mining (operators/similarity.py:
     margin_mutual_pairs — Artetxe & Schwenk 2019, the CCMatrix/
     WikiMatrix bitext-mining scorer) between the even- and odd-id
-    halves of the embedding corpus at k=4, margin 1.03: pairs in each
+    query cohort (every 50th id — the q181/q26 exact-baseline
+    posture, keeping the |L|x|R| cross score bench-sane at every SF)
+    and the odd-id half of the embedding corpus at k=4, margin 1.03:
+    pairs in each
     other's k-NN whose dot clears the RATIO margin over both sides'
     local k-NN similarity level — the hub-robust alternative to an
     absolute cosine threshold. The int8 kernel + cross-multiplied
@@ -7072,7 +7075,7 @@ def q203_margin_bitext_mining(spark, sf_dir):
 
     t = load_tables(spark, sf_dir, ["embeddings"])
     e = t["embeddings"]
-    left = e.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    left = e.where(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
     right = e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
     return (
         margin_mutual_pairs(
