@@ -503,3 +503,133 @@ def ra_link_scores(
         ["a", "b"],
         "left_anti",
     )
+
+
+def bfs_hops_labeled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Per-source BFS distances → (source, node, hops) with hops = min
+    #edges from THAT source (≤ ``max_hops``; unreached pairs absent) —
+    ``bfs_hops`` keeps the min over all sources, this keeps the full
+    (source × reached) relation, the input for closeness/harmonic
+    centrality and per-seed influence radii.
+
+    Same frontier discipline as bfs_hops with a composite (source,
+    node) visited key: per-round cost O(frontier-adjacent edges) where
+    the frontier is now per-source — state is |S|·|reach| rows, so keep
+    the seed cohort bounded (a centrality probe cohort, not the corpus;
+    at web scale this is exactly HyperBall's exact-small-seed
+    counterpart)."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).localCheckpoint(
+        eager=True
+    )
+    visited = (
+        sources.select(F.col(node_col).alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("node"))
+        .withColumn("hops", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select("source", F.col("__d").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(visited, ["source", "node"], "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(new)
+        frontier = new
+    return visited
+
+
+HARMONIC_SCALE = 10**6
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    include_sources: bool = False,
+) -> DataFrame:
+    """Hop-bounded harmonic centrality w.r.t. a seed cohort →
+    (node, n_sources, harmonic_micro): Σ over seeds s of
+    10⁶ div d(s, node) for d ≤ max_hops (Boldi-Vigna's centrality of
+    choice for disconnected/web graphs — unreachable seeds contribute
+    exactly 0, no ∞ bookkeeping, which is why it beats closeness on
+    real crawls). Exact integer micro-units, so the whole measure —
+    labeled BFS + inverse-distance sum — replays in a recursive CTE.
+    Seeds themselves are excluded from their own sum (d=0) and, unless
+    ``include_sources``, from the output. Cost: one labeled BFS
+    (bounded seed cohort) + one aggregation."""
+    vis = bfs_hops_labeled(edges, sources, max_hops, src, dst, node_col)
+    pos = vis.where(F.col("hops") > 0)
+    out = pos.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum(F.expr(f"{HARMONIC_SCALE} div hops")).cast("bigint").alias("harmonic_micro"),
+    )
+    if not include_sources:
+        out = out.join(
+            vis.where(F.col("hops") == 0).select("node").distinct(),
+            "node",
+            "left_anti",
+        )
+    return out
+
+
+def degree_assortativity_bp(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Newman's degree-assortativity coefficient (Newman 2002) over the
+    canonical undirected graph → one row (n_pairs, r_bp): the Pearson
+    correlation of (deg(u), deg(v)) across edge endpoint pairs, both
+    orientations (the standard symmetrization), in basis points. r > 0:
+    hubs link to hubs (social/collab graphs); r < 0: hubs link to
+    leaves (the web, co-purchase spokes) — the one-number mixing
+    summary that says whether hub-cut guards (ra_link_scores
+    max_z_degree, LSH max_bucket) will bite.
+
+    Exactness: the five inner sums over the 2|E| ordered endpoint pairs
+    are exact bigints (Σx = Σy and Σx² = Σy² by symmetry, kept separate
+    anyway for the oracle's literal replay), and the final r is the
+    same fixed 4-op IEEE tail as acf_bp — engine-identical. int64-safe
+    while 2E·deg_max² < 9·10¹⁸. One degree aggregation + two broadcast
+    -or-shuffle joins + one scalar aggregation."""
+    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    deg = degrees(und)
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("__dl"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("__dh"))
+    both = und.join(dl, "lo").join(dh, "hi")
+    pairs = both.select(
+        F.col("__dl").alias("__x"), F.col("__dh").alias("__y")
+    ).unionByName(both.select(F.col("__dh").alias("__x"), F.col("__dl").alias("__y")))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
+    )
+    num = F.col("n_pairs") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    d1 = F.col("n_pairs") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    d2 = F.col("n_pairs") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    r_bp = F.floor(
+        F.lit(10000.0)
+        * (num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")))
+    ).cast("bigint")
+    return agg.select(
+        "n_pairs", F.when((d1 > 0) & (d2 > 0), r_bp).alias("r_bp")
+    )

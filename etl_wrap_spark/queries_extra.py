@@ -7173,3 +7173,135 @@ def q204_weighted_pagerank(spark, sf_dir):
         .select(F.col("node").cast("bigint").alias("node"), "rank_fp")
         .orderBy("node")
     )
+
+
+# ------------------------------------ harmonic centrality (q205)
+@register(
+    "q205_harmonic_centrality",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), e AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), srcs AS (
+      SELECT DISTINCT c_custkey AS node FROM customer
+      WHERE c_nationkey = 7 AND c_custkey % 10 = 0
+    ), walk(source, node, hop) AS (
+      SELECT node, node, 0 FROM srcs
+      UNION
+      SELECT w.source, e.dst, w.hop + 1
+      FROM walk w JOIN e ON e.src = w.node WHERE w.hop < 3
+    ), d AS (
+      SELECT source, node, MIN(hop) AS hops FROM walk GROUP BY 1, 2
+    ), agg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(1000000 // hops) AS BIGINT) AS harmonic_micro
+      FROM d WHERE hops > 0 GROUP BY node
+    )
+    SELECT CAST(a.node AS BIGINT) AS node, a.n_sources, a.harmonic_micro
+    FROM agg a LEFT JOIN srcs s ON s.node = a.node
+    WHERE s.node IS NULL ORDER BY node
+    """,
+)
+def q205_harmonic_centrality(spark, sf_dir):
+    """Hop-bounded harmonic centrality (operators/graph.py:
+    harmonic_centrality — Boldi-Vigna's web-graph centrality; Σ 1/d
+    handles unreachability as exact 0, no closeness ∞ bookkeeping)
+    w.r.t. a bounded nation-7 customer seed cohort (every 10th id —
+    the labeled BFS carries |S|·reach state, so the cohort is the knob;
+    HyperBall sketches are the unbounded-cohort upgrade) on the trade
+    graph: labeled
+    multi-source BFS (per-source distances, q157's frontier discipline
+    with a composite visited key) + one inverse-distance aggregation in
+    exact integer micro-units — replayed by a (source, node, hop)
+    recursive CTE. The 'how central is this node to THIS cohort'
+    readout (market reach, influence radius, seed proximity)."""
+    from etl_wrap_spark.operators.graph import harmonic_centrality
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    sources = (
+        t["customer"]
+        .where((F.col("c_nationkey") == 7) & (F.col("c_custkey") % 10 == 0))
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return (
+        harmonic_centrality(edges, sources, max_hops=3)
+        .select(F.col("node").cast("bigint").alias("node"), "n_sources", "harmonic_micro")
+        .orderBy("node")
+    )
+
+
+# ------------------------------------ degree assortativity (q206)
+@register(
+    "q206_degree_assortativity",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+    ), und AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT lo AS node FROM und UNION ALL SELECT hi AS node FROM und)
+      GROUP BY node
+    ), bothd AS (
+      SELECT dl.deg AS x, dh.deg AS y
+      FROM und u JOIN deg dl ON dl.node = u.lo JOIN deg dh ON dh.node = u.hi
+    ), p AS (
+      SELECT x, y FROM bothd UNION ALL SELECT y AS x, x AS y FROM bothd
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy, CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM p
+    )
+    SELECT n AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(FLOOR(10000.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+                ELSE NULL END AS r_bp
+    FROM agg
+    """,
+)
+def q206_degree_assortativity(spark, sf_dir):
+    """Newman degree-assortativity coefficient (operators/graph.py:
+    degree_assortativity_bp) of the part co-purchase graph: Pearson r
+    of endpoint degrees over both edge orientations, exact bigint inner
+    sums + the acf_bp IEEE tail. The one-number mixing summary that
+    predicts whether the engine's hub guards (LSH max_bucket, RA
+    max_z_degree) will bite on this graph — disassortative graphs are
+    exactly the hub-and-spoke shapes those caps exist for."""
+    from etl_wrap_spark.operators.graph import degree_assortativity_bp
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = (
+        t["lineitem"]
+        .where(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return degree_assortativity_bp(edges)

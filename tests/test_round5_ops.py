@@ -1106,3 +1106,62 @@ def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
         for r in pagerank_fixedpoint(e2, iterations=3, weight="w").collect()
     }
     assert u == w
+
+
+# ---------------------------------------------------------- labeled BFS / harmonic / assortativity
+
+
+def _sym(spark, und):
+    rows = und + [(b, a) for a, b in und]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_bfs_labeled_per_source_distances(spark):
+    """Path 0-1-2-3, sources {0,2}: the labeled BFS keeps BOTH
+    distance fields (bfs_hops would collapse them to the min)."""
+    from etl_wrap_spark.operators.graph import bfs_hops_labeled
+
+    e = _sym(spark, [(0, 1), (1, 2), (2, 3)])
+    s = spark.createDataFrame([(0,), (2,)], "node long")
+    got = {
+        (r["source"], r["node"]): r["hops"]
+        for r in bfs_hops_labeled(e, s, max_hops=3).collect()
+    }
+    assert got == {
+        (0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3,
+        (2, 2): 0, (2, 1): 1, (2, 3): 1, (2, 0): 2,
+    }
+
+
+def test_harmonic_centrality_hand_sums(spark):
+    """Same path, seeds {0,2}: node1 = 10⁶+10⁶; node3 = 10⁶ div 3 +
+    10⁶ = 1333333; seeds excluded by default, included on demand with
+    their cross-seed sums only (d=0 terms never counted)."""
+    from etl_wrap_spark.operators.graph import harmonic_centrality
+
+    e = _sym(spark, [(0, 1), (1, 2), (2, 3)])
+    s = spark.createDataFrame([(0,), (2,)], "node long")
+    got = {
+        r["node"]: (r["n_sources"], r["harmonic_micro"])
+        for r in harmonic_centrality(e, s, max_hops=3).collect()
+    }
+    assert got == {1: (2, 2000000), 3: (2, 1333333)}
+    inc = {
+        r["node"]: (r["n_sources"], r["harmonic_micro"])
+        for r in harmonic_centrality(e, s, max_hops=3, include_sources=True).collect()
+    }
+    assert inc[0] == (1, 500000) and inc[2] == (1, 500000)
+
+
+def test_degree_assortativity_star_and_regular(spark):
+    """K1,3 is perfectly disassortative (r = −10000 on the hand sums
+    n=6, num=−36, d=36); a 4-cycle is degree-regular → zero variance →
+    NULL (not 0, not a crash)."""
+    from etl_wrap_spark.operators.graph import degree_assortativity_bp
+
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    r = degree_assortativity_bp(star).collect()[0]
+    assert (r["n_pairs"], r["r_bp"]) == (6, -10000)
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+    r = degree_assortativity_bp(cyc).collect()[0]
+    assert (r["n_pairs"], r["r_bp"]) == (8, None)
