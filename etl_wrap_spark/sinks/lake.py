@@ -88,8 +88,22 @@ class AtomicTable:
         v = self._manifest().get("txns", {}).get(app_id)
         return int(v) if v is not None else None
 
+    def table_props(self) -> dict:
+        """Persistent indexing properties (Delta table-properties
+        pattern): stats_cols / cluster_by (string layouts only) /
+        cluster_files / bloom_cols / bloom_bits / bloom_hashes recorded
+        by the last ``write`` that set them. Every subsequent commit —
+        upsert, delete_insert, transaction — re-applies them when
+        staging, so a MERGE can never silently strip the table's zone
+        maps or blooms."""
+        return dict(self._manifest().get("table_props", {}))
+
     def _swap(
-        self, version: int, expected: int | None, txn: tuple[str, int] | None = None
+        self,
+        version: int,
+        expected: int | None,
+        txn: tuple[str, int] | None = None,
+        props: dict | None = None,
     ) -> None:
         if self.current_version() != expected:
             raise ConflictError(
@@ -98,10 +112,18 @@ class AtomicTable:
         txns = dict(self._manifest().get("txns", {}))
         if txn is not None:
             txns[txn[0]] = int(txn[1])
+        # props carry forward unless this commit explicitly sets them
+        eff_props = props if props is not None else self.table_props()
         tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(
-                {"version": version, "committed_at": time.time(), "txns": txns}, fh
+                {
+                    "version": version,
+                    "committed_at": time.time(),
+                    "txns": txns,
+                    "table_props": eff_props,
+                },
+                fh,
             )
             fh.flush()
             os.fsync(fh.fileno())
@@ -378,6 +400,7 @@ class AtomicTable:
         new_v: int,
         expected: int | None,
         txn: tuple[str, int] | None = None,
+        props: dict | None = None,
     ) -> None:
         """Atomically install a staged dir as version ``new_v``. The dir
         rename is the writer lock: two writers racing for the same
@@ -395,7 +418,7 @@ class AtomicTable:
         except OSError as e:
             shutil.rmtree(staged, ignore_errors=True)
             raise ConflictError(f"version dir v{new_v} already claimed") from e
-        self._swap(new_v, expected, txn)
+        self._swap(new_v, expected, txn, props)
 
     def _commit_df(
         self,
@@ -408,6 +431,7 @@ class AtomicTable:
         bloom_cols: Sequence[str] | None = None,
         bloom_bits: int = 4096,
         bloom_hashes: int = 5,
+        props: dict | None = None,
     ) -> int:
         if txn is not None:
             last = self.last_txn_version(txn[0])
@@ -420,8 +444,23 @@ class AtomicTable:
             df, stats_cols, cluster_by, cluster_files, bloom_cols,
             bloom_bits, bloom_hashes,
         )
-        self._promote(staged, new_v, expected, txn)
+        self._promote(staged, new_v, expected, txn, props)
         return new_v
+
+    def _stored_staging(self) -> dict:
+        """Staging kwargs from the persisted table properties — what
+        upsert/delete_insert/transaction re-apply so incremental
+        commits keep the table's index (zone maps, clustering, blooms)
+        instead of silently stripping it."""
+        p = self.table_props()
+        return dict(
+            stats_cols=p.get("stats_cols"),
+            cluster_by=p.get("cluster_by"),
+            cluster_files=p.get("cluster_files"),
+            bloom_cols=p.get("bloom_cols"),
+            bloom_bits=p.get("bloom_bits", 4096),
+            bloom_hashes=p.get("bloom_hashes", 5),
+        )
 
     def write(
         self,
@@ -439,12 +478,40 @@ class AtomicTable:
         (``cluster_files`` pins the range-partition count — zone
         granularity — where AQE would otherwise coalesce small tables
         into one file) and the per-file ``bloom_cols`` point-lookup
-        index (read back via ``read_point``). ``txn`` as in
-        ``upsert``."""
+        index (read back via ``read_point``). ``txn`` as in ``upsert``.
+
+        Indexing options PERSIST as table properties (Delta pattern):
+        pass None to inherit the table's recorded configuration, an
+        explicit value to change it, or an empty sequence (e.g.
+        ``bloom_cols=()``) to clear that index. Column-expression
+        ``cluster_by`` layouts apply to THIS commit only (a Column
+        can't be serialized into the manifest — pass the string form,
+        or re-supply the expression per write)."""
+        stored = self.table_props()
+        eff_stats = list(stats_cols) if stats_cols is not None else stored.get("stats_cols")
+        eff_cluster = cluster_by if cluster_by is not None else stored.get("cluster_by")
+        eff_cf = cluster_files if cluster_files is not None else stored.get("cluster_files")
+        if bloom_cols is not None:
+            eff_bloom, eff_bits, eff_hashes = list(bloom_cols), bloom_bits, bloom_hashes
+        else:
+            eff_bloom = stored.get("bloom_cols")
+            eff_bits = stored.get("bloom_bits", bloom_bits)
+            eff_hashes = stored.get("bloom_hashes", bloom_hashes)
+        props = {}
+        if eff_stats:
+            props["stats_cols"] = list(eff_stats)
+        if isinstance(eff_cluster, str):
+            props["cluster_by"] = eff_cluster
+        if eff_cf:
+            props["cluster_files"] = int(eff_cf)
+        if eff_bloom:
+            props["bloom_cols"] = list(eff_bloom)
+            props["bloom_bits"] = int(eff_bits)
+            props["bloom_hashes"] = int(eff_hashes)
         return self._commit_df(
-            df, self.current_version(), stats_cols, cluster_by, cluster_files,
-            txn=txn, bloom_cols=bloom_cols, bloom_bits=bloom_bits,
-            bloom_hashes=bloom_hashes,
+            df, self.current_version(), eff_stats, eff_cluster, eff_cf,
+            txn=txn, bloom_cols=eff_bloom, bloom_bits=eff_bits,
+            bloom_hashes=eff_hashes, props=props,
         )
 
     def upsert(
@@ -464,7 +531,7 @@ class AtomicTable:
             if last is not None and last >= int(txn[1]):
                 return v or 0
         out = M.upsert(self.read(v), updates, keys) if v else updates
-        return self._commit_df(out, v, txn=txn)
+        return self._commit_df(out, v, txn=txn, **self._stored_staging())
 
     def delete_insert(self, replacement: DataFrame, selector: Column) -> int:
         """Delete-before-insert (reference K4) as one atomic commit."""
@@ -474,7 +541,7 @@ class AtomicTable:
             if v
             else replacement
         )
-        return self._commit_df(out, v)
+        return self._commit_df(out, v, **self._stored_staging())
 
     def replace_where(self, replacement: DataFrame, predicate: str) -> int:
         """Delta-style replaceWhere: rows matching `predicate` are
@@ -548,7 +615,7 @@ class LakeTransaction:
         if self.state is None:
             return False
         new_v = (self.base_version or 0) + 1
-        staged = self.table._stage(self.state)
+        staged = self.table._stage(self.state, **self.table._stored_staging())
         try:
             self.table._promote(staged, new_v, self.base_version)
         except BaseException:

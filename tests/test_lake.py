@@ -62,8 +62,8 @@ def test_reader_sees_old_until_commit_and_failure_rolls_back(spark, table):
     # disk but no version dir / manifest move ever happens
     orig = table._stage
 
-    def exploding_stage(df):
-        orig(df)  # files hit disk in _staging...
+    def exploding_stage(df, **kw):
+        orig(df, **kw)  # files hit disk in _staging...
         raise Boom()  # ...but promote never runs
 
     table._stage = exploding_stage
@@ -334,7 +334,11 @@ def test_bloom_absent_key_and_fail_open(spark, table):
     df = spark.range(0, 2_000).select(F.col("id").alias("k"))
     table.write(df, bloom_cols=["k"], cluster_by="k", cluster_files=4)
     assert table.read_point("k", 99_999_999).count() == 0
-    table.write(df)  # v2: no stats at all
+    # indexing persists as a table property: a plain write inherits it
+    table.write(df)
+    assert table.file_stats() is not None
+    # explicit empty sequences CLEAR the index -> fail-open reads
+    table.write(df, bloom_cols=(), stats_cols=())
     assert table.file_stats() is None
     assert table.pruned_files_eq("k", 5) is None
     assert table.read_point("k", 5).count() == 1
@@ -352,3 +356,38 @@ def test_bloom_string_keys_and_zone_combination(spark, table):
     # k=5000 is outside every file's zone: pruned to zero files
     assert table.pruned_files_eq("k", 5_000) == []
     assert table.read_point("k", 5_000).count() == 0
+
+
+def test_index_survives_merge_and_transaction(spark, table):
+    # zone maps + blooms recorded at v1 must still exist after an
+    # upsert (MERGE), a delete_insert, and a transaction bracket —
+    # the round-5 table-properties fix: incremental commits re-apply
+    # the persisted indexing config instead of silently stripping it.
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    table.write(df, stats_cols=["k"], cluster_by="k", cluster_files=4,
+                bloom_cols=["k"])
+    assert table.table_props()["bloom_cols"] == ["k"]
+
+    upd = spark.range(100, 110).select(F.col("id").alias("k"), F.lit(99).alias("v"))
+    table.upsert(upd, ["k"])
+    stats = table.file_stats()
+    assert stats and all("k" in z and "__bloom__" in z for z in stats.values())
+    assert [r.v for r in table.read_point("k", 105).collect()] == [99]
+    files = table.pruned_files("k", 0, 50)
+    assert files is not None and 0 < len(files) < len(stats)
+
+    table.delete_insert(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(-1).alias("v")),
+        F.col("k") < 5,
+    )
+    assert table.file_stats() is not None
+
+    with table.transaction() as txn:
+        txn.upsert(
+            spark.range(300, 303).select(F.col("id").alias("k"), F.lit(7).alias("v")),
+            ["k"],
+        )
+    assert table.file_stats() is not None
+    assert [r.v for r in table.read_point("k", 301).collect()] == [7]
