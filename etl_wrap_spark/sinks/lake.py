@@ -554,6 +554,19 @@ class AtomicTable:
         return LakeTransaction(self)
 
     # -------------------------------------------------------- maintenance
+    def compact(self, target_files: int) -> int:
+        """Small-file compaction as ONE atomic version: rewrite the
+        current state into ~``target_files`` files. Table properties
+        re-apply, so zone maps and blooms are REBUILT on the compacted
+        layout (tighter zones, fewer manifest entries) rather than
+        lost — the Delta OPTIMIZE posture. With a persisted string
+        ``cluster_by`` the rewrite range-partitions on it (zones stay
+        disjoint); otherwise a plain repartition sets the file count."""
+        cur = self.read()
+        if self.table_props().get("cluster_by"):
+            return self.write(cur, cluster_files=int(target_files))
+        return self.write(cur.repartition(int(target_files)))
+
     def rollback(self, to_version: int) -> None:
         """Point the manifest back at an earlier immutable version."""
         if not os.path.isdir(self._version_dir(to_version)):
@@ -697,18 +710,38 @@ class PartitionedAtomicTable:
             os.fsync(fh.fileno())
         os.rename(tmp, self._pointer_path())
 
+    def table_props(self) -> dict:
+        """Persistent indexing properties (as AtomicTable.table_props,
+        stored in the version manifest): currently ``stats_cols`` —
+        per-file zone maps INSIDE each partition dir, the second level
+        of the partition-prune → file-prune → row-group-prune chain."""
+        v = self.current_version()
+        if v is None:
+            return {}
+        return dict(self._manifest(v).get("table_props", {}))
+
     def _commit_manifest(
         self,
         parts: dict,
         ptype: str,
         expected: int | None,
         txn: tuple[str, int] | None = None,
+        props: dict | None = None,
     ) -> int:
+        eff_props = props if props is not None else self.table_props()
         new_v = (expected or 0) + 1
         mpath = os.path.join(self.root, "_versions", f"{new_v}.json")
         tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"pcol": self.pcol, "ptype": ptype, "partitions": parts}, fh)
+            json.dump(
+                {
+                    "pcol": self.pcol,
+                    "ptype": ptype,
+                    "partitions": parts,
+                    "table_props": eff_props,
+                },
+                fh,
+            )
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -741,16 +774,37 @@ class PartitionedAtomicTable:
         shutil.rmtree(staged, ignore_errors=True)
         return parts, ptype
 
-    def write(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+    def _write_dir_stats(self, parts: dict, stats_cols) -> None:
+        """Per-file zone maps for each freshly-written partition dir —
+        the AtomicTable footer walk, immutable with the dir."""
+        if not stats_cols:
+            return
+        for dirname in parts.values():
+            AtomicTable._write_stats(os.path.join(self.root, dirname), list(stats_cols))
+
+    def write(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        stats_cols: Sequence[str] | None = None,
+    ) -> int:
         """Full refresh: every partition rewritten, one atomic pointer
-        swap. ``txn`` as in ``upsert``."""
+        swap. ``txn`` as in ``upsert``. ``stats_cols`` records per-file
+        zone maps INSIDE every partition dir and persists as a table
+        property (None inherits, empty sequence clears) — partition
+        pruning narrows to dirs, these narrow to files within them
+        (pre-shape the frame, e.g. repartitionByRange on (partition,
+        col), for tight per-file zones)."""
         expected = self.current_version()
         if txn is not None:
             last = self.last_txn_version(txn[0])
             if last is not None and last >= int(txn[1]):
                 return expected or 0
+        eff_stats = list(stats_cols) if stats_cols is not None else self.table_props().get("stats_cols")
+        props = {"stats_cols": list(eff_stats)} if eff_stats else {}
         parts, ptype = self._write_partitions(df)
-        return self._commit_manifest(parts, ptype, expected, txn)
+        self._write_dir_stats(parts, eff_stats)
+        return self._commit_manifest(parts, ptype, expected, txn, props=props)
 
     def _read_dirs(self, manifest: dict, values: Sequence[str] | None = None) -> DataFrame:
         parts = manifest["partitions"]
@@ -792,6 +846,53 @@ class PartitionedAtomicTable:
         v = version if version is not None else self.current_version()
         return dict(self._manifest(v)["partitions"])
 
+    def read_pruned(
+        self,
+        col: str,
+        lo,
+        hi,
+        values: Sequence[str] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The full pruning chain in one read: partition pruning
+        (``values``) narrows to dirs, per-file zone maps narrow to
+        files WITHIN each dir, the residual ``col BETWEEN lo AND hi``
+        keeps the result exact regardless of pruning quality. Fail-open
+        at every level: a dir without ``_stats.json`` (written before
+        stats_cols was set, or carried from such a version) contributes
+        all its files."""
+        v = version if version is not None else self.current_version()
+        manifest = self._manifest(v)
+        parts = manifest["partitions"]
+        vals = list(parts) if values is None else [x for x in values if x in parts]
+        pred = F.col(col).between(lo, hi)
+        keep: list[str] = []
+        for val in vals:
+            dpath = os.path.join(self.root, parts[val])
+            try:
+                with open(os.path.join(dpath, STATS)) as fh:
+                    stats = json.load(fh)
+            except (OSError, ValueError):
+                stats = None
+            for fn in sorted(os.listdir(dpath)):
+                if not fn.endswith(".parquet"):
+                    continue
+                if stats is not None:
+                    z = stats.get(fn, {}).get(col)
+                    if z is not None and (z[1] < lo or z[0] > hi):
+                        continue
+                keep.append(os.path.join(dpath, fn))
+        if not keep:
+            return self._read_dirs(manifest, []).where(pred)
+        base = self.spark.read.parquet(*keep)
+        mapping = F.create_map(
+            *[x for val in vals for x in (F.lit(parts[val]), F.lit(val))]
+        )
+        dirname = F.regexp_extract(F.input_file_name(), r"/(p_[0-9a-f]{32})/", 1)
+        return base.withColumn(
+            self.pcol, mapping[dirname].cast(manifest["ptype"])
+        ).where(pred)
+
     def upsert(
         self,
         updates: DataFrame,
@@ -827,6 +928,9 @@ class PartitionedAtomicTable:
             *[F.col(f.name).cast(f.dataType) for f in old_touched.schema.fields]
         )
         new_parts, ptype = self._write_partitions(merged)
+        # re-apply the persisted zone-map property to the REWRITTEN dirs
+        # only — carried-by-reference dirs keep their immutable stats
+        self._write_dir_stats(new_parts, self.table_props().get("stats_cols"))
         parts = dict(manifest["partitions"])
         parts.update(new_parts)
         return self._commit_manifest(parts, ptype, expected, txn)

@@ -391,3 +391,82 @@ def test_index_survives_merge_and_transaction(spark, table):
         )
     assert table.file_stats() is not None
     assert [r.v for r in table.read_point("k", 301).collect()] == [7]
+
+
+def test_atomic_compact_rebuilds_index(spark, table):
+    # 8 clustered files with zones+blooms -> compact to 2: fewer files,
+    # index rebuilt on the new layout, point/range reads still exact.
+    df = spark.range(0, 4_000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    table.write(df, stats_cols=["k"], cluster_by="k", cluster_files=8, bloom_cols=["k"])
+    assert len(table.file_stats()) >= 4
+    v = table.compact(2)
+    assert v == 2 and len(table.file_stats()) <= 3
+    stats = table.file_stats()
+    assert all("k" in z and "__bloom__" in z for z in stats.values())
+    assert [r.k for r in table.read_point("k", 1234).collect()] == [1234]
+    assert table.read_pruned("k", 10, 30).count() == 21
+    assert table.read().count() == 4_000
+
+
+def test_partitioned_zone_maps_prune_within_partitions(spark, ptable):
+    # range-pre-shaped write: each region dir holds multiple files with
+    # disjoint k zones; read_pruned must open a strict file subset of
+    # the selected partitions while matching the exact filter.
+    df = (
+        spark.range(0, 8_000)
+        .select(
+            (F.col("id") % 4).cast("string").alias("region"),
+            F.col("id").alias("k"),
+        )
+        .repartitionByRange(16, F.col("region"), F.col("k"))
+    )
+    ptable.write(df, stats_cols=["k"])
+    assert ptable.table_props()["stats_cols"] == ["k"]
+    import os as _os
+    dirs = ptable.partition_dirs()
+    n_files = {
+        v: len([f for f in _os.listdir(_os.path.join(ptable.root, d)) if f.endswith(".parquet")])
+        for v, d in dirs.items()
+    }
+    assert all(n > 1 for n in n_files.values())  # multiple files per dir
+    got = ptable.read_pruned("k", 100, 400, values=["0", "1"])
+    want = (
+        ptable.read()
+        .where(F.col("region").isin("0", "1") & F.col("k").between(100, 400))
+    )
+    assert sorted((r.region, r.k) for r in got.collect()) == sorted(
+        (r.region, r.k) for r in want.collect()
+    )
+    # strictly fewer files than the two full partitions (zones bite)
+    from etl_wrap_spark.sinks.lake import STATS as _S
+    import json as _json
+    kept = 0
+    for v in ("0", "1"):
+        d = _os.path.join(ptable.root, dirs[v])
+        stats = _json.load(open(_os.path.join(d, _S)))
+        for fn, z in stats.items():
+            zz = z.get("k")
+            if zz is None or not (zz[1] < 100 or zz[0] > 400):
+                kept += 1
+    assert kept < n_files["0"] + n_files["1"]
+
+
+def test_partitioned_stats_survive_partition_merge(spark, ptable):
+    # upsert rewrites ONE partition: its fresh dir gets fresh stats,
+    # carried dirs keep theirs, fail-open still holds for pre-stats dirs
+    df = (
+        spark.range(0, 4_000)
+        .select((F.col("id") % 4).cast("string").alias("region"), F.col("id").alias("k"))
+        .repartitionByRange(8, F.col("region"), F.col("k"))
+    )
+    ptable.write(df, stats_cols=["k"])
+    before = ptable.partition_dirs()
+    upd = spark.createDataFrame([("2", 123456)], "region string, k long")
+    ptable.upsert(upd, ["k"])
+    after = ptable.partition_dirs()
+    assert after["0"] == before["0"] and after["2"] != before["2"]
+    import os as _os
+    from etl_wrap_spark.sinks.lake import STATS as _S
+    assert _os.path.exists(_os.path.join(ptable.root, after["2"], _S))
+    got = ptable.read_pruned("k", 123000, 124000, values=["2"])
+    assert 123456 in {r.k for r in got.collect()}
