@@ -7305,3 +7305,59 @@ def q206_degree_assortativity(spark, sf_dir):
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return degree_assortativity_bp(edges)
+
+
+# ------------------------------------ KMV audience overlap (q207)
+@register(
+    "q207_kmv_audience_overlap",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), t AS (
+      SELECT DISTINCT event_type FROM u
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM t a JOIN t b ON a.event_type < b.event_type
+    ), inter AS (
+      SELECT p.type_a, p.type_b, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM pairs p
+      JOIN u ua ON ua.event_type = p.type_a
+      JOIN u ub ON ub.event_type = p.type_b AND ub.user_id = ua.user_id
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_overlap FROM inter ORDER BY type_a, type_b
+    """,
+)
+def q207_kmv_audience_overlap(spark, sf_dir):
+    """Pairwise audience overlap between event-type cohorts via KMV
+    sketch intersection (operators/sketches.py:kmv_sketch/
+    kmv_intersect_estimate — Beyer et al. inclusion-exclusion over the
+    k-minimum-values union merge): the segmentation readout ("how many
+    purchase users also error?") computed from PERSISTABLE per-cohort
+    sketches, never a users×users join. Below k the estimate IS the
+    exact distinct intersection — the oracle replays it as plain
+    COUNT(DISTINCT) inclusion-exclusion; above k it degrades to the
+    documented ~3x single-sketch error while the sketches stay k
+    hashes each (the at-scale posture: 5 cohorts of 10⁹ users compare
+    in 5·k bigints)."""
+    from etl_wrap_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    K = 8192
+    t = load_tables(spark, sf_dir, ["events"])
+    sk = kmv_sketch(t["events"], ["event_type"], "user_id", k=K)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("kb"))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(kmv_intersect_estimate("ka", "kb", K))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .orderBy("type_a", "type_b")
+    )

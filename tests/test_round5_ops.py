@@ -1165,3 +1165,33 @@ def test_degree_assortativity_star_and_regular(spark):
     cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
     r = degree_assortativity_bp(cyc).collect()[0]
     assert (r["n_pairs"], r["r_bp"]) == (8, None)
+
+
+# ---------------------------------------------------------- kmv_intersect_estimate
+
+
+def test_kmv_intersect_exact_below_k_and_estimate_above(spark):
+    """Planted overlap: A = 0..199, B = 100..399 → |A∩B| = 100. Below-k
+    sketches give the EXACT count (the oracle regime); at k=64 the
+    inclusion-exclusion estimate stays within 25% and is deterministic
+    across partitionings."""
+    from etl_wrap_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("A", i) for i in range(200)] + [("B", i) for i in range(100, 400)]
+    df = spark.createDataFrame(rows, "g string, u long")
+
+    def inter(k, nparts):
+        sk = kmv_sketch(df.repartition(nparts), ["g"], "u", k=k)
+        a = sk.where(F.col("g") == "A").select(F.col("kmv").alias("ka"))
+        b = sk.where(F.col("g") == "B").select(F.col("kmv").alias("kb"))
+        return a.crossJoin(b).select(
+            kmv_intersect_estimate("ka", "kb", k).alias("est")
+        ).collect()[0]["est"]
+
+    assert inter(1024, 4) == 100.0  # all three sketches below k: exact
+    e1, e2 = inter(64, 3), inter(64, 7)
+    assert e1 == e2  # deterministic: hash order, not partition order
+    assert abs(e1 - 100) <= 25
