@@ -424,3 +424,41 @@ def epoch_shuffle_shards(
         .withColumn("pos", F.expr(f"(__off + __lrn - 1) div {int(n_shards)}"))
         .drop("__hk", "__pid", "__lrn", "__off")
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    id_col: str,
+    shards: Sequence[str],
+    salt: str = "hrw",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998): shard = argmax over s of md5-60(salt:s:id) —
+    the stability property round-robin sharding lacks: adding or
+    removing ONE shard moves only the rows whose winning shard changed
+    (≈ 1/(n+1) of them in expectation), everything else stays put. The
+    right assignment for shard-local caches, embedding-index shards,
+    per-shard dedup state — anywhere reassignment costs a rebuild.
+    (epoch_shuffle_shards is the opposite tool: a fresh permutation
+    every epoch with positions; this is a sticky, position-free home.)
+
+    Pure Column expression — no shuffle, no state: the argmax folds a
+    literal array of (hash, shard) structs, ties broken by shard name
+    (md5-60 ties are ~2⁻⁶⁰; the break keeps the expression total). The
+    shard list is a LITERAL (bounded, like a cluster topology) — every
+    row evaluates |shards| hashes map-side; SQL replays the same
+    greatest-of construction."""
+    names = list(shards)
+    if not names or len(set(names)) != len(names):
+        raise ValueError("shards must be a non-empty list of unique names")
+    sid = F.col(id_col).cast("string")
+    entries = [
+        F.struct(
+            hash60(F.concat(F.lit(f"{salt}:{s}:"), sid)).alias("h"),
+            F.lit(s).alias("s"),
+        )
+        for s in names
+    ]
+    best = F.greatest(*entries) if len(entries) > 1 else entries[0]
+    return df.withColumn(out_col, best["s"])

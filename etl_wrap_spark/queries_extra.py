@@ -7361,3 +7361,46 @@ def q207_kmv_audience_overlap(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ------------------------------------ rendezvous sharding (q208)
+@register(
+    "q208_rendezvous_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             s,
+             CAST('0x' || substr(md5('hrw:' || s || ':' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM documents
+      CROSS JOIN (SELECT UNNEST(['s0','s1','s2','s3','s4','s5']) AS s)
+    ), best AS (
+      SELECT doc_id, s AS shard,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv DESC, s DESC) AS rk
+      FROM h
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best WHERE rk = 1
+    GROUP BY shard ORDER BY shard
+    """,
+)
+def q208_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (HRW) shard occupancy (operators/sampling.py:
+    rendezvous_shard — Thaler-Ravishankar highest-random-weight): each
+    document's sticky home = argmax over shards of md5-60(salt:shard:
+    id). The resharding-stable assignment for shard-local state
+    (embedding-index shards, per-shard dedup caches): adding one shard
+    moves only the rows it wins, where round-robin's rank % n moves
+    nearly everything (pinned by test). Pure map-side Column argmax —
+    no shuffle before the occupancy count; the oracle replays the same
+    argmax (ties hash DESC then shard DESC ≡ greatest-of-structs)."""
+    from etl_wrap_spark.operators.sampling import rendezvous_shard
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    shards = [f"s{j}" for j in range(6)]
+    return (
+        rendezvous_shard(t["documents"].select("doc_id"), "doc_id", shards)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("shard")
+    )

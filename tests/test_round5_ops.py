@@ -1195,3 +1195,40 @@ def test_kmv_intersect_exact_below_k_and_estimate_above(spark):
     e1, e2 = inter(64, 3), inter(64, 7)
     assert e1 == e2  # deterministic: hash order, not partition order
     assert abs(e1 - 100) <= 25
+
+
+# ---------------------------------------------------------- rendezvous_shard
+
+
+def test_rendezvous_matches_md5_argmax(spark):
+    from etl_wrap_spark.operators.sampling import rendezvous_shard
+
+    shards = ["s0", "s1", "s2"]
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_shard(df, "doc_id", shards, salt="t").collect()
+    }
+    want = {
+        i: max(shards, key=lambda s: (int(hashlib.md5(f"t:{s}:{i}".encode()).hexdigest()[:15], 16), s))
+        for i in range(50)
+    }
+    assert got == want
+
+
+def test_rendezvous_minimal_movement_on_reshard(spark):
+    """Adding one shard moves EXACTLY the rows the new shard wins —
+    every other row keeps its home (the property round-robin lacks:
+    (rank % 8) vs (rank % 9) reassigns ~8/9 of all rows)."""
+    import pytest as _pytest
+    from etl_wrap_spark.operators.sampling import rendezvous_shard
+
+    df = spark.createDataFrame([(i,) for i in range(900)], "doc_id long")
+    eight = [f"s{j}" for j in range(8)]
+    a = {r["doc_id"]: r["shard"] for r in rendezvous_shard(df, "doc_id", eight).collect()}
+    b = {r["doc_id"]: r["shard"] for r in rendezvous_shard(df, "doc_id", eight + ["s8"]).collect()}
+    moved = {i for i in a if a[i] != b[i]}
+    assert moved == {i for i in b if b[i] == "s8"}
+    assert 0 < len(moved) < 900 * 2 // 9  # ~1/9 in expectation
+    with _pytest.raises(ValueError):
+        rendezvous_shard(df, "doc_id", ["x", "x"])
