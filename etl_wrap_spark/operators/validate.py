@@ -111,3 +111,66 @@ def join_fanout_audit(
         .withColumn("fanout", (F.col("n_left") * F.col("n_right")).cast("bigint"))
         .withColumn("over_threshold", F.col("fanout") > threshold)
     )
+
+
+def reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    check_cols: Sequence[str],
+) -> DataFrame:
+    """Source-vs-target load reconciliation — the classic post-load ETL
+    audit ("did everything that left the database arrive in the lake,
+    unchanged?") → one row per checked column:
+    (column, n_left, n_right, only_left, only_right, mismatched) where
+    only_left/only_right count keys missing from the other side and
+    mismatched counts keys present on both with different values
+    (null-safe: NULL == NULL matches, NULL vs value mismatches).
+
+    One full-outer join on the key + one aggregation — the mismatch
+    flags are computed per column IN the same pass (sum-of-casts), so
+    the audit costs one shuffle regardless of how many columns it
+    checks. At 100 TB reconcile per partition/day slice rather than the
+    whole table, and let AQE broadcast a genuinely small side. Keys
+    must be unique per side (it is a KEY audit; pre-aggregate or
+    dedupe first — a duplicate key would double-count mismatches)."""
+    keys = list(key_cols)
+    checks = list(check_cols)
+    l = left.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(1).alias("__l"),
+        *[F.col(c).alias(f"__lv_{c}") for c in checks],
+    )
+    r = right.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(1).alias("__r"),
+        *[F.col(c).alias(f"__rv_{c}") for c in checks],
+    )
+    j = l.join(r, keys, "full_outer")
+    both = F.col("__l").isNotNull() & F.col("__r").isNotNull()
+    aggs = [
+        F.sum(F.coalesce(F.col("__l"), F.lit(0))).cast("bigint").alias("n_left"),
+        F.sum(F.coalesce(F.col("__r"), F.lit(0))).cast("bigint").alias("n_right"),
+        F.sum((F.col("__r").isNull()).cast("int")).cast("bigint").alias("only_left"),
+        F.sum((F.col("__l").isNull()).cast("int")).cast("bigint").alias("only_right"),
+    ]
+    for c in checks:
+        diff = both & ~F.col(f"__lv_{c}").eqNullSafe(F.col(f"__rv_{c}"))
+        aggs.append(F.sum(diff.cast("int")).cast("bigint").alias(f"__mm_{c}"))
+    one = j.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("n_left"),
+                    F.col("n_right"),
+                    F.col("only_left"),
+                    F.col("only_right"),
+                    F.col(f"__mm_{c}").alias("mismatched"),
+                )
+                for c in checks
+            ]
+        )
+    ).alias("p")
+    return one.select(rows).select("p.*")

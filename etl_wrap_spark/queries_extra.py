@@ -7404,3 +7404,68 @@ def q208_rendezvous_shards(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("shard")
     )
+
+
+# ------------------------------------ load reconciliation audit (q209)
+@register(
+    "q209_load_reconciliation",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders
+    ), r AS (
+      SELECT k,
+             CASE WHEN k % 131 = 0 THEN cents + 1 ELSE cents END AS cents,
+             status
+      FROM l WHERE k % 97 <> 0
+    ), j AS (
+      SELECT l.k AS lk, r.k AS rk,
+             l.cents AS lc, r.cents AS rc, l.status AS ls, r.status AS rs
+      FROM l FULL OUTER JOIN r ON l.k = r.k
+    ), agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN lk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+        CAST(SUM(CASE WHEN rk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+        CAST(SUM(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_left,
+        CAST(SUM(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_right,
+        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                       AND NOT (lc IS NOT DISTINCT FROM rc) THEN 1 ELSE 0 END) AS BIGINT) AS mm_cents,
+        CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                       AND NOT (ls IS NOT DISTINCT FROM rs) THEN 1 ELSE 0 END) AS BIGINT) AS mm_status
+      FROM j
+    )
+    SELECT 'cents' AS "column", n_left, n_right, only_left, only_right,
+           mm_cents AS mismatched FROM agg
+    UNION ALL
+    SELECT 'status', n_left, n_right, only_left, only_right, mm_status FROM agg
+    ORDER BY "column"
+    """,
+)
+def q209_load_reconciliation(spark, sf_dir):
+    """Post-load reconciliation audit (operators/validate.py:reconcile
+    — the classic 'did everything that left the source arrive in the
+    target, unchanged?' ETL gate the reference's process logs answer by
+    hand): orders vs a simulated partial-and-perturbed load (every 97th
+    key dropped, every 131st price off by one cent). ONE full-outer
+    join + one aggregation regardless of how many columns are checked
+    (per-column mismatch flags are sums-of-casts in the same pass);
+    null-safe equality so NULL==NULL reconciles. The oracle replays the
+    derivation and the audit verbatim."""
+    from etl_wrap_spark.operators.validate import reconcile
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    l = t["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    r = l.where(F.col("k") % 97 != 0).select(
+        "k",
+        F.when(F.col("k") % 131 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "status",
+    )
+    return reconcile(l, r, ["k"], ["cents", "status"]).orderBy("column")

@@ -1232,3 +1232,39 @@ def test_rendezvous_minimal_movement_on_reshard(spark):
     assert 0 < len(moved) < 900 * 2 // 9  # ~1/9 in expectation
     with _pytest.raises(ValueError):
         rendezvous_shard(df, "doc_id", ["x", "x"])
+
+
+# ---------------------------------------------------------- reconcile
+
+
+def test_reconcile_hand_case(spark):
+    """Keys 1..5 left, 2..6 right; v mismatches at 3, w null-safe:
+    NULL==NULL matches (key 4), NULL vs value mismatches (key 5)."""
+    from etl_wrap_spark.operators.validate import reconcile
+
+    l = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, None), (5, 50, "e")],
+        "k long, v long, w string",
+    )
+    r = spark.createDataFrame(
+        [(2, 20, "b"), (3, 99, "c"), (4, 40, None), (5, 50, "E"), (6, 60, "f")],
+        "k long, v long, w string",
+    )
+    got = {
+        row["column"]: (
+            row["n_left"], row["n_right"], row["only_left"],
+            row["only_right"], row["mismatched"],
+        )
+        for row in reconcile(l, r, ["k"], ["v", "w"]).collect()
+    }
+    assert got["v"] == (5, 5, 1, 1, 1)  # key 3: 30 vs 99
+    assert got["w"] == (5, 5, 1, 1, 1)  # key 5: 'e' vs 'E'; key 4 matches
+
+
+def test_reconcile_identical_tables_all_zero(spark):
+    from etl_wrap_spark.operators.validate import reconcile
+
+    df = spark.createDataFrame([(i, i * 2) for i in range(100)], "k long, v long")
+    got = reconcile(df, df, ["k"], ["v"]).collect()[0]
+    assert (got["only_left"], got["only_right"], got["mismatched"]) == (0, 0, 0)
+    assert got["n_left"] == got["n_right"] == 100
