@@ -220,8 +220,13 @@ def q17_format_conversions(spark, sf_dir):
     """,
 )
 def q18_numeric_coercion(spark, sf_dir):
+    from etl_wrap_spark.session import ensure_min_parallelism
+
     t = load_tables(spark, sf_dir, ["lineitem"])
-    df = t["lineitem"].select(
+    # the render+coerce thicket is pure map work: spread the row-group
+    # -bound scan first (3 partitions at sf0.1 -> session width;
+    # measured 2.07s -> 1.43s)
+    df = ensure_min_parallelism(t["lineitem"]).select(
         (F.col("l_linenumber") % 4).alias("shape"),
         F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("base"),
     )

@@ -445,7 +445,11 @@ def q42_corpus_clean(spark, sf_dir):
     survivor statistics per source. Each stage is the oracle-checked
     operator from q21/q23 — this asserts their COMPOSITION."""
     t = load_tables(spark, sf_dir, ["documents"])
-    docs = t["documents"].where(text.quality_flags("text") == "").select(
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(t["documents"]).where(
+        text.quality_flags("text") == ""
+    ).select(
         "doc_id", "source", "text", text.token_count("text").alias("n_tokens")
     )
     pairs = dedup.near_dup_pairs_minhash(docs, "doc_id", "text", n=3, num=2, den=1)
