@@ -540,3 +540,57 @@ def interval_overlap_pairs(
             ).alias("overlap_us"),
         )
     )
+
+
+def srm_guard(
+    assignments: DataFrame,
+    experiment_col: str,
+    variant_col: str,
+    chi2_num: int = 3841459,
+    chi2_den: int = 1000000,
+) -> DataFrame:
+    """Sample-ratio-mismatch guard per experiment → (experiment,
+    n_variants, n_units, dev_sq_sum, srm): the first gate of every A/B
+    readout — if the traffic split itself is off (a bug in assignment,
+    logging loss on one arm), every downstream metric is invalid, so
+    flag BEFORE reading q174's conversion cells. One-way chi² against
+    EQUAL expected shares, entirely in integers: with k variants and n
+    units, chi² = Σ_v (k·o_v − n)² / (k·n), so the significance test
+    chi² > num/den becomes dev_sq_sum·den > num·k·n — exact on any
+    engine. Default threshold 3.841459 (df=1, two-variant experiments
+    at 5%); pass the df=k−1 critical value for more arms. Variants
+    absent from the data count 0 only if they appear somewhere in the
+    experiment's rows — a fully-silent arm is itself the strongest SRM,
+    so feed the assignment ledger, not the event log, when arms can go
+    dark. One aggregation + one |experiments|·k-row fold; int64-safe
+    while k²·n² < 9·10¹⁸ (n ≈ 10⁹ at k=2)."""
+    counts = assignments.groupBy(experiment_col, variant_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__o")
+    )
+    wexp = Window.partitionBy(experiment_col)
+    per = counts.select(
+        experiment_col,
+        F.count(F.lit(1)).over(wexp).cast("bigint").alias("__k"),
+        F.sum("__o").over(wexp).cast("bigint").alias("__n"),
+        F.col("__o"),
+    )
+    dev = (F.col("__k") * F.col("__o") - F.col("__n"))
+    out = (
+        per.groupBy(experiment_col)
+        .agg(
+            F.max("__k").alias("n_variants"),
+            F.max("__n").alias("n_units"),
+            F.sum(dev * dev).cast("bigint").alias("dev_sq_sum"),
+        )
+        .select(
+            experiment_col,
+            "n_variants",
+            "n_units",
+            "dev_sq_sum",
+            (
+                F.col("dev_sq_sum") * F.lit(int(chi2_den))
+                > F.lit(int(chi2_num)) * F.col("n_variants") * F.col("n_units")
+            ).alias("srm"),
+        )
+    )
+    return out

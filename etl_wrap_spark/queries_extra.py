@@ -7469,3 +7469,66 @@ def q209_load_reconciliation(spark, sf_dir):
         "status",
     )
     return reconcile(l, r, ["k"], ["cents", "status"]).orderBy("column")
+
+
+# ------------------------------------ SRM guard (q210)
+@register(
+    "q210_srm_guard",
+    oracle="""
+    WITH a AS (
+      SELECT 'exp1' AS exp, c_custkey AS id,
+             CASE WHEN CAST('0x' || substr(md5('v1:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      FROM customer
+      UNION ALL
+      SELECT 'exp2', c_custkey,
+             CASE WHEN CAST('0x' || substr(md5('v2:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END
+      FROM customer
+    ), f AS (
+      SELECT * FROM a WHERE NOT (exp = 'exp2' AND variant = 'B' AND id % 7 = 0)
+    ), c AS (
+      SELECT exp, variant, CAST(COUNT(*) AS BIGINT) AS o FROM f GROUP BY 1, 2
+    ), kn AS (
+      SELECT exp, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(o) AS BIGINT) AS n
+      FROM c GROUP BY exp
+    ), d AS (
+      SELECT c.exp, kn.k, kn.n,
+             CAST(SUM((kn.k * c.o - kn.n) * (kn.k * c.o - kn.n)) AS BIGINT) AS dss
+      FROM c JOIN kn ON c.exp = kn.exp GROUP BY 1, 2, 3
+    )
+    SELECT exp AS experiment, k AS n_variants, n AS n_units,
+           dss AS dev_sq_sum, dss * 1000000 > 3841459 * k * n AS srm
+    FROM d ORDER BY experiment
+    """,
+)
+def q210_srm_guard(spark, sf_dir):
+    """Sample-ratio-mismatch guard (operators/events_analytics.py:
+    srm_guard) — the gate every A/B readout runs BEFORE trusting q174's
+    conversion cells: exp1 splits customers 50/50 cleanly; exp2 has a
+    planted logging-loss bug (every 7th variant-B unit dropped) and
+    must flag. One-way chi² against equal shares entirely in integers
+    (dev_sq_sum·den > num·k·n), so the verdict replays exactly; the
+    md5-60 variant assignment is the engine's portable split hash."""
+    from etl_wrap_spark.operators.events_analytics import srm_guard
+    from etl_wrap_spark.operators.text import hash60
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    c = t["customer"].select(F.col("c_custkey").alias("id"))
+
+    def arm(salt):
+        return F.when(
+            hash60(F.concat(F.lit(salt + ":"), F.col("id").cast("string"))) % 2 == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B"))
+
+    a = c.select(F.lit("exp1").alias("experiment"), "id", arm("v1").alias("variant"))
+    b = c.select(F.lit("exp2").alias("experiment"), "id", arm("v2").alias("variant"))
+    assigned = a.unionByName(b).where(
+        ~(
+            (F.col("experiment") == "exp2")
+            & (F.col("variant") == "B")
+            & (F.col("id") % 7 == 0)
+        )
+    )
+    return srm_guard(assigned, "experiment", "variant").orderBy("experiment")

@@ -1268,3 +1268,38 @@ def test_reconcile_identical_tables_all_zero(spark):
     got = reconcile(df, df, ["k"], ["v"]).collect()[0]
     assert (got["only_left"], got["only_right"], got["mismatched"]) == (0, 0, 0)
     assert got["n_left"] == got["n_right"] == 100
+
+
+# ---------------------------------------------------------- srm_guard
+
+
+def test_srm_guard_balanced_vs_skewed(spark):
+    """500/500 is clean; 600/400 has chi² = (2·600−1000)²·2/(2·1000)
+    = 40 > 3.84 → flagged. Hand integers: dev_sq_sum = 2·200² = 80000;
+    80000·10⁶ > 3841459·2·1000 ✓."""
+    from etl_wrap_spark.operators.events_analytics import srm_guard
+
+    rows = [("clean", "A" if i % 2 == 0 else "B") for i in range(1000)]
+    rows += [("skewed", "A" if i % 5 < 3 else "B") for i in range(1000)]
+    df = spark.createDataFrame(rows, "exp string, variant string")
+    got = {r["exp"]: (r["dev_sq_sum"], r["srm"]) for r in srm_guard(df, "exp", "variant").collect()}
+    assert got["clean"] == (0, False)
+    assert got["skewed"] == (80000, True)
+
+
+def test_srm_guard_three_arms_threshold(spark):
+    """k=3 with the df=2 critical value (5.991465): 350/330/320 is
+    within noise (chi² ≈ 1.4), 400/350/250 is way out (chi² = 34.5)."""
+    from etl_wrap_spark.operators.events_analytics import srm_guard
+
+    def mk(exp, na, nb, nc):
+        return ([(exp, "A")] * na) + ([(exp, "B")] * nb) + ([(exp, "C")] * nc)
+
+    df = spark.createDataFrame(
+        mk("ok", 350, 330, 320) + mk("bad", 400, 350, 250), "exp string, variant string"
+    )
+    got = {
+        r["exp"]: r["srm"]
+        for r in srm_guard(df, "exp", "variant", chi2_num=5991465, chi2_den=1000000).collect()
+    }
+    assert got == {"ok": False, "bad": True}
