@@ -7532,3 +7532,94 @@ def q210_srm_guard(spark, sf_dir):
         )
     )
     return srm_guard(assigned, "experiment", "variant").orderBy("experiment")
+
+
+# ------------------------------------ CUPED adjusted A/B diff (q211)
+@register(
+    "q211_cuped_ab_diff",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey AS id,
+             CAST(SUM(CASE WHEN o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), a AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('cuped:' || CAST(id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS v, x, y
+      FROM u
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(CASE WHEN v = 'A' THEN x ELSE 0 END) AS BIGINT) AS sxa,
+             CAST(SUM(CASE WHEN v = 'B' THEN x ELSE 0 END) AS BIGINT) AS sxb,
+             CAST(SUM(CASE WHEN v = 'A' THEN y ELSE 0 END) AS BIGINT) AS sya,
+             CAST(SUM(CASE WHEN v = 'B' THEN y ELSE 0 END) AS BIGINT) AS syb
+      FROM a
+    ), d AS (
+      SELECT n_a, n_b,
+             (n_a + n_b) * sxy - sx * sy AS covn,
+             (n_a + n_b) * sxx - sx * sx AS varxn,
+             (n_a + n_b) * syy - sy * sy AS varyn,
+             sya * n_b - syb * n_a AS dy,
+             sxa * n_b - sxb * n_a AS dx,
+             n_a * n_b AS den
+      FROM s
+    ), t AS (
+      SELECT *, CASE WHEN varxn > 0 THEN
+               (CASE WHEN covn >= 0 THEN 1 ELSE -1 END) * ((1000 * ABS(covn)) // varxn)
+               ELSE 0 END AS theta
+      FROM d
+    )
+    SELECT n_a, n_b,
+           CAST((CASE WHEN dy >= 0 THEN 1 ELSE -1 END) * ((1000 * ABS(dy)) // den) AS BIGINT) AS diff_milli,
+           CAST((CASE WHEN 1000 * dy - theta * dx >= 0 THEN 1 ELSE -1 END)
+                * (ABS(1000 * dy - theta * dx) // den) AS BIGINT) AS diff_adj_milli,
+           CAST(theta AS BIGINT) AS theta_milli,
+           CASE WHEN varxn > 0 AND varyn > 0 THEN
+             CAST(FLOOR(10000.0 * ((CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE))
+                  / (CAST(varxn AS DOUBLE) * CAST(varyn AS DOUBLE)))) AS BIGINT)
+             ELSE NULL END AS var_reduction_bp
+    FROM t
+    """,
+)
+def q211_cuped_ab_diff(spark, sf_dir):
+    """CUPED-adjusted A/B difference (operators/events_analytics.py:
+    cuped_diff — Deng et al. 2013, the industry-standard variance
+    reduction) on per-customer order activity: pre-1996 order count is
+    the covariate, post-1996 the metric, arms from the portable md5
+    split. On a null effect (the arms are a random split of the same
+    population) the adjusted diff stays near zero while
+    var_reduction_bp reports how much between-customer variance the
+    covariate absorbs — the number that says how much smaller your
+    experiments can be. Every statistic replays exactly: pooled bigint
+    sums, milli θ by integer division, adjusted diff multiplied out
+    over n_a·n_b. Completes the experimentation triad: q210 SRM guard →
+    this adjustment → q174 readout."""
+    from etl_wrap_spark.operators.events_analytics import cuped_diff
+    from etl_wrap_spark.operators.text import hash60
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    u = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderdate") < F.lit("1996-01-01").cast("date"), 1).otherwise(0)
+            ).cast("bigint").alias("x"),
+            F.sum(
+                F.when(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"), 1).otherwise(0)
+            ).cast("bigint").alias("y"),
+        )
+    )
+    assigned = u.select(
+        F.when(
+            hash60(F.concat(F.lit("cuped:"), F.col("id").cast("string"))) % 2 == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("v"),
+        "x",
+        "y",
+    )
+    return cuped_diff(assigned, "v", "x", "y")

@@ -1303,3 +1303,57 @@ def test_srm_guard_three_arms_threshold(spark):
         for r in srm_guard(df, "exp", "variant", chi2_num=5991465, chi2_den=1000000).collect()
     }
     assert got == {"ok": False, "bad": True}
+
+
+# ---------------------------------------------------------- cuped_diff
+
+
+def test_cuped_kills_preexisting_variance(spark):
+    """Units have large stable baselines (x) carried into y plus a
+    true +5 effect on arm A: y = x + effect, so θ lands at exactly
+    1000 milli, the adjusted diff recovers the planted +5000 milli
+    exactly, and the variance reduction is near-total (the effect
+    itself adds a little x-uncorrelated variance, so corr² < 1)."""
+    from etl_wrap_spark.operators.events_analytics import cuped_diff
+
+    rows = []
+    for i in range(200):
+        base = 100 + (i * 13) % 57
+        arm = "A" if i % 2 == 0 else "B"
+        rows.append((arm, base, base + (5 if arm == "A" else 0)))
+    df = spark.createDataFrame(rows, "v string, x long, y long")
+    r = cuped_diff(df, "v", "x", "y").collect()[0]
+    assert r["theta_milli"] == 1000
+    assert r["var_reduction_bp"] > 9500
+    assert r["diff_adj_milli"] == 5000
+    assert (r["n_a"], r["n_b"]) == (100, 100)
+
+
+def test_cuped_matches_python_replay(spark):
+    """Bit-for-bit against a pure-Python replay of the pooled sums,
+    milli θ, and cross-multiplied adjusted difference."""
+    from etl_wrap_spark.operators.events_analytics import cuped_diff
+
+    rows = [
+        ("A" if i % 3 == 0 else "B", (i * 7) % 23, ((i * 11) % 31) + (i % 5))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "v string, x long, y long")
+    got = cuped_diff(df, "v", "x", "y").collect()[0]
+
+    A = [(x, y) for v, x, y in rows if v == "A"]
+    B = [(x, y) for v, x, y in rows if v == "B"]
+    xs = [x for _, x, _ in rows]; ys = [y for _, _, y in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs); sxy = sum(x * y for (_, x, y) in rows)
+    covn = n * sxy - sx * sy; varxn = n * sxx - sx * sx
+    sgn = lambda v: 1 if v >= 0 else -1  # noqa: E731
+    theta = sgn(covn) * ((1000 * abs(covn)) // varxn)
+    na, nb = len(A), len(B)
+    dy = sum(y for _, y in A) * nb - sum(y for _, y in B) * na
+    dx = sum(x for x, _ in A) * nb - sum(x for x, _ in B) * na
+    numadj = 1000 * dy - theta * dx
+    assert got["theta_milli"] == theta
+    assert got["diff_milli"] == sgn(dy) * ((1000 * abs(dy)) // (na * nb))
+    assert got["diff_adj_milli"] == sgn(numadj) * (abs(numadj) // (na * nb))
