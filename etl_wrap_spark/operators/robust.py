@@ -834,3 +834,46 @@ def poisson_bootstrap_mean_ci(
     return point.join(ci, groups).select(
         *groups, "n_reps", "point_milli", "lo_milli", "hi_milli"
     )
+
+
+def hodges_lehmann_half(
+    series: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hodges-Lehmann pseudomedian per group in exact HALF-units →
+    (group, n_pairs, hl_half): the lower weighted median of all
+    pairwise Walsh sums x_i + x_j (i ≤ j, ids ordered by a stable
+    row-number over (value, arrival order)); hl_half div 2 is the
+    location estimate. THE classic robust location estimator
+    (Hodges-Lehmann 1963): ~29% breakdown like the median but ~96%
+    Gaussian efficiency vs the median's 64% — the right center when
+    outliers are real but you can't afford the median's noise. Pairs
+    with Theil-Sen exactly (q201's slope sibling): HL of the residuals
+    is the robust intercept.
+
+    Keeping the sums un-halved (half-units) is what keeps the whole
+    estimator integer-exact and engine-replayable — (x_i+x_j)/2 would
+    need fractional values; the median of doubled values is the
+    doubled median under the lower-median rule. O(m²)/group pair join
+    on the PRE-AGGREGATED series — same scale contract as
+    mann_kendall_trend/theil_sen: the heavy stage at 100 TB is the
+    upstream reduction to the per-group sample, never this join.
+    Reuses ``weighted_median`` (value-grain cumulative pass)."""
+    g = F.col(group_col)
+    idx = series.select(g, F.col(value_col).cast("bigint").alias("__v")).withColumn(
+        "__i", F.row_number().over(Window.partitionBy(group_col).orderBy(F.col("__v")))
+    )
+    a = idx.select(g, F.col("__i").alias("__ia"), F.col("__v").alias("__va"))
+    b = idx.select(g, F.col("__i").alias("__ib"), F.col("__v").alias("__vb"))
+    pairs = (
+        a.join(b, on=group_col)
+        .where(F.col("__ia") <= F.col("__ib"))
+        .select(group_col, (F.col("__va") + F.col("__vb")).alias("__s"), F.lit(1).alias("__one"))
+    )
+    med = weighted_median(pairs, [group_col], "__s", "__one")
+    return med.select(
+        group_col,
+        F.col("total_w").cast("bigint").alias("n_pairs"),
+        F.col("wmedian").cast("bigint").alias("hl_half"),
+    )

@@ -7623,3 +7623,62 @@ def q211_cuped_ab_diff(spark, sf_dir):
         "y",
     )
     return cuped_diff(assigned, "v", "x", "y")
+
+
+# ------------------------------------ Hodges-Lehmann pseudomedian (q212)
+@register(
+    "q212_hodges_lehmann",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey % 50 AS cohort,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS period,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ), idx AS (
+      SELECT cohort, rev_c AS v,
+             ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY rev_c) AS i
+      FROM m
+    ), pairs AS (
+      SELECT a.cohort, a.v + b.v AS s
+      FROM idx a JOIN idx b ON a.cohort = b.cohort AND a.i <= b.i
+    ), vg AS (
+      SELECT cohort, s, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY 1, 2
+    ), c AS (
+      SELECT cohort, s, w,
+             SUM(w) OVER (PARTITION BY cohort ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY cohort) AS tw
+      FROM vg
+    )
+    SELECT cohort, CAST(tw AS BIGINT) AS n_pairs, CAST(MIN(s) AS BIGINT) AS hl_half
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY cohort, tw ORDER BY cohort
+    """,
+)
+def q212_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann pseudomedian of monthly cohort revenue
+    (operators/robust.py:hodges_lehmann_half): the robust LOCATION
+    beside q201's Theil-Sen SLOPE and q194's Mann-Kendall VERDICT —
+    one holiday spike cannot move it the way it owns the mean, yet it
+    keeps ~96% Gaussian efficiency where the plain median keeps 64%.
+    Exact half-units (un-halved Walsh sums) make the whole estimator
+    integer-replayable; the O(m²) pair join runs on the month-grain
+    series only (the mann_kendall/theil_sen scale contract)."""
+    from etl_wrap_spark.operators.robust import hodges_lehmann_half
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    m = (
+        t["orders"]
+        .groupBy(
+            (F.col("o_custkey") % 50).alias("cohort"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    return hodges_lehmann_half(m, "cohort", "rev_c").orderBy("cohort")

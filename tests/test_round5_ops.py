@@ -1357,3 +1357,43 @@ def test_cuped_matches_python_replay(spark):
     assert got["theta_milli"] == theta
     assert got["diff_milli"] == sgn(dy) * ((1000 * abs(dy)) // (na * nb))
     assert got["diff_adj_milli"] == sgn(numadj) * (abs(numadj) // (na * nb))
+
+
+# ---------------------------------------------------------- hodges_lehmann_half
+
+
+def _hl(spark, rows):
+    from etl_wrap_spark.operators.robust import hodges_lehmann_half
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    return {
+        r["g"]: (r["n_pairs"], r["hl_half"])
+        for r in hodges_lehmann_half(df, "g", "v").collect()
+    }
+
+
+def test_hodges_lehmann_outlier_resistant(spark):
+    """1..9 plus one 1000 spike: the mean is wrecked (~109), HL stays
+    at the clean center — pairwise sums' lower median over 55 pairs is
+    11 half-units = 5.5 (hand-checkable: the spike touches only 10 of
+    55 Walsh pairs)."""
+    rows = [("a", v) for v in list(range(1, 10)) + [1000]]
+    got = _hl(spark, rows)
+    n, hl = got["a"]
+    assert n == 55  # C(10,2) + 10 self-pairs
+    assert hl == 11  # location 5.5 in half-units
+
+
+def test_hodges_lehmann_matches_python_replay(spark):
+    """Bit-for-bit: lower median of all i<=j Walsh sums."""
+    vals = [((i * 17) % 23) - 5 for i in range(12)]
+    rows = [("r", v) for v in vals]
+    got = _hl(spark, rows)
+    sums = sorted(
+        vals[i] + vals[j] for i in range(len(vals)) for j in range(i, len(vals))
+    )
+    n = len(sums)
+    # lower weighted median with unit weights: smallest s with 2*rank >= n
+    import math
+    want = sums[math.ceil(n / 2) - 1]
+    assert got["r"] == (n, want)
