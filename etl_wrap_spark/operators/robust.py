@@ -877,3 +877,77 @@ def hodges_lehmann_half(
         F.col("total_w").cast("bigint").alias("n_pairs"),
         F.col("wmedian").cast("bigint").alias("hl_half"),
     )
+
+
+def mann_whitney_u(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_crit_bp: int = 19600,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test per group →
+    (group, n_a, n_b, u2, ties_t, z_bp, significant): the
+    distribution-free "is B shifted vs A" test — the robust sibling of
+    the t-test exactly as Hodges-Lehmann is of the mean (and the
+    standard A/B test for skewed metrics where means mislead).
+
+    Exact core: u2 = 2U = Σ over (a,b) pairs of (2·[a>b] + [a=b]) and
+    the tie term T = Σ(t³−t) over pooled value multiplicities are
+    bigints, so the statistic itself replays bit-for-bit. Significance
+    uses the normal approximation with tie-corrected variance
+    Var(U) = n_a·n_b·((n+1)·n·(n−1) − T) / (12·n·(n−1)): z_bp =
+    floor(10⁴·(u2 − n_a·n_b) / (2·√(var_num/var_den))) — the shared
+    fixed-IEEE-tail idiom (acf_bp) — flagged at |z_bp| > z_crit_bp
+    (default 1.96). NULL z for degenerate groups (all values tied, or
+    an empty side → absent group).
+
+    Scale contract as mann_kendall/theil_sen/hodges_lehmann: the
+    O(n_a·n_b) pair join runs per group on PRE-AGGREGATED samples —
+    at 100 TB reduce to the unit/period grain first; the rank-based
+    equivalent via one sort is the swap when groups are huge."""
+    ga = a.select(F.col(group_col), F.col(value_col).cast("bigint").alias("__va"))
+    gb = b.select(F.col(group_col), F.col(value_col).cast("bigint").alias("__vb"))
+    u2 = (
+        ga.join(gb, on=group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.when(F.col("__va") > F.col("__vb"), 2)
+                .when(F.col("__va") == F.col("__vb"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("u2")
+        )
+    )
+    na = ga.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    nb = gb.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    pooled = ga.select(group_col, F.col("__va").alias("__v")).unionByName(
+        gb.select(group_col, F.col("__vb").alias("__v"))
+    )
+    ties = (
+        pooled.groupBy(group_col, "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+            .cast("bigint")
+            .alias("ties_t")
+        )
+    )
+    j = na.join(nb, group_col).join(u2, group_col).join(ties, group_col)
+    n = F.col("n_a") + F.col("n_b")
+    var_num = (F.col("n_a") * F.col("n_b")) * ((n + 1) * n * (n - 1) - F.col("ties_t"))
+    var_den = F.lit(12) * n * (n - 1)
+    z = F.floor(
+        F.lit(10000.0)
+        * (F.col("u2") - F.col("n_a") * F.col("n_b")).cast("double")
+        / (F.lit(2.0) * F.sqrt(var_num.cast("double") / var_den.cast("double")))
+    ).cast("bigint")
+    z_bp = F.when((n > 1) & (var_num > 0), z)
+    return j.select(
+        group_col, "n_a", "n_b", "u2", "ties_t",
+        z_bp.alias("z_bp"),
+        F.when(
+            z_bp.isNotNull(), F.abs(z_bp) > F.lit(int(z_crit_bp))
+        ).alias("significant"),
+    )

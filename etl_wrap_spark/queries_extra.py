@@ -7682,3 +7682,85 @@ def q212_hodges_lehmann(spark, sf_dir):
         )
     )
     return hodges_lehmann_half(m, "cohort", "rev_c").orderBy("cohort")
+
+
+# ------------------------------------ Mann-Whitney rank-sum test (q213)
+@register(
+    "q213_mann_whitney",
+    oracle="""
+    WITH ma AS (
+      SELECT o_orderstatus AS g,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS period,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2
+    ), mb AS (
+      SELECT o_orderstatus AS g,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS period,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+      FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1, 2
+    ), u AS (
+      SELECT a.g, CAST(SUM(CASE WHEN a.v > b.v THEN 2 WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS u2
+      FROM ma a JOIN mb b ON a.g = b.g GROUP BY a.g
+    ), na AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_a FROM ma GROUP BY g),
+    nb AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_b FROM mb GROUP BY g),
+    pooled AS (
+      SELECT g, v FROM ma UNION ALL SELECT g, v FROM mb
+    ), ties AS (
+      SELECT g, CAST(SUM(t * t * t - t) AS BIGINT) AS ties_t FROM (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM pooled GROUP BY 1, 2
+      ) GROUP BY g
+    ), j AS (
+      SELECT na.g, na.n_a, nb.n_b, u.u2, ties.ties_t,
+             na.n_a + nb.n_b AS n
+      FROM na JOIN nb ON na.g = nb.g JOIN u ON u.g = na.g JOIN ties ON ties.g = na.g
+    ), z AS (
+      SELECT g, n_a, n_b, u2, ties_t,
+             (n_a * n_b) * ((n + 1) * n * (n - 1) - ties_t) AS var_num,
+             12 * n * (n - 1) AS var_den, n
+      FROM j
+    )
+    SELECT g AS o_orderstatus, n_a, n_b, u2, ties_t,
+           CASE WHEN n > 1 AND var_num > 0 THEN
+             CAST(FLOOR(10000.0 * CAST(u2 - n_a * n_b AS DOUBLE)
+                  / (2.0 * SQRT(CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE)))) AS BIGINT)
+             ELSE NULL END AS z_bp,
+           CASE WHEN n > 1 AND var_num > 0 THEN
+             ABS(CAST(FLOOR(10000.0 * CAST(u2 - n_a * n_b AS DOUBLE)
+                  / (2.0 * SQRT(CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE)))) AS BIGINT)) > 19600
+             ELSE NULL END AS significant
+    FROM z ORDER BY o_orderstatus
+    """,
+)
+def q213_mann_whitney(spark, sf_dir):
+    """Mann-Whitney rank-sum test (operators/robust.py:mann_whitney_u,
+    tie-corrected) per order status: is urgent-priority monthly revenue
+    stochastically shifted vs low-priority? The distribution-free
+    two-sample verdict beside the robust estimators (q212 HL location,
+    q201 TS slope) and the parametric A/B cells (q174) — the test of
+    choice for skewed metrics where means mislead. u2 = 2U and the tie
+    term Σ(t³−t) are exact bigints; z_bp is the shared fixed-IEEE-tail;
+    the O(m²) pair join runs on the month-grain series only."""
+    from etl_wrap_spark.operators.robust import mann_whitney_u
+
+    t = load_tables(spark, sf_dir, ["orders"])
+
+    def monthly(prio):
+        return (
+            t["orders"]
+            .where(F.col("o_orderpriority") == prio)
+            .groupBy(
+                F.col("o_orderstatus"),
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                .cast("bigint")
+                .alias("period"),
+            )
+            .agg(
+                F.sum(F.floor(F.col("o_totalprice")).cast("bigint"))
+                .cast("bigint")
+                .alias("v")
+            )
+        )
+
+    return mann_whitney_u(
+        monthly("1-URGENT"), monthly("5-LOW"), "o_orderstatus", "v"
+    ).orderBy("o_orderstatus")

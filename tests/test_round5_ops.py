@@ -1397,3 +1397,49 @@ def test_hodges_lehmann_matches_python_replay(spark):
     import math
     want = sums[math.ceil(n / 2) - 1]
     assert got["r"] == (n, want)
+
+
+# ---------------------------------------------------------- mann_whitney_u
+
+
+def _mwu(spark, a_rows, b_rows, **kw):
+    from etl_wrap_spark.operators.robust import mann_whitney_u
+
+    a = spark.createDataFrame(a_rows, "g string, v long")
+    b = spark.createDataFrame(b_rows, "g string, v long")
+    return {
+        r["g"]: r.asDict() for r in mann_whitney_u(a, b, "g", "v", **kw).collect()
+    }
+
+
+def test_mann_whitney_shifted_vs_same(spark):
+    """B shifted far above A → U ≈ 0, strongly significant negative z;
+    identical distributions → u2 near n_a·n_b, not significant."""
+    a = [("s", v) for v in range(20)] + [("e", v) for v in range(20)]
+    b = [("s", v + 100) for v in range(20)] + [("e", v) for v in range(20)]
+    got = _mwu(spark, a, b)
+    s = got["s"]
+    assert s["u2"] == 0 and s["significant"] and s["z_bp"] < -19600
+    e = got["e"]
+    assert e["u2"] == 20 * 20  # identical samples: 2U = n_a*n_b exactly
+    assert not e["significant"]
+
+
+def test_mann_whitney_matches_python_replay_with_ties(spark):
+    """Tie-heavy samples: u2, T = Σ(t³−t), and the tie-corrected z_bp
+    replayed in pure Python bit-for-bit."""
+    import math
+
+    av = [(i * 3) % 5 for i in range(17)]
+    bv = [(i * 7) % 5 for i in range(13)]
+    got = _mwu(spark, [("g", v) for v in av], [("g", v) for v in bv])["g"]
+    u2 = sum(2 if x > y else (1 if x == y else 0) for x in av for y in bv)
+    pooled = av + bv
+    from collections import Counter
+    T = sum(t**3 - t for t in Counter(pooled).values())
+    na, nb = len(av), len(bv)
+    n = na + nb
+    var_num = na * nb * ((n + 1) * n * (n - 1) - T)
+    var_den = 12 * n * (n - 1)
+    z = math.floor(10000.0 * (u2 - na * nb) / (2.0 * math.sqrt(var_num / var_den)))
+    assert (got["u2"], got["ties_t"], got["z_bp"]) == (u2, T, z)
