@@ -688,3 +688,106 @@ def cuped_diff(
             "var_reduction_bp"
         ),
     )
+
+
+def permutation_test_diff(
+    metrics: DataFrame,
+    variant_col: str,
+    id_col: str,
+    value_col: str,
+    b: int = 199,
+    salt: str = "perm",
+    variant_a: str = "A",
+) -> DataFrame:
+    """Derandomized permutation test for the two-arm mean difference →
+    one row (n_units, n_perms, diff_milli, n_as_extreme, p_bp): the
+    assumption-free significance test (no normality, no variance
+    formula — the reference distribution IS the data under re-randomized
+    assignment). Permutation j reassigns every unit by
+    md5-60(salt:j:id) mod 2 — seeded, so the usually-RNG-bound test
+    replays bit-for-bit in SQL, reruns are identical, and the j-th
+    permutation is reconstructible for audit. p_bp uses the standard
+    add-one rule (Phipson-Smyth): p = (1 + #{|diff_j| ≥ |observed|})
+    / (b + 1), floored to basis points — never exactly zero, as a
+    permutation p-value must not be.
+
+    Exact core: per-permutation diffs are the shared sign·((1000·|Dy|)
+    div (n_a·n_b)) milli construction over bigint conditional sums, so
+    every comparison against the observed diff is an integer one.
+    Near-balanced (not exactly 50/50) re-assignment is the binomial
+    randomization model — the standard Monte-Carlo permutation variant
+    at scale, where exact n_a-preserving permutations would need a
+    global shuffle per replicate.
+
+    Scale shape: ONE ×b explode over the unit-grain frame aggregated
+    in the same stage (map-side partials: shuffle carries b rows of
+    sums, not units×b) — spread thin row-group-bound inputs first
+    (ensure_min_parallelism is applied here, the q202 lesson)."""
+    from etl_wrap_spark.operators.text import hash60
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    if b < 1:
+        raise ValueError("b must be >= 1")
+    base = metrics.select(
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("bigint").alias("__y"),
+        (F.col(variant_col) == F.lit(variant_a)).cast("bigint").alias("__isa"),
+    )
+    sgn = lambda c: F.when(c >= 0, F.lit(1)).otherwise(F.lit(-1))  # noqa: E731
+
+    def diff_cols(df, flag):
+        return [
+            F.sum(flag).alias("__na"),
+            F.sum(1 - flag).alias("__nb"),
+            F.sum(flag * F.col("__y")).alias("__sa"),
+            F.sum((1 - flag) * F.col("__y")).alias("__sb"),
+        ]
+
+    obs = (
+        base.agg(*diff_cols(base, F.col("__isa")))
+        .withColumn("__dy", F.col("__sa") * F.col("__nb") - F.col("__sb") * F.col("__na"))
+        .withColumn("__den", F.col("__na") * F.col("__nb"))
+        .select(
+            (F.col("__na") + F.col("__nb")).cast("bigint").alias("n_units"),
+            (sgn(F.col("__dy")) * F.expr("(1000 * abs(__dy)) div __den"))
+            .cast("bigint")
+            .alias("diff_milli"),
+        )
+    )
+    reps = ensure_min_parallelism(base).select(
+        "__id", "__y",
+        F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("__j"),
+    )
+    arm = (
+        hash60(
+            F.concat(
+                F.lit(salt + ":"), F.col("__j").cast("string"),
+                F.lit(":"), F.col("__id").cast("string"),
+            )
+        )
+        % 2
+        == 0
+    ).cast("bigint")
+    perm = (
+        reps.select("__j", "__y", arm.alias("__pa"))
+        .groupBy("__j")
+        .agg(*diff_cols(reps, F.col("__pa")))
+        .where((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .withColumn("__dy", F.col("__sa") * F.col("__nb") - F.col("__sb") * F.col("__na"))
+        .withColumn("__den", F.col("__na") * F.col("__nb"))
+        .select(
+            (sgn(F.col("__dy")) * F.expr("(1000 * abs(__dy)) div __den"))
+            .cast("bigint")
+            .alias("__pd")
+        )
+    )
+    joined = perm.crossJoin(F.broadcast(obs))
+    return joined.groupBy("n_units", "diff_milli").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_perms"),
+        F.sum(
+            (F.abs(F.col("__pd")) >= F.abs(F.col("diff_milli"))).cast("int")
+        ).cast("bigint").alias("n_as_extreme"),
+    ).select(
+        "n_units", "n_perms", "diff_milli", "n_as_extreme",
+        F.expr("((1 + n_as_extreme) * 10000) div (n_perms + 1)").alias("p_bp"),
+    )

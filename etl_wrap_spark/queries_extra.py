@@ -7764,3 +7764,77 @@ def q213_mann_whitney(spark, sf_dir):
     return mann_whitney_u(
         monthly("1-URGENT"), monthly("5-LOW"), "o_orderstatus", "v"
     ).orderBy("o_orderstatus")
+
+
+# ------------------------------------ permutation test (q214)
+@register(
+    "q214_permutation_test",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey AS id,
+             CAST(SUM(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+             CASE WHEN CAST('0x' || substr(md5('cuped:' || CAST(o_custkey AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS isa
+      FROM orders GROUP BY 1
+    ), obs AS (
+      SELECT CAST(SUM(isa) + SUM(1 - isa) AS BIGINT) AS n_units,
+             SUM(isa * y) * SUM(1 - isa) - SUM((1 - isa) * y) * SUM(isa) AS dy,
+             SUM(isa) * SUM(1 - isa) AS den
+      FROM u
+    ), ob AS (
+      SELECT n_units,
+             CAST((CASE WHEN dy >= 0 THEN 1 ELSE -1 END) * ((1000 * ABS(dy)) // den) AS BIGINT) AS diff_milli
+      FROM obs
+    ), reps AS (
+      SELECT t.j, u.y,
+             CASE WHEN CAST('0x' || substr(md5('perm:' || CAST(t.j AS VARCHAR) || ':'
+                  || CAST(u.id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS pa
+      FROM u CROSS JOIN range(64) t(j)
+    ), pd AS (
+      SELECT j, SUM(pa) AS na, SUM(1 - pa) AS nb,
+             SUM(pa * y) AS sa, SUM((1 - pa) * y) AS sb
+      FROM reps GROUP BY j HAVING SUM(pa) > 0 AND SUM(1 - pa) > 0
+    ), pdm AS (
+      SELECT (CASE WHEN sa * nb - sb * na >= 0 THEN 1 ELSE -1 END)
+             * ((1000 * ABS(sa * nb - sb * na)) // (na * nb)) AS pdiff
+      FROM pd
+    )
+    SELECT ob.n_units, CAST(COUNT(*) AS BIGINT) AS n_perms, ob.diff_milli,
+           CAST(SUM(CASE WHEN ABS(pdiff) >= ABS(ob.diff_milli) THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+           CAST(((1 + SUM(CASE WHEN ABS(pdiff) >= ABS(ob.diff_milli) THEN 1 ELSE 0 END)) * 10000)
+                // (COUNT(*) + 1) AS BIGINT) AS p_bp
+    FROM pdm CROSS JOIN ob
+    GROUP BY ob.n_units, ob.diff_milli
+    """,
+)
+def q214_permutation_test(spark, sf_dir):
+    """Derandomized permutation test (operators/events_analytics.py:
+    permutation_test_diff) on q211's null experiment: 64 seeded md5
+    re-assignments build the reference distribution of the mean-diff
+    entirely inside the engine — the assumption-free p-value beside
+    q213's rank test and q202's bootstrap CI, and normally the most
+    RNG-bound of all statistics, here bit-replayable in SQL (Phipson-
+    Smyth add-one rule, integer milli diffs throughout). On a genuine
+    null split p_bp should land well away from the floor — the test's
+    own calibration check."""
+    from etl_wrap_spark.operators.events_analytics import permutation_test_diff
+    from etl_wrap_spark.operators.text import hash60
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    u = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"), 1).otherwise(0)
+            ).cast("bigint").alias("y")
+        )
+        .select(
+            "id", "y",
+            F.when(
+                hash60(F.concat(F.lit("cuped:"), F.col("id").cast("string"))) % 2 == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")).alias("v"),
+        )
+    )
+    return permutation_test_diff(u, "v", "id", "y", b=64)

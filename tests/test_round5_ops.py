@@ -1443,3 +1443,55 @@ def test_mann_whitney_matches_python_replay_with_ties(spark):
     var_den = 12 * n * (n - 1)
     z = math.floor(10000.0 * (u2 - na * nb) / (2.0 * math.sqrt(var_num / var_den)))
     assert (got["u2"], got["ties_t"], got["z_bp"]) == (u2, T, z)
+
+
+# ---------------------------------------------------------- permutation_test_diff
+
+
+def test_permutation_test_planted_effect_and_null(spark):
+    """A >> B: no permutation beats the observed diff → p at the
+    add-one floor 10⁴ div (b+1); a null split of the same values gives
+    a large p."""
+    from etl_wrap_spark.operators.events_analytics import permutation_test_diff
+
+    rows = [("A", i, 1000 + i % 7) for i in range(40)] + [
+        ("B", 100 + i, i % 7) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "v string, id long, y long")
+    r = permutation_test_diff(df, "v", "id", "y", b=99).collect()[0]
+    assert r["n_as_extreme"] == 0 and r["p_bp"] == 10000 // 100
+    null_rows = [("A" if i % 2 == 0 else "B", i, (i * 13) % 29) for i in range(80)]
+    ndf = spark.createDataFrame(null_rows, "v string, id long, y long")
+    rn = permutation_test_diff(ndf, "v", "id", "y", b=99).collect()[0]
+    assert rn["p_bp"] > 2000
+
+
+def test_permutation_test_matches_python_replay(spark):
+    from etl_wrap_spark.operators.events_analytics import permutation_test_diff
+
+    rows = [("A" if i % 3 == 0 else "B", i, (i * 7) % 19) for i in range(30)]
+    df = spark.createDataFrame(rows, "v string, id long, y long")
+    got = permutation_test_diff(df, "v", "id", "y", b=25, salt="t").collect()[0]
+
+    def diff(flags):
+        na = sum(flags); nb = len(flags) - na
+        sa = sum(y for (f, (_, _, y)) in zip(flags, rows) if f)
+        sb = sum(y for (f, (_, _, y)) in zip(flags, rows) if not f)
+        dy = sa * nb - sb * na
+        s = 1 if dy >= 0 else -1
+        return s * ((1000 * abs(dy)) // (na * nb))
+
+    obs = diff([v == "A" for v, _, _ in rows])
+    perms = []
+    for j in range(25):
+        flags = [
+            int(hashlib.md5(f"t:{j}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+            for _, i, _ in rows
+        ]
+        if 0 < sum(flags) < len(flags):
+            perms.append(diff(flags))
+    extreme = sum(1 for p in perms if abs(p) >= abs(obs))
+    assert (got["diff_milli"], got["n_perms"], got["n_as_extreme"]) == (
+        obs, len(perms), extreme,
+    )
+    assert got["p_bp"] == ((1 + extreme) * 10000) // (len(perms) + 1)
