@@ -48,23 +48,88 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Driver-slot rotation schedule. The driver records only the FIRST 50
+# entries of queries() into CORRECTNESS_r{N}.json, so which 50 it sees is
+# an ordering decision. Rounds 3-5 exposed the same registration-order
+# first-50 (pinned as DRIVER_CHECKED_R3_R5 in tests/test_catalog_contract.py);
+# from round 6 on we rotate a disjoint window of 50 previously
+# driver-unchecked queries to the front each round so driver-side evidence
+# accumulates across the whole catalog. The full catalog is unchanged —
+# this is an order-only permutation of the returned dict. Every query
+# still passes the strict local gate (CORRECTNESS_LOCAL_r{N}.json) at
+# 214/214 regardless of position. Window r6 = the next 50 unchecked
+# queries in registration order (redundant variants q24/q34/q47 stay in
+# the tail per the round-5 verdict).
+_DRIVER_WINDOW_R6 = [
+    "q54_contamination_check",
+    "q55_dedup_components",
+    "q56_ann_ivf",
+    "q57_gopher_repetition",
+    "q58_bpe_token_budget",
+    "q59_dedup_components_star",
+    "q60_semantic_dedup",
+    "q61_incremental_dedup",
+    "q62_snapshot_diff",
+    "q63_table_profile",
+    "q64_rule_bank",
+    "q65_segment_dedup",
+    "q66_ann_ivfpq",
+    "q67_mixture_sample",
+    "q68_balanced_shards",
+    "q69_funnel",
+    "q70_cohort_retention",
+    "q71_transition_matrix",
+    "q72_tfidf_terms",
+    "q73_bigram_collocations",
+    "q74_order_count_distribution",
+    "q75_high_quantity_orders",
+    "q76_sole_late_shipper",
+    "q77_dormant_high_balance",
+    "q78_top_value_parts",
+    "q79_lake_atomic_upsert",
+    "q80_markup_strip",
+    "q81_mojibake_repair",
+    "q82_nation_volume_shipping",
+    "q83_promo_revenue_share",
+    "q84_disjunctive_band_join",
+    "q85_heavy_hitter_terms",
+    "q86_incremental_agg_maintenance",
+    "q87_lsh_production_path",
+    "q88_scd2_dimension_merge",
+    "q89_resample_ffill",
+    "q90_linear_attribution",
+    "q91_fuzzy_linkage",
+    "q92_kmv_distinct",
+    "q93_kmv_set_algebra",
+    "q94_json_props",
+    "q95_winsorized_stats",
+    "q96_mad_outliers",
+    "q97_bigram_lm_score",
+    "q98_schema_evolution_union",
+    "q99_group_regression",
+    "q100_lake_pruned_read",
+    "q101_rolling_spend_30d",
+    "q102_quartile_bucketing",
+    "q103_event_paths",
+]
+
+
 def queries() -> dict[str, QueryFn]:
     # import for side effects: modules register their queries.
-    # Registration ORDER is part of the driver contract: the driver
-    # records the FIRST 50 registrations, so the first three modules
-    # (whose combined first 50 registrations are 50 distinct operators)
-    # must import before queries_tail and queries_extra, which hold the
-    # redundant variants (q24/q34/q47) and all post-slot-50 additions.
-    # The exact driver-visible set is pinned by
-    # tests/test_catalog_contract.py — run it before reordering ANYTHING
-    # here or adding a registration to the first three modules.
+    # The returned ORDER is part of the driver contract (first 50 =
+    # driver-checked window, rotated per round — see _DRIVER_WINDOW_R6).
+    # tests/test_catalog_contract.py pins the exact window; run it before
+    # touching the rotation list or module import order.
     import etl_wrap_spark.queries_core  # noqa: F401
     import etl_wrap_spark.queries_functions  # noqa: F401
     import etl_wrap_spark.queries_llm  # noqa: F401
     import etl_wrap_spark.queries_tail  # noqa: F401
     import etl_wrap_spark.queries_extra  # noqa: F401
 
-    return dict(_QUERIES)
+    window = [n for n in _DRIVER_WINDOW_R6 if n in _QUERIES]
+    in_window = set(window)
+    ordered = [*window, *(n for n in _QUERIES if n not in in_window)]
+    return {n: _QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from etl_wrap_spark import catalog
 
-# The 50 names recorded by the driver in CORRECTNESS_r03.json, in
+# Rotation schedule: rounds 3-5 exposed DRIVER_CHECKED (below) as the
+# driver-visible first-50; round 6 rotates a disjoint window of 50
+# previously-unchecked queries to the front (catalog._DRIVER_WINDOW_R6)
+# so driver-side correctness evidence accumulates across the catalog.
+# Future rounds advance the window to the next unchecked block.
+
+# The 50 names recorded by the driver in CORRECTNESS_r03..r05.json, in
 # registration order (dict preserves insertion order).
 DRIVER_CHECKED = [
     "q01_pricing_summary",
@@ -68,9 +74,58 @@ DRIVER_CHECKED = [
 ]
 
 
-def test_first_50_registrations_match_driver_checked_set():
+def test_first_50_entries_match_round6_rotation_window():
     names = list(catalog.queries())
-    assert names[:50] == DRIVER_CHECKED
+    assert names[:50] == catalog._DRIVER_WINDOW_R6
+    assert len(catalog._DRIVER_WINDOW_R6) == 50
+
+
+def test_rotation_window_disjoint_from_r3_r5_checked_set():
+    # The point of the rotation: round 6's driver artifact must cover 50
+    # queries the driver has never checked before.
+    assert not set(catalog._DRIVER_WINDOW_R6) & set(DRIVER_CHECKED)
+
+
+def test_rotation_is_order_only_permutation():
+    # Rotating the driver window must not add, drop, or rename queries.
+    names = list(catalog.queries())
+    assert len(names) == len(set(names))
+    assert set(DRIVER_CHECKED) <= set(names)
+    # every rotated-to-front name still has its oracle
+    oracles = catalog.oracle_sql()
+    for n in catalog._DRIVER_WINDOW_R6:
+        assert n in oracles
+
+
+def test_local_gate_artifact_covers_every_registered_query():
+    # Round-5 verdict ask #8: a new registration must not silently skip
+    # the full-catalog strict gate. The latest committed
+    # CORRECTNESS_LOCAL_r{N}.json must have a PASS row for every
+    # registered query — this goes red the moment someone registers a
+    # query without regenerating the artifact.
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(repo, "CORRECTNESS_LOCAL_r*.json"))
+    assert arts, "full-catalog gate artifact missing"
+    latest = max(arts, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    rows = json.load(open(latest))
+    registered = set(catalog.queries())
+    missing = sorted(registered - set(rows))
+    assert not missing, f"queries lacking a gate row in {latest}: {missing}"
+    failing = sorted(
+        n
+        for n in registered
+        if not (
+            rows[n].get("rows_match")
+            and rows[n].get("schema_match")
+            and rows[n].get("hash_match", True)
+        )
+    )
+    assert not failing, f"gate rows not green in {latest}: {failing}"
 
 
 def test_every_query_has_unique_qnn_prefix():
