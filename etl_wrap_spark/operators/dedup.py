@@ -283,6 +283,11 @@ def _collapsed_pairs(df, id_col, text_col, n, pair_fn, directed=False):
     reps = classes.select(
         F.col("__cls").alias(id_col), F.col("__txt").alias(text_col)
     )
+    # NOTE: do NOT pre-mark reps as spread ("post-shuffle" intuition):
+    # AQE coalesces the small fingerprint groupBy to ~1 partition, and
+    # the pair_fn's ensure_min_parallelism probe is what re-spreads the
+    # checkpointed classes before the shingle/minhash map stages —
+    # skipping it serialized the family 2.4x (round-6 probe).
     rep_pairs = pair_fn(reps)
     members = keyed.select(F.col(id_col).alias("__mid"), "__fp").join(
         classes.select("__fp", "__cls"), "__fp"
