@@ -152,10 +152,167 @@ def test_multimodal_decode_plumbing(spark):
 
 
 def test_multimodal_image_decode_raises_without_pillow():
+    # PNG now decodes stdlib-real; only NON-PNG formats still need
+    # Pillow. A JPEG-signature blob must keep the raise contract.
     if multimodal._pil() is not None:
         pytest.skip("Pillow present — covered by test_decode_image_real_pillow")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...", fake=False)
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64, fake=False)
+
+
+def _encode_png(width, height, ctype, pixels, filters=None, plte=None):
+    """Minimal stdlib PNG writer for decoder tests: 8-bit, non-interlaced,
+    per-scanline filter choice (0-4) applied via the FORWARD filter so the
+    decoder's defilter must invert it exactly."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        f = filters[y]
+        enc = bytearray(line)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pr) & 0xFF
+        raw.append(f)
+        raw.extend(enc)
+        prev = line
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def _luma(r, g, b):
+    return (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+
+
+def test_png_stdlib_decode_grayscale_exact():
+    # 8x8 gradient, every filter type exercised across rows
+    px = bytes((x * 31 + y * 7) % 256 for y in range(8) for x in range(8))
+    blob = _encode_png(8, 8, 0, px, filters=[0, 1, 2, 3, 4, 4, 2, 1])
+    w, h, gray = multimodal._png_gray_pixels(blob)
+    assert (w, h) == (8, 8)
+    assert bytes(gray) == px
+    # decode_image: 4x4 center-of-cell nearest over the exact pixels
+    feat = multimodal.decode_image(blob, fake=False)
+    expect = [
+        round(px[((2 * y + 1) * 8 // 8) * 8 + ((2 * x + 1) * 8 // 8)] / 255.0, 6)
+        for y in range(4)
+        for x in range(4)
+    ]
+    assert feat == expect
+
+
+def test_png_stdlib_decode_rgb_rgba_luma():
+    px_rgb = bytes(v for j in range(16) for v in (j * 16, 255 - j * 16, j * 5))
+    blob = _encode_png(4, 4, 2, px_rgb, filters=[4, 3, 1, 2])
+    w, h, gray = multimodal._png_gray_pixels(blob)
+    assert (w, h) == (4, 4)
+    assert list(gray) == [
+        _luma(j * 16, 255 - j * 16, j * 5) for j in range(16)
+    ]
+    # RGBA: alpha must be ignored (convert("L") semantics)
+    px_rgba = bytes(
+        v for j in range(16) for v in (j * 16, 255 - j * 16, j * 5, 7 * j)
+    )
+    _, _, gray4 = multimodal._png_gray_pixels(_encode_png(4, 4, 6, px_rgba))
+    assert bytes(gray4) == bytes(gray)
+
+
+def test_png_stdlib_decode_palette_and_gray_alpha():
+    plte = bytes(v for i in range(4) for v in (i * 60, 255 - i * 60, i * 10))
+    idx = bytes([0, 1, 2, 3] * 4)
+    _, _, gray = multimodal._png_gray_pixels(
+        _encode_png(4, 4, 3, idx, plte=plte)
+    )
+    assert list(gray) == [
+        _luma(plte[3 * i], plte[3 * i + 1], plte[3 * i + 2]) for i in idx
+    ]
+    # gray+alpha: alpha channel dropped
+    ga = bytes(v for i in range(16) for v in ((i * 13) % 256, 128))
+    _, _, g2 = multimodal._png_gray_pixels(_encode_png(4, 4, 4, ga))
+    assert list(g2) == [(i * 13) % 256 for i in range(16)]
+
+
+def test_png_stdlib_decode_unsupported_variants_fall_through():
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    # 16-bit depth → None (Pillow fallback / raise)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob16 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 18)) + chunk(b"IEND", b"")
+    )
+    assert multimodal._png_gray_pixels(blob16) is None
+    # interlaced → None
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    blob_i = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    )
+    assert multimodal._png_gray_pixels(blob_i) is None
+    if multimodal._pil() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(blob16, fake=False)
+
+
+def test_png_stdlib_decode_in_mapinpandas(spark):
+    """The real-decode path runs distributed: PNG blobs through
+    with_decoded_features(fake=False) — no imaging library, real pixels."""
+    blobs = [
+        _encode_png(8, 8, 0, bytes((x * 31 + y * 7 + s) % 256
+                                   for y in range(8) for x in range(8)),
+                    filters=[0, 1, 2, 3, 4, 0, 2, 1])
+        for s in range(6)
+    ]
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    media = multimodal.media_frame_from_binary(df, "id", "blob", "image")
+    out = {r["media_id"]: r["feature"]
+           for r in multimodal.with_decoded_features(media, fake=False).collect()}
+    assert len(out) == 6
+    import numpy as np
+
+    for i, blob in enumerate(blobs):
+        # FEATURE_SCHEMA carries float32; compare through the same cast
+        expect = np.asarray(
+            multimodal.decode_image(blob, fake=False), dtype=np.float32
+        )
+        assert np.array_equal(np.asarray(out[i], dtype=np.float32), expect)
 
 
 def test_decode_image_real_pillow():
