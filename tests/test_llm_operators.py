@@ -109,7 +109,7 @@ def test_brute_force_topk_self_nearest(spark):
     rows = [(i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(20)]
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     # corpus includes the queries themselves → rank-1 neighbor is self, cos ≈ 1
-    top = similarity.brute_force_topk(df.where("vec_id < 3"), df, "vec_id", "vec_id", "embedding", k=1)
+    top = similarity.brute_force_topk(df.where("vec_id < 3"), df, "vec_id", "vec_id", "embedding", k=1, baseline=True)
     for r in top.collect():
         assert r["cid"] == r["qid"] and r["cos"] == pytest.approx(1.0)
 
@@ -127,7 +127,7 @@ def test_signlsh_multiprobe_recall(spark):
     q = e.where(F.col("vec_id") % 50 == 0)
     c = e.where(F.col("vec_id") % 50 != 0)
     truth = {(r["qid"], r["cid"]) for r in
-             similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3).collect()}
+             similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3, baseline=True).collect()}
     recalls = []
     for radius in (0, 1, 2):
         got = {(r["qid"], r["cid"]) for r in
@@ -576,7 +576,7 @@ def test_ivf_topk_recall_and_probe_monotonicity(spark):
     q = e.where(F.col("vec_id") % 50 == 0)
     c = e.where(F.col("vec_id") % 50 != 0)
     truth = {(r["qid"], r["cid"]) for r in
-             similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3).collect()}
+             similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3, baseline=True).collect()}
     cent = similarity.ivf_centroids_deterministic(c, "vec_id", "embedding", 8)
     recalls = []
     for nprobe in (1, 2, 8):
@@ -599,7 +599,7 @@ def test_ivf_kmeans_centroids_recall(spark):
     q = e.where(F.col("vec_id") % 50 == 0)
     c = e.where(F.col("vec_id") % 50 != 0)
     truth = {(r["qid"], r["cid"]) for r in
-             similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3).collect()}
+             similarity.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3, baseline=True).collect()}
     cent = similarity.ivf_centroids_kmeans(c, "embedding", 8)
     got = {(r["qid"], r["cid"]) for r in
            similarity.ivf_topk(q, c, "vec_id", "vec_id", "embedding", k=3,
@@ -833,7 +833,7 @@ def test_ivfpq_code_shape_and_recall_floor(spark):
 
     exact = {
         (r["qid"], r["cid"])
-        for r in sim.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3).collect()
+        for r in sim.brute_force_topk(q, c, "vec_id", "vec_id", "embedding", k=3, baseline=True).collect()
     }
     adc = {
         (r["qid"], r["cid"])

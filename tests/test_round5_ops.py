@@ -47,7 +47,7 @@ def test_int8_topk_matches_exact_on_separated_clusters(spark):
     queries = spark.createDataFrame(
         [(100, [1.0, 0.02, 0.0, 0.0])], "id bigint, vec array<float>"
     )
-    ex = brute_force_topk(queries, corpus, "id", "id", "vec", k=3)
+    ex = brute_force_topk(queries, corpus, "id", "id", "vec", k=3, baseline=True)
     qu = int8_topk(queries, corpus, "id", "id", "vec", k=3)
     assert sorted(r.cid for r in ex.collect()) == sorted(r.cid for r in qu.collect())
 

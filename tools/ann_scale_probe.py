@@ -90,7 +90,7 @@ def main():
         out = {"n_vectors": n, "kind": kind, "n_queries": queries.count(), "k": k}
 
         t0 = time.time()
-        truth_df = sim.brute_force_topk(queries, corpus, "vec_id", "vec_id", "embedding", k)
+        truth_df = sim.brute_force_topk(queries, corpus, "vec_id", "vec_id", "embedding", k, baseline=True)
         truth = topk_sets(truth_df)
         out["brute_force"] = {"wall_s": round(time.time() - t0, 2)}
 

@@ -76,7 +76,7 @@ def main():
 
     t0 = time.time()
     truth = topk_sets(
-        sim.brute_force_topk(queries, corpus, "vec_id", "vec_id", "embedding", k)
+        sim.brute_force_topk(queries, corpus, "vec_id", "vec_id", "embedding", k, baseline=True)
     )
     out["brute_force_wall_s"] = round(time.time() - t0, 2)
 
