@@ -106,9 +106,6 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
 
 KEEP_SORT = os.environ.get("SPARK_GRAFT_KEEP_SORT", "0") == "1"
 
-_TRAILING_ORDER_BY = re.compile(r"ORDER\s+BY\s+[^()]*$", re.IGNORECASE)
-
-
 def strip_presentation_sort(df):
     """Drop a top-level GLOBAL Sort from the query's logical plan.
 
@@ -123,27 +120,82 @@ def strip_presentation_sort(df):
     stripped. The DuckDB oracles get the symmetric treatment in
     time_oracles (trailing ORDER BY without LIMIT removed), so the
     ratio compares sort-free work on BOTH engines. Disable both with
-    SPARK_GRAFT_KEEP_SORT=1."""
+    SPARK_GRAFT_KEEP_SORT=1.
+
+    Uses Spark-4-internal JVM accessors (classic.Dataset.ofRows, the
+    Scala `global` field); on any other Spark build the except arm
+    returns the DataFrame unstripped (KEEP_SORT semantics) instead of
+    crashing the bench (round-5 ADVICE)."""
     from pyspark.sql import DataFrame
 
-    p = df._jdf.queryExecution().logical()
-    if p.nodeName() != "Sort" or not getattr(p, "global")():
+    try:
+        p = df._jdf.queryExecution().logical()
+        if p.nodeName() != "Sort" or not getattr(p, "global")():
+            return df
+        spark = df.sparkSession
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, p.child()
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        global _STRIP_WARNED
+        if not _STRIP_WARNED:
+            _STRIP_WARNED = True
+            print(
+                "# strip_presentation_sort: internal API unavailable on this "
+                "Spark build — KEEP_SORT semantics apply",
+                file=sys.stderr,
+            )
         return df
-    spark = df.sparkSession
-    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-        spark._jsparkSession, p.child()
-    )
-    return DataFrame(jdf, spark)
+
+
+_STRIP_WARNED = False
 
 
 def strip_oracle_order_by(sql: str) -> str:
-    """DuckDB-side twin of strip_presentation_sort: remove a trailing
-    top-level ORDER BY (no parens → can't touch window/aggregate
-    arguments; a LIMIT after it means top-k semantics → keep)."""
-    m = _TRAILING_ORDER_BY.search(sql)
-    if m and not re.search(r"\bLIMIT\b", m.group(0), re.IGNORECASE):
-        return sql[: m.start()]
-    return sql
+    """DuckDB-side twin of strip_presentation_sort: remove the LAST
+    top-level ORDER BY — located by paren/quote-aware scan, so the
+    clause may contain function calls (ORDER BY SUM(CAST(..)) — the
+    q121 asymmetry from round-5 ADVICE) while window/aggregate/subquery
+    ORDER BYs (always inside parens) are untouchable. A LIMIT/OFFSET
+    after it means top-k semantics → keep."""
+    depth = 0
+    i = 0
+    n = len(sql)
+    low = sql.lower()
+    last = None
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # skip string literal ('' = escaped quote)
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == '"':  # quoted identifier
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "oO"
+            and re.match(r"order\s+by\b", low[i:])
+            and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+        ):
+            last = i
+        i += 1
+    if last is None:
+        return sql
+    if re.search(r"\b(limit|offset)\b", low[last:]):
+        return sql
+    return sql[:last]
 
 
 def execute_plan(df) -> int:

@@ -248,12 +248,24 @@ def mmr_rerank(
     num, den = lam
     if not (0 <= num <= den and den > 0):
         raise ValueError(f"lambda must satisfy 0 <= num <= den, den > 0, got {lam}")
-    out_schema = (
-        f"{query_col} string, pick_no int, {id_col} bigint, mmr_score bigint"
+    # Derive the query/id field types from the INPUT schema (round-5
+    # ADVICE: hardcoded string/bigint broke integer group columns, e.g.
+    # a cluster id passed through kcenter_select). rel/code stay int64
+    # by the integer-kernel contract.
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    in_fields = {f.name: f for f in cands.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(query_col, in_fields[query_col].dataType),
+            StructField("pick_no", IntegerType()),
+            StructField(id_col, in_fields[id_col].dataType),
+            StructField("mmr_score", LongType()),
+        ]
     )
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].astype("int64").tolist()
+        ids = pdf[id_col].tolist()  # natural dtype; output type mirrors input
         rel = pdf[rel_col].astype("int64").tolist()
         code = pdf[code_col].astype("int64").tolist()
         order = sorted(range(len(ids)), key=lambda i: ids[i])

@@ -844,6 +844,12 @@ def centroid_drift_int8(
 
     (= n_old·n_new · Σ_d |mean_old_d − mean_new_d| — zero iff the
     quantized centroids agree; compare against n_old·n_new·tolerance.)
+    A group present in only ONE snapshot reports l1_scaled = NULL, not
+    0 (round-5 ADVICE): the cross-multiplication by the missing side's
+    count zeroes every term, so a vanished or newly-appeared label —
+    the largest drift there is — would otherwise read as "no drift".
+    Consumers treat NULL as "centroid distance undefined; check
+    n_old/n_new" rather than agreement.
     Quantization (quantize_int8_expr) makes every sum int64 and the
     release engine-portable — the embedding-pipeline counterpart of the
     KS/chi² feature-drift screens (operators/robust.py, profile.py).
@@ -878,7 +884,10 @@ def centroid_drift_int8(
     return joined.groupBy("g").agg(
         F.max("n_old").cast("bigint").alias("n_old"),
         F.max("n_new").cast("bigint").alias("n_new"),
-        F.sum("term").cast("bigint").alias("l1_scaled"),
+        F.when(
+            (F.max("n_old") > 0) & (F.max("n_new") > 0),
+            F.sum("term"),
+        ).cast("bigint").alias("l1_scaled"),
     ).select(F.col("g").alias(group_col), "n_old", "n_new", "l1_scaled")
 
 

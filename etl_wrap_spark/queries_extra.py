@@ -6092,7 +6092,8 @@ def _drift_oracle() -> str:
     )
     SELECT label, CAST(MAX(n_old) AS BIGINT) AS n_old,
            CAST(MAX(n_new) AS BIGINT) AS n_new,
-           CAST(SUM(term) AS BIGINT) AS l1_scaled
+           CASE WHEN MAX(n_old) > 0 AND MAX(n_new) > 0
+                THEN CAST(SUM(term) AS BIGINT) END AS l1_scaled
     FROM j GROUP BY label ORDER BY label
     """
 

@@ -502,6 +502,12 @@ class AtomicTable:
             props["stats_cols"] = list(eff_stats)
         if isinstance(eff_cluster, str):
             props["cluster_by"] = eff_cluster
+        elif eff_cluster is not None and isinstance(stored.get("cluster_by"), str):
+            # Column-expression layout applies to THIS commit only; the
+            # persisted string property must survive so a later
+            # compact() keeps the clustered layout (round-5 ADVICE —
+            # previously the property was silently cleared here).
+            props["cluster_by"] = stored["cluster_by"]
         if eff_cf:
             props["cluster_files"] = int(eff_cf)
         if eff_bloom:

@@ -207,6 +207,17 @@ def test_bench_presentation_sort_strip(spark):
     # LIMIT after ORDER BY = top-k semantics: keep
     keep = "SELECT * FROM t ORDER BY v DESC LIMIT 5"
     assert bench.strip_oracle_order_by(keep) == keep
-    # ORDER BY whose tail contains parens (window/agg args): keep
-    keep2 = "SELECT * FROM t ORDER BY sum(v)"
-    assert bench.strip_oracle_order_by(keep2) == keep2
+    # top-level ORDER BY with function-call args now strips too (the
+    # round-5 ADVICE q121 asymmetry: Spark's root Sort was stripped
+    # while the oracle kept its sort)
+    assert bench.strip_oracle_order_by(
+        "SELECT * FROM t ORDER BY SUM(CAST(v AS BIGINT)) DESC"
+    ) == "SELECT * FROM t "
+    # window/subquery ORDER BY (inside parens): untouched
+    keep3 = "SELECT rank() OVER (ORDER BY v) AS r FROM t"
+    assert bench.strip_oracle_order_by(keep3) == keep3
+    keep4 = "SELECT * FROM (SELECT v FROM t ORDER BY v LIMIT 3) s"
+    assert bench.strip_oracle_order_by(keep4) == keep4
+    # ORDER BY text inside a string literal: untouched
+    keep5 = "SELECT 'ORDER BY x' AS s FROM t"
+    assert bench.strip_oracle_order_by(keep5) == keep5

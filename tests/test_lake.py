@@ -358,6 +358,24 @@ def test_bloom_string_keys_and_zone_combination(spark, table):
     assert table.read_point("k", 5_000).count() == 0
 
 
+def test_column_cluster_by_keeps_persisted_property(spark, table):
+    # round-5 ADVICE: a Column-expression cluster_by applies to THIS
+    # commit's layout only — it must NOT clear the persisted string
+    # cluster_by table property (a later compact() would lose the
+    # clustered layout).
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    table.write(df, stats_cols=["k"], cluster_by="k", cluster_files=4)
+    assert table.table_props()["cluster_by"] == "k"
+    # expression layout for one commit
+    table.write(df, cluster_by=F.col("v"), cluster_files=4)
+    assert table.table_props()["cluster_by"] == "k"
+    # inherit-path write and compaction still see the string property
+    table.write(df)
+    assert table.table_props()["cluster_by"] == "k"
+
+
 def test_index_survives_merge_and_transaction(spark, table):
     # zone maps + blooms recorded at v1 must still exist after an
     # upsert (MERGE), a delete_insert, and a transaction bracket —

@@ -83,6 +83,23 @@ def test_mmr_rerank_tie_breaks_by_id(spark):
     assert picks.collect()[0].doc == 3
 
 
+def test_mmr_rerank_non_string_group_and_int_id(spark):
+    """round-5 ADVICE: output schema derives from the input — an
+    integer group column (e.g. a cluster id) and int32 ids must work."""
+    from etl_wrap_spark.operators.retrieval import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(5, 1, 100, 0b11110000), (5, 2, 90, 0b11110000), (5, 3, 50, 0b00001111)],
+        "grp int, doc int, rel bigint, code bigint",
+    )
+    picks = mmr_rerank(cands, "grp", "doc", "rel", "code", k=2, lam=(1, 2), code_bits=8)
+    rows = {r.pick_no: (r.grp, r.doc, r.mmr_score) for r in picks.collect()}
+    assert rows[1] == (5, 1, 100)
+    assert rows[2] == (5, 2, 82)
+    schema = dict((f.name, f.dataType.simpleString()) for f in picks.schema.fields)
+    assert schema["grp"] == "int" and schema["doc"] == "int"
+
+
 def test_mmr_rerank_rejects_bad_lambda(spark):
     from etl_wrap_spark.operators.retrieval import mmr_rerank
 
@@ -274,7 +291,12 @@ def test_centroid_drift_one_sided_group(spark):
     )
     new = old.where(F.lit(False))
     (out,) = centroid_drift_int8(old, new, "label", "embedding").collect()
-    assert (out.n_old, out.n_new, out.l1_scaled) == (1, 0, 0)
+    # round-5 ADVICE: a vanished label is the LARGEST drift — it must
+    # read NULL ("undefined; check counts"), never 0 ("no drift")
+    assert (out.n_old, out.n_new, out.l1_scaled) == (1, 0, None)
+    # and symmetric for a newly-appeared label
+    (out2,) = centroid_drift_int8(new, old, "label", "embedding").collect()
+    assert (out2.n_old, out2.n_new, out2.l1_scaled) == (0, 1, None)
 
 
 # ---------------------------------------------------------- readability
