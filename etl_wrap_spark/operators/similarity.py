@@ -96,6 +96,16 @@ def brute_force_topk(
             "ivf_topk (ivf_topk(nprobe=None) for exact results through "
             "the production path)"
         )
+    return _exact_topk(queries, corpus, id_q, id_c, vec, k)
+
+
+def _exact_topk(
+    queries: DataFrame, corpus: DataFrame, id_q: str, id_c: str, vec: str, k: int
+) -> DataFrame:
+    """Shared exact-scoring kernel: every (query, corpus) pair scored
+    once, query side broadcast, corpus never shuffled; per-query top-k
+    via the rank window. Used by brute_force_topk (baseline API) and
+    ivf_topk(nprobe=None) (the routed exact mode)."""
     # norms are precomputed per ROW (not per pair): same IEEE fold →
     # bit-identical cosine, at a third of the per-pair arithmetic
     from etl_wrap_spark.session import ensure_min_parallelism
@@ -390,12 +400,15 @@ def ivf_topk(
     complements sign-LSH bucketing (cells adapt to the data's density
     rather than to fixed hyperplanes).
 
-    ``nprobe=None`` is EXACT mode: every cell is probed (the affinity
-    ranking is skipped — each query meets every corpus row exactly
-    once, since corpus cell assignment is unique), so the output is
-    row-for-row identical to the brute-force baseline while keeping the
-    production plan shape (cell equi-join, no |Q|x|C| cross join node).
-    This is the routed replacement for ad-hoc brute_force_topk calls.
+    ``nprobe=None`` is EXACT mode — the routed replacement for ad-hoc
+    brute_force_topk calls: every corpus row is scored for every query,
+    so the result is row-for-row identical to the exact baseline. With
+    a persisted index (``centroids`` + ``assigned`` passed in) the plan
+    keeps the cell equi-join and probes every cell; WITHOUT one, the
+    centroid/assignment stages would be pure overhead (probing all
+    cells reads the whole corpus anyway — measured 3x wall at sf0.1),
+    so the plan degenerates to the shared exact kernel directly (one
+    logical cell covering the corpus).
 
     `n_cells=None` (default) derives the cell count from the corpus size
     via auto_n_cells — bounded per-cell occupancy is what holds the
@@ -410,6 +423,11 @@ def ivf_topk(
     cells only. The query side stays broadcast. A (query, candidate)
     pair can meet in at most one cell — corpus assignment is unique —
     so no dedup step is needed."""
+    if nprobe is None and centroids is None and assigned is None:
+        # exact mode with no persisted index: the centroid/assignment
+        # stages add nothing when every cell is probed — degenerate to
+        # the shared exact kernel (measured 3x wall at sf0.1 otherwise)
+        return _exact_topk(queries, corpus, id_q, id_c, vec, k)
     if centroids is None and n_cells is None:
         n_cells = auto_n_cells(corpus)
     cent = centroids if centroids is not None else ivf_centroids_deterministic(corpus, id_c, vec, n_cells)
