@@ -17,6 +17,11 @@ import shutil
 import sys
 import time
 
+# unique row key in the synthetic lineitem (6M distinct of 6M rows —
+# (l_orderkey, l_linenumber) alone is NOT unique in this data, and
+# snapshot_diff/upsert key semantics assume uniqueness)
+UKEY = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
@@ -59,14 +64,14 @@ def main():
     )
     delta = upd.unionByName(ins)
     n_delta = delta.count()
-    s, _ = timed(lambda: at.upsert(delta, ["l_orderkey", "l_linenumber"]))
+    s, _ = timed(lambda: at.upsert(delta, UKEY))
     results["atomic"]["merge_rows"] = n_delta
     results["atomic"]["merge_s"] = s
     s, _ = timed(lambda: at.compact(target_files=8))
     results["atomic"]["compact_s"] = s
     v = at.current_version()
     s, n = timed(
-        lambda: table_changes(at, v - 2, v - 1, ["l_orderkey", "l_linenumber"]).count()
+        lambda: table_changes(at, v - 2, v - 1, UKEY).count()
     )
     results["atomic"]["cdf_s"] = s
     results["atomic"]["cdf_rows"] = n
@@ -83,7 +88,7 @@ def main():
             "l_quantity", F.col("l_quantity") + 1
         )
         n_one = one.count()
-        s_m, _ = timed(lambda: pt.upsert(one, ["l_orderkey", "l_linenumber"]))
+        s_m, _ = timed(lambda: pt.upsert(one, UKEY))
         # pruned read: single partition dir + zone-map chain, broad range
         s_r, n_r = timed(
             lambda: pt.read_pruned(
