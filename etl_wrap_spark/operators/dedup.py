@@ -436,7 +436,7 @@ def near_dup_pairs_minhash(
     # eager localCheckpoint costs a doc-count-sized sketch in exchange
     # for never re-running the shingle→minhash subtree (the corpus
     # text scan) per reference.
-    sig = sig.localCheckpoint(eager=True)
+    sig = sig.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sig, id_col, band_rows=rows, max_bucket=max_bucket)
     if est_prefilter_margin_bp is not None:
         thresh_bp = (10000 * den) // num - est_prefilter_margin_bp
@@ -844,8 +844,8 @@ def incremental_near_dups(
     localCheckpoint is the persisted-index posture in miniature; pass
     False when the inputs are already materialized parquet reads."""
     if materialize:
-        batch_sig = batch_sig.localCheckpoint(eager=True)
-        index_sig = index_sig.localCheckpoint(eager=True)
+        batch_sig = batch_sig.localCheckpoint(eager=False)
+        index_sig = index_sig.localCheckpoint(eager=False)
     num_hashes = sum(1 for c in batch_sig.columns if c.startswith("mh"))
     bk = band_keys(batch_sig, id_col, band_rows)
     ik = band_keys(index_sig, id_col, band_rows)
@@ -973,10 +973,11 @@ def connected_components(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        # materialized once: every round joins against edges, and without
-        # this the whole upstream pair-generation pipeline (e.g. the LSH
-        # near-dup cascade) would re-execute per round per action
-        .localCheckpoint(eager=True)
+        # pinned once (lazy checkpoint — computed+cached at the first
+        # round's convergence probe): every round joins against edges,
+        # and without this the whole upstream pair-generation pipeline
+        # (e.g. the LSH near-dup cascade) would re-execute per round
+        .localCheckpoint(eager=False)
     )
     # initialize with min(id, min neighbor): one aggregation performs
     # the first propagation round for free (the groupBy is over the
@@ -986,7 +987,7 @@ def connected_components(
         edges.groupBy(F.col("u").alias("id"))
         .agg(F.min("v").alias("__mn"))
         .select("id", F.least(F.col("id"), F.col("__mn")).alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -1002,7 +1003,7 @@ def connected_components(
                 (F.col("nlabel") < F.col("label")).alias("changed"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.drop("changed")
         if rounds_out is not None:
@@ -1080,7 +1081,7 @@ def connected_components_star(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
@@ -1109,7 +1110,7 @@ def connected_components_star(
             .unionByName(joined.select(F.col("u"), F.col("mn").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         state = edges.agg(
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("chk")

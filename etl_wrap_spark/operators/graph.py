@@ -81,7 +81,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     plan for a 2-join algorithm). Both are localCheckpoint'ed once,
     giving the flat plan the algorithm actually describes.
     """
-    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=False)
     deg = degrees(und)
     # order key: (deg, id) packed into one comparable struct
     dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("__dl"))
@@ -93,7 +93,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     oriented = ranked.select(
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     o1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     o2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     o3 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -125,22 +125,24 @@ def bfs_hops(
     the fixed ``max_hops`` bound, which makes the result replayable by
     a hop-bounded recursive CTE.
 
-    Checkpoint discipline: the edge projection is materialized once
-    (every round joins it — without this the caller's whole edge
-    -derivation pipeline re-executes per round), and each round's new
-    frontier is materialized eagerly (it is referenced by the next
-    round's join AND by every later round's visited anti-join; unpinned,
-    the visited lineage re-derives all previous frontiers per round —
-    measured as a 77-scan plan at 3 hops).
+    Checkpoint discipline: the edge projection and each round's new
+    frontier are localCheckpoint-pinned — the returned frame is a flat
+    LogicalRDD, so the next round's join and every later round's
+    visited anti-join reference the pinned RDD instead of re-deriving
+    all previous frontiers per round (unpinned this was a 77-scan plan
+    at 3 hops). Checkpoints are LAZY (computed+cached by the first
+    consuming action, exactly once): plan shape is identical to the
+    eager form, but the per-round materialization jobs collapse into
+    the consumer's job — the round-6 profile measured the iterative
+    family's wall as ~0.11 s per driver job at sf0.1, so job count,
+    not data volume, set the constant.
     """
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).localCheckpoint(
-        eager=True
-    )
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).localCheckpoint(eager=False)
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     for h in range(1, max_hops + 1):
@@ -152,7 +154,7 @@ def bfs_hops(
         new = (
             reached.join(visited, "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("bigint"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(new)
         frontier = new
@@ -187,15 +189,15 @@ def kcore_peel(
     """
     if k < 1 or rounds < 1:
         raise ValueError("kcore_peel needs k >= 1 and rounds >= 1")
-    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = degrees(und)
-        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint(eager=True)
+        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint(eager=False)
         und = (
             und.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
             .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
             .select("lo", "hi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return degrees(und)
 
@@ -242,10 +244,11 @@ def pagerank_fixedpoint(
     mass conservation matters. The node/seed count is the one scalar
     driver probe (a count, not data).
 
-    Checkpoint discipline: the edge projection is materialized FIRST,
-    so the caller's edge-derivation pipeline (often a join+distinct)
-    runs exactly once — nodes, degrees, seeds, and every iteration all
-    derive from the pinned frame.
+    Checkpoint discipline: the edge projection is localCheckpoint-
+    pinned (lazily — computed and cached by the first consuming action,
+    exactly once), so the caller's edge-derivation pipeline (often a
+    join+distinct) never re-executes — nodes, degrees, seeds, and every
+    iteration all derive from the pinned frame.
     """
     wcols = (
         [F.col(weight).cast("bigint").alias("__w")] if weight is not None else []
@@ -253,7 +256,7 @@ def pagerank_fixedpoint(
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), *wcols)
     if weight is not None:
         e = e.where(F.col("__w") > 0)
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
@@ -266,7 +269,7 @@ def pagerank_fixedpoint(
         base = (scale * (damping_den - damping_num)) // (damping_den * n_nodes)
         based = nodes.withColumn(
             "__base", F.lit(base).cast("bigint")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         r = based.select(
             "node", F.lit(scale // n_nodes).cast("bigint").alias("rank_fp")
         )
@@ -288,7 +291,7 @@ def pagerank_fixedpoint(
                 F.when(F.col("__seed"), F.lit(base)).otherwise(0).cast("bigint"),
             )
             .drop("__seed")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         r = based.select(
             "node",
@@ -300,7 +303,7 @@ def pagerank_fixedpoint(
     degv = F.sum("__w") if weight is not None else F.count(F.lit(1))
     deg = e.groupBy(F.col("__src").alias("__dn")).agg(
         degv.cast("bigint").alias("__deg")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     contrib_expr = (
         f"(rank_fp * {damping_num} * __w) div ({damping_den} * __deg)"
         if weight is not None
@@ -324,7 +327,7 @@ def pagerank_fixedpoint(
             .alias("rank_fp"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            r = r.localCheckpoint(eager=True)
+            r = r.localCheckpoint(eager=False)
     return r
 
 
@@ -354,9 +357,9 @@ def label_propagation(
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=False)
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(rounds):
         counts = (
@@ -373,7 +376,7 @@ def label_propagation(
         labels = (
             nodes.join(pick, on="node", how="left")
             .select("node", F.coalesce(F.col("label"), F.col("node")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -411,12 +414,12 @@ def sssp_bounded(
         F.col(src).alias("__s"),
         F.col(dst).alias("__d"),
         F.col(weight).cast("bigint").alias("__w"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     best = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("cost", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = best
     for _ in range(max_hops):
@@ -432,12 +435,12 @@ def sssp_bounded(
             )
             .where(F.col("__old").isNull() | (F.col("cost") < F.col("__old")))
             .select("node", "cost")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         best = (
             best.join(improved.select("node"), "node", "left_anti")
             .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     return best
@@ -478,7 +481,7 @@ def ra_link_scores(
     candidates RA's damping already discounts). Production guidance:
     cap at ~10-100x the median degree. One adjacency self-join on z +
     one (a,b) aggregation + one anti-join vs the edge set."""
-    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=False)
     deg = degrees(und)
     if max_z_degree is not None:
         deg = deg.where(F.col("deg") <= F.lit(max_z_degree))
@@ -530,15 +533,13 @@ def bfs_hops_labeled(
     the seed cohort bounded (a centrality probe cohort, not the corpus;
     at web scale this is exactly HyperBall's exact-small-seed
     counterpart)."""
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).localCheckpoint(
-        eager=True
-    )
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).localCheckpoint(eager=False)
     visited = (
         sources.select(F.col(node_col).alias("source"))
         .distinct()
         .select("source", F.col("source").alias("node"))
         .withColumn("hops", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     for h in range(1, max_hops + 1):
@@ -550,7 +551,7 @@ def bfs_hops_labeled(
         new = (
             reached.join(visited, ["source", "node"], "left_anti")
             .withColumn("hops", F.lit(h).cast("bigint"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(new)
         frontier = new
@@ -612,7 +613,7 @@ def degree_assortativity_bp(
     same fixed 4-op IEEE tail as acf_bp — engine-identical. int64-safe
     while 2E·deg_max² < 9·10¹⁸. One degree aggregation + two broadcast
     -or-shuffle joins + one scalar aggregation."""
-    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=False)
     deg = degrees(und)
     dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("__dl"))
     dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("__dh"))

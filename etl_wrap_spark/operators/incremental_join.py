@@ -141,7 +141,7 @@ def flatten_hierarchy(
             F.lit(1).cast("bigint").alias("depth"),
             F.lit(False).alias("done"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # ancestors that are roots (no incoming pointer) terminate the jump
     for _ in range(max_iter):
@@ -158,7 +158,7 @@ def flatten_hierarchy(
                 (F.col("depth") + F.coalesce("__d2", F.lit(0))).alias("depth"),
                 F.col("__anc2").isNull().alias("done"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         ptr = nxt
         if ptr.where(~F.col("done")).count() == 0:
@@ -200,7 +200,7 @@ def ancestor_closure(
         )
         .where(F.col("node") != F.col("anc"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_prev = p.count()
     for _ in range(max_iter):
@@ -217,7 +217,7 @@ def ancestor_closure(
             p.unionByName(hop)
             .groupBy("node", "anc")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = p.count()
         if n == n_prev:

@@ -67,7 +67,7 @@ def learn_bpe(
     discipline of connected_components)."""
     vocab = word_vocab(df, text_col).select(
         F.split(F.col("word"), "").alias("syms"), "freq"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         s = F.col("syms")
@@ -96,7 +96,7 @@ def learn_bpe(
 
         vocab = vocab.mapInPandas(
             rewrite, schema="syms ARRAY<STRING>, freq BIGINT"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
