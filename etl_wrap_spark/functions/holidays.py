@@ -177,6 +177,26 @@ def _holiday_lit_cols(cal: str, year_from: int, year_to: int):
     return tuple(F.lit(d) for d in _holiday_epoch_days(cal, year_from, year_to))
 
 
+@lru_cache(maxsize=None)
+def _holiday_lit_jseq(cal: str, year_from: int, year_to: int):
+    """The literal Columns above as ONE pre-converted JVM Seq handle.
+
+    Even with cached Column handles, `isin(*cols)` re-converts the
+    Python list to a JVM collection on EVERY call — py4j's ListConverter
+    issues one `add()` roundtrip per element, so each holiday test still
+    paid ~2,100 roundtrips (~0.35 s; the round-6 q13 profile measured
+    4,040 socket roundtrips per plan build, 3 rolls at 0.34 s each).
+    Converting once and handing the same JVM Seq to `jc.isin(seq)`
+    drops a holiday test to ~2 roundtrips. Like the Column cache, the
+    Seq lives in the process-wide py4j gateway, independent of any
+    SparkSession."""
+    from pyspark import SparkContext
+    from pyspark.sql.classic.column import _to_seq
+
+    sc = SparkContext._active_spark_context
+    return _to_seq(sc, [c._jc for c in _holiday_lit_cols(cal, year_from, year_to)])
+
+
 def is_holiday_col(
     date: Column, cal: str, year_from: int = _COL_YEAR_FROM, year_to: int = _COL_YEAR_TO
 ) -> Column:
@@ -203,7 +223,7 @@ def is_holiday_col(
                 date.cast("string"),
             )
         ).cast("boolean"),
-    ).otherwise(ud.isin(*_holiday_lit_cols(cal, year_from, year_to)))
+    ).otherwise(Column(ud._jc.isin(_holiday_lit_jseq(cal, year_from, year_to))))
 
 
 def is_weekend_col(date: Column) -> Column:

@@ -120,16 +120,31 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
 
 
+_EXPR_CACHE: dict[tuple, object] = {}
+"""Memo for column-NAME-keyed expression lists (minhash aggs, band
+structs, match counts). Column handles are immutable and process-wide
+(py4j gateway scope), so the same expressions can enter every dedup
+query's plan; re-building them costs hundreds of py4j roundtrips per
+plan (8 per minhash agg x 32 hashes, ~6 per band struct) which the
+round-6 build profile showed dominating the family's per-query constant
+at small scale. Construction chatter only — plans are still analyzed,
+optimized, and executed from scratch per query."""
+
+
 def minhash_signatures(sf: DataFrame, id_col: str, num_hashes: int = NUM_HASHES) -> DataFrame:
     """Per-doc MinHash signature columns mh0..mh{N-1} from a shingle frame.
 
     One shuffle on `id_col`; the min aggregates combine map-side.
     """
-    h = hash28("shingle")
-    aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_ab(num_hashes))
-    ]
+    key = ("mh_aggs", num_hashes)
+    aggs = _EXPR_CACHE.get(key)
+    if aggs is None:
+        h = hash28("shingle")
+        aggs = [
+            F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_ab(num_hashes))
+        ]
+        _EXPR_CACHE[key] = aggs
     return sf.groupBy(id_col).agg(*aggs)
 
 
@@ -139,15 +154,19 @@ def band_keys(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS) -> DataFr
     batch-vs-index incremental dedup."""
     num_hashes = sum(1 for c in sig.columns if c.startswith("mh"))
     num_bands = num_hashes // band_rows
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                *[F.col(f"mh{j * band_rows + r}").alias(f"k{r}") for r in range(band_rows)],
-            )
-            for j in range(num_bands)
-        ]
-    )
+    bkey = ("bands", num_hashes, band_rows)
+    bands = _EXPR_CACHE.get(bkey)
+    if bands is None:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    *[F.col(f"mh{j * band_rows + r}").alias(f"k{r}") for r in range(band_rows)],
+                )
+                for j in range(num_bands)
+            ]
+        )
+        _EXPR_CACHE[bkey] = bands
     return sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band", *[f"b.k{r}" for r in range(band_rows)]
     )
@@ -229,24 +248,31 @@ def estimate_pairs(sig: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     per row — far lighter than shingle arrays); std error ~1/sqrt(num
     hashes) (~0.18 at 32)."""
     num_hashes = sum(1 for c in sig.columns if c.startswith("mh"))
-    a = sig.select(
-        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"amh{i}") for i in range(num_hashes)]
-    )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"bmh{i}") for i in range(num_hashes)]
-    )
-    matches = sum(
-        F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0) for i in range(num_hashes)
-    )
-    return (
-        pairs.join(a, on="id_a")
-        .join(b, on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.floor(F.lit(10000) * matches / F.lit(num_hashes)).cast("bigint").alias("est_j_bp"),
+    akey = ("est_a", id_col, num_hashes)
+    acols = _EXPR_CACHE.get(akey)
+    if acols is None:
+        acols = [F.col(id_col).alias("id_a")] + [
+            F.col(f"mh{i}").alias(f"amh{i}") for i in range(num_hashes)
+        ]
+        _EXPR_CACHE[akey] = acols
+    bkey = ("est_b", id_col, num_hashes)
+    bcols = _EXPR_CACHE.get(bkey)
+    if bcols is None:
+        bcols = [F.col(id_col).alias("id_b")] + [
+            F.col(f"mh{i}").alias(f"bmh{i}") for i in range(num_hashes)
+        ]
+        _EXPR_CACHE[bkey] = bcols
+    ekey = ("est_j", num_hashes)
+    est = _EXPR_CACHE.get(ekey)
+    if est is None:
+        matches = sum(
+            F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0) for i in range(num_hashes)
         )
-    )
+        est = F.floor(F.lit(10000) * matches / F.lit(num_hashes)).cast("bigint").alias("est_j_bp")
+        _EXPR_CACHE[ekey] = est
+    a = sig.select(*acols)
+    b = sig.select(*bcols)
+    return pairs.join(a, on="id_a").join(b, on="id_b").select("id_a", "id_b", est)
 
 
 def _collapsed_pairs(df, id_col, text_col, n, pair_fn, directed=False):

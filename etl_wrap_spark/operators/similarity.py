@@ -34,6 +34,18 @@ PLANES: list[list[float]] = [
 ]
 
 
+_EXPR_CACHE: dict[tuple, Column] = {}
+"""Memo for pure column-NAME-keyed expressions (dot/norm/plane-dot/
+bucket). Column objects are immutable driver-side handles into the
+process-wide py4j gateway, so the same expression handle can enter any
+number of plans across queries and sessions; re-BUILDING one costs
+~25-130 py4j roundtrips (lambda plumbing + literals) and the ANN family
+builds each several times per plan (round-6 profile: 0.40 s of q27's
+0.64 s build). Plans built from a cached handle are still analyzed,
+optimized, and executed from scratch per query — this caches
+construction chatter, never results."""
+
+
 def dot_expr(a: str, b: str, dim: int = DIM) -> Column:
     """Order-fixed dot product of two array<float> columns.
 
@@ -43,8 +55,13 @@ def dot_expr(a: str, b: str, dim: int = DIM) -> Column:
     a[1]*b[1] + a[2]*b[2] + ... chain — while keeping the expression
     tree O(1) instead of O(dim) (64-term chains pushed whole-stage
     codegen past janino's method limit when combined into cosines)."""
-    prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)
+    key = ("dot", a, b)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double"))
+        col = F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)
+        _EXPR_CACHE[key] = col
+    return col
 
 
 def norm_expr(a: str, dim: int = DIM) -> Column:
@@ -55,20 +72,48 @@ def cosine_expr(a: str, b: str, dim: int = DIM) -> Column:
     return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
+_PLANE_ARRAY_CACHE: dict[tuple, Column] = {}
+
+
+def _plane_array_col(plane: list[float]) -> Column:
+    """Constant hyperplane as a cached array-literal Column: building
+    `F.array(*[F.lit(w) ...])` costs one py4j roundtrip per weight
+    (~130 for DIM=64 — the round-6 profile put q27's plan build at
+    0.64 s, mostly here), while re-using the handle costs none. The
+    handle lives in the process-wide py4j gateway, independent of any
+    SparkSession, exactly like holidays._holiday_lit_cols."""
+    key = tuple(plane)
+    col = _PLANE_ARRAY_CACHE.get(key)
+    if col is None:
+        col = F.array(*[F.lit(w) for w in plane])
+        _PLANE_ARRAY_CACHE[key] = col
+    return col
+
+
 def plane_dot_expr(vec_col: str, plane: list[float]) -> Column:
     """Dot of an embedding column with a constant hyperplane, same fixed
     fold order as dot_expr."""
-    planes = F.array(*[F.lit(w) for w in plane])
-    prods = F.zip_with(F.col(vec_col), planes, lambda x, y: x.cast("double") * y)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)
+    key = ("pdot", vec_col, tuple(plane))
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        planes = _plane_array_col(plane)
+        prods = F.zip_with(F.col(vec_col), planes, lambda x, y: x.cast("double") * y)
+        col = F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)
+        _EXPR_CACHE[key] = col
+    return col
 
 
 def bucket_expr(vec_col: str, planes: list[list[float]] = PLANES) -> Column:
     """Sign-LSH bucket id: bit j set iff plane_j . v >= 0."""
-    acc = F.lit(0)
-    for j, p in enumerate(planes):
-        acc = acc + F.when(plane_dot_expr(vec_col, p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+    key = ("bucket", vec_col, tuple(tuple(p) for p in planes))
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        acc = F.lit(0)
+        for j, p in enumerate(planes):
+            acc = acc + F.when(plane_dot_expr(vec_col, p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        _EXPR_CACHE[key] = acc
+        col = acc
+    return col
 
 
 def brute_force_topk(
