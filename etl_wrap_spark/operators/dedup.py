@@ -778,17 +778,26 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     df = ensure_min_parallelism(df)
     toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-    h = hash60("tok")
-    sums = [
-        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
+    skey = ("simhash_sums",)
+    sums = _EXPR_CACHE.get(skey)
+    if sums is None:
+        h = hash60("tok")
+        sums = [
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+        _EXPR_CACHE[skey] = sums
     agg = toks.groupBy(id_col).agg(*sums)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sig = bit if sig is None else sig + bit
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    gkey = ("simhash_sig",)
+    sig = _EXPR_CACHE.get(gkey)
+    if sig is None:
+        sig = None
+        for j in range(SIMHASH_BITS):
+            bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            sig = bit if sig is None else sig + bit
+        sig = sig.alias("simhash")
+        _EXPR_CACHE[gkey] = sig
+    return agg.select(F.col(id_col), sig)
 
 
 def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3, band_bits: int = 15) -> DataFrame:

@@ -838,6 +838,11 @@ def quantize_int8_expr(vec: str) -> Column:
     O(dim²) folds per row — binding it to the outer lambda variable
     keeps quantization O(dim)."""
 
+    key = ("quant8", vec)
+    col = _EXPR_CACHE.get(key)
+    if col is not None:
+        return col
+
     def _q(nn: Column) -> Column:
         return F.transform(
             F.col(vec),
@@ -846,7 +851,9 @@ def quantize_int8_expr(vec: str) -> Column:
             ),
         )
 
-    return F.transform(F.array(norm_expr(vec)), _q)[0]
+    col = F.transform(F.array(norm_expr(vec)), _q)[0]
+    _EXPR_CACHE[key] = col
+    return col
 
 
 def quantize_int8_sql(vec: str, dim: int = DIM) -> str:
@@ -860,8 +867,13 @@ def quantize_int8_sql(vec: str, dim: int = DIM) -> str:
 
 def int_dot_expr(a: str, b: str) -> Column:
     """Exact int64 dot of two array<bigint> columns (order-free)."""
-    prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x * y)
-    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+    key = ("idot", a, b)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x * y)
+        col = F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+        _EXPR_CACHE[key] = col
+    return col
 
 
 def int_dot_sql(a: str, b: str, dim: int = DIM) -> str:
