@@ -394,3 +394,63 @@ def kcenter_select(
         zero, group_col, id_col, "__rel0", code_col,
         k=k, lam=(0, 1), code_bits=code_bits,
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    gold: DataFrame,
+    query_col: str = "qid",
+    doc_col: str = "cid",
+    rank_col: str = "rank",
+    k: int = 10,
+    mrr_scale: int = 10**6,
+) -> DataFrame:
+    """Offline retrieval evaluation → per query (query, n_gold,
+    hits_at_k, recall_at_k_bp, mrr_fp) — the recall@k / MRR@k readout
+    every retrieval change ships with (the ANN recall audits in
+    SCALING.md computed these ad hoc; this is the first-class form).
+
+    - ``recall_at_k_bp`` = floor(10000 · |top-k ∩ gold| / min(|gold|, k))
+      — basis points, capped-recall normalization so a query with more
+      gold docs than k can still score 10000.
+    - ``mrr_fp`` = floor(mrr_scale / first rank of any gold doc in the
+      list), 0 when no gold doc appears — reciprocal rank in fixed-
+      point, summable/averagable downstream in exact integers.
+
+    Everything is integer arithmetic on positive operands (`div` ≡
+    DuckDB `//`), so the readout is engine-portable bit-for-bit —
+    the repo's oracle-gating rule for metrics that drive decisions.
+
+    Plan: the ranked list is |Q|·k rows by construction and gold is
+    |Q|·|gold/query|; both group to query grain after one equi-join on
+    (query, doc) — map-side combinable, no window, never corpus-sized.
+    Queries with NO gold entry are absent from the output (nothing to
+    measure); queries whose gold docs all miss the list report
+    hits_at_k = 0, recall 0, mrr_fp = 0.
+    """
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    r = ranked.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"), F.col(rank_col).alias("__r")
+    )
+    g = gold.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d")
+    ).distinct()
+    ng = g.groupBy("__q").agg(F.count(F.lit(1)).alias("n_gold"))
+    hits = r.join(g, ["__q", "__d"]).groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__hits"), F.min("__r").alias("__first")
+    )
+    return (
+        ng.join(hits, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            "n_gold",
+            F.coalesce("__hits", F.lit(0)).cast("bigint").alias("hits_at_k"),
+            F.expr(
+                f"(10000 * coalesce(__hits, 0)) div least(n_gold, {k})"
+            ).cast("bigint").alias("recall_at_k_bp"),
+            F.coalesce(
+                F.expr(f"{mrr_scale} div __first"), F.lit(0)
+            ).cast("bigint").alias("mrr_fp"),
+        )
+    )

@@ -7839,3 +7839,82 @@ def q214_permutation_test(spark, sf_dir):
         )
     )
     return permutation_test_diff(u, "v", "id", "y", b=64)
+
+
+# ------------------------------------------ ANN recall audit (round 6)
+def _ann_recall_oracle() -> str:
+    from etl_wrap_spark.operators import similarity as _sim
+
+    dot = _sim.dot_sql("qv", "cv")
+    nq = _sim.dot_sql("qv", "qv")
+    nc = _sim.dot_sql("cv", "cv")
+    bq = _sim.bucket_sql("qv")
+    bc = _sim.bucket_sql("cv")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 <> 0
+    ), exact_ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY ({dot}) / (sqrt({nq}) * sqrt({nc})) DESC, cid
+             ) AS rank
+      FROM q, c
+    ), lsh_ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY ({dot}) / (sqrt({nq}) * sqrt({nc})) DESC, cid
+             ) AS rank
+      FROM q, c WHERE {bq} = {bc}
+    ), gold AS (
+      SELECT qid, cid FROM exact_ranked WHERE rank <= 10
+    ), appr AS (
+      SELECT qid, cid, rank FROM lsh_ranked WHERE rank <= 10
+    ), ng AS (
+      SELECT qid, COUNT(*) AS n_gold FROM gold GROUP BY qid
+    ), hit AS (
+      SELECT a.qid, COUNT(*) AS hits, MIN(a.rank) AS first_rank
+      FROM appr a JOIN gold g ON a.qid = g.qid AND a.cid = g.cid
+      GROUP BY a.qid
+    )
+    SELECT ng.qid,
+           ng.n_gold,
+           CAST(COALESCE(hit.hits, 0) AS BIGINT) AS hits_at_k,
+           CAST((10000 * COALESCE(hit.hits, 0)) // LEAST(ng.n_gold, 10) AS BIGINT) AS recall_at_k_bp,
+           CAST(COALESCE(1000000 // hit.first_rank, 0) AS BIGINT) AS mrr_fp
+    FROM ng LEFT JOIN hit ON ng.qid = hit.qid
+    ORDER BY ng.qid
+    """
+
+
+@register("q215_ann_recall_audit", oracle=_ann_recall_oracle())
+def q215_ann_recall_audit(spark, sf_dir):
+    """Offline ANN quality readout — recall@10 and MRR@10 of the sign-LSH
+    production path against the exact ground truth, per query
+    (operators/retrieval.py:ranking_metrics): the audit every index
+    change ships with, now a first-class oracle-checked operator instead
+    of an ad-hoc SCALING.md probe. Ground truth comes from the routed
+    exact path (ivf_topk(nprobe=None)); the approximate list from
+    signlsh_topk. Both rankings, the intersection counts, and the
+    fixed-point metrics are engine-portable integers (floor-div on
+    positive operands), so the whole audit hash-matches the oracle.
+
+    Plan: the |Q|x|C| exact leg is the ground-truth harness (bounded
+    query cohort by contract); the metrics join is |Q|·k rows — at
+    100 TB the exact leg runs on a sampled query cohort and the
+    metrics stage is unchanged."""
+    from etl_wrap_spark.operators import similarity as S
+    from etl_wrap_spark.operators.retrieval import ranking_metrics
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") % 50 == 0)
+    c = e.where(F.col("vec_id") % 50 != 0)
+    gold = S.ivf_topk(q, c, "vec_id", "vec_id", "embedding", k=10, nprobe=None)
+    appr = S.signlsh_topk(q, c, "vec_id", "vec_id", "embedding", k=10)
+    return ranking_metrics(
+        appr, gold.select("qid", "cid"), "qid", "cid", "rank", k=10
+    ).orderBy("qid")
