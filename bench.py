@@ -59,6 +59,15 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
     import duckdb
 
     con = duckdb.connect()
+    # DuckDB's default memory budget is 80% of RAM, sized assuming it
+    # owns the box — but the (stopped) Spark JVM's heap pages are still
+    # resident, and the q59 recursive-CTE oracle ballooning into that
+    # budget took the whole bench down with a Python-level MemoryError
+    # (observed twice, round 6, at 215 queries). A fixed cap with a
+    # spill directory keeps the oracle leg inside its fair share; sf0.1
+    # oracles peak far below it, so timings are unaffected.
+    con.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCKDB_MEM', '24GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
