@@ -59,15 +59,31 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
     import duckdb
 
     con = duckdb.connect()
-    # DuckDB's default memory budget is 80% of RAM, sized assuming it
-    # owns the box — but the (stopped) Spark JVM's heap pages are still
-    # resident, and the q59 recursive-CTE oracle ballooning into that
-    # budget took the whole bench down with a Python-level MemoryError
-    # (observed twice, round 6, at 215 queries). A fixed cap with a
-    # spill directory keeps the oracle leg inside its fair share; sf0.1
-    # oracles peak far below it, so timings are unaffected.
+    # Keep the oracle leg inside a fair memory share (the stopped Spark
+    # JVM's heap pages are still resident) and give it a spill dir.
     con.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCKDB_MEM', '24GB')}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # The engine-portability oracles for the ANN family are EXPLICIT
+    # 64-term IEEE chains (similarity.dot_sql); DuckDB's allocator
+    # fragments their evaluation into tens of thousands of mmap'd
+    # regions, and at the kernel default vm.max_map_count=65530 the
+    # process runs out of MAPPINGS mid-leg — surfacing as a bare
+    # Python MemoryError with >100 GB free (observed 3x in round 6;
+    # /proc/<pid>/maps read 65,532 at death). Raise the knob when the
+    # container lets us; otherwise cap DuckDB's thread pool — fewer
+    # allocator arenas, measured VMA peak ~15k vs ~61k at 32 threads,
+    # and the chain oracles run no slower at 8 threads on this data.
+    try:
+        if int(open("/proc/sys/vm/max_map_count").read()) < 262144:
+            try:
+                with open("/proc/sys/vm/max_map_count", "w") as fh:
+                    fh.write("1048576")
+            except OSError:
+                con.execute("SET threads=8")
+                print("# duckdb: vm.max_map_count low and not writable — "
+                      "capping oracle leg at 8 threads", file=sys.stderr)
+    except OSError:
+        pass
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
