@@ -396,6 +396,19 @@ def kcenter_select(
     )
 
 
+def ndcg_discounts_fp(k: int, scale: int = 10**6) -> list[int]:
+    """Binary-relevance nDCG discount table in fixed-point:
+    floor(scale / log2(rank+1)) for rank 1..k. Pre-flooring the
+    IRRATIONAL constants to integers is what makes the downstream
+    metric engine-portable — DCG becomes a SUM OF INTEGERS (order-free,
+    exactly associative), instead of a float sum whose value depends on
+    Spark's nondeterministic row order. Both the Column expression and
+    the oracle SQL embed the SAME integers, generated here."""
+    import math
+
+    return [int(scale / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
 def ranking_metrics(
     ranked: DataFrame,
     gold: DataFrame,
@@ -406,9 +419,10 @@ def ranking_metrics(
     mrr_scale: int = 10**6,
 ) -> DataFrame:
     """Offline retrieval evaluation → per query (query, n_gold,
-    hits_at_k, recall_at_k_bp, mrr_fp) — the recall@k / MRR@k readout
-    every retrieval change ships with (the ANN recall audits in
-    SCALING.md computed these ad hoc; this is the first-class form).
+    hits_at_k, recall_at_k_bp, mrr_fp, ndcg_bp) — the recall@k / MRR@k /
+    nDCG@k readout every retrieval change ships with (the ANN recall
+    audits in SCALING.md computed these ad hoc; this is the first-class
+    form).
 
     - ``recall_at_k_bp`` = floor(10000 · |top-k ∩ gold| / min(|gold|, k))
       — basis points, capped-recall normalization so a query with more
@@ -416,6 +430,11 @@ def ranking_metrics(
     - ``mrr_fp`` = floor(mrr_scale / first rank of any gold doc in the
       list), 0 when no gold doc appears — reciprocal rank in fixed-
       point, summable/averagable downstream in exact integers.
+    - ``ndcg_bp`` = floor(10000 · DCG_fp / IDCG_fp) with binary gains
+      and the PRE-FLOORED integer discount table (ndcg_discounts_fp):
+      DCG_fp sums the discount integers at the hit ranks — a bigint
+      sum, order-free — and IDCG_fp is the table's prefix sum at
+      min(|gold|, k). 10000 = a perfectly-ordered list.
 
     Everything is integer arithmetic on positive operands (`div` ≡
     DuckDB `//`), so the readout is engine-portable bit-for-bit —
@@ -426,10 +445,16 @@ def ranking_metrics(
     (query, doc) — map-side combinable, no window, never corpus-sized.
     Queries with NO gold entry are absent from the output (nothing to
     measure); queries whose gold docs all miss the list report
-    hits_at_k = 0, recall 0, mrr_fp = 0.
+    hits_at_k = 0, recall 0, mrr_fp = 0, ndcg_bp = 0.
     """
     if k < 1:
         raise ValueError("k >= 1 required")
+    d_fp = ndcg_discounts_fp(k)
+    idcg = [0]
+    for v in d_fp:
+        idcg.append(idcg[-1] + v)
+    d_arr = "array(" + ", ".join(f"{v}L" for v in d_fp) + ")"
+    idcg_arr = "array(" + ", ".join(f"{v}L" for v in idcg[1:]) + ")"
     r = ranked.where(F.col(rank_col) <= k).select(
         F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"), F.col(rank_col).alias("__r")
     )
@@ -438,7 +463,9 @@ def ranking_metrics(
     ).distinct()
     ng = g.groupBy("__q").agg(F.count(F.lit(1)).alias("n_gold"))
     hits = r.join(g, ["__q", "__d"]).groupBy("__q").agg(
-        F.count(F.lit(1)).alias("__hits"), F.min("__r").alias("__first")
+        F.count(F.lit(1)).alias("__hits"),
+        F.min("__r").alias("__first"),
+        F.sum(F.expr(f"element_at({d_arr}, cast(__r as int))")).alias("__dcg_fp"),
     )
     return (
         ng.join(hits, "__q", "left")
@@ -452,5 +479,9 @@ def ranking_metrics(
             F.coalesce(
                 F.expr(f"{mrr_scale} div __first"), F.lit(0)
             ).cast("bigint").alias("mrr_fp"),
+            F.expr(
+                f"(10000 * coalesce(__dcg_fp, 0)) div "
+                f"element_at({idcg_arr}, cast(least(n_gold, {k}) as int))"
+            ).cast("bigint").alias("ndcg_bp"),
         )
     )

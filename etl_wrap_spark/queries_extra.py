@@ -7844,7 +7844,16 @@ def q214_permutation_test(spark, sf_dir):
 # ------------------------------------------ ANN recall audit (round 6)
 def _ann_recall_oracle() -> str:
     from etl_wrap_spark.operators import similarity as _sim
+    from etl_wrap_spark.operators.retrieval import ndcg_discounts_fp
 
+    d_fp = ndcg_discounts_fp(10)
+    idcg = []
+    acc = 0
+    for v in d_fp:
+        acc += v
+        idcg.append(acc)
+    d_arr = "[" + ", ".join(str(v) for v in d_fp) + "]"
+    idcg_arr = "[" + ", ".join(str(v) for v in idcg) + "]"
     dot = _sim.dot_sql("qv", "cv")
     nq = _sim.dot_sql("qv", "qv")
     nc = _sim.dot_sql("cv", "cv")
@@ -7876,7 +7885,8 @@ def _ann_recall_oracle() -> str:
     ), ng AS (
       SELECT qid, COUNT(*) AS n_gold FROM gold GROUP BY qid
     ), hit AS (
-      SELECT a.qid, COUNT(*) AS hits, MIN(a.rank) AS first_rank
+      SELECT a.qid, COUNT(*) AS hits, MIN(a.rank) AS first_rank,
+             SUM(({d_arr})[a.rank]) AS dcg_fp
       FROM appr a JOIN gold g ON a.qid = g.qid AND a.cid = g.cid
       GROUP BY a.qid
     )
@@ -7884,7 +7894,8 @@ def _ann_recall_oracle() -> str:
            ng.n_gold,
            CAST(COALESCE(hit.hits, 0) AS BIGINT) AS hits_at_k,
            CAST((10000 * COALESCE(hit.hits, 0)) // LEAST(ng.n_gold, 10) AS BIGINT) AS recall_at_k_bp,
-           CAST(COALESCE(1000000 // hit.first_rank, 0) AS BIGINT) AS mrr_fp
+           CAST(COALESCE(1000000 // hit.first_rank, 0) AS BIGINT) AS mrr_fp,
+           CAST((10000 * COALESCE(hit.dcg_fp, 0)) // ({idcg_arr})[LEAST(ng.n_gold, 10)] AS BIGINT) AS ndcg_bp
     FROM ng LEFT JOIN hit ON ng.qid = hit.qid
     ORDER BY ng.qid
     """

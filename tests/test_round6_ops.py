@@ -36,9 +36,12 @@ def test_ranking_metrics_hits_recall_mrr(spark):
     assert q1.n_gold == 3 and q1.hits_at_k == 2
     # recall = floor(10000 * 2 / min(3, 4)) = 6666; first gold at rank 1
     assert q1.recall_at_k_bp == 6666 and q1.mrr_fp == 1_000_000
+    # DCG_fp = d[1] + d[3] = 1000000 + 500000; IDCG_fp = d[1]+d[2]+d[3]
+    # (prefix at min(3, 4)) = 2130929 -> floor(10000*1500000/2130929)
+    assert q1.ndcg_bp == 7039
     q2 = rows["q2"]
     assert q2.n_gold == 1 and q2.hits_at_k == 0
-    assert q2.recall_at_k_bp == 0 and q2.mrr_fp == 0
+    assert q2.recall_at_k_bp == 0 and q2.mrr_fp == 0 and q2.ndcg_bp == 0
 
 
 def test_ranking_metrics_k_truncation_and_cap(spark):
@@ -53,6 +56,8 @@ def test_ranking_metrics_k_truncation_and_cap(spark):
     }
     q1 = rows["q1"]
     assert q1.hits_at_k == 1 and q1.recall_at_k_bp == 5000
+    # DCG_fp = d[1]; IDCG_fp = prefix at min(3, 2) = 1630929
+    assert q1.ndcg_bp == 6131
     # mrr reciprocal of a later first-hit rank floors exactly
     ranked2 = ranked.withColumn(
         "rank", F.when(F.col("cid") == "d1", 3).otherwise(F.col("rank"))
