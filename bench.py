@@ -3,12 +3,15 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints one JSON line.
 
 Each query is timed as a full action (plan build → full-plan execute)
-twice: the FIRST run pays Catalyst analysis plus whole-stage-codegen
-compilation (a per-plan-shape constant measured at 2-8x steady state
-on this catalog), the SECOND is steady state. The headline `value` is
-the steady-state (warm) total — the regime that matters at 100 TB,
-where compile time amortizes to zero against hours of execution —
-and `cold_total` reports the first-run total alongside it.
+SPARK_GRAFT_RUNS times (default 3): the FIRST run pays Catalyst
+analysis plus whole-stage-codegen compilation (a per-plan-shape
+constant measured at 2-8x steady state on this catalog), the rest are
+steady state; the per-query statistic is the MEDIAN, which with 3 runs
+lands on a warm run and is robust to one stall (round-6 verdict: the
+min-of-2 protocol left the within-2x tail ±3-5 noisy). The headline
+`value` is the steady-state (warm) total — the regime that matters at
+100 TB, where compile time amortizes to zero against hours of
+execution — and `cold_total` reports the first-run total alongside it.
 
 The "within 2x of the baseline" contract has no absolute anchor (the
 reference publishes no numbers — BASELINE.md), so the harness also
@@ -69,19 +72,32 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
     # regions, and at the kernel default vm.max_map_count=65530 the
     # process runs out of MAPPINGS mid-leg — surfacing as a bare
     # Python MemoryError with >100 GB free (observed 3x in round 6;
-    # /proc/<pid>/maps read 65,532 at death). Raise the knob when the
-    # container lets us; otherwise cap DuckDB's thread pool — fewer
-    # allocator arenas, measured VMA peak ~15k vs ~61k at 32 threads,
-    # and the chain oracles run no slower at 8 threads on this data.
+    # /proc/<pid>/maps read 65,532 at death). Default mitigation is the
+    # LOCAL one: cap DuckDB's thread pool — fewer allocator arenas,
+    # measured VMA peak ~15k vs ~61k at 32 threads, and the chain
+    # oracles run no slower at 8 threads on this data. Writing the
+    # host-global vm.max_map_count sysctl (persists until reboot,
+    # affects every process) is OPT-IN via SPARK_GRAFT_SYSCTL=1 and
+    # logged when it happens (round-6 ADVICE: never mutate host state
+    # silently as a bench side effect).
     try:
         if int(open("/proc/sys/vm/max_map_count").read()) < 262144:
-            try:
-                with open("/proc/sys/vm/max_map_count", "w") as fh:
-                    fh.write("1048576")
-            except OSError:
+            wrote = False
+            if os.environ.get("SPARK_GRAFT_SYSCTL") == "1":
+                try:
+                    with open("/proc/sys/vm/max_map_count", "w") as fh:
+                        fh.write("1048576")
+                    wrote = True
+                    print("# duckdb: wrote vm.max_map_count=1048576 "
+                          "(SPARK_GRAFT_SYSCTL=1; host-global, persists "
+                          "until reboot)", file=sys.stderr)
+                except OSError:
+                    pass
+            if not wrote:
                 con.execute("SET threads=8")
-                print("# duckdb: vm.max_map_count low and not writable — "
-                      "capping oracle leg at 8 threads", file=sys.stderr)
+                print("# duckdb: vm.max_map_count low — capping oracle "
+                      "leg at 8 threads (set SPARK_GRAFT_SYSCTL=1 to "
+                      "raise the sysctl instead)", file=sys.stderr)
     except OSError:
         pass
     for t in TABLES:
@@ -102,11 +118,15 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
             continue
         if not KEEP_SORT:
             sql = strip_oracle_order_by(sql)
-        # Same protocol as the Spark side (min of 2 runs): comparing
-        # Spark's warm min-of-2 against a single cold DuckDB run would
-        # systematically flatter Spark (round-3 ADVICE).
+        # Same protocol as the Spark side (median of RUNS runs):
+        # comparing Spark's warm stat against a single cold DuckDB run
+        # would systematically flatter Spark (round-3 ADVICE), and the
+        # round-6 verdict moved both engines from min-of-2 to
+        # median-of-3 because the anchor's run-to-run swing (105-136 s
+        # per full leg) made within-2x counts ±3-5 noisy. The median of
+        # 3 discards both a cold first run and a one-off stall.
         runs: list[float] = []
-        for _ in range(2):
+        for _ in range(RUNS):
             # the watchdog is best-effort: under transient thread/memory
             # pressure Timer creation itself can fail — run uncapped then
             # rather than aborting the whole bench
@@ -124,12 +144,26 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
             finally:
                 if timer is not None:
                     timer.cancel()
-        out[name] = min(runs) if runs else None
+        out[name] = _median(runs) if runs else None
         print(f"# duckdb {name}: {out[name]}s", file=sys.stderr)
     return out
 
 
 KEEP_SORT = os.environ.get("SPARK_GRAFT_KEEP_SORT", "0") == "1"
+
+# Runs per query PER ENGINE; the per-query statistic is the MEDIAN.
+# Default 3 (round-6 verdict ask #2): with one cold/stalled run out of
+# three, the median lands on a warm run — robust where min-of-2 let a
+# single fast outlier set the number and one slow anchor leg swing the
+# within-2x tail by ±3-5 queries.
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 3)
 
 def strip_presentation_sort(df):
     """Drop a top-level GLOBAL Sort from the query's logical plan.
@@ -183,7 +217,10 @@ def strip_oracle_order_by(sql: str) -> str:
     clause may contain function calls (ORDER BY SUM(CAST(..)) — the
     q121 asymmetry from round-5 ADVICE) while window/aggregate/subquery
     ORDER BYs (always inside parens) are untouchable. A LIMIT/OFFSET
-    after it means top-k semantics → keep."""
+    after it means top-k semantics → keep. SQL comments (`-- …\\n` and
+    `/* … */`) are skipped so a paren or the words ORDER BY inside one
+    cannot corrupt depth tracking (round-6 ADVICE — committed oracles do
+    contain `--` comments)."""
     depth = 0
     i = 0
     n = len(sql)
@@ -191,6 +228,14 @@ def strip_oracle_order_by(sql: str) -> str:
     last = None
     while i < n:
         ch = sql[i]
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":  # -- line comment
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if ch == "/" and i + 1 < n and sql[i + 1] == "*":  # /* block */
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
         if ch == "'":  # skip string literal ('' = escaped quote)
             i += 1
             while i < n:
@@ -260,16 +305,19 @@ def main():
     cold = {}
     exec_only = {}
     for name in names:
-        # Headline warm = min of 2 FULL build+execute runs. Both runs
-        # rebuild the DataFrame because for iterative operators (CC,
-        # PageRank, incremental dedup) the real work happens DURING
-        # build (eager localCheckpoints); timing only a re-execute of
+        # Headline warm = MEDIAN of RUNS (default 3) FULL build+execute
+        # runs — run 1 pays codegen compile (reported as cold), so the
+        # median of 3 lands on the slower of the two warm runs: stable
+        # against both the cold outlier and a one-off fast run. Every
+        # run rebuilds the DataFrame because for iterative operators
+        # (CC, PageRank, incremental dedup) the real work happens
+        # DURING build (localCheckpoints); timing only a re-execute of
         # the final consumer would report q59 at 0.2s instead of its
         # true 2-4s (measured round 5 — the plan-reuse protocol was
         # tried and rejected for the headline on exactly this).
         runs = []
         df = None
-        for _ in range(2):
+        for _ in range(RUNS):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             if not KEEP_SORT:
@@ -285,7 +333,7 @@ def main():
         execute_plan(df)
         exec_only[name] = round(time.time() - t0, 3)
         cold[name] = runs[0]
-        timings[name] = min(runs)
+        timings[name] = _median(runs)
         print(
             f"# {name}: warm={timings[name]}s cold={runs[0]}s "
             f"exec_only={exec_only[name]}s",
@@ -302,8 +350,8 @@ def main():
         "metric": "catalog_queries_total_wall_warm",
         "value": total,
         "unit": "sec",
-        "timing": ("steady-state (min of 2 full build+execute runs, "
-                   "toRdd full-plan execution — no V2-write sink "
+        "timing": (f"steady-state (median of {RUNS} full build+execute "
+                   "runs, toRdd full-plan execution — no V2-write sink "
                    "constant; presentation ORDER BY stripped on BOTH "
                    "engines unless SPARK_GRAFT_KEEP_SORT=1); cold "
                    "first-run totals and plan-reuse exec-only "
@@ -340,7 +388,9 @@ def main():
         detail["duckdb_total"] = round(sum(timed), 3)
         detail["duckdb"] = duck
         detail["spark_vs_duckdb"] = ratios
-        detail["ratio_protocol"] = "warm(min of 2 full runs) vs warm(min of 2 full runs)"
+        detail["ratio_protocol"] = (
+            f"warm(median of {RUNS} full runs) vs warm(median of {RUNS} runs)"
+        )
         # headline distribution stats: the small-query ratios are
         # dominated by Spark's ~0.2-0.5s per-query scheduling/codegen
         # constant (amortizes away at scale); the split makes that

@@ -54,12 +54,13 @@ def register(name: str, oracle: str | None = None):
 # first-50 (pinned as DRIVER_CHECKED_R3_R5 in tests/test_catalog_contract.py);
 # from round 6 on we rotate a disjoint window of 50 previously
 # driver-unchecked queries to the front each round so driver-side evidence
-# accumulates across the whole catalog. The full catalog is unchanged —
-# this is an order-only permutation of the returned dict. Every query
-# still passes the strict local gate (CORRECTNESS_LOCAL_r{N}.json) at
-# 214/214 regardless of position. Window r6 = the next 50 unchecked
-# queries in registration order (redundant variants q24/q34/q47 stay in
-# the tail per the round-5 verdict).
+# accumulates across the whole catalog (the round-6 verdict explicitly
+# endorsed the rotation and prescribed q104–q153 as the round-7 window).
+# The full catalog is unchanged — this is an order-only permutation of the
+# returned dict. Every query still passes the strict local gate
+# (CORRECTNESS_LOCAL_r{N}.json) at 215/215 regardless of position. Window
+# r6 = the next 50 unchecked queries in registration order (redundant
+# variants q24/q34/q47 stay in the tail per the round-5 verdict).
 _DRIVER_WINDOW_R6 = [
     "q54_contamination_check",
     "q55_dedup_components",
@@ -113,11 +114,70 @@ _DRIVER_WINDOW_R6 = [
     "q103_event_paths",
 ]
 
+# Round-7 window: q104–q153 in registration order — the next 50 queries
+# never driver-checked before (disjoint from BOTH prior windows; the
+# contract tests below the catalog pin this). Cumulative driver-verified
+# after this round: 150 of 215.
+_DRIVER_WINDOW_R7 = [
+    "q104_fk_audit",
+    "q105_privacy_release",
+    "q106_stock_allocation",
+    "q107_canonical_selection",
+    "q108_document_chunking",
+    "q109_small_order_revenue",
+    "q110_top_supplier",
+    "q111_cheapest_supplier",
+    "q112_column_drift",
+    "q113_incremental_join_view",
+    "q114_partitioned_lake_upsert",
+    "q115_nation_market_share",
+    "q116_returned_revenue_topk",
+    "q117_hierarchy_flatten",
+    "q118_lake_change_feed",
+    "q119_shipping_priority",
+    "q120_order_priority_check",
+    "q121_local_supplier_volume",
+    "q122_forecast_revenue",
+    "q123_product_profit",
+    "q124_lateship_priority_pivot",
+    "q125_part_supplier_counts",
+    "q126_potential_promotion",
+    "q127_duplicate_spans",
+    "q128_span_removal",
+    "q129_pagerank_centrality",
+    "q130_weighted_sample",
+    "q131_hdr_quantile_sketch",
+    "q132_hierarchy_rollup",
+    "q133_unpivot_measures",
+    "q134_interpolate_linear",
+    "q135_bm25_postings",
+    "q136_rrf_fusion",
+    "q137_bloom_semijoin",
+    "q138_cms_frequency",
+    "q139_unicode_nfc",
+    "q140_ks_drift",
+    "q141_golden_record",
+    "q142_sessionize_capped",
+    "q143_cdc_reconstruct",
+    "q144_grouping_sets_hierarchy",
+    "q145_phrase_search",
+    "q146_rolling_active_users",
+    "q147_waterfall_enrich",
+    "q148_quantile_normalize",
+    "q149_association_rules",
+    "q150_novelty_scores",
+    "q151_moving_avg_deviation",
+    "q152_cumulative_crossover",
+    "q153_time_band_counts",
+]
+
+_DRIVER_WINDOW = _DRIVER_WINDOW_R7
+
 
 def queries() -> dict[str, QueryFn]:
     # import for side effects: modules register their queries.
     # The returned ORDER is part of the driver contract (first 50 =
-    # driver-checked window, rotated per round — see _DRIVER_WINDOW_R6).
+    # driver-checked window, rotated per round — see _DRIVER_WINDOW).
     # tests/test_catalog_contract.py pins the exact window; run it before
     # touching the rotation list or module import order.
     import etl_wrap_spark.queries_core  # noqa: F401
@@ -126,7 +186,7 @@ def queries() -> dict[str, QueryFn]:
     import etl_wrap_spark.queries_tail  # noqa: F401
     import etl_wrap_spark.queries_extra  # noqa: F401
 
-    window = [n for n in _DRIVER_WINDOW_R6 if n in _QUERIES]
+    window = [n for n in _DRIVER_WINDOW if n in _QUERIES]
     in_window = set(window)
     ordered = [*window, *(n for n in _QUERIES if n not in in_window)]
     return {n: _QUERIES[n] for n in ordered}

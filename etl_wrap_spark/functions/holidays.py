@@ -223,7 +223,22 @@ def is_holiday_col(
                 date.cast("string"),
             )
         ).cast("boolean"),
-    ).otherwise(Column(ud._jc.isin(_holiday_lit_jseq(cal, year_from, year_to))))
+    ).otherwise(_holiday_isin(ud, cal, year_from, year_to))
+
+
+def _holiday_isin(ud: Column, cal: str, year_from: int, year_to: int) -> Column:
+    """membership test for the inlined holiday set. Fast path: one py4j
+    call against a cached JVM Seq (2 roundtrips vs ~4,000 for
+    Column.isin(*handles), the round-6 q13 fix). The fast path leans on
+    classic-only internals (`Column._jc`, `_to_seq`,
+    `SparkContext._active_spark_context`), which do not exist under
+    Spark Connect or may move in a future pyspark — fall back to the
+    public `isin` there instead of raising (round-6 ADVICE; bench.py's
+    equivalent internal-API use carries the same guard)."""
+    try:
+        return Column(ud._jc.isin(_holiday_lit_jseq(cal, year_from, year_to)))
+    except Exception:
+        return ud.isin(*_holiday_lit_cols(cal, year_from, year_to))
 
 
 def is_weekend_col(date: Column) -> Column:

@@ -90,7 +90,10 @@ def _png_gray_pixels(content: bytes) -> tuple[int, int, bytearray] | None:
 
     Supports the baseline that matters: bit depth 8, color types
     0/2/3/4/6, non-interlaced. Returns None for anything else
-    (16-bit, interlaced, 1/2/4-bit) — callers fall back to Pillow.
+    (16-bit, interlaced, 1/2/4-bit) AND for malformed input (truncated
+    IHDR, corrupt zlib stream, palette index past PLTE — round-6
+    ADVICE: a corrupt blob must fall through to the Pillow/raise
+    contract, never kill the executor task) — callers fall back.
     """
     import zlib
 
@@ -103,6 +106,8 @@ def _png_gray_pixels(content: bytes) -> tuple[int, int, bytearray] | None:
         typ = content[pos + 4 : pos + 8]
         body = content[pos + 8 : pos + 8 + ln]
         if typ == b"IHDR":
+            if len(body) < 13:  # truncated header: malformed, not ours
+                return None
             width = int.from_bytes(body[0:4], "big")
             height = int.from_bytes(body[4:8], "big")
             bitdepth, ctype, interlace = body[8], body[9], body[12]
@@ -118,7 +123,10 @@ def _png_gray_pixels(content: bytes) -> tuple[int, int, bytearray] | None:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None or (ctype == 3 and not plte):
         return None
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:  # corrupt stream: fall through to Pillow/raise
+        return None
     stride = width * channels
     if len(raw) < height * (stride + 1):
         return None
@@ -160,6 +168,8 @@ def _png_gray_pixels(content: bytes) -> tuple[int, int, bytearray] | None:
         for j in range(width * height):
             if ctype == 3:
                 pi = out[j] * 3
+                if pi + 3 > len(plte):  # palette index out of range
+                    return None
                 r, g, b = plte[pi], plte[pi + 1], plte[pi + 2]
             else:
                 pi = j * channels
@@ -186,7 +196,12 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
         digest = hashlib.sha256(content).digest()
         return [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]]
     side = int(FEATURE_DIM ** 0.5)
-    png = _png_gray_pixels(content)
+    # Prefer Pillow's C decoder when importable (round-6 ADVICE: the
+    # pure-Python per-pixel defilter is a large constant on big PNGs);
+    # the stdlib path is the no-dependency fallback and is bit-identical
+    # (same integer Rec.601 luma kernel, pytest-asserted).
+    Image = _pil()
+    png = None if Image is not None else _png_gray_pixels(content)
     if png is not None:
         w, h, gray = png
         # center-of-cell nearest: src = floor((i + 0.5) * src_dim / side)
@@ -196,7 +211,6 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
             for y in range(side)
             for x in range(side)
         ]
-    Image = _pil()
     if Image is None:
         raise NotImplementedError(
             "non-PNG image decoding requires Pillow, which is not importable "

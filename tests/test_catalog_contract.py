@@ -13,10 +13,12 @@ from __future__ import annotations
 from etl_wrap_spark import catalog
 
 # Rotation schedule: rounds 3-5 exposed DRIVER_CHECKED (below) as the
-# driver-visible first-50; round 6 rotates a disjoint window of 50
-# previously-unchecked queries to the front (catalog._DRIVER_WINDOW_R6)
-# so driver-side correctness evidence accumulates across the catalog.
-# Future rounds advance the window to the next unchecked block.
+# driver-visible first-50; round 6 rotated a disjoint window of 50
+# previously-unchecked queries to the front (catalog._DRIVER_WINDOW_R6);
+# round 7 advances to q104–q153 (catalog._DRIVER_WINDOW_R7) per the
+# round-6 verdict's explicit prescription, so driver-side correctness
+# evidence accumulates across the catalog (150/215 after r7). Future
+# rounds advance the window to the next unchecked block.
 
 # The 50 names recorded by the driver in CORRECTNESS_r03..r05.json, in
 # registration order (dict preserves insertion order).
@@ -74,15 +76,20 @@ DRIVER_CHECKED = [
 ]
 
 
-def test_first_50_entries_match_round6_rotation_window():
+def test_first_50_entries_match_current_rotation_window():
     names = list(catalog.queries())
-    assert names[:50] == catalog._DRIVER_WINDOW_R6
-    assert len(catalog._DRIVER_WINDOW_R6) == 50
+    assert names[:50] == catalog._DRIVER_WINDOW
+    assert catalog._DRIVER_WINDOW is catalog._DRIVER_WINDOW_R7
+    assert len(catalog._DRIVER_WINDOW) == 50
 
 
-def test_rotation_window_disjoint_from_r3_r5_checked_set():
-    # The point of the rotation: round 6's driver artifact must cover 50
-    # queries the driver has never checked before.
+def test_rotation_window_disjoint_from_all_prior_windows():
+    # The point of the rotation: this round's driver artifact must cover
+    # 50 queries the driver has never checked before — disjoint from the
+    # r3-r5 set AND the r6 window (the round-6 verdict's done-criterion).
+    prior = set(DRIVER_CHECKED) | set(catalog._DRIVER_WINDOW_R6)
+    assert not set(catalog._DRIVER_WINDOW) & prior
+    # prior windows themselves were disjoint too
     assert not set(catalog._DRIVER_WINDOW_R6) & set(DRIVER_CHECKED)
 
 
@@ -93,7 +100,7 @@ def test_rotation_is_order_only_permutation():
     assert set(DRIVER_CHECKED) <= set(names)
     # every rotated-to-front name still has its oracle
     oracles = catalog.oracle_sql()
-    for n in catalog._DRIVER_WINDOW_R6:
+    for n in catalog._DRIVER_WINDOW:
         assert n in oracles
 
 
@@ -221,3 +228,17 @@ def test_bench_presentation_sort_strip(spark):
     # ORDER BY text inside a string literal: untouched
     keep5 = "SELECT 'ORDER BY x' AS s FROM t"
     assert bench.strip_oracle_order_by(keep5) == keep5
+    # SQL comments must not corrupt the scan (round-6 ADVICE): an
+    # unbalanced paren or the words ORDER BY inside `--` / `/* */`
+    # comments are ignored, while the real trailing clause still strips
+    commented = (
+        "SELECT k, sum(v) AS s FROM t -- note ) ORDER BY junk\n"
+        "GROUP BY k /* ( ORDER BY more junk */ ORDER BY k"
+    )
+    assert bench.strip_oracle_order_by(commented) == (
+        "SELECT k, sum(v) AS s FROM t -- note ) ORDER BY junk\n"
+        "GROUP BY k /* ( ORDER BY more junk */ "
+    )
+    # comment-only ORDER BY mention: nothing stripped
+    keep6 = "SELECT k FROM t -- ORDER BY k\n"
+    assert bench.strip_oracle_order_by(keep6) == keep6

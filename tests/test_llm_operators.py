@@ -290,6 +290,38 @@ def test_png_stdlib_decode_unsupported_variants_fall_through():
             multimodal.decode_image(blob16, fake=False)
 
 
+def test_png_stdlib_decode_malformed_returns_none():
+    """Round-6 ADVICE: corrupt blobs must return None (falling through
+    to the Pillow/raise contract), never crash the executor task."""
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # truncated IHDR body (<13 bytes) — used to crash at body[8]
+    assert multimodal._png_gray_pixels(
+        sig + chunk(b"IHDR", b"\x00" * 7) + chunk(b"IEND", b"")
+    ) is None
+    # corrupt zlib stream in IDAT
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    assert multimodal._png_gray_pixels(
+        sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + chunk(b"IEND", b"")
+    ) is None
+    # palette index past PLTE (1-entry palette, index 3) — used to crash
+    # the luma loop
+    bad_pal = _encode_png(2, 2, 3, bytes([0, 1, 2, 3]), plte=bytes(3))
+    assert multimodal._png_gray_pixels(bad_pal) is None
+    # truncated file mid-IDAT: decompress fails or scanlines short → None
+    good = _encode_png(4, 4, 0, bytes(range(16)))
+    assert multimodal._png_gray_pixels(good[: len(good) - 20]) is None
+
+
 def test_png_stdlib_decode_in_mapinpandas(spark):
     """The real-decode path runs distributed: PNG blobs through
     with_decoded_features(fake=False) — no imaging library, real pixels."""
