@@ -306,14 +306,22 @@ def _collapsed_pairs(df, id_col, text_col, n, pair_fn, directed=False):
         F.count(F.lit(1)).alias("__cnt"),
         F.first(text_col).alias("__txt"),  # identical within a class
     ).localCheckpoint(eager=False)
-    reps = classes.select(
-        F.col("__cls").alias(id_col), F.col("__txt").alias(text_col)
+    from etl_wrap_spark.session import spread_units
+
+    # reps is POST-SHUFFLE (the fingerprint groupBy): AQE coalesces it
+    # to ~1 partition, so it must be re-spread before the pair_fn's
+    # shingle/minhash map stages (skipping that serialized the family
+    # 2.4x — round-6 probe). Spread STATICALLY (spread_units): letting
+    # pair_fn's ensure_min_parallelism probe decide instead costs a
+    # driver job executing the fingerprint groupBy during plan build —
+    # the same .rdd-under-AQE trap as the round-6 q214 regression,
+    # measured at 3 build jobs / ~0.6 s per CC-family query. The
+    # _emp_checked mark tells the inner probe the spread already
+    # happened.
+    reps = spread_units(
+        classes.select(F.col("__cls").alias(id_col), F.col("__txt").alias(text_col))
     )
-    # NOTE: do NOT pre-mark reps as spread ("post-shuffle" intuition):
-    # AQE coalesces the small fingerprint groupBy to ~1 partition, and
-    # the pair_fn's ensure_min_parallelism probe is what re-spreads the
-    # checkpointed classes before the shingle/minhash map stages —
-    # skipping it serialized the family 2.4x (round-6 probe).
+    reps._emp_checked = True
     rep_pairs = pair_fn(reps)
     members = keyed.select(F.col(id_col).alias("__mid"), "__fp").join(
         classes.select("__fp", "__cls"), "__fp"
@@ -1007,7 +1015,11 @@ def connected_components(
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
+        # NO .distinct(): every consumer is a min-aggregation (the label
+        # bootstrap's groupBy and each round's neighbor-min), which is
+        # duplicate-tolerant — deduping here would add a full shuffle of
+        # the edge list purely to shrink inputs that LSH already emits
+        # distinct (round-7: one fewer AQE stage for every CC caller)
         # pinned once (lazy checkpoint — computed+cached at the first
         # round's convergence probe): every round joins against edges,
         # and without this the whole upstream pair-generation pipeline

@@ -721,10 +721,13 @@ def permutation_test_diff(
 
     Scale shape: ONE ×b explode over the unit-grain frame aggregated
     in the same stage (map-side partials: shuffle carries b rows of
-    sums, not units×b) — spread thin row-group-bound inputs first
-    (ensure_min_parallelism is applied here, the q202 lesson)."""
+    sums, not units×b) — the unit frame is spread statically first
+    (session.spread_units: the frame arrives post-aggregation, where
+    AQE coalesces by bytes and an ensure_min_parallelism probe would
+    execute the upstream shuffle during plan build — the round-6 q214
+    wall regression)."""
     from etl_wrap_spark.operators.text import hash60
-    from etl_wrap_spark.session import ensure_min_parallelism
+    from etl_wrap_spark.session import spread_units
 
     if b < 1:
         raise ValueError("b must be >= 1")
@@ -735,59 +738,67 @@ def permutation_test_diff(
     )
     sgn = lambda c: F.when(c >= 0, F.lit(1)).otherwise(F.lit(-1))  # noqa: E731
 
-    def diff_cols(df, flag):
-        return [
-            F.sum(flag).alias("__na"),
-            F.sum(1 - flag).alias("__nb"),
-            F.sum(flag * F.col("__y")).alias("__sa"),
-            F.sum((1 - flag) * F.col("__y")).alias("__sb"),
-        ]
-
-    obs = (
-        base.agg(*diff_cols(base, F.col("__isa")))
-        .withColumn("__dy", F.col("__sa") * F.col("__nb") - F.col("__sb") * F.col("__na"))
-        .withColumn("__den", F.col("__na") * F.col("__nb"))
-        .select(
-            (F.col("__na") + F.col("__nb")).cast("bigint").alias("n_units"),
-            (sgn(F.col("__dy")) * F.expr("(1000 * abs(__dy)) div __den"))
-            .cast("bigint")
-            .alias("diff_milli"),
-        )
+    # The OBSERVED assignment rides the same explode as replicate
+    # j = -1 (its arm flag is __isa instead of the seeded hash), so the
+    # unit frame is scanned and aggregated exactly ONCE — the previous
+    # two-branch shape (separate global aggregate + broadcast cross
+    # join) re-aggregated the units and scheduled 3 extra AQE jobs for
+    # a 1-row side (part of the round-6 q214 wall regression).
+    reps = spread_units(base).select(
+        "__id", "__y", "__isa",
+        F.explode(F.sequence(F.lit(-1), F.lit(int(b) - 1))).alias("__j"),
     )
-    reps = ensure_min_parallelism(base).select(
-        "__id", "__y",
-        F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("__j"),
-    )
-    arm = (
-        hash60(
-            F.concat(
-                F.lit(salt + ":"), F.col("__j").cast("string"),
-                F.lit(":"), F.col("__id").cast("string"),
+    arm = F.when(F.col("__j") < 0, F.col("__isa")).otherwise(
+        (
+            hash60(
+                F.concat(
+                    F.lit(salt + ":"), F.col("__j").cast("string"),
+                    F.lit(":"), F.col("__id").cast("string"),
+                )
             )
-        )
-        % 2
-        == 0
-    ).cast("bigint")
-    perm = (
+            % 2
+            == 0
+        ).cast("bigint")
+    )
+    per = (
         reps.select("__j", "__y", arm.alias("__pa"))
         .groupBy("__j")
-        .agg(*diff_cols(reps, F.col("__pa")))
-        .where((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .agg(
+            F.sum("__pa").alias("__na"),
+            F.sum(1 - F.col("__pa")).alias("__nb"),
+            F.sum(F.col("__pa") * F.col("__y")).alias("__sa"),
+            F.sum((1 - F.col("__pa")) * F.col("__y")).alias("__sb"),
+        )
         .withColumn("__dy", F.col("__sa") * F.col("__nb") - F.col("__sb") * F.col("__na"))
         .withColumn("__den", F.col("__na") * F.col("__nb"))
-        .select(
+        .withColumn(
+            "__pd",
             (sgn(F.col("__dy")) * F.expr("(1000 * abs(__dy)) div __den"))
-            .cast("bigint")
-            .alias("__pd")
+            .cast("bigint"),
         )
     )
-    joined = perm.crossJoin(F.broadcast(obs))
-    return joined.groupBy("n_units", "diff_milli").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_perms"),
-        F.sum(
-            (F.abs(F.col("__pd")) >= F.abs(F.col("diff_milli"))).cast("int")
-        ).cast("bigint").alias("n_as_extreme"),
-    ).select(
-        "n_units", "n_perms", "diff_milli", "n_as_extreme",
-        F.expr("((1 + n_as_extreme) * 10000) div (n_perms + 1)").alias("p_bp"),
+    # b+1 rows total: broadcast the observed row's stats to the
+    # permutation rows via an all-rows window (single tiny partition)
+    w = Window.partitionBy()
+    obs_flag = F.col("__j") < 0
+    stats = per.select(
+        "__j", "__na", "__nb", "__pd",
+        F.max(F.when(obs_flag, F.col("__na") + F.col("__nb"))).over(w)
+        .cast("bigint").alias("n_units"),
+        F.max(F.when(obs_flag, F.col("__pd"))).over(w)
+        .cast("bigint").alias("diff_milli"),
+    )
+    return (
+        stats.where(~obs_flag & (F.col("__na") > 0) & (F.col("__nb") > 0))
+        .groupBy("n_units", "diff_milli")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_perms"),
+            F.sum(
+                (F.abs(F.col("__pd")) >= F.abs(F.col("diff_milli"))).cast("int")
+            ).cast("bigint").alias("n_as_extreme"),
+        )
+        .select(
+            "n_units", "n_perms", "diff_milli", "n_as_extreme",
+            F.expr("((1 + n_as_extreme) * 10000) div (n_perms + 1)").alias("p_bp"),
+        )
     )

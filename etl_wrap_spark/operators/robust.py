@@ -101,17 +101,27 @@ def mad_outliers(
     exact non-equality to the median when k*0 = 0 — the standard MAD
     caveat; callers wanting the conservative behavior filter MAD > 0.
     Adds ``_median``, ``_mad``, and the boolean ``out_col``.
+
+    Plan: ONE shuffle. Both medians are window aggregates over
+    ``partitionBy(groups)`` (whole-partition frame), so the fact scans
+    happen once, nothing is re-joined, and a downstream
+    ``groupBy(groups)`` reuses the same hash partitioning with no new
+    exchange. The previous 2-agg + 2-broadcast-join shape scanned the
+    fact three times and scheduled 6 AQE jobs for the same answer
+    (round-7 fix of the round-6 q96 wall regression: 1.60 s → single
+    shuffle). Memory shape is unchanged — an exact percentile buffers
+    each group's values whichever way it is computed.
     """
     groups = list(group_cols)
-    med = df.groupBy(*groups).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_median")
-    )
-    dev = df.join(F.broadcast(med), on=groups)
-    mad = dev.groupBy(*groups).agg(
-        F.expr(f"percentile(abs({value_col} - _median), 0.5)").alias("_mad")
+    w = Window.partitionBy(*groups)
+    dev = df.withColumn(
+        "_median", F.expr(f"percentile({value_col}, 0.5)").over(w)
     )
     return (
-        dev.join(F.broadcast(mad), on=groups)
+        dev.withColumn(
+            "_mad",
+            F.expr(f"percentile(abs({value_col} - _median), 0.5)").over(w),
+        )
         .withColumn(
             out_col,
             F.abs(F.col(value_col) - F.col("_median")) > F.lit(k) * F.col("_mad"),

@@ -199,6 +199,27 @@ def ensure_min_parallelism(df, floor: int | None = None):
     return df
 
 
+def spread_units(df):
+    """Statically repartition a POST-AGGREGATION unit-grain frame to the
+    session's default parallelism before a compute-amplifying step
+    (×b explode, per-row md5 replicates).
+
+    Why not ensure_min_parallelism: its ``df.rdd`` partition probe is a
+    pure plan inspection on a scan, but on a post-shuffle frame under
+    AQE it EXECUTES the upstream shuffle stages — a driver job during
+    plan build (the round-6 q214 wall regression: +0.5 s building the
+    unit aggregate twice per bench run). This helper decides statically:
+    always insert the round-robin repartition. That is the right call
+    for its target shape — AQE sizes the aggregate's output partitions
+    to its BYTES (a few hundred KB of unit sums coalesce to 1
+    partition), but the next stage's cost is b× per-row compute, which
+    AQE cannot anticipate; the bytes moved are the slim unit frame,
+    always ≤ 1/b of the explode output the stage then produces. On a
+    real cluster defaultParallelism is the executor-core total, exactly
+    the width a compute-bound stage wants."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def clear_table_cache(spark: SparkSession) -> None:
     """Drop the memoized source plans for ``spark`` — required after
     regenerating parquet files in-place at a previously-loaded sf_dir."""

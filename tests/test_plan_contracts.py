@@ -123,6 +123,10 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     "q184_sorted_neighborhood": "partition-count offsets frame",
     # epoch shuffle rank: same partition-count offsets frame
     "q200_epoch_shuffle_shards": "partition-count offsets frame",
+    # permutation test: the window broadcasts the observed (j = -1)
+    # row's stats across the b+1 REPLICATE-grain rows — bounded by the
+    # permutation count, never the units (round-7 single-branch fusion)
+    "q214_permutation_test": "replicate-grain frame (b+1 rows)",
 }
 
 _BOUNDING = {
