@@ -802,3 +802,39 @@ def permutation_test_diff(
             F.expr("((1 + n_as_extreme) * 10000) div (n_perms + 1)").alias("p_bp"),
         )
     )
+
+
+def ttl_first_seen_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    ttl_minutes: int = 60,
+    out_col: str = "emitted",
+) -> DataFrame:
+    """Batch projection of streaming/stateful.py:first_seen_with_ttl
+    (line 61): flags the rows the TTL dedup EMITS — the first sighting
+    of a key, and every re-sighting whose gap from the PREVIOUS sighting
+    exceeds the ttl (the sliding-TTL contract: every sighting, emitted
+    or suppressed, re-arms the timer, so "previous sighting" means the
+    immediately preceding event of the key, not the last emission).
+
+    This is the drained-stream semantics under the operator's own
+    ordering contract (watermark advanced past last+ttl before the
+    re-sighting arrives — the re-admission path
+    tests/test_streaming.py:test_first_seen_with_ttl_readmits_after_expiry
+    pins); in-flight, a re-sighting inside the watermark delay can still
+    see live state. One lag window per key, one shuffle.
+
+    Emission COUNTS and emitted-timestamp aggregates are deterministic
+    under timestamp ties (the gap sequence depends only on the sorted
+    timestamp values); the per-ROW flag on tied rows is tie-order
+    dependent, so aggregate before comparing engines."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    # microsecond arithmetic: a long cast truncates to seconds, and a
+    # 3600.5s gap would then read as exactly 3600 — engines disagree
+    gap_ok = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+        > ttl_minutes * 60 * 1_000_000
+    )
+    return df.withColumn(out_col, prev.isNull() | gap_ok)

@@ -286,6 +286,57 @@ def cusum_changepoints(
     return out.drop("__xp", "__xm", "__cp", "__cm")
 
 
+def cusum_monitor(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    baselines: DataFrame,
+    slack_bp: int = 500,
+    threshold_bp: int = 5000,
+) -> DataFrame:
+    """Two-sided integer CUSUM against a FIXED, externally supplied
+    baseline — the batch projection of streaming/stateful.py:
+    streaming_cusum (line 133), whose four-bigint state maintains
+    exactly this prefix closed form across micro-batches; a drained
+    stream emits these S⁺/S⁻ values bit-for-bit
+    (tests/test_streaming.py:test_streaming_cusum_equals_batch).
+
+    Differs from cusum_changepoints in ONE way that matters for a
+    monitor: μ comes from ``baselines`` (group_cols + a ``mu`` bigint
+    column — yesterday's profile, a control period), not retrospectively
+    from the monitored series itself. A live monitor must fix its
+    reference up front; deriving μ from the window under test dilutes
+    the very shift being detected. Slack and threshold derive from μ
+    exactly as the streaming operator computes them (floor-div on
+    non-negative μ, so Python ``//`` ≡ SQL ``div``).
+
+    Plan: baselines is group-grain (broadcast); then the same one-
+    shuffle exact-integer window passes as cusum_changepoints."""
+    groups = list(group_cols)
+    j = df.join(
+        F.broadcast(baselines.select(*groups, F.col("mu").cast("bigint").alias("__mu"))),
+        on=groups,
+    )
+    s = F.expr(f"(__mu * {slack_bp}) div 10000")
+    h = F.expr(f"(__mu * {threshold_bp}) div 10000")
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        j.withColumn("__xp", (F.col(value_col) - F.col("__mu") - s).cast("bigint"))
+        .withColumn("__xm", (F.col(value_col) - F.col("__mu") + s).cast("bigint"))
+        .withColumn("__cp", F.sum("__xp").over(w))
+        .withColumn("__cm", F.sum("__xm").over(w))
+        .withColumn("splus", (F.col("__cp") - F.least(F.lit(0), F.min("__cp").over(w))).cast("bigint"))
+        .withColumn("sminus", (F.greatest(F.lit(0), F.max("__cm").over(w)) - F.col("__cm")).cast("bigint"))
+        .withColumn("cusum_flag", (F.col("splus") > h) | (F.col("sminus") > h))
+    )
+    return out.drop("__xp", "__xm", "__cp", "__cm", "__mu")
+
+
 def skyline_2d(
     df: DataFrame,
     cost_col: str,

@@ -7929,3 +7929,180 @@ def q215_ann_recall_audit(spark, sf_dir):
     return ranking_metrics(
         appr, gold.select("qid", "cid"), "qid", "cid", "rank", k=10
     ).orderBy("qid")
+
+
+# ================================================================
+# Streaming batch projections (round 7, verdict ask #7): the stateful
+# streaming operators are pytest-verified drain ≡ batch
+# (tests/test_streaming.py); registering their BATCH projections as
+# oracle queries puts the streaming family's semantics under the
+# driver's correctness artifact too.
+# ================================================================
+
+
+# ------------------------------ TTL dedup batch projection (q216)
+@register(
+    "q216_ttl_readmission",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM e
+    ), f AS (
+      SELECT user_id, ts,
+             (prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000) AS emitted
+      FROM g
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN emitted THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted,
+           MIN(ts) AS first_ts,
+           MAX(CASE WHEN emitted THEN ts END) AS last_emitted_ts
+    FROM f GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q216_ttl_readmission(spark, sf_dir):
+    """Batch projection of the streaming TTL dedup (streaming/
+    stateful.py:61 first_seen_with_ttl, the sliding-TTL notify-once-
+    per-cooldown operator; re-admission drain test pins the streaming
+    side): per user, how many sightings the stream would EMIT — first
+    sight plus every re-sighting more than 60 min after the previous
+    one (operators/events_analytics.py:ttl_first_seen_batch). Output is
+    per-key aggregates (emission counts and emitted-ts extremes), which
+    are deterministic under timestamp ties where the per-row flag is
+    not. One lag window + one aggregation on the same key partitioning:
+    a single shuffle."""
+    from etl_wrap_spark.operators.events_analytics import ttl_first_seen_batch
+
+    t = load_tables(spark, sf_dir, ["events"])
+    flagged = ttl_first_seen_batch(
+        t["events"].select("user_id", "ts"), "user_id", "ts", ttl_minutes=60
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("emitted").cast("int")).cast("bigint").alias("n_emitted"),
+            F.min("ts").alias("first_ts"),
+            F.max(F.when(F.col("emitted"), F.col("ts"))).alias("last_emitted_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------ streaming CUSUM projection (q217)
+@register(
+    "q217_cusum_monitor",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS key, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), mu AS (
+      SELECT key, CAST(SUM(v) // COUNT(*) AS BIGINT) AS mu
+      FROM daily WHERE day < DATE '2024-01-15' GROUP BY 1
+    ), x AS (
+      SELECT d.key, d.day, d.v, mu.mu,
+             (mu.mu * 500) // 10000 AS s, (mu.mu * 2000) // 10000 AS h
+      FROM daily d JOIN mu USING (key) WHERE d.day >= DATE '2024-01-15'
+    ), c AS (
+      SELECT key, day, v, h,
+             SUM(v - mu - s) OVER (PARTITION BY key ORDER BY day ROWS UNBOUNDED PRECEDING) AS cp,
+             SUM(v - mu + s) OVER (PARTITION BY key ORDER BY day ROWS UNBOUNDED PRECEDING) AS cm
+      FROM x
+    ), sref AS (
+      SELECT key, day, v, h,
+             cp - LEAST(0, MIN(cp) OVER (PARTITION BY key ORDER BY day ROWS UNBOUNDED PRECEDING)) AS splus,
+             GREATEST(0, MAX(cm) OVER (PARTITION BY key ORDER BY day ROWS UNBOUNDED PRECEDING)) - cm AS sminus
+      FROM c
+    )
+    SELECT key, day, v, CAST(splus AS BIGINT) AS splus,
+           CAST(sminus AS BIGINT) AS sminus,
+           (splus > h OR sminus > h) AS cusum_flag
+    FROM sref ORDER BY key, day
+    """,
+)
+def q217_cusum_monitor(spark, sf_dir):
+    """Batch projection of the streaming CUSUM monitor (streaming/
+    stateful.py:133 streaming_cusum; drain ≡ batch pinned by
+    test_streaming_cusum_equals_batch): daily cent-revenue per event
+    type monitored AGAINST A FIXED BASELINE — μ from the first two
+    weeks (the control period), S⁺/S⁻ over the rest
+    (operators/robust.py:cusum_monitor). This is the live-monitor
+    posture q166 does not cover: the reference mean is fixed up front,
+    exactly as the streaming operator requires, rather than derived
+    from the window under test. All-integer prefix closed form —
+    bit-replayable in SQL."""
+    from etl_wrap_spark.operators.robust import cusum_monitor
+
+    t = load_tables(spark, sf_dir, ["events"])
+    split_day = F.lit("2024-01-15").cast("date")
+    daily = (
+        t["events"]
+        .select(
+            F.col("event_type").alias("key"),
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    control = (
+        daily.where(F.col("day") < split_day)
+        .groupBy("key")
+        .agg(F.expr("sum(v) div count(1)").cast("bigint").alias("mu"))
+    )
+    out = cusum_monitor(
+        daily.where(F.col("day") >= split_day),
+        ["key"], "day", "v", control, slack_bp=500, threshold_bp=2000,
+    )
+    return out.select("key", "day", "v", "splus", "sminus", "cusum_flag").orderBy(
+        "key", "day"
+    )
+
+
+# ------------------------- running totals batch projection (q218)
+@register(
+    "q218_running_totals_projection",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             SUM(CAST(value AS DECIMAL(18,4))) AS dv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, ts,
+           CAST(CAST(SUM(dv) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+             AS running_value
+    FROM per ORDER BY user_id, ts
+    """,
+)
+def q218_running_totals_projection(spark, sf_dir):
+    """Batch projection of the streaming running-totals operator
+    (streaming/stateful.py:38 running_totals — one bigint of state per
+    user, update-mode emission per micro-batch): the cumulative value
+    per user AT EACH DISTINCT EVENT TIME, which is what the drained
+    update stream's last emission per (user, event-time) equals. The
+    distinct-ts grain makes the prefix sum tie-proof (same-ts events
+    fold into one point before the running sum, so no engine ordering
+    ambiguity); sums run in exact DECIMAL, surfaced as double at the
+    end. One shuffle on the user key shared by the pre-aggregation and
+    the window."""
+    t = load_tables(spark, sf_dir, ["events"])
+    per = (
+        t["events"]
+        .groupBy("user_id", "ts")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("dv"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.select(
+        "user_id",
+        "ts",
+        F.sum("dv").over(w).cast("double").alias("running_value"),
+    ).orderBy("user_id", "ts")

@@ -149,6 +149,85 @@ def _walk_exec(node):
         yield from _walk_exec(ch.apply(i))
 
 
+# ------------------------------------------------------------------
+# catalog-wide: driver-job budget per query PLAN BUILD
+# ------------------------------------------------------------------
+
+# Round-6 lesson (verdict ask #6): driver JOB COUNT during plan build is
+# the iterative family's wall — q59 once ran 41 jobs per build (eager
+# per-round localCheckpoints + separate convergence probes at ~0.11 s
+# each) and cost a round to diagnose. Budgets below are the measured
+# round-7 build-job counts at sf0.001 plus headroom (~+50%, min +2): an
+# eager-checkpoint slip multiplies the count 2-5x and must fail CI, a
+# legitimate extra probe must not. Queries not listed budget at
+# DEFAULT_BUILD_JOBS (measured 0-1; the 176 pure-expression builds fire
+# none — lazy checkpoints fire only for upstream AQE stages).
+DEFAULT_BUILD_JOBS = 3
+BUILD_JOB_BUDGETS = {
+    # connected-components family: LSH cascade stages materialize at the
+    # lazy-checkpoint calls + 1 convergence probe per CC round
+    "q55_dedup_components": 30,
+    "q59_dedup_components_star": 50,  # large/small-star: 2 joins/round
+    "q60_semantic_dedup": 6,
+    "q107_canonical_selection": 32,
+    "q141_golden_record": 30,
+    "q160_cluster_safe_split": 30,
+    "q61_incremental_dedup": 8,
+    # iterative graph algorithms: 1-2 pinned frames + probe per round
+    "q117_hierarchy_flatten": 24,
+    "q129_pagerank_centrality": 12,
+    "q132_hierarchy_rollup": 36,
+    "q137_bloom_semijoin": 30,  # bloom build aggregates at plan time
+    "q156_triangle_counts": 10,
+    "q157_bfs_hops": 26,
+    "q158_kcore_peel": 22,
+    "q164_personalized_pagerank": 20,
+    "q165_label_propagation": 26,
+    "q197_sssp_trade_cost": 48,
+    "q204_weighted_pagerank": 12,
+    "q205_harmonic_centrality": 12,
+    "q198_ra_link_prediction": 5,
+    "q206_degree_assortativity": 5,
+    # lake operators: manifest reads + committed snapshot scans
+    "q79_lake_atomic_upsert": 14,
+    "q114_partitioned_lake_upsert": 12,
+    "q118_lake_change_feed": 8,
+    "q100_lake_pruned_read": 8,
+    "q104_fk_audit": 8,
+    # LSH pair production (non-CC consumers)
+    "q23_minhash_lsh_neardup": 6,
+    "q87_lsh_production_path": 6,
+    "q42_corpus_clean": 8,
+    "q149_association_rules": 6,
+    "q170_contribution_pareto": 6,
+}
+
+
+def test_driver_job_budget_per_query_build(spark):
+    """Building a catalog query's DataFrame must not exceed its driver-
+    job budget. Catches the round-6 regression class at CI time: an
+    eagerly-evaluated checkpoint or a stray .rdd/.collect in plan-build
+    code multiplies driver jobs (and the per-query wall) silently —
+    correctness stays green, only the bench notices a round later."""
+    sc = spark.sparkContext
+
+    def next_job_id() -> int:
+        return sc._jsc.sc().dagScheduler().nextJobId()
+
+    over = []
+    for name, fn in sorted(queries().items()):
+        budget = BUILD_JOB_BUDGETS.get(name, DEFAULT_BUILD_JOBS)
+        j0 = next_job_id()
+        fn(spark, SF)
+        used = next_job_id() - j0
+        if used > budget:
+            over.append(f"{name}: {used} build jobs > budget {budget}")
+    assert not over, (
+        "plan builds exceeding their driver-job budget (eager checkpoint "
+        "or stray action in build code?):\n" + "\n".join(over)
+    )
+
+
 def test_no_unbounded_unpartitioned_window_catalog_wide(spark):
     """Every unpartitioned WindowExec in every catalog query must sit
     over a limit-bounded subtree (the orderBy+limit-then-rank pattern)
