@@ -181,13 +181,14 @@ def _png_gray_pixels(content: bytes) -> tuple[int, int, bytearray] | None:
 def decode_image(content: bytes, fake: bool = False) -> list[float]:
     """Decode one image blob to a FEATURE_DIM vector.
 
-    PNG decodes with PURE STDLIB code (`_png_gray_pixels`: zlib +
-    defilter + integer Rec.601 luma) — REAL pixels with no optional
-    dependency, closing the round-5 verdict's last stub. All formats
-    then share the feature kernel: grayscale → 4×4 NEAREST thumbnail
-    (center-of-cell pixel selection — bit-deterministic, no filtering
-    arithmetic) → 16 floats in [0,1]. Non-PNG formats (JPEG) and the
-    exotic PNG variants (16-bit, interlaced) use Pillow when
+    PNG and BASELINE JPEG decode with PURE STDLIB code — REAL pixels
+    with no optional dependency (`_png_gray_pixels`: zlib + defilter +
+    integer Rec.601 luma, round 6; `jpeg_stdlib.jpeg_gray_pixels`:
+    Huffman + dequant + IDCT + JFIF color transform, round 7). All
+    formats then share the feature kernel: grayscale → 4×4 NEAREST
+    thumbnail (center-of-cell pixel selection — bit-deterministic, no
+    filtering arithmetic) → 16 floats in [0,1]. The remaining exotic
+    variants (progressive JPEG, 16-bit/interlaced PNG) use Pillow when
     importable; without Pillow, `fake=True` produces a deterministic
     digest-derived vector so the distributed plumbing stays testable
     end-to-end, and `fake=False` raises (round-4 VERDICT #8 contract).
@@ -201,9 +202,15 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     # the stdlib path is the no-dependency fallback and is bit-identical
     # (same integer Rec.601 luma kernel, pytest-asserted).
     Image = _pil()
-    png = None if Image is not None else _png_gray_pixels(content)
-    if png is not None:
-        w, h, gray = png
+    decoded = None
+    if Image is None:
+        decoded = _png_gray_pixels(content)
+        if decoded is None:
+            from etl_wrap_spark.operators.jpeg_stdlib import jpeg_gray_pixels
+
+            decoded = jpeg_gray_pixels(content)
+    if decoded is not None:
+        w, h, gray = decoded
         # center-of-cell nearest: src = floor((i + 0.5) * src_dim / side)
         return [
             round(gray[((2 * y + 1) * h // (2 * side)) * w
@@ -213,9 +220,10 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
         ]
     if Image is None:
         raise NotImplementedError(
-            "non-PNG image decoding requires Pillow, which is not importable "
-            "here; install Pillow for real decode or pass fake=True for the "
-            "deterministic test stub"
+            "image decoding beyond stdlib scope (progressive JPEG, 16-bit/"
+            "interlaced PNG, or a corrupt blob) requires Pillow, which is "
+            "not importable here; install Pillow for real decode or pass "
+            "fake=True for the deterministic test stub"
         )
     import io
 
