@@ -6,12 +6,22 @@ Each query is timed as a full action (plan build → full-plan execute)
 SPARK_GRAFT_RUNS times (default 3): the FIRST run pays Catalyst
 analysis plus whole-stage-codegen compilation (a per-plan-shape
 constant measured at 2-8x steady state on this catalog), the rest are
-steady state; the per-query statistic is the MEDIAN, which with 3 runs
-lands on a warm run and is robust to one stall (round-6 verdict: the
-min-of-2 protocol left the within-2x tail ±3-5 noisy). The headline
-`value` is the steady-state (warm) total — the regime that matters at
-100 TB, where compile time amortizes to zero against hours of
-execution — and `cold_total` reports the first-run total alongside it.
+steady state; the per-query statistic is the MIN over the runs
+(best-of-3) on BOTH engines — the standard noise-floor statistic
+(timeit's choice), adopted after the round-7 variance study: the
+round-6 verdict asked for "median-of-3 (or best-of-3 interleaved)"
+to stabilize the DuckDB anchor, median-of-3 was measured first across
+two full runs, and the residual ±8% aggregate-ratio swing traced to
+two heavy recursive-CTE oracles with ±20% INHERENT run-to-run spread
+(q141/q107 ≈ 9-15 s across 6 runs, fresh connection or not —
+SCALING.md round-7 note); the min discards that upper tail
+symmetrically, and the cold first run never wins it, so the Spark
+number keeps steady-state semantics (and stays like-for-like with the
+min-of-2 rounds 3-6 history). Per-run arrays are emitted in the detail
+file so any future verdict can recompute either statistic. The
+headline `value` is the steady-state (warm) total — the regime that
+matters at 100 TB, where compile time amortizes to zero against hours
+of execution — and `cold_total` reports the first-run total alongside.
 
 The "within 2x of the baseline" contract has no absolute anchor (the
 reference publishes no numbers — BASELINE.md), so the harness also
@@ -58,7 +68,12 @@ HEADLINE = [
 ]
 
 
-def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float | None]:
+def time_oracles(
+    sf_dir: str, names: list[str], cap: float,
+    runs_out: dict[str, list[float]] | None = None,
+) -> dict[str, float | None]:
+    if runs_out is None:
+        runs_out = {}
     import duckdb
 
     con = duckdb.connect()
@@ -118,13 +133,12 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
             continue
         if not KEEP_SORT:
             sql = strip_oracle_order_by(sql)
-        # Same protocol as the Spark side (median of RUNS runs):
-        # comparing Spark's warm stat against a single cold DuckDB run
-        # would systematically flatter Spark (round-3 ADVICE), and the
-        # round-6 verdict moved both engines from min-of-2 to
-        # median-of-3 because the anchor's run-to-run swing (105-136 s
-        # per full leg) made within-2x counts ±3-5 noisy. The median of
-        # 3 discards both a cold first run and a one-off stall.
+        # Same protocol as the Spark side (min of RUNS runs): comparing
+        # Spark's warm stat against a single cold DuckDB run would
+        # systematically flatter Spark (round-3 ADVICE); best-of-3 on
+        # both engines is the variance fix for the anchor's 105-136 s
+        # leg-to-leg swing (see module docstring for the median-vs-min
+        # study).
         runs: list[float] = []
         for _ in range(RUNS):
             # the watchdog is best-effort: under transient thread/memory
@@ -144,26 +158,17 @@ def time_oracles(sf_dir: str, names: list[str], cap: float) -> dict[str, float |
             finally:
                 if timer is not None:
                     timer.cancel()
-        out[name] = _median(runs) if runs else None
+        out[name] = min(runs) if runs else None
+        runs_out[name] = runs
         print(f"# duckdb {name}: {out[name]}s", file=sys.stderr)
     return out
 
 
 KEEP_SORT = os.environ.get("SPARK_GRAFT_KEEP_SORT", "0") == "1"
 
-# Runs per query PER ENGINE; the per-query statistic is the MEDIAN.
-# Default 3 (round-6 verdict ask #2): with one cold/stalled run out of
-# three, the median lands on a warm run — robust where min-of-2 let a
-# single fast outlier set the number and one slow anchor leg swing the
-# within-2x tail by ±3-5 queries.
+# Runs per query PER ENGINE; the per-query statistic is the MIN
+# (best-of-3 — see the module docstring for the protocol study).
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
-
-
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-    return round(mid, 3)
 
 def strip_presentation_sort(df):
     """Drop a top-level GLOBAL Sort from the query's logical plan.
@@ -304,11 +309,11 @@ def main():
     timings = {}
     cold = {}
     exec_only = {}
+    spark_runs: dict[str, list[float]] = {}
     for name in names:
-        # Headline warm = MEDIAN of RUNS (default 3) FULL build+execute
-        # runs — run 1 pays codegen compile (reported as cold), so the
-        # median of 3 lands on the slower of the two warm runs: stable
-        # against both the cold outlier and a one-off fast run. Every
+        # Headline warm = MIN of RUNS (default 3) FULL build+execute
+        # runs — run 1 pays codegen compile (reported as cold) and
+        # never wins the min, so the statistic is steady-state. Every
         # run rebuilds the DataFrame because for iterative operators
         # (CC, PageRank, incremental dedup) the real work happens
         # DURING build (localCheckpoints); timing only a re-execute of
@@ -333,7 +338,8 @@ def main():
         execute_plan(df)
         exec_only[name] = round(time.time() - t0, 3)
         cold[name] = runs[0]
-        timings[name] = _median(runs)
+        spark_runs[name] = runs
+        timings[name] = min(runs)
         print(
             f"# {name}: warm={timings[name]}s cold={runs[0]}s "
             f"exec_only={exec_only[name]}s",
@@ -350,15 +356,17 @@ def main():
         "metric": "catalog_queries_total_wall_warm",
         "value": total,
         "unit": "sec",
-        "timing": (f"steady-state (median of {RUNS} full build+execute "
-                   "runs, toRdd full-plan execution — no V2-write sink "
+        "timing": (f"steady-state (min of {RUNS} full build+execute "
+                   "runs — best-of-N, symmetric with the oracle leg; "
+                   "toRdd full-plan execution — no V2-write sink "
                    "constant; presentation ORDER BY stripped on BOTH "
                    "engines unless SPARK_GRAFT_KEEP_SORT=1); cold "
-                   "first-run totals and plan-reuse exec-only "
-                   "supplementary numbers alongside"),
+                   "first-run totals, plan-reuse exec-only numbers, "
+                   "and per-run arrays alongside"),
         "queries": timings,
         "queries_cold": cold,
         "queries_exec_only": exec_only,
+        "queries_runs": spark_runs,
         "cold_total": round(sum(cold.values()), 3),
         "exec_only_total": round(sum(exec_only.values()), 3),
         "sf": sf,
@@ -378,7 +386,9 @@ def main():
         except Exception:
             pass
         cap = float(os.environ.get("SPARK_GRAFT_DUCKDB_CAP", "60"))
-        duck = time_oracles(sf_dir, names, cap)
+        duck_runs: dict[str, list[float]] = {}
+        duck = time_oracles(sf_dir, names, cap, duck_runs)
+        detail["duckdb_runs"] = duck_runs
         ratios = {
             n: round(timings[n] / duck[n], 2)
             for n in duck
@@ -389,7 +399,7 @@ def main():
         detail["duckdb"] = duck
         detail["spark_vs_duckdb"] = ratios
         detail["ratio_protocol"] = (
-            f"warm(median of {RUNS} full runs) vs warm(median of {RUNS} runs)"
+            f"warm(min of {RUNS} full runs) vs warm(min of {RUNS} runs)"
         )
         # headline distribution stats: the small-query ratios are
         # dominated by Spark's ~0.2-0.5s per-query scheduling/codegen
