@@ -26,7 +26,13 @@ of execution — and `cold_total` reports the first-run total alongside.
 The "within 2x of the baseline" contract has no absolute anchor (the
 reference publishes no numbers — BASELINE.md), so the harness also
 times every oracle on DuckDB over the same parquet at the same sf and
-emits per-query spark/duckdb ratios. DuckDB is a strong single-node
+emits per-query spark/duckdb ratios — INTERLEAVED per query by
+default (each oracle timed immediately after its Spark runs), because
+two consecutive two-phase runs of identical code measured whole-leg
+host drift of ±15-28% that no per-query statistic can remove, while
+interleaving samples both engines in the same machine epoch so the
+drift cancels in the ratio; SPARK_GRAFT_INTERLEAVE=0 restores the
+two-phase protocol. DuckDB is a strong single-node
 columnar engine, so ratio ≈ 1 on local[32] means the Spark plan carries
 no distributed-overhead pathology; regressions become visible
 round-over-round. Disable with SPARK_GRAFT_DUCKDB=0; each oracle is
@@ -68,12 +74,9 @@ HEADLINE = [
 ]
 
 
-def time_oracles(
-    sf_dir: str, names: list[str], cap: float,
-    runs_out: dict[str, list[float]] | None = None,
-) -> dict[str, float | None]:
-    if runs_out is None:
-        runs_out = {}
+def _duck_connect(sf_dir: str):
+    """DuckDB connection with the bench's memory/thread policy and the
+    table views registered."""
     import duckdb
 
     con = duckdb.connect()
@@ -125,39 +128,54 @@ def time_oracles(
             )
         elif os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _time_oracle(con, sql: str, cap: float) -> list[float]:
+    """RUNS timed executions of one oracle; same protocol as the Spark
+    side (min of RUNS runs is the statistic): comparing Spark's warm
+    stat against a single cold DuckDB run would systematically flatter
+    Spark (round-3 ADVICE)."""
+    if not KEEP_SORT:
+        sql = strip_oracle_order_by(sql)
+    runs: list[float] = []
+    for _ in range(RUNS):
+        # the watchdog is best-effort: under transient thread/memory
+        # pressure Timer creation itself can fail — run uncapped then
+        # rather than aborting the whole bench
+        try:
+            timer = threading.Timer(cap, con.interrupt)
+            timer.start()
+        except (MemoryError, RuntimeError):
+            timer = None
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            runs.append(round(time.time() - t0, 3))
+        except Exception:
+            break  # interrupted at cap (or oracle error)
+        finally:
+            if timer is not None:
+                timer.cancel()
+    return runs
+
+
+def time_oracles(
+    sf_dir: str, names: list[str], cap: float,
+    runs_out: dict[str, list[float]] | None = None,
+) -> dict[str, float | None]:
+    """Two-phase mode (SPARK_GRAFT_INTERLEAVE=0): time every oracle in
+    one DuckDB pass after the Spark leg."""
+    if runs_out is None:
+        runs_out = {}
+    con = _duck_connect(sf_dir)
     oracles = catalog.oracle_sql()
     out: dict[str, float | None] = {}
     for name in names:
         sql = oracles.get(name)
         if sql is None:
             continue
-        if not KEEP_SORT:
-            sql = strip_oracle_order_by(sql)
-        # Same protocol as the Spark side (min of RUNS runs): comparing
-        # Spark's warm stat against a single cold DuckDB run would
-        # systematically flatter Spark (round-3 ADVICE); best-of-3 on
-        # both engines is the variance fix for the anchor's 105-136 s
-        # leg-to-leg swing (see module docstring for the median-vs-min
-        # study).
-        runs: list[float] = []
-        for _ in range(RUNS):
-            # the watchdog is best-effort: under transient thread/memory
-            # pressure Timer creation itself can fail — run uncapped then
-            # rather than aborting the whole bench
-            try:
-                timer = threading.Timer(cap, con.interrupt)
-                timer.start()
-            except (MemoryError, RuntimeError):
-                timer = None
-            t0 = time.time()
-            try:
-                con.execute(sql).fetchall()
-                runs.append(round(time.time() - t0, 3))
-            except Exception:
-                break  # interrupted at cap (or oracle error)
-            finally:
-                if timer is not None:
-                    timer.cancel()
+        runs = _time_oracle(con, sql, cap)
         out[name] = min(runs) if runs else None
         runs_out[name] = runs
         print(f"# duckdb {name}: {out[name]}s", file=sys.stderr)
@@ -306,6 +324,23 @@ def main():
         "sum(cast(l_quantity as decimal(18,4)))"
     ).collect()
 
+    do_duck = os.environ.get("SPARK_GRAFT_DUCKDB", "1") != "0"
+    # INTERLEAVED mode (default): each query's oracle is timed right
+    # after its Spark runs, so both engines sample the same machine
+    # epoch and slow host drift cancels in the per-query ratio. The
+    # round-7 study that motivated it: two consecutive two-phase runs
+    # of IDENTICAL code read Spark 139 vs 178 s and ratio 1.39 vs 1.63 —
+    # whole-leg drift, not code. Coexistence of the live JVM with
+    # DuckDB is safe under the threads=8 + 24 GB + spill policy (the
+    # round-6 failure was 32 allocator arenas against the VMA budget).
+    # SPARK_GRAFT_INTERLEAVE=0 restores the two-phase protocol.
+    interleave = do_duck and os.environ.get("SPARK_GRAFT_INTERLEAVE", "1") != "0"
+    cap = float(os.environ.get("SPARK_GRAFT_DUCKDB_CAP", "60"))
+    con = _duck_connect(sf_dir) if interleave else None
+    oracles = catalog.oracle_sql() if interleave else {}
+    duck: dict[str, float | None] = {}
+    duck_runs: dict[str, list[float]] = {}
+
     timings = {}
     cold = {}
     exec_only = {}
@@ -345,6 +380,11 @@ def main():
             f"exec_only={exec_only[name]}s",
             file=sys.stderr,
         )
+        if interleave and name in oracles:
+            oruns = _time_oracle(con, oracles[name], cap)
+            duck[name] = min(oruns) if oruns else None
+            duck_runs[name] = oruns
+            print(f"# duckdb {name}: {duck[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -376,19 +416,19 @@ def main():
         "mean_per_query": round(total / len(timings), 3) if timings else 0.0,
     }
 
-    if os.environ.get("SPARK_GRAFT_DUCKDB", "1") != "0":
-        # the Spark phase is over: release the JVM's threads and heap
-        # BEFORE the DuckDB phase — at 113 queries the live JVM pushed
-        # the container to thread/memory-allocation failures mid-oracle
-        # (observed as MemoryError in Timer creation and fetchall)
-        try:
-            spark.stop()
-        except Exception:
-            pass
-        cap = float(os.environ.get("SPARK_GRAFT_DUCKDB_CAP", "60"))
-        duck_runs: dict[str, list[float]] = {}
-        duck = time_oracles(sf_dir, names, cap, duck_runs)
+    if do_duck:
+        if not interleave:
+            # two-phase fallback: release the JVM's threads and heap
+            # BEFORE the DuckDB phase — at 113 queries the live JVM
+            # pushed the container to thread/memory-allocation failures
+            # mid-oracle (MemoryError in Timer creation and fetchall)
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            duck = time_oracles(sf_dir, names, cap, duck_runs)
         detail["duckdb_runs"] = duck_runs
+        detail["protocol_mode"] = "interleaved" if interleave else "two-phase"
         ratios = {
             n: round(timings[n] / duck[n], 2)
             for n in duck
@@ -400,6 +440,7 @@ def main():
         detail["spark_vs_duckdb"] = ratios
         detail["ratio_protocol"] = (
             f"warm(min of {RUNS} full runs) vs warm(min of {RUNS} runs)"
+            + (", interleaved per query" if interleave else ", two-phase")
         )
         # headline distribution stats: the small-query ratios are
         # dominated by Spark's ~0.2-0.5s per-query scheduling/codegen
