@@ -1497,11 +1497,16 @@ def snapshot_novelty(
 
     Type-level (distinct shingles), not token-level, so boilerplate
     repeated a million times counts once. Plan: two shingle frames →
-    per-side distinct (map-side combinable) → LEFT ANTI join on the
-    type (no pair blowup — the anti join is the membership probe) →
-    group-grain counts. At 100 TB the old-side type set persists as a
-    parquet index exactly like the incremental-dedup signature index
-    (dedup.py: incremental posture)."""
+    per-side distinct (map-side combinable) → ONE LEFT join on the type
+    carrying an old-side marker (no pair blowup — old types are
+    distinct, so the join never fans out; the null marker IS the
+    membership probe) → a single group-grain count/count-if aggregate.
+    The previous shape ran a left-ANTI join plus TWO separate aggregates
+    re-joined at group grain — same answer, one more join and one more
+    aggregation over the type frame (round-7 q180 band fix). At 100 TB
+    the old-side type set persists as a parquet index exactly like the
+    incremental-dedup signature index (dedup.py: incremental
+    posture)."""
     gcols = [group_col] if group_col else []
     def types(df: DataFrame) -> DataFrame:
         from etl_wrap_spark.session import ensure_min_parallelism
@@ -1511,17 +1516,21 @@ def snapshot_novelty(
         ).distinct()
 
     old_t, new_t = types(old), types(new)
-    novel = new_t.join(old_t, [*gcols, "shingle"], "left_anti")
-    new_c = new_t.groupBy(*gcols).agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
-    nov_c = novel.groupBy(*gcols).agg(F.count(F.lit(1)).cast("bigint").alias("novel_types"))
-    joined = (
-        new_c.join(nov_c, gcols, "left") if gcols
-        else new_c.crossJoin(nov_c)
+    marked = new_t.join(
+        old_t.withColumn("__old", F.lit(1)), [*gcols, "shingle"], "left"
     )
-    return joined.select(
-        *gcols,
-        "new_types",
-        F.coalesce("novel_types", F.lit(0)).cast("bigint").alias("novel_types"),
-        F.expr("(10000 * coalesce(novel_types, 0)) div new_types")
-        .cast("bigint").alias("novelty_bp"),
+    return (
+        marked.groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("new_types"),
+            F.count(F.when(F.col("__old").isNull(), 1))
+            .cast("bigint").alias("novel_types"),
+        )
+        .select(
+            *gcols,
+            "new_types",
+            "novel_types",
+            F.expr("(10000 * novel_types) div new_types")
+            .cast("bigint").alias("novelty_bp"),
+        )
     )

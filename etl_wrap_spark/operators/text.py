@@ -253,10 +253,15 @@ def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3, min_len: int
     libm rounding could differ).
 
     Plan at scale: explode → (doc, term) count with map-side combine,
-    term → document-frequency agg (vocabulary-sized, bounded), one
-    shuffle join back on term, then a per-doc ranking window. No
-    all-pairs stage; every shuffle is on a keyed aggregate. Ties break
-    to the lexicographically smallest term so top-k is engine-exact.
+    then document frequency as a COUNT window over the term partition —
+    the tf frame is distinct per (doc, term), so the window count IS
+    the df, and the term hash-exchange it needs replaces the previous
+    separate vocabulary aggregate + shuffle join back (one exchange
+    where there were two + a join; the exact_jaccard max_df cap uses
+    the same collapse, measured 7.5→4.4 s there) — then a per-doc
+    ranking window. No all-pairs stage; every shuffle is on a keyed
+    aggregate. Ties break to the lexicographically smallest term so
+    top-k is engine-exact.
 
     Reference parity: keyword/term weighting is the IR complement of
     Wrap-style term statistics (see q39); the reference has no tf-idf —
@@ -266,8 +271,9 @@ def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3, min_len: int
         F.col(id_col), F.explode(alpha_terms(text_col, min_len)).alias("term")
     )
     tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").withColumn(
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn(
         "score_bp", F.expr("CAST(tf * 1000000 DIV df AS BIGINT)")
     )
     w = Window.partitionBy(id_col).orderBy(
