@@ -287,30 +287,40 @@ def importance_weights_hashed(
     documented here.) avg_fp = weight_fp div n_tokens is the
     length-normalized selection score.
 
-    Scale shape: one explode over tokens (O(total tokens)), one
-    aggregation to an n_buckets-row stats frame, one BROADCAST join of
-    that frame back onto the token stream, one groupBy(id). No UDFs, no
-    driver loops; the stats frame is bucket-count-sized regardless of
-    corpus size.
+    Scale shape: one explode over tokens folded immediately into a
+    (doc, bucket) count aggregate — the single token-grain pass; both
+    downstream branches (the n_buckets-row stats aggregate and the
+    per-doc weight sum) hang off the SAME exchange, which AQE reuses
+    (ReusedExchange), so the corpus is tokenized ONCE. The previous
+    shape joined the broadcast stats back onto the raw token stream,
+    re-running tokenize+explode+md5 for the second branch — two corpus
+    scans for one answer. Weight arithmetic moves to bucket-count grain
+    (Σ_tokens w ≡ Σ_buckets n·w — same integers), and the final
+    groupBy(id) now aggregates (doc, bucket) rows, not tokens. No UDFs,
+    no driver loops; stats stay bucket-count-sized at any corpus size.
     """
-    toks = df.select(
-        F.col(id_col),
-        target_pred.cast("boolean").alias("__is_t"),
-        F.explode(tokens(text_col)).alias("__tok"),
-    ).withColumn("__b", hash60(F.col("__tok")) % n_buckets)
-    stats = toks.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__cR"),
-        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__cT"),
+    counted = (
+        df.select(
+            F.col(id_col),
+            target_pred.cast("boolean").alias("__is_t"),
+            F.explode(tokens(text_col)).alias("__tok"),
+        )
+        .withColumn("__b", hash60(F.col("__tok")) % n_buckets)
+        .groupBy(id_col, "__is_t", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
-    per_tok = toks.join(F.broadcast(stats), "__b").select(
-        F.col(id_col),
-        F.expr(f"({scale} * (__cT + 1)) div (__cR + 1)").alias("__w"),
+    stats = counted.groupBy("__b").agg(
+        F.sum("__n").alias("__cR"),
+        F.sum(F.when(F.col("__is_t"), F.col("__n")).otherwise(0)).alias("__cT"),
     )
     return (
-        per_tok.groupBy(id_col)
+        counted.join(F.broadcast(stats), "__b")
+        .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("__w").cast("bigint").alias("weight_fp"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.expr(f"__n * (({scale} * (__cT + 1)) div (__cR + 1))")
+            ).cast("bigint").alias("weight_fp"),
         )
         .withColumn("avg_fp", F.expr("weight_fp div n_tokens").cast("bigint"))
     )
