@@ -175,6 +175,7 @@ def weighted_systematic_sample(
     phase: int = 0,
     rank_partitions: int | None = None,
     out_col: str = "n_picks",
+    ids_only: bool = False,
 ) -> DataFrame:
     """Weighted sampling by EXACT integer systematic selection: a row is
     picked once for every stride boundary its cumulative-weight interval
@@ -197,7 +198,13 @@ def weighted_systematic_sample(
         n_picks = (c + w - phase) div stride - (c - phase) div stride
     Rows with n_picks = 0 are dropped. ``phase`` (0 ≤ phase < stride)
     shifts the boundary grid — disjoint phases give disjoint-ish
-    samples for cross-validation without re-scanning."""
+    samples for cross-validation without re-scanning.
+
+    ``ids_only=True`` returns just (id, n_picks), skipping the join
+    that re-attaches the caller's other columns — the right call when
+    the sample feeds a downstream keyed join anyway (one fewer
+    corpus-sized join/scan; at 100 TB the multiplicity frame is the
+    thing to materialize, not a widened copy of the input)."""
     if stride <= 0:
         raise ValueError("stride must be positive")
     slim = df.select(F.col(id_col), F.col(weight_col).cast("bigint").alias("__w"))
@@ -226,6 +233,8 @@ def weighted_systematic_sample(
         )
         .where(F.col(out_col) > 0)
     )
+    if ids_only:
+        return picks
     return df.join(picks, id_col)
 
 

@@ -2932,7 +2932,9 @@ def q130_weighted_sample(spark, sf_dir):
         "o_orderkey", F.floor("o_totalprice").cast("bigint").alias("wgt")
     )
     return (
-        weighted_systematic_sample(w, "o_orderkey", "wgt", stride=3_000_000)
+        weighted_systematic_sample(
+            w, "o_orderkey", "wgt", stride=3_000_000, ids_only=True
+        )
         .select("o_orderkey", "n_picks")
         .orderBy("o_orderkey")
     )
