@@ -365,6 +365,58 @@ def test_registered_domain_psl_exact(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def _psl_reference(host, rules):
+    """Independent pure-Python publicsuffix.org algorithm (straight
+    from the published spec, no shared code with the operator)."""
+    labels = host.lower().split(".")
+    exc_len = None
+    best = 1  # default rule: * (the bare TLD)
+    for raw in rules:
+        r = raw.strip().lower()
+        is_exc = r.startswith("!")
+        is_wild = r.startswith("*.")
+        rl = (r[1:] if is_exc else r).split(".")
+        if is_exc:
+            if len(rl) <= len(labels) and labels[-len(rl):] == rl:
+                exc_len = len(rl) - 1
+        elif is_wild:
+            # '*' matches exactly one label in its position
+            if len(rl) <= len(labels) and labels[len(labels) - len(rl) + 1:] == rl[1:]:
+                best = max(best, len(rl))
+        else:
+            if len(rl) <= len(labels) and labels[-len(rl):] == rl:
+                best = max(best, len(rl))
+    plen = exc_len if exc_len is not None else best
+    if len(labels) > plen:
+        return ".".join(labels[-(plen + 1):])
+    return None
+
+
+def test_registered_domain_psl_randomized_vs_reference(spark):
+    """300 seeded random hosts over a label alphabet that collides with
+    every rule class, decided by the Spark operator in one batch and
+    cross-checked host-by-host against an independent straight-from-
+    the-spec Python implementation."""
+    import random
+
+    from etl_wrap_spark.operators.text import PSL_SNIPPET, registered_domain_psl
+
+    rng = random.Random(77)
+    parts = ["com", "net", "io", "uk", "co", "ck", "www", "github",
+             "au", "gov", "shop", "x", "foo", "bar", "example", "zz"]
+    hosts = list({
+        ".".join(rng.choice(parts) for _ in range(rng.randint(1, 5)))
+        for _ in range(300)
+    })
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r.host: r.registered_domain
+        for r in registered_domain_psl(df, "host").collect()
+    }
+    for h in hosts:
+        assert got[h] == _psl_reference(h, PSL_SNIPPET), h
+
+
 # ------------------------------------------------------------ k-center
 def test_kcenter_farthest_point(spark):
     from etl_wrap_spark.operators.retrieval import kcenter_select
