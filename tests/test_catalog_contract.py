@@ -79,18 +79,39 @@ DRIVER_CHECKED = [
 def test_first_50_entries_match_current_rotation_window():
     names = list(catalog.queries())
     assert names[:50] == catalog._DRIVER_WINDOW
-    assert catalog._DRIVER_WINDOW is catalog._DRIVER_WINDOW_R7
     assert len(catalog._DRIVER_WINDOW) == 50
+    # Round 8+: the window comes from tools/rotation_spec.json, editable
+    # by the harness owner without touching catalog.py (round-7 VERDICT
+    # ask #6). The spec must exist and be what the catalog exposes.
+    spec = catalog._load_rotation_spec()
+    assert spec is not None, "tools/rotation_spec.json missing/invalid"
+    assert catalog._DRIVER_WINDOW == [*spec["window"], *spec["spot_checks"]]
 
 
 def test_rotation_window_disjoint_from_all_prior_windows():
-    # The point of the rotation: this round's driver artifact must cover
-    # 50 queries the driver has never checked before — disjoint from the
-    # r3-r5 set AND the r6 window (the round-6 verdict's done-criterion).
-    prior = set(DRIVER_CHECKED) | set(catalog._DRIVER_WINDOW_R6)
-    assert not set(catalog._DRIVER_WINDOW) & prior
-    # prior windows themselves were disjoint too
+    # The rotation's new-coverage part (spec 'window') must be disjoint
+    # from every prior driver-checked set; the 5 'spot_checks' must be
+    # drawn FROM those prior sets via the disclosed seeded procedure, so
+    # prior-window regressions become driver-visible each round.
+    spec = catalog._load_rotation_spec()
+    prior = (
+        set(DRIVER_CHECKED)
+        | set(catalog._DRIVER_WINDOW_R6)
+        | set(catalog._DRIVER_WINDOW_R7)
+    )
+    assert not set(spec["window"]) & prior
+    assert set(spec["spot_checks"]) <= prior
+    # re-derive the seeded selection — tampering with the committed list
+    # (cherry-picking easy queries) fails here
+    expected = catalog._seeded_spot_checks(
+        sorted(prior), spec["spot_check_seed"], spec["spot_check_count"]
+    )
+    assert spec["spot_checks"] == expected
+    # prior windows themselves were pairwise disjoint too
     assert not set(catalog._DRIVER_WINDOW_R6) & set(DRIVER_CHECKED)
+    assert not set(catalog._DRIVER_WINDOW_R7) & (
+        set(DRIVER_CHECKED) | set(catalog._DRIVER_WINDOW_R6)
+    )
 
 
 def test_rotation_is_order_only_permutation():
