@@ -188,6 +188,13 @@ KEEP_SORT = os.environ.get("SPARK_GRAFT_KEEP_SORT", "0") == "1"
 # (best-of-3 — see the module docstring for the protocol study).
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
 
+
+def _median(runs: list[float]) -> float:
+    s = sorted(runs)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 3)
+
 def strip_presentation_sort(df):
     """Drop a top-level GLOBAL Sort from the query's logical plan.
 
@@ -415,6 +422,12 @@ def main():
         "n_queries": len(timings),
         "mean_per_query": round(total / len(timings), 3) if timings else 0.0,
     }
+    # Round-7 ADVICE: min-of-N is the headline (best-of, symmetric with
+    # the oracle leg) but is not comparable across rounds when RUNS
+    # changes; emit the median-of-runs alongside so round-over-round
+    # comparisons have a RUNS-stable statistic.
+    detail["queries_median"] = {n: _median(r) for n, r in spark_runs.items()}
+    detail["median_total"] = round(sum(detail["queries_median"].values()), 3)
 
     if do_duck:
         if not interleave:
@@ -437,6 +450,14 @@ def main():
         timed = [d for d in duck.values() if d is not None]
         detail["duckdb_total"] = round(sum(timed), 3)
         detail["duckdb"] = duck
+        # median leg for the oracle too, so the RUNS-stable ratio
+        # (median/median) is recomputable from the committed artifact
+        detail["duckdb_median"] = {
+            n: _median(r) for n, r in duck_runs.items() if r
+        }
+        detail["duckdb_median_total"] = round(
+            sum(detail["duckdb_median"].values()), 3
+        )
         detail["spark_vs_duckdb"] = ratios
         detail["ratio_protocol"] = (
             f"warm(min of {RUNS} full runs) vs warm(min of {RUNS} runs)"

@@ -205,7 +205,15 @@ def _decode(content: bytes) -> tuple[int, int, bytearray] | None:
         if content[pos] != 0xFF:
             return None
         marker = content[pos + 1]
-        if marker == 0xD8:
+        if marker == 0xFF:
+            # 0xFF fill byte (T.81 B.1.1.2: any marker may be preceded by
+            # an arbitrary number of 0xFF fill bytes) — not length-bearing
+            pos += 1
+            continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers carry NO length segment: SOI, TEM (0x01),
+            # RSTn (0xD0-0xD7). Parsing a phantom length here corrupted
+            # the walk on valid-but-unusual files (round-7 ADVICE).
             pos += 2
             continue
         seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")

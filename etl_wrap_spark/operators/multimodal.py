@@ -23,6 +23,7 @@ modificationTime, content) partitioned by directory.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -197,11 +198,24 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
         digest = hashlib.sha256(content).digest()
         return [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]]
     side = int(FEATURE_DIM ** 0.5)
-    # Prefer Pillow's C decoder when importable (round-6 ADVICE: the
-    # pure-Python per-pixel defilter is a large constant on big PNGs);
-    # the stdlib path is the no-dependency fallback and is bit-identical
-    # (same integer Rec.601 luma kernel, pytest-asserted).
-    Image = _pil()
+    # Route selection. Default: prefer Pillow's C decoder when importable
+    # (round-6 ADVICE: the pure-Python per-pixel defilter is a large
+    # constant on big PNGs); stdlib is the no-dependency fallback.
+    # Parity contract (round-7 ADVICE): the PNG path is bit-identical to
+    # Pillow (same integer Rec.601 luma kernel,
+    # tests/test_multimodal_parity.py asserts it when Pillow imports);
+    # the baseline-JPEG path is exact to the T.81 float IDCT but may
+    # differ from libjpeg's fixed-point IDCT/fancy-upsampling by ±1
+    # sample level — NOT bit-identical. On clusters with heterogeneous
+    # Pillow installs set ETL_WRAP_IMAGE_DECODER=stdlib (or =pillow) so
+    # every executor takes the SAME route and identical blobs yield
+    # identical feature vectors fleet-wide.
+    route = os.environ.get("ETL_WRAP_IMAGE_DECODER", "auto").lower()
+    Image = None if route == "stdlib" else _pil()
+    if route == "pillow" and Image is None:
+        raise NotImplementedError(
+            "ETL_WRAP_IMAGE_DECODER=pillow but Pillow is not importable"
+        )
     decoded = None
     if Image is None:
         decoded = _png_gray_pixels(content)

@@ -235,3 +235,22 @@ def test_decode_image_routes_baseline_jpeg():
         for x in range(4):
             expect.append(round((136 if (2 * x + 1) * 16 // 8 < 8 else 112) / 255.0, 6))
     assert feat == expect
+
+
+def test_jpeg_standalone_markers_and_fill_bytes_in_header_walk():
+    # T.81 allows 0xFF fill bytes before any marker and standalone
+    # (length-less) markers like TEM 0x01 between header segments; the
+    # round-7 ADVICE found the walk parsed them as length-bearing and
+    # silently lost the stdlib path. Splice them in after SOI and assert
+    # the decode is identical to the clean stream.
+    clean = enc_gray(16, 8, [{0: 16}, {0: -32}])
+    assert clean[:2] == b"\xff\xd8"
+    spliced = (
+        clean[:2]
+        + b"\xff"            # fill byte run before the next marker
+        + b"\xff\x01"        # TEM — standalone, no length
+        + b"\xff\xff\xff"    # more fill bytes
+        + clean[2:]
+    )
+    assert jpeg_gray_pixels(spliced) == jpeg_gray_pixels(clean)
+    assert jpeg_gray_pixels(clean) is not None
