@@ -67,13 +67,18 @@ def kmv_sketch(
     distinct xxhash64 values of ``value_col`` (fewer when the group has
     fewer distinct values)."""
     groups = list(group_cols)
-    dedup = df.select(*groups, F.xxhash64(F.col(value_col)).alias("__h")).distinct()
-    w = Window.partitionBy(*groups).orderBy("__h")
-    return (
-        dedup.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .groupBy(*groups)
-        .agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
+    hashed = df.select(*groups, F.xxhash64(F.col(value_col)).alias("__h"))
+    # ONE ObjectHashAggregate: collect_set dedups map-side (partial agg),
+    # a single exchange moves each partition's local-distinct hashes,
+    # array_sort + slice run once per group on the merged set. Replaces
+    # the round-5 distinct -> window row_number -> collect_list chain
+    # (two exchanges + a per-group row sort) — measured 2.1x at sf1 with
+    # bit-identical output. Same memory posture at scale as the old
+    # plan (both materialize a group's distinct hashes on one reducer
+    # before truncation); beyond ~10^8 distinct/group route through
+    # hll_sketches instead.
+    return hashed.groupBy(*groups).agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv")
     )
 
 

@@ -5440,7 +5440,9 @@ def q176_weighted_median(spark, sf_dir):
         F.floor("l_extendedprice").cast("bigint").alias("val"),
         F.floor("l_quantity").cast("bigint").alias("w"),
     )
-    return weighted_median(v, ["flag"], "val", "w").orderBy("flag")
+    return weighted_median(
+        v, ["flag"], "val", "w", bucket_width=1024
+    ).orderBy("flag")
 
 
 # ------------------------------------ percent-of-parent rollup (q177)

@@ -1,10 +1,13 @@
 """Robust statistics operators (operators/robust.py)."""
 
+import random
+
 import pytest
 from pyspark.sql import functions as F
 
 from etl_wrap_spark.operators.robust import (
     group_percentiles,
+    group_percentiles_bracketed,
     mad_outliers,
     winsorize,
 )
@@ -223,3 +226,71 @@ def test_near_dup_threshold_guard(spark):
     df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
     with _pytest.raises(ValueError, match="swapped"):
         near_dup_pairs_minhash(df, "id", "text", num=1, den=3)
+
+def test_bracketed_matches_exact_on_adversarial_shapes(spark):
+    # tie-heavy, tiny, singleton, two-element, large-spread, and
+    # uniform-random groups; every percentile must equal percentile()
+    # bit-for-bit (the bracketed plan is EXACT by contract).
+    random.seed(8)
+    rows = []
+    rows += [("tiny1", 42.0)]
+    rows += [("tiny2", 1.0), ("tiny2", 2.0)]
+    rows += [("tiny5", float(v)) for v in (5, 1, 4, 2, 3)]
+    rows += [("ties", float(v)) for v in [7] * 50 + [1] * 30 + [9] * 20]
+    rows += [("spread", random.uniform(-1e9, 1e9)) for _ in range(500)]
+    rows += [("unif", random.random()) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE").repartition(7)
+    probs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    exact = group_percentiles(df, ["g"], "v", probs).collect()
+    brk = group_percentiles_bracketed(df, ["g"], "v", probs).collect()
+    e = {r.g: r for r in exact}
+    b = {r.g: r for r in brk}
+    assert set(e) == set(b)
+    for g in e:
+        for p in probs:
+            c = f"p{round(p*100):02d}"
+            assert b[g][c] is not None, (g, c)
+            assert e[g][c] == b[g][c], (g, c, e[g][c], b[g][c])
+
+
+def test_bracketed_extras_and_low_accuracy(spark):
+    # accuracy=100 widens brackets but must stay exact; extras ride the
+    # select pass.
+    random.seed(9)
+    rows = [("g%d" % (i % 3), float(random.randint(0, 50))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = group_percentiles_bracketed(
+        df, ["g"], "v", [0.5], accuracy=100,
+        extras={"mn": F.min("v"), "mx": F.max("v"), "n": F.count("v")},
+    ).collect()
+    exact = {r.g: r for r in group_percentiles(df, ["g"], "v", [0.5]).collect()}
+    for r in out:
+        assert r.p50 == exact[r.g].p50
+        assert r.mn <= r.p50 <= r.mx
+        assert r.n == 1000
+
+
+def test_weighted_median_bucketed_matches_default(spark):
+    # the bucket_width histogram-bracket plan must be output-identical
+    # to the value-grain default on adversarial shapes: negatives
+    # straddling bucket edges, singleton groups, heavy ties, zero/neg
+    # weights dropped, crossing exactly at a bucket boundary.
+    from etl_wrap_spark.operators.robust import weighted_median
+
+    random.seed(11)
+    rows = []
+    rows += [("neg", float(v), 1) for v in range(-3000, 3000, 7)]
+    rows += [("one", 42.0, 5)]
+    rows += [("ties", 10.0, 3)] * 40 + [("ties", 20.0, 1)] * 40
+    rows += [("edge", 1023.0, 1), ("edge", 1024.0, 1), ("edge", 1025.0, 1)]
+    rows += [("rand", float(random.randint(-10_000, 10_000)),
+              random.randint(1, 9)) for _ in range(5000)]
+    rows += [("drop", 7.0, 0), ("drop", 8.0, -2), ("drop", 9.0, 4)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE, w LONG").repartition(5)
+    base = {r.g: (r.total_w, r.wmedian)
+            for r in weighted_median(df, ["g"], "v", "w").collect()}
+    for width in (16, 1024, 1_000_000):
+        got = {r.g: (r.total_w, r.wmedian)
+               for r in weighted_median(
+                   df, ["g"], "v", "w", bucket_width=width).collect()}
+        assert got == base, (width, got, base)
