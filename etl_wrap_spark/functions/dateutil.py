@@ -63,12 +63,15 @@ def _safe_make_date(y: Column, m: Column, d: Column) -> Column:
 
 
 def _month_abbrev(date: Column, german: bool) -> Column:
+    # element_at over a 12-literal array, NOT a 12-branch when-chain:
+    # each when-branch re-embeds month(date) — and with it the caller's
+    # whole defensive-parse subtree (_as_date) — so the chain's codegen
+    # grew O(12·|parse|) and blew past the JIT'able method size on the
+    # q17 formatting thicket (round-8 perf tail; plan text shrank ~10x).
     abbrevs = _ABBREV_DE if german else _ABBREV_EN
-    m = F.month(date)
-    expr = F.lit(abbrevs[11])
-    for i in range(11):
-        expr = F.when(m == i + 1, F.lit(abbrevs[i])).otherwise(expr)
-    return expr
+    return F.element_at(
+        F.array(*[F.lit(a) for a in abbrevs]), F.month(date)
+    )
 
 
 # ------------------------------------------------------- D4/D5: formatDate

@@ -185,18 +185,30 @@ _MMM_DE = "CASE EXTRACT(month FROM {d}) " + " ".join(
 )
 def q17_format_conversions(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["orders"])
-    od = F.col("o_orderdate")
-    ymd = F.date_format(od, "yyyyMMdd")
+    # bind the defensive parse ONCE: each dateutil helper re-derives
+    # _as_date(input) from whatever it is handed, so handing them the
+    # raw column replicated the coalesce(try_cast, try_to_date) subtree
+    # into every output expression (and CollapseProject inlines cheap
+    # projections — a materialized non-cheap __d column it keeps).
+    d = F.col("__d")
+    ymd = F.date_format(d, "yyyyMMdd")
     return (
         t["orders"]
         .where(F.col("o_orderkey") % 101 == 0)
         .select(
             "o_orderkey",
-            dateutil.convert_to_ddmmyyyy(od).alias("dot_fmt"),
-            dateutil.format_date(od, "D-MMM-Y").alias("mmm_en"),
-            dateutil.format_date(od, "D.mmm.Y").alias("mmm_de"),
-            dateutil.weekday(od).cast("int").alias("wd"),
-            dateutil.convert_date(F.date_format(od, "yyyy.MM.dd")).alias("roundtrip"),
+            F.coalesce(
+                F.col("o_orderdate").try_cast("date"),
+                F.try_to_date(F.col("o_orderdate").cast("string"), "yyyyMMdd"),
+            ).alias("__d"),
+        )
+        .select(
+            "o_orderkey",
+            dateutil.convert_to_ddmmyyyy(d).alias("dot_fmt"),
+            dateutil.format_date(d, "D-MMM-Y").alias("mmm_en"),
+            dateutil.format_date(d, "D.mmm.Y").alias("mmm_de"),
+            dateutil.weekday(d).cast("int").alias("wd"),
+            dateutil.convert_date(F.date_format(d, "yyyy.MM.dd")).alias("roundtrip"),
             dateutil.parse_from_yyyymmdd(ymd).cast("bigint").alias("epoch_s"),
         )
         .orderBy("o_orderkey")
