@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from etl_wrap_spark.operators.text import fingerprint_md5, hash60, tokens
@@ -985,12 +986,52 @@ def contamination_check(
 
 
 # ---------------------------------------------- dedup connected components
+def _driver_union_find(pinned: DataFrame) -> DataFrame:
+    """Small-graph fast path shared by both CC variants: exact
+    min-root union-find over an already-materialized (u, v) edge list.
+    Output identical to the distributed algorithms — (doc_id,
+    component = min reachable id) for every node that appears in an
+    edge. Only ever called under a caller-enforced edge-count bound
+    (driver memory ≈ 16 B/edge)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pinned.collect():
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id so the root IS the component label
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(x, find(x)) for x in parent]
+    id_type = pinned.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+    return pinned.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
     rounds_out: list | None = None,
+    small_graph_limit: int = 1 << 17,
 ) -> DataFrame:
     """(node, component) labeling of the near-dup graph: component =
     min node id reachable — the canonicalization step that turns
@@ -1010,20 +1051,38 @@ def connected_components(
 
     ``rounds_out``: optional list that receives one entry per executed
     round (the changed-label count) — scale probes use it to verify the
-    rounds-vs-diameter claim without re-instrumenting.
+    rounds-vs-diameter claim without re-instrumenting (passing it also
+    forces the distributed path, since the fast path has no rounds).
+
+    ``small_graph_limit``: AQE-style adaptive strategy pick. The edge
+    list is checkpointed and counted ONCE either way (every round needs
+    it pinned); when it holds ≤ this many pairs the component labeling
+    runs as a driver-side union-find over the already-materialized
+    edges instead of iterative label propagation — identical output
+    (component = min reachable id), but zero per-round scheduling, which
+    at bench scale is the entire cost (q160: 256 LSH pairs spent 1.36 s
+    building 3 rounds of checkpointed plans for 0.03 s of execution).
+    The limit bounds driver memory at ~MBs (2^17 pairs ≈ 2 MB of longs;
+    a 100-TB near-dup graph blows the limit and takes the distributed
+    path unchanged). Set 0 to always run distributed.
     """
+    sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    if rounds_out is None and small_graph_limit > 0:
+        pinned = sym.localCheckpoint(eager=False)
+        if pinned.count() <= small_graph_limit:
+            return _driver_union_find(pinned)
+        sym = pinned  # reuse the already-materialized edge list below
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         # NO .distinct(): every consumer is a min-aggregation (the label
         # bootstrap's groupBy and each round's neighbor-min), which is
         # duplicate-tolerant — deduping here would add a full shuffle of
         # the edge list purely to shrink inputs that LSH already emits
-        # distinct (round-7: one fewer AQE stage for every CC caller)
-        # pinned once (lazy checkpoint — computed+cached at the first
+        # distinct (round-7: one fewer AQE stage for every CC caller).
+        # Pinned once (lazy checkpoint — computed+cached at the first
         # round's convergence probe): every round joins against edges,
         # and without this the whole upstream pair-generation pipeline
-        # (e.g. the LSH near-dup cascade) would re-execute per round
+        # (e.g. the LSH near-dup cascade) would re-execute per round.
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=False)
     )
     # initialize with min(id, min neighbor): one aggregation performs
@@ -1098,6 +1157,7 @@ def connected_components_star(
     b_col: str = "id_b",
     max_iter: int = 25,
     rounds_out: list | None = None,
+    small_graph_limit: int = 1 << 17,
 ) -> DataFrame:
     """(node, component) labeling via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -1122,7 +1182,14 @@ def connected_components_star(
 
     ``rounds_out``: optional list receiving one entry per executed round
     (the surviving edge count) — scale probes use it to verify the
-    O(log²n)-rounds claim against planted chain topologies.
+    O(log²n)-rounds claim against planted chain topologies (passing it
+    forces the distributed path).
+
+    ``small_graph_limit``: same AQE-style adaptive pick as
+    connected_components — the deduped edge list is pinned and counted
+    once regardless; at or under the limit the labeling runs as the
+    driver union-find (identical output, none of the per-round
+    scheduling), above it the star alternation proceeds unchanged.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -1130,6 +1197,9 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if rounds_out is None and small_graph_limit > 0:
+        if edges.count() <= small_graph_limit:
+            return _driver_union_find(edges)
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
         # large-star over the symmetric neighborhood

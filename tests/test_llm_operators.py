@@ -2595,3 +2595,36 @@ def test_value_class_collapse_equivalence(spark):
     f3 = fuzzy_join(left, right, "lid", "lname", "rid", "rname",
                     max_dist=1, collapse_duplicates=True)
     assert key(f3) == key(d3) and f3.count() >= 5
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    # the small_graph_limit union-find must be label-identical to BOTH
+    # distributed algorithms on chains, cliques, self-loops, string ids,
+    # and random graphs (small_graph_limit=0 forces the distributed run).
+    import random as _r
+
+    _r.seed(13)
+    edge_sets = [
+        [(i, i + 1) for i in range(30)],                      # long chain
+        [(0, j) for j in range(1, 8)] + [(5, 5)],             # star + self-loop
+        [(_r.randint(0, 99), _r.randint(0, 99)) for _ in range(200)],
+        [("a", "b"), ("b", "c"), ("x", "y")],                 # strings
+    ]
+    from etl_wrap_spark.operators import dedup
+
+    for edges in edge_sets:
+        typ = "STRING" if isinstance(edges[0][0], str) else "LONG"
+        pairs = spark.createDataFrame(edges, f"id_a {typ}, id_b {typ}")
+        fast = {r.doc_id: r.component
+                for r in dedup.connected_components(pairs).collect()}
+        slow = {r.doc_id: r.component
+                for r in dedup.connected_components(
+                    pairs, max_iter=60, small_graph_limit=0).collect()}
+        assert fast == slow
+        if not any(u == v for u, v in edges):
+            star_fast = {r.doc_id: r.component
+                         for r in dedup.connected_components_star(pairs).collect()}
+            star_slow = {r.doc_id: r.component
+                         for r in dedup.connected_components_star(
+                             pairs, small_graph_limit=0).collect()}
+            assert star_fast == star_slow == fast
