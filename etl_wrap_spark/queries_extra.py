@@ -8224,3 +8224,56 @@ def q219_psl_domain_rollup(spark, sf_dir):
         )
         .orderBy("registered_domain")
     )
+
+
+# --------------------- streaming heavy-hitters cross-batch replay (q220)
+@register(
+    "q220_heavy_hitters_replay",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+             CAST(COUNT(*) AS BIGINT) AS cnt_lb
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, CAST(SUM(cnt_lb) AS BIGINT) AS n_seen
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_type, c.item, c.cnt_lb, t.n_seen
+    FROM c JOIN t USING (event_type)
+    ORDER BY event_type, item
+    """,
+)
+def q220_heavy_hitters_replay(spark, sf_dir):
+    """Batch projection of the cross-batch streaming Misra-Gries
+    operator (streaming/stateful.py:204 streaming_heavy_hitters — the
+    round-7 VERDICT ask #5 sibling of q216-q218): the final per-key
+    summary a drained stream emits (item, cnt_lb, n_seen at max
+    cursor) computed by the DISTRIBUTED MG sketch
+    (operators/frequent.py:49 frequent_items_sketch_df — per-partition
+    k-counter summaries, sketch-sized SUM merge, (k+1)-th-count
+    shrink). k=16384 exceeds the distinct-user domain through the sf1
+    decade, where MG is EXACT (no decrement ever fires, cnt_lb = true
+    count, n_seen = Σ cnt_lb) so the result hash-matches plain grouped
+    counts — the q92-KMV posture: the oracle pins the exact regime,
+    pytest pins the decrement regime against a sequential reference,
+    and the drained stream equals this projection bit-for-bit
+    (tests/test_streaming.py). At corpus scale the same code degrades
+    to lower bounds with state capped at k counters per key."""
+    from etl_wrap_spark.operators.frequent import frequent_items_sketch_df
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    )
+    sk = frequent_items_sketch_df(ev, "item", k=16384, group_by=["event_type"])
+    w = Window.partitionBy("event_type")
+    return (
+        sk.withColumn("n_seen", F.sum("cnt_lb").over(w).cast("bigint"))
+        .select(
+            "event_type",
+            "item",
+            F.col("cnt_lb").cast("bigint").alias("cnt_lb"),
+            "n_seen",
+        )
+        .orderBy("event_type", "item")
+    )

@@ -623,3 +623,63 @@ def test_streaming_heavy_hitters_equals_sequential_mg(spark, tmp_path):
     assert got == expect
     # MG guarantee: true count 24, undercount <= N/k = 15
     assert got.get("hot", 0) >= 24 - 60 // k
+
+
+def test_heavy_hitters_drain_equals_batch_projection(spark, tmp_path):
+    """q220 contract: in the exact regime (k >= distinct items per key)
+    the drained streaming_heavy_hitters final emission equals the batch
+    projection (frequent_items_sketch_df + n_seen) bit-for-bit — the
+    drain ≡ batch pin the round-7 VERDICT asked for alongside the
+    oracle registration."""
+    from etl_wrap_spark.operators.frequent import frequent_items_sketch_df
+    from etl_wrap_spark.streaming.stateful import streaming_heavy_hitters
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = []
+    for t in range(40):
+        rows.append(("a", t, f"u{t % 7}"))
+        rows.append(("b", t, f"u{t % 3}"))
+    k = 16
+
+    d = tmp_path / "hh2_in"
+    d.mkdir()
+    (d / "b1.csv").write_text(
+        "\n".join(f"{g},{t},{v}" for g, t, v in rows[:50]) + "\n"
+    )
+    (d / "b2.csv").write_text(
+        "\n".join(f"{g},{t},{v}" for g, t, v in rows[50:]) + "\n"
+    )
+    out_rows = []
+    stream = (
+        spark.readStream.schema("key STRING, t BIGINT, item STRING")
+        .option("header", "false")
+        .csv(str(d))
+    )
+    q = (
+        streaming_heavy_hitters(stream, k=k)
+        .writeStream.foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh2_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = {}
+    for r in out_rows:
+        cur = drained.get(r["key"])
+        if cur is None or r["n_seen"] >= cur[0]:
+            drained.setdefault(r["key"], (r["n_seen"], {}))
+            if r["n_seen"] > drained[r["key"]][0]:
+                drained[r["key"]] = (r["n_seen"], {})
+            drained[r["key"]][1][r["item"]] = r["cnt_lb"]
+
+    batch_src = spark.createDataFrame(rows, "key STRING, t BIGINT, item STRING")
+    sk = frequent_items_sketch_df(batch_src, "item", k=k, group_by=["key"])
+    w = Window.partitionBy("key")
+    proj = sk.withColumn("n_seen", F.sum("cnt_lb").over(w)).collect()
+    got = {}
+    for r in proj:
+        got.setdefault(r["key"], (r["n_seen"], {}))
+        got[r["key"]][1][r["item"]] = r["cnt_lb"]
+    assert got == drained
