@@ -1,11 +1,11 @@
-"""Pure-stdlib BASELINE JPEG pixel decode → 8-bit grayscale.
+"""Pure-stdlib JPEG pixel decode (baseline + progressive) → 8-bit gray.
 
 The no-dependency twin of multimodal._png_gray_pixels, closing the
 compressed-image gap the round-5/6 verdicts tracked: with this module,
-every common still-image format (PNG via zlib+defilter, baseline JPEG
-via this decoder, BMP/GIF headers) decodes to REAL pixels without
-Pillow. Implements ITU-T T.81 baseline sequential DCT from the public
-spec: marker walk (DQT/SOF0/DHT/DRI/SOS), canonical Huffman entropy
+every common still-image format (PNG via zlib+defilter, baseline AND
+progressive JPEG via this decoder, BMP/GIF headers) decodes to REAL
+pixels without Pillow. Implements ITU-T T.81 from the public spec:
+marker walk (DQT/SOF0/SOF2/DHT/DRI/SOS), canonical Huffman entropy
 decode with 0xFF00 byte-stuffing and RSTn restart handling, DC
 prediction, run-length AC with ZRL/EOB, dequantize + dezigzag, float64
 separable IDCT, level shift, and JFIF YCbCr→RGB with the same integer
@@ -13,13 +13,22 @@ Rec.601 luma kernel the PNG path uses — so a gray JPEG returns its Y
 samples exactly and a color JPEG returns the standard luma of the
 reconstructed RGB.
 
+Progressive DCT (SOF2, round-8 verdict ask #8) decodes the T.81 G.1.2
+scan progression on top of the same Huffman/IDCT machinery: a
+persistent per-block coefficient store accumulates every scan —
+spectral selection (Ss..Se bands, interleaved DC scans, one-component
+AC scans) and successive approximation (DC first/refine via arithmetic
+shift + bit append, AC first/refine with EOB-run block skips and
+correction bits appended for every nonzero-history coefficient a
+refinement run crosses) — and dequant + IDCT run once at EOI.
+
 Scope (returns None outside it, falling through to the Pillow/raise
-contract): baseline DCT (SOF0) only — progressive (SOF2), arithmetic
-coding, 12-bit precision, and lossless hierarchies are Pillow-gated;
-1- or 3-component scans; sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0);
-chroma upsampled by sample replication. Malformed input (truncated
-segments, bad Huffman codes, missing tables) returns None rather than
-raising — a corrupt blob must never kill an executor task.
+contract): sequential (SOF0) and progressive (SOF2) Huffman DCT —
+arithmetic coding, 12-bit precision, and lossless hierarchies are
+Pillow-gated; 1- or 3-component frames; sampling factors 1-2 (4:4:4,
+4:2:2, 4:2:0); chroma upsampled by sample replication. Malformed input
+(truncated segments, bad Huffman codes, missing tables) returns None
+rather than raising — a corrupt blob must never kill an executor task.
 
 Determinism: the IDCT runs in float64 with a math.cos-derived constant
 table and rounds half away from zero; DC-only blocks and flat-chroma
@@ -199,9 +208,11 @@ def _decode(content: bytes) -> tuple[int, int, bytearray] | None:
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     width = height = None
     restart = 0
+    progressive = False
+    prog: _ProgState | None = None  # per-block coefficient store (SOF2)
     pos = 2
     n = len(content)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if content[pos] != 0xFF:
             return None
         marker = content[pos + 1]
@@ -216,6 +227,12 @@ def _decode(content: bytes) -> tuple[int, int, bytearray] | None:
             # the walk on valid-but-unusual files (round-7 ADVICE).
             pos += 2
             continue
+        if marker == 0xD9:  # EOI — standalone; progressive finalizes here
+            if prog is not None:
+                return _finalize_progressive(prog, comps, qt, width, height)
+            return None
+        if pos + 4 > n:
+            return None
         seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
         body = content[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -228,9 +245,10 @@ def _decode(content: bytes) -> tuple[int, int, bytearray] | None:
                     return None
                 qt[tq] = list(body[i + 1 : i + 65])
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
-            if body[0] != 8:
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if body[0] != 8 or comps:
                 return None
+            progressive = marker == 0xC2
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -242,9 +260,9 @@ def _decode(content: bytes) -> tuple[int, int, bytearray] | None:
                 if not (1 <= h <= 2 and 1 <= v <= 2):
                     return None
                 comps.append((cid, h, v, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF: progressive etc.
+            return None  # non-sequential/non-progressive SOF: out of scope
         elif marker == 0xC4:  # DHT
             i = 0
             while i + 17 <= len(body):
@@ -259,14 +277,286 @@ def _decode(content: bytes) -> tuple[int, int, bytearray] | None:
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
-            return _scan(
-                content, pos + 2 + seglen, body, comps, qt,
-                huff_dc, huff_ac, width, height, restart,
+            if not progressive:
+                return _scan(
+                    content, pos + 2 + seglen, body, comps, qt,
+                    huff_dc, huff_ac, width, height, restart,
+                )
+            if width is None or not comps:
+                return None
+            if prog is None:
+                prog = _ProgState(comps, width, height)
+            newpos = _prog_scan(
+                content, pos + 2 + seglen, body, comps,
+                huff_dc, huff_ac, restart, prog,
             )
-        elif marker == 0xD9:
-            return None
+            if newpos is None:
+                return None
+            pos = newpos
+            continue
         pos += 2 + seglen
     return None
+
+
+class _ProgState:
+    """Per-block coefficient store for progressive decode (T.81 G.1.2).
+
+    Coefficients live in ZIGZAG order (index k as scans address them);
+    dezigzag happens once at finalize. Blocks sit on the MCU-padded
+    grid (bw × bh per component) so interleaved DC scans and
+    non-interleaved AC scans address the same storage; blocks a
+    non-interleaved scan never touches stay all-zero (flat 128 after
+    IDCT — cropped away by assembly)."""
+
+    def __init__(self, comps, width, height):
+        self.hmax = max(h for _, h, _, _ in comps)
+        self.vmax = max(v for _, _, v, _ in comps)
+        self.mcux = (width + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (height + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.bw = []  # padded block-grid width per component
+        self.bh = []
+        self.cw = []  # real (non-interleaved scan) block dims, T.81 A.2.2
+        self.ch = []
+        self.blocks: list[list[list[int] | None]] = []
+        for _, h, v, _ in comps:
+            bw, bh = self.mcux * h, self.mcuy * v
+            self.bw.append(bw)
+            self.bh.append(bh)
+            self.cw.append((-(-width * h // self.hmax) + 7) // 8)
+            self.ch.append((-(-height * v // self.vmax) + 7) // 8)
+            self.blocks.append([None] * (bw * bh))
+
+    def block(self, ci: int, bx: int, by: int) -> list[int]:
+        idx = by * self.bw[ci] + bx
+        b = self.blocks[ci][idx]
+        if b is None:
+            b = self.blocks[ci][idx] = [0] * 64
+        return b
+
+
+def _refine_nonzero(coef, k, se, p1, bits) -> bool:
+    """Append a correction bit to every nonzero-history coefficient in
+    coef[k..se] (T.81 G.1.2.3: blocks covered by an EOB run in a
+    refinement scan still carry correction bits)."""
+    for i in range(k, se + 1):
+        if coef[i]:
+            b = bits.bit()
+            if b is None:
+                return False
+            if b and not (coef[i] & p1):
+                coef[i] += p1 if coef[i] > 0 else -p1
+    return True
+
+
+def _prog_scan(data, pos, sos, comps, huff_dc, huff_ac, restart, st):
+    """Decode ONE progressive scan into the coefficient store; return
+    the byte position of the next marker, or None on malformed input."""
+    ns = sos[0]
+    if len(sos) < 4 + 2 * ns:
+        return None
+    ss, se = sos[1 + 2 * ns], sos[2 + 2 * ns]
+    ah, al = sos[3 + 2 * ns] >> 4, sos[3 + 2 * ns] & 15
+    sel = {}  # component id -> (dc table id, ac table id)
+    order = []  # scan-order indices into comps
+    byid = {cid: i for i, (cid, *_rest) in enumerate(comps)}
+    for i in range(ns):
+        cid, tt = sos[1 + 2 * i], sos[2 + 2 * i]
+        if cid not in byid:
+            return None
+        sel[cid] = (tt >> 4, tt & 15)
+        order.append(byid[cid])
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        return None
+    if not dc_scan and (ns != 1 or se > 63 or ss > se):
+        return None  # AC scans are single-component (T.81 B.2.3)
+    bits = _Bits(data, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
+
+    def decode_dc(ci, coef) -> bool:
+        if ah == 0:  # first DC scan: diff + point transform
+            tab = huff_dc.get(sel[comps[ci][0]][0])
+            if tab is None:
+                return False
+            t = _decode_sym(bits, tab)
+            if t is None or t > 11:
+                return False
+            diff = 0
+            if t:
+                raw = bits.bits(t)
+                if raw is None:
+                    return False
+                diff = _extend(raw, t)
+            preds[ci] += diff
+            coef[0] = preds[ci] << al
+        else:  # refinement: one appended magnitude bit
+            b = bits.bit()
+            if b is None:
+                return False
+            if b:
+                coef[0] |= p1
+        return True
+
+    def decode_ac_first(coef) -> bool:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return True
+        tab = huff_ac.get(sel[comps[order[0]][0]][1])
+        if tab is None:
+            return False
+        k = ss
+        while k <= se:
+            rs = _decode_sym(bits, tab)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn: run = 2^r + appended bits, incl. this block
+                    eobrun = (1 << r) - 1
+                    if r:
+                        ext = bits.bits(r)
+                        if ext is None:
+                            return False
+                        eobrun += ext
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                return False
+            raw = bits.bits(s)
+            if raw is None:
+                return False
+            coef[k] = _extend(raw, s) << al
+            k += 1
+        return True
+
+    def decode_ac_refine(coef) -> bool:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return _refine_nonzero(coef, ss, se, p1, bits)
+        tab = huff_ac.get(sel[comps[order[0]][0]][1])
+        if tab is None:
+            return False
+        k = ss
+        while k <= se:
+            rs = _decode_sym(bits, tab)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 15
+            if s == 0 and r < 15:  # EOBn: refine the rest, bank the run
+                eobrun = (1 << r) - 1
+                if r:
+                    ext = bits.bits(r)
+                    if ext is None:
+                        return False
+                    eobrun += ext
+                return _refine_nonzero(coef, k, se, p1, bits)
+            if s == 0:  # ZRL: pass 16 zero-history slots
+                budget, place = 16, None
+            else:
+                if s != 1:
+                    return False  # refinement codes only ±1 new coefs
+                sb = bits.bit()
+                if sb is None:
+                    return False
+                budget, place = r, (p1 if sb else -p1)
+            # advance: zero-history slots consume budget; nonzero-history
+            # slots take a correction bit as the run crosses them
+            while k <= se:
+                if coef[k]:
+                    b = bits.bit()
+                    if b is None:
+                        return False
+                    if b and not (coef[k] & p1):
+                        coef[k] += p1 if coef[k] > 0 else -p1
+                    k += 1
+                else:
+                    if budget == 0:
+                        break
+                    budget -= 1
+                    k += 1
+            if place is not None:
+                if k > se:
+                    return False  # new coefficient pushed past the band
+                coef[k] = place
+                k += 1
+        return True
+
+    def decode_block(ci, bx, by) -> bool:
+        coef = st.block(ci, bx, by)
+        if dc_scan:
+            return decode_dc(ci, coef)
+        return decode_ac_first(coef) if ah == 0 else decode_ac_refine(coef)
+
+    # MCU geometry: interleaved scans walk the padded MCU grid with
+    # h×v blocks per component; non-interleaved scans walk the single
+    # component's REAL block grid, one block per MCU (T.81 A.2)
+    if ns > 1:
+        total = st.mcux * st.mcuy
+    else:
+        ci0 = order[0]
+        total = st.cw[ci0] * st.ch[ci0]
+    mcu = 0
+    while mcu < total:
+        if restart and mcu and mcu % restart == 0:
+            bits.align()
+            m = bits.take_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                return None
+            preds = [0] * len(comps)
+            eobrun = 0
+        if ns > 1:
+            my, mx = divmod(mcu, st.mcux)
+            for ci in order:
+                _, h, v, _ = comps[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        if not decode_block(ci, mx * h + bx, my * v + by):
+                            return None
+        else:
+            ci = order[0]
+            by, bx = divmod(mcu, st.cw[ci])
+            if not decode_block(ci, bx, by):
+                return None
+        mcu += 1
+    bits.align()
+    return bits.p
+
+
+def _finalize_progressive(st, comps, qt, width, height):
+    """Dequantize + dezigzag + IDCT every accumulated block, then share
+    the baseline path's plane assembly."""
+    planes = []
+    for ci, (_, h, v, tq) in enumerate(comps):
+        q = qt.get(tq)
+        if q is None:
+            return None
+        bw, bh = st.bw[ci], st.bh[ci]
+        row_w = bw * 8
+        # untouched blocks (None) are all-zero coefficient blocks whose
+        # IDCT is flat 128 (level shift of zero) — pre-fill so a partial
+        # progression still reconstructs the spec's neutral gray
+        plane = bytearray(b"\x80" * (row_w * bh * 8))
+        for idx, coef in enumerate(st.blocks[ci]):
+            if coef is None:
+                continue
+            de = [0.0] * 64
+            for k in range(64):
+                if coef[k]:
+                    de[_ZIGZAG[k]] = coef[k] * q[k]
+            block = _idct_block(de)
+            by, bx = divmod(idx, bw)
+            oy, ox = by * 8, bx * 8
+            for yy in range(8):
+                off = (oy + yy) * row_w + ox
+                plane[off : off + 8] = bytes(block[yy * 8 : yy * 8 + 8])
+        planes.append(plane)
+    return _assemble_gray(planes, comps, width, height, st.mcux, st.hmax, st.vmax)
 
 
 def _scan(data, pos, sos, comps, qt, huff_dc, huff_ac, width, height, restart):
@@ -346,6 +636,10 @@ def _scan(data, pos, sos, comps, qt, huff_dc, huff_ac, width, height, restart):
                             off = (oy + yy) * row_w + ox
                             plane[off : off + 8] = bytes(block[yy * 8 : yy * 8 + 8])
             mcu_count += 1
+    return _assemble_gray(planes, comps, width, height, mcux, hmax, vmax)
+
+
+def _assemble_gray(planes, comps, width, height, mcux, hmax, vmax):
     gray = bytearray(width * height)
     if len(comps) == 1:
         row_w = mcux * hmax * 8

@@ -182,17 +182,19 @@ def _png_gray_pixels(content: bytes) -> tuple[int, int, bytearray] | None:
 def decode_image(content: bytes, fake: bool = False) -> list[float]:
     """Decode one image blob to a FEATURE_DIM vector.
 
-    PNG and BASELINE JPEG decode with PURE STDLIB code — REAL pixels
-    with no optional dependency (`_png_gray_pixels`: zlib + defilter +
-    integer Rec.601 luma, round 6; `jpeg_stdlib.jpeg_gray_pixels`:
-    Huffman + dequant + IDCT + JFIF color transform, round 7). All
-    formats then share the feature kernel: grayscale → 4×4 NEAREST
-    thumbnail (center-of-cell pixel selection — bit-deterministic, no
-    filtering arithmetic) → 16 floats in [0,1]. The remaining exotic
-    variants (progressive JPEG, 16-bit/interlaced PNG) use Pillow when
-    importable; without Pillow, `fake=True` produces a deterministic
-    digest-derived vector so the distributed plumbing stays testable
-    end-to-end, and `fake=False` raises (round-4 VERDICT #8 contract).
+    PNG and JPEG (baseline AND progressive) decode with PURE STDLIB
+    code — REAL pixels with no optional dependency (`_png_gray_pixels`:
+    zlib + defilter + integer Rec.601 luma, round 6;
+    `jpeg_stdlib.jpeg_gray_pixels`: Huffman + dequant + IDCT + JFIF
+    color transform, round 7; SOF2 progressive scan progression, round
+    8). All formats then share the feature kernel: grayscale → 4×4
+    NEAREST thumbnail (center-of-cell pixel selection —
+    bit-deterministic, no filtering arithmetic) → 16 floats in [0,1].
+    The remaining exotic variants (12-bit/arithmetic JPEG,
+    16-bit/interlaced PNG) use Pillow when importable; without Pillow,
+    `fake=True` produces a deterministic digest-derived vector so the
+    distributed plumbing stays testable end-to-end, and `fake=False`
+    raises (round-4 VERDICT #8 contract).
     """
     if fake:
         digest = hashlib.sha256(content).digest()
@@ -234,7 +236,7 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
         ]
     if Image is None:
         raise NotImplementedError(
-            "image decoding beyond stdlib scope (progressive JPEG, 16-bit/"
+            "image decoding beyond stdlib scope (12-bit/arithmetic JPEG, 16-bit/"
             "interlaced PNG, or a corrupt blob) requires Pillow, which is "
             "not importable here; install Pillow for real decode or pass "
             "fake=True for the deterministic test stub"

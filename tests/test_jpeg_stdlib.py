@@ -254,3 +254,279 @@ def test_jpeg_standalone_markers_and_fill_bytes_in_header_walk():
     )
     assert jpeg_gray_pixels(spliced) == jpeg_gray_pixels(clean)
     assert jpeg_gray_pixels(clean) is not None
+
+
+# ---------------------------------------------------------------- progressive
+# Test-side progressive encoder (round-8 verdict ask #8): emits the
+# T.81 G.1 four-scan progression — DC first (Al=1), DC refine, AC first
+# (spectral 1-63, Al=1), AC refine — generically from the coefficient
+# dicts, with EOB-run accumulation and the refinement correction-bit
+# buffering the spec requires. Two-pass per scan: collect the op stream,
+# derive a fixed-length-4 Huffman table from the symbols used, write.
+
+
+def _ops_dc_first(blocks, al):
+    ops = []
+    pred = 0
+    for blk in blocks:
+        dcs = blk.get(0, 0) >> al  # arithmetic shift: DC point transform
+        diff = dcs - pred
+        pred = dcs
+        t = _cat(diff)
+        ops.append(("sym", t))
+        if t:
+            ops.append(("bits", _raw(diff, t), t))
+    return ops
+
+
+def _ops_dc_refine(blocks, al):
+    return [("bits", (blk.get(0, 0) >> al) & 1, 1) for blk in blocks]
+
+
+def _trunc(v, al):
+    # AC point transform: divide with truncation toward zero
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _flush_eob(ops, run, bitbuf):
+    if run:
+        r = run.bit_length() - 1
+        ops.append(("sym", r << 4))
+        if r:
+            ops.append(("bits", run - (1 << r), r))
+    ops.extend(bitbuf)
+    return 0, []
+
+
+def _ops_ac_first(blocks, al, ss=1, se=63):
+    ops = []
+    eobrun = 0
+    for blk in blocks:
+        shifted = {k: _trunc(v, al) for k, v in blk.items() if k >= ss}
+        nz = sorted(k for k, v in shifted.items() if v and k <= se)
+        if not nz:
+            eobrun += 1
+            continue
+        eobrun, _ = _flush_eob(ops, eobrun, [])
+        prev = ss - 1
+        for k in nz:
+            run = k - prev - 1
+            prev = k
+            while run > 15:
+                ops.append(("sym", 0xF0))
+                run -= 16
+            s = _cat(shifted[k])
+            ops.append(("sym", (run << 4) | s))
+            ops.append(("bits", _raw(shifted[k], s), s))
+        if prev < se:
+            eobrun += 1
+    _flush_eob(ops, eobrun, [])
+    return ops
+
+
+def _ops_ac_refine(blocks, al, ss=1, se=63):
+    # history = what the AC-first scan (at al+1... here al_prev=al+1) left
+    ops = []
+    eobrun = 0
+    bitbuf = []
+    for blk in blocks:
+        hist = {k: _trunc(blk.get(k, 0), al + 1) for k in range(ss, se + 1)}
+        corr = {k: (abs(blk.get(k, 0)) >> al) & 1 for k in range(ss, se + 1)}
+        new = sorted(
+            k for k in range(ss, se + 1)
+            if hist[k] == 0 and _trunc(blk.get(k, 0), al) != 0
+        )
+        if not new:
+            eobrun += 1
+            bitbuf.extend(("bits", corr[k], 1) for k in range(ss, se + 1) if hist[k])
+            continue
+        eobrun, bitbuf = _flush_eob(ops, eobrun, bitbuf)
+        k = ss
+        for np_ in new:
+            r = 0
+            buf = []
+            for i in range(k, np_):
+                if hist[i]:
+                    buf.append(("bits", corr[i], 1))
+                else:
+                    if r == 16:
+                        ops.append(("sym", 0xF0))
+                        ops.extend(buf)
+                        buf = []
+                        r = 0
+                    r += 1
+            if r == 16:
+                ops.append(("sym", 0xF0))
+                ops.extend(buf)
+                buf = []
+                r = 0
+            ops.append(("sym", (r << 4) | 1))
+            sign = 1 if _trunc(blk.get(np_, 0), al) > 0 else 0
+            ops.append(("bits", sign, 1))
+            ops.extend(buf)
+            k = np_ + 1
+        if k <= se:
+            eobrun += 1
+            bitbuf.extend(("bits", corr[i], 1) for i in range(k, se + 1) if hist[i])
+    _flush_eob(ops, eobrun, bitbuf)
+    return ops
+
+
+def _write_scan(ops):
+    """Build a length-4 canonical table over the symbols used; return
+    (counts, symbols, entropy_bytes)."""
+    syms = []
+    for op in ops:
+        if op[0] == "sym" and op[1] not in syms:
+            syms.append(op[1])
+    assert len(syms) <= 16
+    code = {s: (i, 4) for i, s in enumerate(syms)}
+    w = _W()
+    for op in ops:
+        if op[0] == "sym":
+            w.put(*code[op[1]])
+        else:
+            _, v, nb = op
+            w.put(v, nb)
+    w.flush()
+    counts = [0, 0, 0, len(syms)] + [0] * 12
+    return counts, syms, bytes(w.out)
+
+
+def enc_gray_progressive(w, h, block_coefs, q=None):
+    """Four-scan progressive grayscale JPEG over the same quantized
+    coefficient dicts enc_gray takes (block MCU order, zigzag keys)."""
+    q = q or ([4] * 64)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(q))
+    out += _seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([1, 1, 0x11, 0]))
+    scans = [
+        (0, 0, 0, 1, _ops_dc_first(block_coefs, 1), 0),   # tc=0
+        (0, 0, 1, 0, _ops_dc_refine(block_coefs, 0), None),
+        (1, 63, 0, 1, _ops_ac_first(block_coefs, 1), 1),  # tc=1
+        (1, 63, 1, 0, _ops_ac_refine(block_coefs, 0), 1),
+    ]
+    for ss, se, ah, al, ops, tc in scans:
+        counts, syms, data = _write_scan(ops)
+        if tc is not None:
+            out += _dht(tc, 0, counts, syms)
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+PROG_BLOCKS = [
+    {0: 10, 1: 7, 5: -3, 17: 4},
+    {0: -5, 2: 1, 9: -1, 40: 5},
+    {0: 8},
+    {0: -32},
+]
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    # same quantized coefficients through both codings must reconstruct
+    # identical pixels — the progression is lossless re-ordering
+    base = jpeg_gray_pixels(enc_gray(32, 8, PROG_BLOCKS))
+    prog = jpeg_gray_pixels(enc_gray_progressive(32, 8, PROG_BLOCKS))
+    assert base is not None and prog is not None
+    assert prog == base
+
+
+def test_jpeg_progressive_exercises_every_scan_kind():
+    # the fixture genuinely hits all four decoders: DC refine bit set
+    # (-5 is odd), new +1/-1 coefficients in AC refine (k2/k9 of block
+    # 2), a crossed nonzero-history correction bit (k40), and an EOB
+    # run spanning blocks 2-4 in both AC scans
+    ops3 = _ops_ac_first(PROG_BLOCKS, 1)
+    ops4 = _ops_ac_refine(PROG_BLOCKS, 0)
+    assert ("sym", 0x10) in ops3  # EOBn with r=1 (run of 3)
+    assert ("sym", 0x11) in ops4  # new coef after 1 zero-history slot
+    assert ("sym", 0x61) in ops4  # new coef after 6 zero-history slots
+    refine_bits = [op for op in ops4 if op[0] == "bits"]
+    assert len(refine_bits) >= 6  # signs + correction bits
+
+
+def test_jpeg_progressive_dc_only_color_interleaved():
+    # interleaved progressive DC scan over 4:2:0 sampling; AC never
+    # scanned (legal partial progression) — identical to the baseline
+    # DC-only encoding of the same flat image
+    q = [8] * 64
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(q))
+    out += _seg(0xC2, bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+                + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += _dht(0, 0, DC_COUNTS, list(range(12)))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0]))
+    wtr = _W()
+    preds = {1: 0, 2: 0, 3: 0}
+    for cid, nblk, dc in ((1, 4, -28), (2, 1, -8), (3, 1, 12)):
+        for _ in range(nblk):
+            diff = dc - preds[cid]
+            preds[cid] = dc
+            t = _cat(diff)
+            wtr.put(t, 4)
+            if t:
+                wtr.put(_raw(diff, t), t)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    got = jpeg_gray_pixels(bytes(out))
+    want = jpeg_gray_pixels(enc_color_flat_420(16, 16, -28, -8, 12))
+    assert got == want and got is not None
+
+
+def test_jpeg_progressive_restart_markers():
+    # DRI inside a progressive DC scan: predictors reset at each RSTn
+    q = [4] * 64
+    dcs = [8, 16, 24, 32]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(q))
+    out += _seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (32).to_bytes(2, "big")
+                + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, DC_COUNTS, list(range(12)))
+    out += _seg(0xDD, (2).to_bytes(2, "big"))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    pred = 0
+    nrst = 0
+    wtr = _W()
+    for bi, dc in enumerate(dcs):
+        if bi and bi % 2 == 0:
+            wtr.flush()
+            out += wtr.out
+            wtr = _W()
+            out += bytes([0xFF, 0xD0 + (nrst % 8)])
+            nrst += 1
+            pred = 0
+        diff = dc - pred
+        pred = dc
+        t = _cat(diff)
+        wtr.put(t, 4)
+        if t:
+            wtr.put(_raw(diff, t), t)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    w, h, g = jpeg_gray_pixels(bytes(out))
+    assert (w, h) == (32, 8)
+    assert [g[0], g[8], g[16], g[24]] == [132, 136, 140, 144]
+
+
+def test_jpeg_progressive_malformed_returns_none():
+    good = enc_gray_progressive(32, 8, PROG_BLOCKS)
+    assert jpeg_gray_pixels(good[:60]) is None
+    # an AC scan claiming 2 components is illegal in progressive
+    bad = good.replace(bytes([1, 1, 0x00, 1, 63]), bytes([2, 1, 0x00, 1, 63]), 1)
+    assert jpeg_gray_pixels(bad) is None
+
+
+def test_decode_image_routes_progressive_jpeg():
+    from etl_wrap_spark.operators import multimodal
+
+    if multimodal._pil() is not None:
+        return  # Pillow env: the C decoder takes the route instead
+    blob = enc_gray_progressive(32, 8, PROG_BLOCKS)
+    feat = multimodal.decode_image(blob, fake=False)
+    assert len(feat) == 16 and all(0.0 <= f <= 1.0 for f in feat)
+    # must equal the baseline route's features for the same coefficients
+    base = multimodal.decode_image(enc_gray(32, 8, PROG_BLOCKS), fake=False)
+    assert feat == base
