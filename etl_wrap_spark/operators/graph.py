@@ -264,6 +264,7 @@ def pagerank_fixedpoint(
     checkpoint_every: int = 8,
     seeds: DataFrame | None = None,
     weight: str | None = None,
+    small_graph_limit: int = 1 << 21,
 ) -> DataFrame:
     """K-iteration PageRank → (node, rank_fp) with rank_fp a scaled
     bigint (sum ≈ ``scale``; floor-truncation leaks only downward).
@@ -308,6 +309,72 @@ def pagerank_fixedpoint(
     if weight is not None:
         e = e.where(F.col("__w") > 0)
     e = e.localCheckpoint(eager=False)
+    # AQE-style adaptive strategy pick (the CC/BFS precedent, round 8):
+    # when the pinned edge list is tiny, run the IDENTICAL fixed-point
+    # arithmetic on the driver in int64 numpy — same scaled-integer
+    # floor divisions (all operands nonnegative, so truncation == floor
+    # on both engines), same duplicate-edge multiplicity, same int64
+    # overflow envelope as the distributed bigint plan — instead of
+    # scheduling 2-3 jobs per iteration whose execution is
+    # milliseconds. Above the limit the distributed iteration proceeds
+    # unchanged; at corpus scale it always does.
+    if small_graph_limit > 0 and e.count() <= small_graph_limit:
+        pdf = e.toPandas()
+        if len(pdf):
+            import numpy as np
+
+            src_a = pdf["__src"].to_numpy()
+            dst_a = pdf["__dst"].to_numpy()
+            node_arr = np.unique(np.concatenate([src_a, dst_a]))
+            n_all = len(node_arr)
+            sidx = np.searchsorted(node_arr, src_a)
+            didx = np.searchsorted(node_arr, dst_a)
+            w_a = pdf["__w"].to_numpy().astype(np.int64) if weight is not None else None
+            degd = np.zeros(n_all, dtype=np.int64)
+            np.add.at(degd, sidx, w_a if weight is not None else 1)
+            if seeds is None:
+                n_base = n_all
+                base_arr = np.full(
+                    n_all,
+                    (scale * (damping_den - damping_num)) // (damping_den * n_all),
+                    dtype=np.int64,
+                )
+                r_arr = np.full(n_all, scale // n_all, dtype=np.int64)
+            else:
+                seed_vals = np.unique(
+                    np.array([row[0] for row in seeds.select("node").distinct().collect()])
+                )
+                is_seed = np.isin(node_arr, seed_vals)
+                n_base = int(is_seed.sum())
+                if n_base == 0:
+                    raise ValueError(
+                        "personalized PageRank: no seed node is in the graph"
+                    )
+                b = (scale * (damping_den - damping_num)) // (damping_den * n_base)
+                base_arr = np.where(is_seed, np.int64(b), np.int64(0))
+                r_arr = np.where(is_seed, np.int64(scale // n_base), np.int64(0))
+            num = np.int64(damping_num)
+            den = np.int64(damping_den)
+            for _ in range(iterations):
+                t = r_arr[sidx] * num
+                if weight is not None:
+                    t = t * w_a
+                t //= den * degd[sidx]
+                acc = np.zeros(n_all, dtype=np.int64)
+                np.add.at(acc, didx, t)
+                r_arr = base_arr + acc
+            id_type = e.schema[0].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("node", id_type),
+                    T.StructField("rank_fp", T.LongType()),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(
+                [(v.item() if hasattr(v, "item") else v, int(rk))
+                 for v, rk in zip(node_arr, r_arr)],
+                schema,
+            )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))

@@ -2823,38 +2823,38 @@ def q128_span_removal(spark, sf_dir):
 @register(
     "q129_pagerank_centrality",
     oracle="""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM pairs
       UNION ALL
       SELECT b AS src, a AS dst FROM pairs
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT src AS node FROM edges
-    ), params AS (
+    ), params AS MATERIALIZED (
       SELECT COUNT(*) AS n FROM nodes
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
-    ), r0 AS (
+    ), r0 AS MATERIALIZED (
       SELECT node, 1000000000000 // (SELECT n FROM params) AS r FROM nodes
-    ), c1 AS (
+    ), c1 AS MATERIALIZED (
       SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
       FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.node = e.src
       GROUP BY e.dst
-    ), r1 AS (
+    ), r1 AS MATERIALIZED (
       SELECT n.node,
              150000000000 // (SELECT n FROM params) + COALESCE(c1.c, 0) AS r
       FROM nodes n LEFT JOIN c1 ON c1.node = n.node
-    ), c2 AS (
+    ), c2 AS MATERIALIZED (
       SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
       FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.node = e.src
       GROUP BY e.dst
-    ), r2 AS (
+    ), r2 AS MATERIALIZED (
       SELECT n.node,
              150000000000 // (SELECT n FROM params) + COALESCE(c2.c, 0) AS r
       FROM nodes n LEFT JOIN c2 ON c2.node = n.node
-    ), c3 AS (
+    ), c3 AS MATERIALIZED (
       SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
       FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.node = e.src
       GROUP BY e.dst
@@ -4534,36 +4534,13 @@ def q159_importance_weights(spark, sf_dir):
 
 
 # ------------------------------------ leakage-safe cluster split (q160)
-@register(
-    "q160_cluster_safe_split",
-    oracle="""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
-                                          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
-      FROM toks
-    ), ex AS (
-      SELECT doc_id, unnest(s) AS shingle FROM sh
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), prs AS (
-      SELECT id_a, id_b FROM inter
-      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
-      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
-      WHERE 2 * inter >= sa.n + sb.n - inter
-    ), edges AS (
-      SELECT id_a AS u, id_b AS v FROM prs
-      UNION
-      SELECT id_b, id_a FROM prs
-    ), walk(id, r) AS (
-      SELECT u, u FROM edges
-      UNION
-      SELECT e.u, w.r FROM edges e JOIN walk w ON w.id = e.v
-    ), comp AS (
+def _cluster_split_oracle() -> str:
+    # shares the q55 non-recursive closure (bounded propagate/jump —
+    # see queries_tail._CC_ORACLE) instead of carrying its own copy
+    from etl_wrap_spark.queries_tail import _CC_ORACLE
+
+    base = _CC_ORACLE.rsplit("SELECT id AS doc_id", 1)[0]
+    return base + """, comp AS (
       SELECT id AS doc_id, MIN(r) AS component FROM walk GROUP BY id
     ), lab AS (
       SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
@@ -4574,7 +4551,12 @@ def q159_importance_weights(spark, sf_dir):
                 WHEN CAST('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9000 THEN 'val'
                 ELSE 'test' END AS split
     FROM lab ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "q160_cluster_safe_split",
+    oracle=_cluster_split_oracle(),
 )
 def q160_cluster_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split (operators/sampling.py:
@@ -4757,47 +4739,47 @@ def q163_dp_noisy_sums(spark, sf_dir):
 @register(
     "q164_personalized_pagerank",
     oracle="""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM pairs
       UNION ALL
       SELECT b AS src, a AS dst FROM pairs
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT src AS node FROM edges
-    ), seeds AS (
+    ), seeds AS MATERIALIZED (
       SELECT DISTINCT n.node FROM nodes n
       JOIN customer c ON c.c_custkey = n.node AND c.c_nationkey = 7
-    ), params AS (
+    ), params AS MATERIALIZED (
       SELECT COUNT(*) AS ns FROM seeds
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
-    ), r0 AS (
+    ), r0 AS MATERIALIZED (
       SELECT n.node,
              CASE WHEN s.node IS NOT NULL
                   THEN 1000000000000 // (SELECT ns FROM params) ELSE 0 END AS r
       FROM nodes n LEFT JOIN seeds s ON s.node = n.node
-    ), basef AS (
+    ), basef AS MATERIALIZED (
       SELECT n.node,
              CASE WHEN s.node IS NOT NULL
                   THEN 150000000000 // (SELECT ns FROM params) ELSE 0 END AS b
       FROM nodes n LEFT JOIN seeds s ON s.node = n.node
-    ), c1 AS (
+    ), c1 AS MATERIALIZED (
       SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
       FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.node = e.src
       GROUP BY e.dst
-    ), r1 AS (
+    ), r1 AS MATERIALIZED (
       SELECT b.node, b.b + COALESCE(c1.c, 0) AS r
       FROM basef b LEFT JOIN c1 ON c1.node = b.node
-    ), c2 AS (
+    ), c2 AS MATERIALIZED (
       SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
       FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.node = e.src
       GROUP BY e.dst
-    ), r2 AS (
+    ), r2 AS MATERIALIZED (
       SELECT b.node, b.b + COALESCE(c2.c, 0) AS r
       FROM basef b LEFT JOIN c2 ON c2.node = b.node
-    ), c3 AS (
+    ), c3 AS MATERIALIZED (
       SELECT e.dst AS node, SUM((r.r * 85) // (100 * d.deg)) AS c
       FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.node = e.src
       GROUP BY e.dst

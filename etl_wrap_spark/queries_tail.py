@@ -205,36 +205,70 @@ def q54_contamination_check(spark, sf_dir):
 
 
 # ----------------------------------------- dedup connected components (q55)
-_CC_ORACLE = """
-    WITH RECURSIVE toks AS (
+# Connected components WITHOUT a recursive CTE: the recursive `walk`
+# (every (node, reachable-root) pair) is quadratic in cluster size —
+# at sf1 the replicated-doc clusters made it DNF past a 600 s cap
+# (round-7 verdict "what's missing #2"). Equivalent bounded form:
+# min-label propagation (l(u) <- min over the closed neighborhood)
+# alternated with pointer jumping (l(u) <- l(l(u))), which converges to
+# the component-min in O(log diameter) alternations; 4 alternations
+# cover diameter >= 16, far past the measured cluster diameters
+# (max cluster 40 near-identical replicas, diameter <= ~4 — verified
+# equal to union-find ground truth at sf1 and to the recursive form at
+# sf0.01/sf0.1 before the swap). Heavy CTEs are MATERIALIZED so DuckDB
+# computes the shingle self-join once, not once per reference.
+_CC_ROUNDS = 4
+
+def _cc_closure_sql() -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, _CC_ROUNDS + 1):
+        steps.append(f""", p{i} AS MATERIALIZED (
+      SELECT l.id, LEAST(l.lbl, MIN(n.lbl)) AS lbl
+      FROM {prev} l JOIN edges e ON e.u = l.id JOIN {prev} n ON n.id = e.v
+      GROUP BY l.id, l.lbl
+    ), j{i} AS MATERIALIZED (
+      SELECT a.id, b.lbl FROM p{i} a JOIN p{i} b ON b.id = a.lbl
+    )""")
+        prev = f"j{i}"
+    steps.append(f""", walk(id, r) AS (
+      SELECT id, lbl FROM {prev}
+    )""")
+    return "".join(steps)
+
+
+_CC_ORACLE = (
+    """
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
                                           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
       FROM toks
-    ), ex AS (
+    ), ex AS MATERIALIZED (
       SELECT doc_id, unnest(s) AS shingle FROM sh
-    ), inter AS (
+    ), inter AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM inter
       JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
       JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
       WHERE 2 * inter >= sa.n + sb.n - inter
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
-    ), walk(id, r) AS (
-      SELECT u, u FROM edges
-      UNION
-      SELECT e.u, w.r FROM edges e JOIN walk w ON w.id = e.v
-    )
+    ), l0 AS MATERIALIZED (
+      SELECT u AS id, u AS lbl FROM edges GROUP BY u
+    )"""
+    + _cc_closure_sql()
+    + """
     SELECT id AS doc_id, MIN(r) AS component FROM walk GROUP BY id ORDER BY doc_id
     """
+)
 
 
 @register("q55_dedup_components", oracle=_CC_ORACLE)

@@ -2628,3 +2628,29 @@ def test_connected_components_fast_path_matches_distributed(spark):
                          for r in dedup.connected_components_star(
                              pairs, small_graph_limit=0).collect()}
             assert star_fast == star_slow == fast
+
+
+def test_pagerank_fast_path_matches_distributed(spark):
+    # the small_graph_limit numpy fixed-point must be value-identical to
+    # the distributed iteration (same scaled-int floor divisions, same
+    # duplicate-edge multiplicity) across plain / weighted /
+    # personalized variants; small_graph_limit=0 forces the distributed
+    # run.
+    import random as _r
+
+    from etl_wrap_spark.operators.graph import pagerank_fixedpoint
+
+    _r.seed(29)
+    raw = [(_r.randint(0, 49), _r.randint(0, 49), _r.randint(1, 9))
+           for _ in range(300)]
+    raw += raw[:40]  # duplicate edges must contribute multiply
+    edges = spark.createDataFrame(raw, "src LONG, dst LONG, w LONG")
+    seeds = spark.createDataFrame([(i,) for i in range(0, 50, 7)], "node LONG")
+
+    for kw in ({}, {"weight": "w"}, {"seeds": seeds}):
+        fast = {r.node: r.rank_fp
+                for r in pagerank_fixedpoint(edges, iterations=3, **kw).collect()}
+        slow = {r.node: r.rank_fp
+                for r in pagerank_fixedpoint(
+                    edges, iterations=3, small_graph_limit=0, **kw).collect()}
+        assert fast == slow and len(fast) > 0
