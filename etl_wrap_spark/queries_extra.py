@@ -1684,7 +1684,7 @@ def q107_canonical_selection(spark, sf_dir):
     = text length, the 'keep the longest variant' curation default).
     Converts the previously pytest-only canonical-selection policy into
     an oracle-checked end-to-end path; the oracle replays exact-Jaccard
-    pairs, a recursive-CTE labeling, and the same argmax."""
+    pairs, the bounded propagate/jump closure, and the same argmax."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
     pairs = _dedup.near_dup_pairs_minhash(docs, "doc_id", "text", n=3, num=2, den=1)
@@ -3581,7 +3581,7 @@ def q141_golden_record(spark, sf_dir):
     greatest), modal language (ties smallest), min source, max
     n_chars. All non-mode rules ride ONE map-side-combined groupBy;
     mode adds its own (component, value) count + argmax. The oracle
-    replays the identical rules over recursive-CTE components; text
+    replays the identical rules over exact-Jaccard components; text
     surfaces as md5 so the full value is compared."""
     from etl_wrap_spark.operators import dedup as _dd
 
@@ -4565,7 +4565,7 @@ def q160_cluster_safe_split(spark, sf_dir):
     document and its near-duplicates can never straddle train and
     held-out — the contamination guard row-id splits cannot give. The
     oracle recomputes clusters from exact-Jaccard pairs via the q55
-    recursive-CTE ground truth and replays the identical portable
+    exact-Jaccard ground truth and replays the identical portable
     md5-60 bucket rule on the cluster root."""
     from etl_wrap_spark.operators import dedup
     from etl_wrap_spark.operators.sampling import assign_split_grouped

@@ -17,7 +17,7 @@ a distinct operator):
 
 - q54: benchmark-contamination scan (train/eval 8-gram containment).
 - q55: dedup connected components (iterative min-label propagation vs a
-  recursive-CTE oracle).
+  exact closure oracle).
 - q56: IVF ANN (deterministic md5-sampled coarse quantizer + nprobe).
 - q57: Gopher structural repetition signals (top-bigram coverage,
   line/symbol ratios).
@@ -277,7 +277,7 @@ def q55_dedup_components(spark, sf_dir):
     (doc_id, component=min reachable id): the canonicalization that
     turns pairwise dedup output into keep/drop groups. The oracle
     computes the same components from exact Jaccard pairs via a
-    recursive CTE (q23 established LSH==exact on this corpus at the
+    bounded closure (q23 established LSH==exact on this corpus at the
     J>=0.5 cut), exercising the iterative min-label-propagation
     operator against a closed-form ground truth."""
     t = load_tables(spark, sf_dir, ["documents"])
@@ -453,7 +453,7 @@ def q59_dedup_components_star(spark, sf_dir):
     """Same contract as q55 but labeled via the large-star/small-star
     alternation (connected_components_star) — oracle-proving that the
     O(log^2 n)-round scale path computes the identical component map
-    the recursive-CTE ground truth defines."""
+    the exact-closure ground truth defines."""
     t = load_tables(spark, sf_dir, ["documents"])
     pairs = dedup.near_dup_pairs_minhash(t["documents"], "doc_id", "text", n=3, num=2, den=1)
     return dedup.connected_components_star(pairs).orderBy("doc_id")
