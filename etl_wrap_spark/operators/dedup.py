@@ -149,6 +149,49 @@ def minhash_signatures(sf: DataFrame, id_col: str, num_hashes: int = NUM_HASHES)
     return sf.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_from_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Per-doc MinHash signatures WITHOUT a shuffle (round 8).
+
+    A signature is a pure per-row function of the document's shingle
+    array, so the explode + groupBy(id) form shuffles the full shingle
+    stream only to reunite rows that were never apart — at 100 TB that
+    is a corpus-sized exchange spent on nothing. Here the base hash is
+    applied once per distinct shingle (bound to a column first, so the
+    32 permutation scans reuse it instead of re-hashing per element —
+    the HOF-recompute pitfall), then each permutation is one
+    array_min(transform(...)) over the hashed array. Same integer
+    arithmetic as minhash_signatures (explode's min over distinct
+    shingle rows == array_min over the distinct shingle array; pytest
+    pins value-identity), same output schema (id, mh0..mh{N-1})."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shingles(text_col, n), lambda s: hash28(s)).alias("__hs"),
+    )
+    key = ("mh_arr", num_hashes)
+    cols = _EXPR_CACHE.get(key)
+    if cols is None:
+        h = F.col("__hs")
+
+        def perm(a, b):
+            # closure factory: pyspark reads HOF arity off the lambda's
+            # parameter list, so the permutation constants must be
+            # captured, not default-arg'd
+            return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
+        cols = [
+            F.array_min(F.transform(h, perm(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_ab(num_hashes))
+        ]
+        _EXPR_CACHE[key] = cols
+    return hashed.select(F.col(id_col), *cols)
+
+
 def band_keys(sig: DataFrame, id_col: str, band_rows: int = BAND_ROWS) -> DataFrame:
     """Exploded LSH band-key rows (id, band, k0..k{r-1}) from a
     signature frame — the join key surface for both self-join dedup and
@@ -458,13 +501,17 @@ def near_dup_pairs_minhash(
     # text rejoin share a single (reused) exchange instead of each
     # re-reading an under-partitioned scan (no-op on real corpora)
     df = ensure_min_parallelism(df)
-    sf = shingle_frame(df, id_col, text_col, n)
+    # shuffle-free signature build (see minhash_signatures_from_text):
+    # the only exchanges left in the cascade are the band bucket join
+    # and the verify rejoin — both genuinely pairwise
     if auto_tune:
         bands, rows = tune_lsh_params(den / num, num_perm)
-        sig = minhash_signatures(sf, id_col, num_hashes=bands * rows)
+        sig = minhash_signatures_from_text(
+            df, id_col, text_col, n, num_hashes=bands * rows
+        )
     else:
         bands, rows = None, BAND_ROWS
-        sig = minhash_signatures(sf, id_col)
+        sig = minhash_signatures_from_text(df, id_col, text_col, n)
     # The signature frame is referenced once by the band join and — on
     # the max_bucket / prefilter paths — up to three more times (bucket
     # sizing, both estimate sides). It is ~num_perm ints per doc, so an

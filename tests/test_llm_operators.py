@@ -2654,3 +2654,27 @@ def test_pagerank_fast_path_matches_distributed(spark):
                 for r in pagerank_fixedpoint(
                     edges, iterations=3, small_graph_limit=0, **kw).collect()}
         assert fast == slow and len(fast) > 0
+
+
+def test_minhash_signatures_from_text_matches_groupby_form(spark):
+    # the shuffle-free array_min builder must be value-identical to the
+    # explode+groupBy form (same base hash, same permutations) — incl.
+    # on single-token and duplicate-shingle texts
+    from etl_wrap_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "one"),
+            (4, "a a a a a a"),
+            (5, "completely different text with many unusual tokens here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sf = dedup.shingle_frame(docs, "doc_id", "text", 3)
+    old = {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c.startswith("mh"))
+           for r in dedup.minhash_signatures(sf, "doc_id").collect()}
+    new = {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c.startswith("mh"))
+           for r in dedup.minhash_signatures_from_text(docs, "doc_id", "text", 3).collect()}
+    assert old == new and len(old) == 5
