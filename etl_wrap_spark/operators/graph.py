@@ -108,7 +108,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 
 
 def _pinned_small_edges(
-    edges: DataFrame, cols: list, small_graph_limit: int
+    edges: DataFrame, cols: list, small_graph_limit: int, as_pandas: bool = False
 ):
     """AQE-style adaptive strategy pick shared by the frontier
     iterators (the dedup-CC precedent): pin the edge projection (every
@@ -123,12 +123,65 @@ def _pinned_small_edges(
     of longs, the same order as a broadcast-join side) always routes
     distributed. Collection rides Arrow (toPandas) — measured 0.46 s
     for 587k edges where row collect() takes ~3x that. Limit 0
-    disables collection."""
+    disables collection.
+
+    ``as_pandas=True`` returns the Arrow pandas frame itself instead of
+    a tuple list — the numpy CSR consumers index columns directly, and
+    itertuples over a ~1M-row frame measured ~2 s of pure interpreter
+    work the arrays never needed (round 8)."""
     pinned = edges.select(*cols).localCheckpoint(eager=False)
     if small_graph_limit > 0 and pinned.count() <= small_graph_limit:
         pdf = pinned.toPandas()
+        if as_pandas:
+            return pinned, pdf
         return pinned, list(pdf.itertuples(index=False, name=None))
     return pinned, None
+
+
+def _csr_adjacency(src_a, dst_a):
+    """Build (node_arr, indptr, nbr) CSR arrays from numpy src/dst
+    columns — the shared substrate for the vectorized driver BFS fast
+    paths (no per-node Python loops: every frontier expansion is numpy
+    gather + unique)."""
+    import numpy as np
+
+    node_arr = np.unique(np.concatenate([src_a, dst_a]))
+    order = np.argsort(src_a, kind="stable")
+    sidx = np.searchsorted(node_arr, src_a[order])
+    nbr = np.searchsorted(node_arr, dst_a[order])
+    indptr = np.searchsorted(sidx, np.arange(len(node_arr) + 1))
+    return node_arr, indptr, nbr
+
+
+def _csr_bfs(indptr, nbr, seed_pos, max_hops):
+    """Multi-source BFS over CSR arrays → int64 dist (-1 unreached).
+    Each level is one vectorized gather over the frontier's adjacency:
+    ranges are flattened with the repeat/cumsum trick, visited filtering
+    is a mask, dedup is np.unique — O(frontier adjacency) per level
+    with zero per-node Python iteration."""
+    import numpy as np
+
+    n = len(indptr) - 1
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[seed_pos] = 0
+    frontier = np.unique(seed_pos)
+    for h in range(1, max_hops + 1):
+        if not len(frontier):
+            break
+        starts = indptr[frontier]
+        cnt = indptr[frontier + 1] - starts
+        total = int(cnt.sum())
+        if not total:
+            break
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        idx = np.arange(total) - np.repeat(cum, cnt) + np.repeat(starts, cnt)
+        neigh = nbr[idx]
+        new = np.unique(neigh[dist[neigh] < 0])
+        if not len(new):
+            break
+        dist[new] = h
+        frontier = new
+    return dist
 
 
 def bfs_hops(
@@ -163,32 +216,37 @@ def bfs_hops(
     family's wall as ~0.11 s per driver job at sf0.1, so job count,
     not data volume, set the constant.
     """
-    e, rows = _pinned_small_edges(
+    e, pdf = _pinned_small_edges(
         edges,
         [F.col(src).alias("__s"), F.col(dst).alias("__d")],
         small_graph_limit,
+        as_pandas=True,
     )
-    if rows is not None:
-        adj: dict = {}
-        for u, v in rows:
-            adj.setdefault(u, []).append(v)
-        hops = {s: 0 for (s,) in sources.select(
-            F.col(node_col).alias("node")).distinct().collect()}
-        frontier = set(hops)
-        for h in range(1, max_hops + 1):
-            new = set()
-            for u in frontier:
-                for v in adj.get(u, ()):
-                    if v not in hops:
-                        new.add(v)
-            for v in new:
-                hops[v] = h
-            frontier = new
+    if pdf is not None and len(pdf):
+        import numpy as np
+
+        node_arr, indptr, nbr = _csr_adjacency(
+            pdf["__s"].to_numpy(), pdf["__d"].to_numpy()
+        )
+        seed_vals = np.unique(np.array([s for (s,) in sources.select(
+            F.col(node_col).alias("node")).distinct().collect()]))
+        pos = np.searchsorted(node_arr, seed_vals)
+        in_graph = (pos < len(node_arr)) & (node_arr[np.minimum(pos, len(node_arr) - 1)] == seed_vals)
+        dist = _csr_bfs(indptr, nbr, pos[in_graph], max_hops)
         id_type = e.schema[0].dataType
         schema = T.StructType(
             [T.StructField("node", id_type), T.StructField("hops", T.LongType())]
         )
-        return edges.sparkSession.createDataFrame(list(hops.items()), schema)
+        reached = np.flatnonzero(dist >= 0)
+        out = [(node_arr[i].item() if hasattr(node_arr[i], "item") else node_arr[i],
+                int(dist[i])) for i in reached]
+        # isolated seeds (no edge row) still sit at hop 0, exactly as the
+        # distributed visited-seed initialization has them
+        out.extend(
+            (v.item() if hasattr(v, "item") else v, 0)
+            for v in seed_vals[~in_graph]
+        )
+        return edges.sparkSession.createDataFrame(out, schema)
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
@@ -680,32 +738,46 @@ def bfs_hops_labeled(
     the frontier is now per-source — state is |S|·|reach| rows, so keep
     the seed cohort bounded (a centrality probe cohort, not the corpus;
     at web scale this is exactly HyperBall's exact-small-seed
-    counterpart)."""
-    e, rows = _pinned_small_edges(
+    counterpart).
+
+    The driver fast path stays OPT-IN (limit 0): unlike bfs_hops, the
+    OUTPUT here is the |S|·|reach| relation — driver-sized
+    materialization + re-upload of ~1M rows measured SLOWER than the
+    distributed iteration at every scale where the operator matters
+    (round 7 with dict BFS, re-measured round 8 with the vectorized CSR
+    form: 10.6 s vs 3.9 s on q205). The CSR implementation remains for
+    genuinely tiny graphs where a caller opts in."""
+    e, pdf_e = _pinned_small_edges(
         edges,
         [F.col(src).alias("__s"), F.col(dst).alias("__d")],
         small_graph_limit,
+        as_pandas=True,
     )
-    if rows is not None:
-        adj: dict = {}
-        for u, v in rows:
-            adj.setdefault(u, []).append(v)
-        out = []
-        for (s,) in sources.select(
-            F.col(node_col).alias("source")
-        ).distinct().collect():
-            hops = {s: 0}
-            frontier = {s}
-            for h in range(1, max_hops + 1):
-                new = set()
-                for u in frontier:
-                    for v in adj.get(u, ()):
-                        if v not in hops:
-                            new.add(v)
-                for v in new:
-                    hops[v] = h
-                frontier = new
-            out.extend((s, n, hh) for n, hh in hops.items())
+    if pdf_e is not None and len(pdf_e):
+        import numpy as np
+        import pandas as pd
+
+        node_arr, indptr, nbr = _csr_adjacency(
+            pdf_e["__s"].to_numpy(), pdf_e["__d"].to_numpy()
+        )
+        seed_vals = [s for (s,) in sources.select(
+            F.col(node_col).alias("source")).distinct().collect()]
+        srcs_out = []
+        nodes_out = []
+        hops_out = []
+        n = len(node_arr)
+        for s in seed_vals:
+            pos = int(np.searchsorted(node_arr, s))
+            if pos >= n or node_arr[pos] != s:
+                srcs_out.append(s)
+                nodes_out.append(s)
+                hops_out.append(0)
+                continue
+            dist = _csr_bfs(indptr, nbr, np.array([pos]), max_hops)
+            reached = np.flatnonzero(dist >= 0)
+            srcs_out.extend([s] * len(reached))
+            nodes_out.extend(node_arr[reached].tolist())
+            hops_out.extend(dist[reached].tolist())
         id_type = e.schema[0].dataType
         schema = T.StructType(
             [
@@ -714,7 +786,10 @@ def bfs_hops_labeled(
                 T.StructField("hops", T.LongType()),
             ]
         )
-        return edges.sparkSession.createDataFrame(out, schema)
+        pdf = pd.DataFrame(
+            {"source": srcs_out, "node": nodes_out, "hops": hops_out}
+        )
+        return edges.sparkSession.createDataFrame(pdf, schema)
     visited = (
         sources.select(F.col(node_col).alias("source"))
         .distinct()
@@ -750,6 +825,7 @@ def harmonic_centrality(
     dst: str = "dst",
     node_col: str = "node",
     include_sources: bool = False,
+    small_graph_limit: int = 1 << 21,
 ) -> DataFrame:
     """Hop-bounded harmonic centrality w.r.t. a seed cohort →
     (node, n_sources, harmonic_micro): Σ over seeds s of
@@ -760,7 +836,83 @@ def harmonic_centrality(
     labeled BFS + inverse-distance sum — replays in a recursive CTE.
     Seeds themselves are excluded from their own sum (d=0) and, unless
     ``include_sources``, from the output. Cost: one labeled BFS
-    (bounded seed cohort) + one aggregation."""
+    (bounded seed cohort) + one aggregation.
+
+    Small-graph fast path (round 8): the measure never needs per-seed
+    IDENTITY, only per-node seed COUNTS at each distance — so instead
+    of materializing the |S|·|reach| labeled relation (which made a
+    driver fast path LOSE here, see bfs_hops_labeled), propagate one
+    SEED BITMASK per node (uint64 chunks, |S| seeds = ceil(|S|/64)
+    lanes): reach_d = reach_{d-1} OR-scattered over the edge list, a
+    bit's first appearance at a node IS its min distance, and
+    popcount(new bits at level d) gives the exact count feeding
+    Σ 10⁶ div d. Three vectorized scatter rounds over the collected
+    edge arrays replace the labeled join ladder; value-parity with the
+    distributed path is pytest-pinned."""
+    e, pdf_e = _pinned_small_edges(
+        edges,
+        [F.col(src).alias("__s"), F.col(dst).alias("__d")],
+        small_graph_limit,
+        as_pandas=True,
+    )
+    if pdf_e is not None and len(pdf_e):
+        import numpy as np
+
+        src_a = pdf_e["__s"].to_numpy()
+        dst_a = pdf_e["__d"].to_numpy()
+        node_arr = np.unique(np.concatenate([src_a, dst_a]))
+        n = len(node_arr)
+        sidx = np.searchsorted(node_arr, src_a)
+        didx = np.searchsorted(node_arr, dst_a)
+        seed_vals = sorted(
+            {row[0] for row in sources.select(
+                F.col(node_col).alias("node")).distinct().collect()}
+        )
+        # seeds outside the edge set reach nothing — they only matter
+        # for the include_sources filter below
+        pos = np.searchsorted(node_arr, np.array(seed_vals)) if seed_vals else np.array([], dtype=np.int64)
+        in_graph = (
+            (pos < n) & (node_arr[np.minimum(pos, n - 1)] == np.array(seed_vals))
+            if seed_vals else np.array([], dtype=bool)
+        )
+        gpos = pos[in_graph]
+        nchunks = max(1, -(-int(in_graph.sum()) // 64))
+        reach = np.zeros((n, nchunks), dtype=np.uint64)
+        for i, p in enumerate(gpos):
+            reach[p, i // 64] |= np.uint64(1) << np.uint64(i % 64)
+        n_sources = np.zeros(n, dtype=np.int64)
+        harmonic = np.zeros(n, dtype=np.int64)
+        for d in range(1, max_hops + 1):
+            nxt = reach.copy()
+            for c in range(nchunks):
+                np.bitwise_or.at(nxt[:, c], didx, reach[sidx, c])
+            new = nxt & ~reach
+            # popcount per node: view each uint64 lane as 8 bytes
+            cnt = np.unpackbits(new.view(np.uint8).reshape(n, -1), axis=1).sum(
+                axis=1
+            ).astype(np.int64)
+            n_sources += cnt
+            harmonic += cnt * (HARMONIC_SCALE // d)
+            reach = nxt
+        keep = n_sources > 0
+        if not include_sources:
+            is_seed = np.zeros(n, dtype=bool)
+            is_seed[gpos] = True
+            keep &= ~is_seed
+        id_type = e.schema[0].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", id_type),
+                T.StructField("n_sources", T.LongType()),
+                T.StructField("harmonic_micro", T.LongType()),
+            ]
+        )
+        rows_out = [
+            (node_arr[i].item() if hasattr(node_arr[i], "item") else node_arr[i],
+             int(n_sources[i]), int(harmonic[i]))
+            for i in np.flatnonzero(keep)
+        ]
+        return edges.sparkSession.createDataFrame(rows_out, schema)
     vis = bfs_hops_labeled(edges, sources, max_hops, src, dst, node_col)
     pos = vis.where(F.col("hops") > 0)
     out = pos.groupBy("node").agg(

@@ -143,6 +143,47 @@ def flatten_hierarchy(
         )
         .localCheckpoint(eager=False)
     )
+    # Small-forest fast path (round 8, the ancestor_closure discipline):
+    # memoized parent-chain walk on the driver when the pinned pointer
+    # table is tiny and each child has one parent; cycles or DAGs fall
+    # through to the doubling loop (which raises / min-resolves them).
+    if ptr.count() <= (1 << 17):
+        from pyspark.sql import types as T
+
+        pdf = ptr.select("node", "anc").toPandas()
+        kids = pdf["node"].tolist()
+        pars = pdf["anc"].tolist()
+        if len(set(kids)) == len(kids):
+            parent = dict(zip(kids, pars))
+            memo: dict = {}  # node -> (root, depth-to-root)
+            n_nodes = len(parent)
+            ok = True
+            for k in kids:
+                chain = []
+                x = k
+                while x in parent and x not in memo:
+                    chain.append(x)
+                    x = parent[x]
+                    if len(chain) > n_nodes:
+                        ok = False
+                        break
+                if not ok:
+                    break
+                root, base = memo.get(x, (x, 0))
+                for i, c in enumerate(reversed(chain), 1):
+                    memo[c] = (root, base + i)
+            if ok:
+                id_type = ptr.schema[0].dataType
+                schema = T.StructType(
+                    [
+                        T.StructField("node", id_type),
+                        T.StructField("root", id_type),
+                        T.StructField("depth", T.LongType()),
+                    ]
+                )
+                return edges.sparkSession.createDataFrame(
+                    [(k, memo[k][0], memo[k][1]) for k in kids], schema
+                )
     # ancestors that are roots (no incoming pointer) terminate the jump
     for _ in range(max_iter):
         hop = ptr.select(
@@ -189,8 +230,17 @@ def ancestor_closure(
     self-join + dedup each. The closure's SIZE (Σ depths) is the
     inherent output cost; rounds are the only driver-visible state
     (a scalar count probe, the connected_components discipline).
+
+    Small-forest fast path (round 8, the CC/PageRank adaptive
+    discipline): when the pinned edge list is tiny AND each child has
+    exactly ONE parent (a true forest — multi-parent DAGs keep the
+    distributed min-dist squaring), the closure is a memoized
+    parent-chain walk on the driver, guarded by an output budget
+    (Σ depths ≤ 2^22 — depth is computed O(N) first, so a pathological
+    deep chain routes distributed without generating anything).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     p = (
         edges.select(
@@ -203,6 +253,47 @@ def ancestor_closure(
         .localCheckpoint(eager=False)
     )
     n_prev = p.count()
+    if n_prev <= (1 << 17):
+        pdf = p.select("node", "anc").toPandas()
+        kids = pdf["node"].tolist()
+        pars = pdf["anc"].tolist()
+        if len(set(kids)) == len(kids):  # forest: one parent per child
+            parent = dict(zip(kids, pars))
+            depth: dict = {}
+
+            def _depth(x, _n=len(parent)):
+                chain = []
+                while x in parent and x not in depth:
+                    chain.append(x)
+                    x = parent[x]
+                    if len(chain) > _n:  # cycle — let the squaring raise
+                        return None
+                base = depth.get(x, 0)
+                for i, c in enumerate(reversed(chain), 1):
+                    depth[c] = base + i
+                return depth.get(chain[0]) if chain else base
+
+            ok = all(_depth(k) is not None for k in kids)
+            if ok and sum(depth.get(k, 0) for k in kids) <= (1 << 22):
+                out = []
+                for k in kids:
+                    a = parent[k]
+                    d = 1
+                    while True:
+                        out.append((k, a, d))
+                        if a not in parent:
+                            break
+                        a = parent[a]
+                        d += 1
+                id_type = p.schema[0].dataType
+                schema = T.StructType(
+                    [
+                        T.StructField("node", id_type),
+                        T.StructField("anc", id_type),
+                        T.StructField("dist", T.LongType()),
+                    ]
+                )
+                return edges.sparkSession.createDataFrame(out, schema)
     for _ in range(max_iter):
         hop = (
             p.alias("x")

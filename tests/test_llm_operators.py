@@ -2678,3 +2678,113 @@ def test_minhash_signatures_from_text_matches_groupby_form(spark):
     new = {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c.startswith("mh"))
            for r in dedup.minhash_signatures_from_text(docs, "doc_id", "text", 3).collect()}
     assert old == new and len(old) == 5
+
+
+def test_bfs_fast_paths_match_distributed(spark):
+    # the CSR numpy BFS (multi-source and labeled) must agree with the
+    # distributed frontier iteration row-for-row, incl. isolated seeds
+    # and out-of-graph seeds (small_graph_limit=0 forces distributed)
+    import random as _r
+
+    from etl_wrap_spark.operators.graph import bfs_hops, bfs_hops_labeled
+
+    _r.seed(41)
+    raw = [(_r.randint(0, 79), _r.randint(0, 79)) for _ in range(240)]
+    edges = spark.createDataFrame(raw, "src LONG, dst LONG")
+    seeds = spark.createDataFrame(
+        [(1,), (5,), (500,)], "node LONG"  # 500 is not in the graph
+    )
+    fast = {(r.node, r.hops) for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    slow = {(r.node, r.hops)
+            for r in bfs_hops(edges, seeds, max_hops=3, small_graph_limit=0).collect()}
+    assert fast == slow and fast
+    lf = {(r.source, r.node, r.hops)
+          for r in bfs_hops_labeled(edges, seeds, max_hops=3).collect()}
+    ls = {(r.source, r.node, r.hops)
+          for r in bfs_hops_labeled(edges, seeds, max_hops=3,
+                                    small_graph_limit=0).collect()}
+    assert lf == ls and lf
+
+
+def test_harmonic_bitmask_fast_path_matches_distributed(spark):
+    # the seed-bitmask propagation must agree with the labeled-BFS
+    # aggregation on (n_sources, harmonic_micro) — random graph, >64
+    # seeds (two uint64 lanes), out-of-graph seed, include_sources both
+    import random as _r
+
+    from etl_wrap_spark.operators.graph import harmonic_centrality
+
+    _r.seed(53)
+    raw = [(_r.randint(0, 199), _r.randint(0, 199)) for _ in range(900)]
+    edges = spark.createDataFrame(raw, "src LONG, dst LONG")
+    seeds = spark.createDataFrame(
+        [(i,) for i in range(0, 140, 2)] + [(5000,)], "node LONG"  # 71 seeds
+    )
+    for inc in (False, True):
+        fast = {r.node: (r.n_sources, r.harmonic_micro)
+                for r in harmonic_centrality(
+                    edges, seeds, max_hops=3, include_sources=inc).collect()}
+        slow = {r.node: (r.n_sources, r.harmonic_micro)
+                for r in harmonic_centrality(
+                    edges, seeds, max_hops=3, include_sources=inc,
+                    small_graph_limit=0).collect()}
+        assert fast == slow and len(fast) > 50
+
+
+def test_ancestor_closure_fast_path_matches_squaring(spark):
+    # forest fast path must equal the repeated-squaring closure
+    # (node, anc, dist) for trees and chains; a multi-parent DAG and a
+    # cycle must route to (and in the cycle's case, be rejected by) the
+    # distributed path
+    import pytest as _pt
+
+    from etl_wrap_spark.operators.incremental_join import ancestor_closure
+
+    tree = [(i, i // 2) for i in range(2, 64)]
+    chain = [(i, i - 1) for i in range(1, 40)]
+    for raw in (tree, chain):
+        edges = spark.createDataFrame(raw, "child LONG, parent LONG")
+        fast = {(r.node, r.anc, r.dist) for r in ancestor_closure(edges).collect()}
+        # force distributed by a duplicate child row with a SECOND parent
+        # only for comparison purposes? no — compare against a manual walk
+        parent = dict(raw)
+        want = set()
+        for k in parent:
+            a, d = parent[k], 1
+            while True:
+                want.add((k, a, d))
+                if a not in parent:
+                    break
+                a, d = parent[a], d + 1
+        assert fast == want
+    dag = spark.createDataFrame(
+        [(3, 1), (3, 2), (2, 1)], "child LONG, parent LONG"
+    )  # node 3 has two parents; min-dist squaring keeps dist(3,1)=1
+    got = {(r.node, r.anc): r.dist for r in ancestor_closure(dag).collect()}
+    assert got == {(3, 1): 1, (3, 2): 1, (2, 1): 1}
+    # a 2-cycle routes to the distributed squaring (the driver walk
+    # detects it and bails); squaring converges to the full closure
+    # incl. self-pairs at dist 2
+    del _pt
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "child LONG, parent LONG")
+    got = {(r.node, r.anc): r.dist for r in ancestor_closure(cyc).collect()}
+    assert got == {(1, 2): 1, (2, 1): 1, (1, 1): 2, (2, 2): 2}
+
+
+def test_flatten_hierarchy_fast_path_matches_doubling(spark):
+    from etl_wrap_spark.operators.incremental_join import flatten_hierarchy
+
+    tree = [(i, i // 2) for i in range(2, 128)]
+    chain = [(i, i - 1) for i in range(1, 50)]
+    for raw in (tree, chain):
+        edges = spark.createDataFrame(raw, "child LONG, parent LONG")
+        fast = {(r.node, r.root, r.depth)
+                for r in flatten_hierarchy(edges).collect()}
+        parent = dict(raw)
+        want = set()
+        for k in parent:
+            x, d = parent[k], 1
+            while x in parent:
+                x, d = parent[x], d + 1
+            want.add((k, x, d))
+        assert fast == want
