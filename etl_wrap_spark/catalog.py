@@ -180,6 +180,59 @@ _DRIVER_WINDOW_R7 = [
     "q153_time_band_counts",
 ]
 
+# Round-8 window (q154–q198 + 5 seeded spot-checks, from the archived
+# tools/rotation_spec.json round:8): kept as history so the disjointness
+# contract test can assert future windows never overlap it, and so the
+# seeded spot-check pool (union of ALL prior windows) is reproducible.
+_DRIVER_WINDOW_R8 = [
+    "q154_accent_folding",
+    "q155_url_canonicalize",
+    "q156_triangle_counts",
+    "q157_bfs_hops",
+    "q158_kcore_peel",
+    "q159_importance_weights",
+    "q160_cluster_safe_split",
+    "q161_seasonal_anomalies",
+    "q162_dp_noisy_counts",
+    "q163_dp_noisy_sums",
+    "q164_personalized_pagerank",
+    "q165_label_propagation",
+    "q166_cusum_changepoints",
+    "q167_pareto_skyline",
+    "q168_time_weighted_mean",
+    "q169_join_fanout_audit",
+    "q170_contribution_pareto",
+    "q171_chi2_contingency",
+    "q172_benford_profile",
+    "q173_time_decay_attribution",
+    "q174_ab_experiment_readout",
+    "q175_radius_join",
+    "q176_weighted_median",
+    "q177_percent_of_parent",
+    "q178_temperature_mixture",
+    "q179_packing_efficiency",
+    "q180_snapshot_novelty",
+    "q181_int8_ann_overlap",
+    "q182_mmr_rerank",
+    "q183_calibration_readout",
+    "q184_sorted_neighborhood",
+    "q185_maxsim_retrieval",
+    "q186_cluster_labels",
+    "q187_centroid_drift",
+    "q188_readability",
+    "q189_domain_rollup",
+    "q190_kcenter_coreset",
+    "q191_label_screen",
+    "q192_prefix_jaccard",
+    "q193_coactivity_overlap",
+    "q194_mann_kendall",
+    "q195_zorder_zonemap",
+    "q196_containment",
+    "q197_sssp_trade_cost",
+    "q198_ra_link_prediction",
+]
+
+
 def _seeded_spot_checks(pool: list[str], seed: str, k: int) -> list[str]:
     """Deterministic, disclosed re-draw of k prior-window queries.
 
@@ -232,8 +285,9 @@ def _driver_window() -> list[str]:
     spec = _load_rotation_spec()
     if spec is None:
         return _DRIVER_WINDOW_R7
-    # 45 never-checked queries + 5 seeded re-checks of prior windows = 50
-    # driver slots. Names not (yet) registered are dropped defensively;
+    # never-checked queries + seeded re-checks of prior windows = 50
+    # driver slots (round 8: 45+5; round 9: the final 22 unchecked +
+    # 28 re-checks). Names not (yet) registered are dropped defensively;
     # the contract test asserts the full 50 are present.
     return [*spec["window"], *spec["spot_checks"]]
 

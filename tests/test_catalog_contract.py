@@ -98,6 +98,7 @@ def test_rotation_window_disjoint_from_all_prior_windows():
         set(DRIVER_CHECKED)
         | set(catalog._DRIVER_WINDOW_R6)
         | set(catalog._DRIVER_WINDOW_R7)
+        | set(catalog._DRIVER_WINDOW_R8)
     )
     assert not set(spec["window"]) & prior
     assert set(spec["spot_checks"]) <= prior
@@ -111,6 +112,11 @@ def test_rotation_window_disjoint_from_all_prior_windows():
     assert not set(catalog._DRIVER_WINDOW_R6) & set(DRIVER_CHECKED)
     assert not set(catalog._DRIVER_WINDOW_R7) & (
         set(DRIVER_CHECKED) | set(catalog._DRIVER_WINDOW_R6)
+    )
+    assert not set(catalog._DRIVER_WINDOW_R8) & (
+        set(DRIVER_CHECKED)
+        | set(catalog._DRIVER_WINDOW_R6)
+        | set(catalog._DRIVER_WINDOW_R7)
     )
 
 
