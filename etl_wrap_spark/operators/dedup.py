@@ -168,7 +168,14 @@ def minhash_signatures_from_text(
     array_min(transform(...)) over the hashed array. Same integer
     arithmetic as minhash_signatures (explode's min over distinct
     shingle rows == array_min over the distinct shingle array; pytest
-    pins value-identity), same output schema (id, mh0..mh{N-1})."""
+    pins value-identity), same output schema (id, mh0..mh{N-1}).
+
+    NULL-text row-set note (round-8 ADVICE adjudicated): ``shingles()``
+    is never null — concat_ws over the empty slice makes NULL/empty
+    text the one-element array [""] — so the explode+groupBy form KEEPS
+    null-text docs (one ""-shingle row) and this form keeps them with
+    the identical signature; the two row sets agree on null-text docs
+    too (pinned by the parity test's NULL doc)."""
     hashed = df.select(
         F.col(id_col),
         F.transform(shingles(text_col, n), lambda s: hash28(s)).alias("__hs"),

@@ -132,6 +132,13 @@ def _pinned_small_edges(
     pinned = edges.select(*cols).localCheckpoint(eager=False)
     if small_graph_limit > 0 and pinned.count() <= small_graph_limit:
         pdf = pinned.toPandas()
+        if pdf.isna().any().any():
+            # NULL endpoints: equi-joins never match them, but a NULL
+            # node still surfaces in union-distinct node sets, so the
+            # distributed plans DEFINE the semantics; numpy's
+            # unique/searchsorted cannot represent None (round-8
+            # ADVICE) — route such graphs distributed.
+            return pinned, None
         if as_pandas:
             return pinned, pdf
         return pinned, list(pdf.itertuples(index=False, name=None))
@@ -222,14 +229,21 @@ def bfs_hops(
         small_graph_limit,
         as_pandas=True,
     )
-    if pdf is not None and len(pdf):
+    seed_list = (
+        [s for (s,) in sources.select(
+            F.col(node_col).alias("node")).distinct().collect()]
+        if pdf is not None and len(pdf) else None
+    )
+    # A NULL seed is representable distributed (the visited-seed
+    # initialization emits the (NULL, 0) row) but not in the numpy
+    # arrays (round-8 ADVICE) — fall through.
+    if seed_list is not None and not any(s is None for s in seed_list):
         import numpy as np
 
         node_arr, indptr, nbr = _csr_adjacency(
             pdf["__s"].to_numpy(), pdf["__d"].to_numpy()
         )
-        seed_vals = np.unique(np.array([s for (s,) in sources.select(
-            F.col(node_col).alias("node")).distinct().collect()]))
+        seed_vals = np.unique(np.array(seed_list))
         pos = np.searchsorted(node_arr, seed_vals)
         in_graph = (pos < len(node_arr)) & (node_arr[np.minimum(pos, len(node_arr) - 1)] == seed_vals)
         dist = _csr_bfs(indptr, nbr, pos[in_graph], max_hops)
@@ -399,8 +413,13 @@ def pagerank_fixedpoint(
                 )
                 r_arr = np.full(n_all, scale // n_all, dtype=np.int64)
             else:
+                # NULL seeds drop out of the distributed left-semi join
+                # against the node set; filtering here is value-identical
+                # (and np.unique cannot hold None — round-8 ADVICE)
                 seed_vals = np.unique(
-                    np.array([row[0] for row in seeds.select("node").distinct().collect()])
+                    np.array([row[0] for row in
+                              seeds.select("node").distinct().collect()
+                              if row[0] is not None])
                 )
                 is_seed = np.isin(node_arr, seed_vals)
                 n_base = int(is_seed.sum())
@@ -864,9 +883,13 @@ def harmonic_centrality(
         n = len(node_arr)
         sidx = np.searchsorted(node_arr, src_a)
         didx = np.searchsorted(node_arr, dst_a)
+        # NULL seeds never match the labeled-BFS equi-join distributed,
+        # so filtering them here is value-identical (sorted() would
+        # TypeError on None — round-8 ADVICE)
         seed_vals = sorted(
             {row[0] for row in sources.select(
-                F.col(node_col).alias("node")).distinct().collect()}
+                F.col(node_col).alias("node")).distinct().collect()
+             if row[0] is not None}
         )
         # seeds outside the edge set reach nothing — they only matter
         # for the include_sources filter below

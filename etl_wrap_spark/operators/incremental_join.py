@@ -113,6 +113,7 @@ def flatten_hierarchy(
     child_col: str = "child",
     parent_col: str = "parent",
     max_iter: int = 40,
+    small_graph_limit: int = 1 << 17,
 ) -> DataFrame:
     """(node, root, depth) for a forest given (child, parent) edges —
     the org-chart / BOM-explosion operator relational engines express
@@ -147,7 +148,10 @@ def flatten_hierarchy(
     # memoized parent-chain walk on the driver when the pinned pointer
     # table is tiny and each child has one parent; cycles or DAGs fall
     # through to the doubling loop (which raises / min-resolves them).
-    if ptr.count() <= (1 << 17):
+    # small_graph_limit=0 disables the fast path (the graph.py adaptive
+    # convention — round-8 ADVICE), so parity tests can force the
+    # distributed doubling loop.
+    if small_graph_limit > 0 and ptr.count() <= small_graph_limit:
         from pyspark.sql import types as T
 
         pdf = ptr.select("node", "anc").toPandas()
@@ -217,6 +221,7 @@ def ancestor_closure(
     child_col: str = "child",
     parent_col: str = "parent",
     max_iter: int = 40,
+    small_graph_limit: int = 1 << 17,
 ) -> DataFrame:
     """ALL (node, anc, dist) ancestor pairs of a forest — the full
     transitive closure flatten_hierarchy's (node, root) projection
@@ -253,7 +258,9 @@ def ancestor_closure(
         .localCheckpoint(eager=False)
     )
     n_prev = p.count()
-    if n_prev <= (1 << 17):
+    # small_graph_limit=0 disables the fast path (graph.py convention —
+    # round-8 ADVICE) so tests can pin fast == distributed directly.
+    if small_graph_limit > 0 and n_prev <= small_graph_limit:
         pdf = p.select("node", "anc").toPandas()
         kids = pdf["node"].tolist()
         pars = pdf["anc"].tolist()

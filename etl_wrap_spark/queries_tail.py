@@ -231,8 +231,27 @@ def _cc_closure_sql() -> str:
       SELECT a.id, b.lbl FROM p{i} a JOIN p{i} b ON b.id = a.lbl
     )""")
         prev = f"j{i}"
-    steps.append(f""", walk(id, r) AS (
-      SELECT id, lbl FROM {prev}
+    # Convergence guard (round-8 ADVICE): the bounded closure is exact
+    # only up to a cluster-diameter bound, so run ONE more propagate
+    # round and ERROR if it would still lower any label — a deeper
+    # near-dup chain in a future corpus then fails LOUDLY with a
+    # raise-_CC_ROUNDS message instead of silently under-merging
+    # components. Propagate-fixpoint implies full fixpoint: labels are
+    # then constant per component, so the jump l(l(u)) is idempotent.
+    # The guard lives INSIDE walk so every derived oracle (q59, q107,
+    # q141, q65 — they rsplit the final SELECT off and keep the CTE
+    # chain) inherits it. CASE evaluates lazily; error() only fires on
+    # non-convergence (verified against this DuckDB build).
+    steps.append(f""", conv AS (
+      SELECT l.id, LEAST(l.lbl, MIN(n.lbl)) AS lbl
+      FROM {prev} l JOIN edges e ON e.u = l.id JOIN {prev} n ON n.id = e.v
+      GROUP BY l.id, l.lbl
+    ), walk(id, r) AS (
+      SELECT j.id, j.lbl FROM {prev} j
+      WHERE CASE WHEN (SELECT COUNT(*) FROM conv c JOIN {prev} x ON c.id = x.id
+                       WHERE c.lbl < x.lbl) = 0
+            THEN TRUE
+            ELSE CAST(error('cc closure not converged in {_CC_ROUNDS} rounds - raise _CC_ROUNDS') AS BOOLEAN) END
     )""")
     return "".join(steps)
 

@@ -269,3 +269,33 @@ def test_bench_presentation_sort_strip(spark):
     # comment-only ORDER BY mention: nothing stripped
     keep6 = "SELECT k FROM t -- ORDER BY k\n"
     assert bench.strip_oracle_order_by(keep6) == keep6
+
+
+def test_cc_closure_oracle_convergence_guard():
+    # Round-8 ADVICE: the bounded CC closure must FAIL LOUDLY (not
+    # silently under-merge) when a component's diameter exceeds what
+    # _CC_ROUNDS propagate/jump alternations cover. The guard runs one
+    # extra propagate and error()s if any label would still drop.
+    import duckdb
+    import pytest
+
+    from etl_wrap_spark.queries_tail import _cc_closure_sql
+
+    closure = _cc_closure_sql()
+
+    def run(n_chain: int):
+        sql = f"""
+        WITH pairs AS (SELECT i AS id_a, i+1 AS id_b
+                       FROM generate_series(0,{n_chain - 1}) t(i)),
+        edges AS MATERIALIZED (
+          SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+        ), l0 AS MATERIALIZED (SELECT u AS id, u AS lbl FROM edges GROUP BY u)
+        """ + closure + """
+        SELECT id AS doc_id, MIN(r) AS component FROM walk GROUP BY id ORDER BY doc_id
+        """
+        return duckdb.connect().execute(sql).fetchall()
+
+    rows = run(6)  # diameter 6: converges, single component labeled 0
+    assert [r[1] for r in rows] == [0] * 7
+    with pytest.raises(Exception, match="not converged"):
+        run(200)  # diameter 199: the bound is exceeded -> loud error

@@ -2669,6 +2669,11 @@ def test_minhash_signatures_from_text_matches_groupby_form(spark):
             (3, "one"),
             (4, "a a a a a a"),
             (5, "completely different text with many unusual tokens here"),
+            # NULL text: shingles() is never null (NULL text -> [""]),
+            # so BOTH forms keep the doc with the ""-shingle signature —
+            # the round-8 ADVICE's presumed row-set delta does not exist,
+            # and this row pins that it stays that way
+            (6, None),
         ],
         "doc_id LONG, text STRING",
     )
@@ -2677,7 +2682,7 @@ def test_minhash_signatures_from_text_matches_groupby_form(spark):
            for r in dedup.minhash_signatures(sf, "doc_id").collect()}
     new = {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c.startswith("mh"))
            for r in dedup.minhash_signatures_from_text(docs, "doc_id", "text", 3).collect()}
-    assert old == new and len(old) == 5
+    assert old == new and len(old) == 6 and 6 in new
 
 
 def test_bfs_fast_paths_match_distributed(spark):
@@ -2731,6 +2736,43 @@ def test_harmonic_bitmask_fast_path_matches_distributed(spark):
         assert fast == slow and len(fast) > 50
 
 
+def test_graph_fast_paths_tolerate_nulls(spark):
+    # round-8 ADVICE: a NULL seed or NULL edge endpoint must not
+    # TypeError the numpy fast paths — the adaptive pick falls through
+    # to the distributed plan (which DEFINES null semantics: equi-joins
+    # drop null matches, bfs emits the (NULL, 0) seed row), so default
+    # and small_graph_limit=0 invocations stay value-identical.
+    from etl_wrap_spark.operators.graph import (
+        bfs_hops,
+        harmonic_centrality,
+        pagerank_fixedpoint,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (None, 4), (4, None)], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(1,), (None,)], "node LONG")
+    f = {(r.node, r.hops) for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    s = {(r.node, r.hops)
+         for r in bfs_hops(edges, seeds, max_hops=2, small_graph_limit=0).collect()}
+    assert f == s and (None, 0) in f
+    fh = {r.node: (r.n_sources, r.harmonic_micro)
+          for r in harmonic_centrality(edges, seeds, max_hops=2).collect()}
+    sh = {r.node: (r.n_sources, r.harmonic_micro)
+          for r in harmonic_centrality(
+              edges, seeds, max_hops=2, small_graph_limit=0).collect()}
+    assert fh == sh and fh
+    # null-free edges + a NULL seed: pagerank's personalized fast path
+    # must filter the seed exactly as the distributed semi-join does
+    clean = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src LONG, dst LONG")
+    fp = {r.node: r.rank_fp
+          for r in pagerank_fixedpoint(clean, iterations=2, seeds=seeds).collect()}
+    sp = {r.node: r.rank_fp
+          for r in pagerank_fixedpoint(
+              clean, iterations=2, seeds=seeds, small_graph_limit=0).collect()}
+    assert fp == sp and fp
+
+
 def test_ancestor_closure_fast_path_matches_squaring(spark):
     # forest fast path must equal the repeated-squaring closure
     # (node, anc, dist) for trees and chains; a multi-parent DAG and a
@@ -2745,8 +2787,11 @@ def test_ancestor_closure_fast_path_matches_squaring(spark):
     for raw in (tree, chain):
         edges = spark.createDataFrame(raw, "child LONG, parent LONG")
         fast = {(r.node, r.anc, r.dist) for r in ancestor_closure(edges).collect()}
-        # force distributed by a duplicate child row with a SECOND parent
-        # only for comparison purposes? no — compare against a manual walk
+        # fast == DISTRIBUTED parity pinned directly (round-8 ADVICE):
+        # small_graph_limit=0 forces the repeated-squaring path
+        dist = {(r.node, r.anc, r.dist)
+                for r in ancestor_closure(edges, small_graph_limit=0).collect()}
+        assert fast == dist
         parent = dict(raw)
         want = set()
         for k in parent:
@@ -2780,6 +2825,11 @@ def test_flatten_hierarchy_fast_path_matches_doubling(spark):
         edges = spark.createDataFrame(raw, "child LONG, parent LONG")
         fast = {(r.node, r.root, r.depth)
                 for r in flatten_hierarchy(edges).collect()}
+        # fast == DISTRIBUTED parity pinned directly (round-8 ADVICE):
+        # small_graph_limit=0 forces the pointer-doubling path
+        dist = {(r.node, r.root, r.depth)
+                for r in flatten_hierarchy(edges, small_graph_limit=0).collect()}
+        assert fast == dist
         parent = dict(raw)
         want = set()
         for k in parent:
