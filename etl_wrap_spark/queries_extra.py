@@ -3360,17 +3360,27 @@ def q137_bloom_semijoin(spark, sf_dir):
     )
     bloom = sk.bloom_build(small, "k")
     fact_keys = t["lineitem"].select(F.col("l_suppkey").alias("k")).distinct()
-    passed = (
+    # ONE plan computes all four counters: flag bloom passes, left-join
+    # the (broadcast) build side for true matches, aggregate — the
+    # previous four driver-side .count() pulls re-ran the fact scan and
+    # the bloom probe up to four times each (29 jobs at bench scale;
+    # round-9 floor work). Same columns, one job, one fact scan.
+    flagged = (
         fact_keys.crossJoin(F.broadcast(bloom))
-        .where(sk.bloom_might_contain("words", F.col("k")))
-        .select("k")
+        .withColumn("pass", sk.bloom_might_contain("words", F.col("k")))
+        .join(
+            F.broadcast(small.withColumn("__m", F.lit(True))), on="k", how="left"
+        )
     )
-    true_match = passed.join(F.broadcast(small), on="k", how="left_semi")
-    return spark.range(1).select(
-        F.lit(fact_keys.count()).cast("bigint").alias("n_fact_keys"),
-        F.lit(passed.count()).cast("bigint").alias("n_bloom_pass"),
-        F.lit(true_match.count()).cast("bigint").alias("n_true_match"),
-        (F.lit(passed.count()) - F.lit(true_match.count())).cast("bigint").alias("n_false_positive"),
+    n_pass = F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint")
+    n_true = F.sum(
+        F.when(F.col("pass") & F.col("__m").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return flagged.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fact_keys"),
+        n_pass.alias("n_bloom_pass"),
+        n_true.alias("n_true_match"),
+        (n_pass - n_true).cast("bigint").alias("n_false_positive"),
     )
 
 

@@ -2838,3 +2838,35 @@ def test_flatten_hierarchy_fast_path_matches_doubling(spark):
                 x, d = parent[x], d + 1
             want.add((k, x, d))
         assert fast == want
+
+
+def test_fold_accents_arrow_path_matches_python(spark):
+    # round-9: fold_accents_df routes through pyarrow's C++ NFD +
+    # \p{Mn}-strip kernels when the build passes the parity probe; the
+    # two paths must agree row-for-row (incl. NULLs, empties, Hangul,
+    # multi-mark clusters). The Python path is forced by poking the
+    # probe memo.
+    from etl_wrap_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Mühleisen café ño"),
+            (2, "Ångström"),
+            (3, None),
+            (4, ""),
+            (5, "가각 ẹ́ ẛ̣ plain"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    assert T._arrow_nfd_strip_ok(), "this container's pyarrow must pass the probe"
+    fast = {r.doc_id: r.folded
+            for r in T.fold_accents_df(docs, "text", out_col="folded").collect()}
+    old = T._ARROW_FOLD_OK
+    try:
+        T._ARROW_FOLD_OK = False
+        slow = {r.doc_id: r.folded
+                for r in T.fold_accents_df(docs, "text", out_col="folded").collect()}
+    finally:
+        T._ARROW_FOLD_OK = old
+    assert fast == slow
+    assert fast[1] == "Muhleisen cafe no" and fast[3] is None
