@@ -215,6 +215,7 @@ def mad_outliers(
     value_col: str,
     k: float = 3.0,
     out_col: str = "_outlier",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Flag rows with |x - median| > k * MAD per group (MAD = median of
     absolute deviations; both medians exact-interpolated).
@@ -233,9 +234,53 @@ def mad_outliers(
     (round-7 fix of the round-6 q96 wall regression: 1.60 s → single
     shuffle). Memory shape is unchanged — an exact percentile buffers
     each group's values whichever way it is computed.
+
+    ``weight_col`` (round 9): the VALUE-GRAIN mode for few-large-group
+    facts. Pass a pre-aggregated (groups, value, weight) frame and the
+    medians become ``percentile(v, 0.5, w)`` AGGREGATES — Spark's
+    frequency overload runs the identical interpolation code path, so
+    results are bit-identical to the row-grain call on the expanded
+    fact — computed with map-side PARTIAL buffering across all tasks
+    (the whole-partition window form instead serializes each group
+    onto one reducer: 3 statuses × 500k rows at sf1 ran three serial
+    half-million-value percentiles, 0.87 s steady-state); the tiny
+    per-group stats then null-safe-join back onto the weighted frame
+    for the flags. Costs two more exchanges than the window form
+    (~+0.3 s of AQE stage latency at sf0.1 — the measured trade), buys
+    a 20x steady-state win at sf1 (exec 0.87 → 0.04 s) that widens
+    with data volume; aggregate consumers read the weights directly.
     """
     groups = list(group_cols)
     w = Window.partitionBy(*groups)
+    if weight_col is not None:
+        def nsjoin(left, right):
+            # null-safe group join: a NULL group key is a real
+            # percentile partition and must not drop out
+            r = right.select(
+                *[F.col(g).alias(f"__g{i}") for i, g in enumerate(groups)],
+                *[c for c in right.columns if c not in groups],
+            )
+            cond = None
+            for i, g in enumerate(groups):
+                c = left[g].eqNullSafe(r[f"__g{i}"])
+                cond = c if cond is None else (cond & c)
+            return left.join(r, cond).drop(
+                *[f"__g{i}" for i in range(len(groups))]
+            )
+
+        med = df.groupBy(*groups).agg(
+            F.expr(f"percentile({value_col}, 0.5, {weight_col})").alias("_median")
+        )
+        dev = nsjoin(df, med)  # shared subplan: mad agg + flag projection
+        mad = dev.groupBy(*groups).agg(
+            F.expr(
+                f"percentile(abs({value_col} - _median), 0.5, {weight_col})"
+            ).alias("_mad")
+        )
+        return nsjoin(dev, mad).withColumn(
+            out_col,
+            F.abs(F.col(value_col) - F.col("_median")) > F.lit(k) * F.col("_mad"),
+        )
     dev = df.withColumn(
         "_median", F.expr(f"percentile({value_col}, 0.5)").over(w)
     )

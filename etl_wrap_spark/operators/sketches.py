@@ -68,17 +68,22 @@ def kmv_sketch(
     fewer distinct values)."""
     groups = list(group_cols)
     hashed = df.select(*groups, F.xxhash64(F.col(value_col)).alias("__h"))
-    # ONE ObjectHashAggregate: collect_set dedups map-side (partial agg),
-    # a single exchange moves each partition's local-distinct hashes,
-    # array_sort + slice run once per group on the merged set. Replaces
-    # the round-5 distinct -> window row_number -> collect_list chain
-    # (two exchanges + a per-group row sort) — measured 2.1x at sf1 with
-    # bit-identical output. Same memory posture at scale as the old
-    # plan (both materialize a group's distinct hashes on one reducer
-    # before truncation); beyond ~10^8 distinct/group route through
-    # hll_sketches instead.
-    return hashed.groupBy(*groups).agg(
-        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv")
+    # TWO-LEVEL dedup (round 9): a codegen'd hash aggregate on
+    # (groups, hash) dedups with map-side combine and spreads the
+    # dedup work across (groups, hash) reducers, then collect_list
+    # gathers each group's distinct hashes for the sort+truncate.
+    # Replaces the single ObjectHashAggregate collect_set (round 6),
+    # whose per-row OpenHashSet inserts ran outside whole-stage codegen
+    # — measured 0.168 -> 0.112 s exec at sf1 (1.5M rows, 25 groups)
+    # with bit-identical output (collect_list over the deduped frame
+    # IS the distinct hash set; array_sort fixes the order). Skew
+    # posture strictly improves: dedup of a hot group now spreads over
+    # its hash range instead of one reducer; only the k-truncation
+    # gathers (<= distinct-count longs, as before — beyond ~10^8
+    # distinct/group route through hll_sketches instead).
+    dedup = hashed.groupBy(*groups, "__h").agg(F.count(F.lit(1)).alias("__c"))
+    return dedup.groupBy(*groups).agg(
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("kmv")
     )
 
 

@@ -1165,12 +1165,28 @@ def q96_mad_outliers(spark, sf_dir):
     from etl_wrap_spark.operators.robust import mad_outliers
 
     t = load_tables(spark, sf_dir, ["orders"])
-    flagged = mad_outliers(t["orders"], ["o_orderstatus"], "o_totalprice", k=3.0)
+    # value-grain: the consumer is an aggregate, so the fact reduces to
+    # (status, price, weight) with a map-side combine BEFORE the
+    # percentile windows — the weighted-percentile overload is
+    # bit-identical to row grain (robust.py:mad_outliers weight_col),
+    # and the window buffers distinct values instead of rows (10x
+    # smaller on the replicated sf1; exec 0.87 s -> ~0.1 s)
+    vg = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    flagged = mad_outliers(vg, ["status"], "price", k=3.0, weight_col="w")
     return (
-        flagged.groupBy(F.col("o_orderstatus").alias("status"))
+        flagged.groupBy("status")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.count(F.when(F.col("_outlier"), 1)).cast("bigint").alias("n_outliers"),
+            F.sum("w").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("_outlier"), F.col("w")).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
             F.min("_median").alias("median_price"),
             F.min("_mad").alias("mad_price"),
         )
