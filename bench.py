@@ -392,6 +392,20 @@ def main():
             duck[name] = min(oruns) if oruns else None
             duck_runs[name] = oruns
             print(f"# duckdb {name}: {duck[name]}s", file=sys.stderr)
+        # Block-manager hygiene: each run's localCheckpoints pinned RDD
+        # blocks that are garbage once the query's timings (incl. the
+        # exec_only re-run above, which reads run-3's checkpoints) are
+        # done. 220 queries of accumulation costs later queries eviction
+        # pressure + GC (measured ~4% on a polluted-session probe);
+        # unpersist is async (non-blocking) and the next query never
+        # references a prior query's RDDs.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            it = jmap.entrySet().iterator()
+            while it.hasNext():
+                it.next().getValue().unpersist(False)
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 3)
     detail = {
