@@ -399,6 +399,15 @@ def main():
         # pressure + GC (measured ~4% on a polluted-session probe);
         # unpersist is async (non-blocking) and the next query never
         # references a prior query's RDDs.
+        #
+        # INVARIANT (round-9 ADVICE): this blanket sweep destroys
+        # localCheckpoint blocks IRRECOVERABLY (lineage is truncated, so
+        # a later reference fails with missing-block, not a recompute).
+        # It is safe only while nothing held ACROSS queries is persisted
+        # — in particular session._TABLE_CACHE must keep plain lazy scan
+        # plans, never .cache()/.persist()/localCheckpoint()ed frames
+        # (documented at its definition). Anything that must survive this
+        # sweep has to be re-creatable from lineage or rebuilt per query.
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             it = jmap.entrySet().iterator()

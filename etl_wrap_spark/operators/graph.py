@@ -772,15 +772,24 @@ def bfs_hops_labeled(
         small_graph_limit,
         as_pandas=True,
     )
+    seed_vals = None
     if pdf_e is not None and len(pdf_e):
+        seed_vals = [s for (s,) in sources.select(
+            F.col(node_col).alias("source")).distinct().collect()]
+        if any(s is None for s in seed_vals):
+            # NULL seed: np.searchsorted cannot compare None against the
+            # node array (round-9 ADVICE — bfs_hops/pagerank/harmonic got
+            # this guard in round 8; this path was missed). The
+            # distributed frontier below defines the semantics: the NULL
+            # seed emits its own hops-0 row and never equi-joins an edge.
+            seed_vals = None
+    if seed_vals is not None:
         import numpy as np
         import pandas as pd
 
         node_arr, indptr, nbr = _csr_adjacency(
             pdf_e["__s"].to_numpy(), pdf_e["__d"].to_numpy()
         )
-        seed_vals = [s for (s,) in sources.select(
-            F.col(node_col).alias("source")).distinct().collect()]
         srcs_out = []
         nodes_out = []
         hops_out = []

@@ -639,19 +639,33 @@ def normalize_unicode_df(
     return df.mapInPandas(_norm, schema=schema)
 
 
+def _py_fold_accents(t):
+    """Reference fold: unicodedata NFD + drop combining marks (Mn)."""
+    import unicodedata
+
+    if t is None:
+        return None
+    return "".join(
+        ch
+        for ch in unicodedata.normalize("NFD", t)
+        if unicodedata.category(ch) != "Mn"
+    )
+
+
 def _arrow_nfd_strip_ok() -> bool:
-    """True when this pyarrow build's C++ kernels reproduce the
-    unicodedata NFD + strip-Mn fold exactly on a probe set. Checked
-    once per process: pyarrow's utf8_normalize has shipped builds where
-    the `form` option is ignored (this container's 16.1 always emits
-    canonical-decomposed), which is harmless for the NFD consumer here
-    but means the kernel must be PROVEN, not assumed."""
+    """True when THIS process's pyarrow build reproduces the unicodedata
+    NFD + strip-Mn fold exactly on a probe set. Memoized per process:
+    pyarrow's utf8_normalize has shipped builds where the `form` option
+    is ignored (this container's 16.1 always emits canonical-decomposed),
+    which is harmless for the NFD consumer here but means the kernel must
+    be PROVEN, not assumed. Round-9 ADVICE: called from INSIDE the
+    mapInArrow closure (see fold_accents_df) so the probe runs on the
+    executor worker's pyarrow, not the driver's."""
     global _ARROW_FOLD_OK
     if _ARROW_FOLD_OK is None:
         try:
             import pyarrow as pa
             import pyarrow.compute as pc
-            import unicodedata
 
             probes = [
                 "Mühleisen café ño", "Ångström", "ẛ̣", "가각", "ﬁﬂ",
@@ -661,15 +675,7 @@ def _arrow_nfd_strip_ok() -> bool:
                 pc.utf8_normalize(pa.array(probes), form="NFD"),
                 pattern=r"\p{Mn}", replacement="",
             ).to_pylist()
-            want = [
-                "".join(
-                    ch
-                    for ch in unicodedata.normalize("NFD", t)
-                    if unicodedata.category(ch) != "Mn"
-                )
-                for t in probes
-            ]
-            _ARROW_FOLD_OK = got == want
+            _ARROW_FOLD_OK = got == [_py_fold_accents(t) for t in probes]
         except Exception:
             _ARROW_FOLD_OK = False
     return _ARROW_FOLD_OK
@@ -678,55 +684,51 @@ def _arrow_nfd_strip_ok() -> bool:
 _ARROW_FOLD_OK: bool | None = None
 
 
-def fold_accents_df(df, text_col: str, out_col: str = "text_folded"):
+def fold_accents_df(df, text_col: str, out_col: str = "text_folded",
+                    use_arrow: bool | None = None):
     """Accent folding (é→e, ü→u, ñ→n): NFD-decompose then drop
     combining marks — the aggressive sibling of NFC normalization
     (normalize_unicode_df) for search/matching pipelines where
-    'Mühleisen' must hit 'Muhleisen'. Arrow mapInArrow pass running
-    pyarrow's C++ utf8proc kernels (NFD + RE2 \\p{Mn} strip) when the
-    build passes the parity probe — ~10-50x the per-row Python loop —
-    else the unicodedata fallback; both oracle-checked against DuckDB's
-    utf8proc strip_accents (q154)."""
+    'Mühleisen' must hit 'Muhleisen'. One Arrow mapInArrow pass running
+    pyarrow's C++ utf8proc kernels (NFD + RE2 \\p{Mn} strip) — ~10-50x
+    the per-row Python loop — with the kernel-vs-unicodedata parity
+    probe executed IN THE WORKER and memoized per worker process
+    (round-9 ADVICE: a driver-side probe can pass while a heterogeneous
+    executor pyarrow build diverges); on mismatch that worker falls back
+    to the unicodedata loop. Both paths oracle-checked against DuckDB's
+    utf8proc strip_accents (q154).
+
+    ``use_arrow``: None (default) probes per worker; False pins the
+    unicodedata loop (pickled into the closure by value — the only way
+    a test on the driver can force the fallback path in the workers);
+    True pins the Arrow kernel (parity tests only — it skips the probe
+    the default exists to run)."""
     fields = df.schema.fields
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
     schema += f", `{out_col}` string"
 
-    if _arrow_nfd_strip_ok():
-        def _fold_arrow(batches):
-            import pyarrow as pa
-            import pyarrow.compute as pc
+    def _fold(batches):
+        import pyarrow as pa
 
-            for rb in batches:
+        for rb in batches:
+            col = rb.column(rb.schema.get_field_index(text_col))
+            if _arrow_nfd_strip_ok() if use_arrow is None else use_arrow:
+                import pyarrow.compute as pc
+
                 folded = pc.replace_substring_regex(
-                    pc.utf8_normalize(
-                        rb.column(rb.schema.get_field_index(text_col)),
-                        form="NFD",
-                    ),
+                    pc.utf8_normalize(col, form="NFD"),
                     pattern=r"\p{Mn}", replacement="",
                 )
-                yield pa.RecordBatch.from_arrays(
-                    [*rb.columns, folded], names=[*rb.schema.names, out_col]
+            else:
+                folded = pa.array(
+                    [_py_fold_accents(t) for t in col.to_pylist()],
+                    type=pa.string(),
                 )
+            yield pa.RecordBatch.from_arrays(
+                [*rb.columns, folded], names=[*rb.schema.names, out_col]
+            )
 
-        return df.mapInArrow(_fold_arrow, schema=schema)
-
-    def _fold(batches):
-        import unicodedata
-
-        for pdf in batches:
-            pdf[out_col] = [
-                "".join(
-                    ch
-                    for ch in unicodedata.normalize("NFD", t)
-                    if unicodedata.category(ch) != "Mn"
-                )
-                if t is not None
-                else None
-                for t in pdf[text_col]
-            ]
-            yield pdf
-
-    return df.mapInPandas(_fold, schema=schema)
+    return df.mapInArrow(_fold, schema=schema)
 
 
 def canonical_url(col: Column | str) -> Column:

@@ -81,10 +81,56 @@ def session_builder(
         #   arbitrates).
         b = b.config("spark.shuffle.compress", "false")
         b = b.config("spark.shuffle.spill.compress", "false")
-        prev = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC")
-        if prev:
-            b = b.config("spark.driver.extraJavaOptions", prev)
+        tuned = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC")
+        if tuned:
+            # APPEND to (never replace) any spark.driver.extraJavaOptions
+            # from spark-defaults.conf — a deployment's tmpdir/GC-logging
+            # flags must survive the local tuning (round-9 ADVICE).
+            merged = " ".join(
+                x for x in (_defaults_conf_value("spark.driver.extraJavaOptions"),
+                            tuned) if x
+            )
+            b = b.config("spark.driver.extraJavaOptions", merged)
+            # extraJavaOptions only takes effect when THIS builder launches
+            # the driver JVM; under spark-submit or a live gateway it is
+            # silently ignored — surface that so a tuned/untuned A/B can't
+            # unknowingly compare identical JVMs (round-9 ADVICE).
+            from pyspark import SparkContext
+
+            if SparkContext._active_spark_context is not None:
+                import warnings
+
+                warnings.warn(
+                    "local-mode driver JVM tuning (%s) cannot take effect: "
+                    "the driver JVM is already running" % tuned,
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return b
+
+
+def _defaults_conf_value(key: str) -> str:
+    """Best-effort read of one key from spark-defaults.conf (the file the
+    not-yet-started JVM would load) so builder-time tuning can append to
+    it instead of clobbering. Missing file/dir → ''."""
+    conf_dir = os.environ.get("SPARK_CONF_DIR")
+    if not conf_dir and os.environ.get("SPARK_HOME"):
+        conf_dir = os.path.join(os.environ["SPARK_HOME"], "conf")
+    if not conf_dir:
+        return ""
+    path = os.path.join(conf_dir, "spark-defaults.conf")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(None, 1)
+                if len(parts) == 2 and parts[0] == key:
+                    return parts[1].strip()
+    except OSError:
+        pass
+    return ""
 
 
 def get_session(app_name: str = "etl_wrap_spark", **kw) -> SparkSession:
@@ -112,6 +158,13 @@ import weakref
 # reuse across the catalog is safe; re-resolving parquet footers for
 # every query cost ~0.3-1 s each in the bench. Keyed weakly by session
 # so a torn-down session cannot serve stale plans to an id()-reused one.
+#
+# INVARIANT: entries must stay PLAIN LAZY PLANS — never .cache()/
+# .persist()/localCheckpoint() a frame stored here. bench.py sweeps ALL
+# persistent RDDs between queries (block-manager hygiene), and a swept
+# localCheckpoint is irrecoverable (truncated lineage → missing-block
+# errors on next use), while a swept .cache() silently re-reads. Keeping
+# this cache lazy is what makes that sweep safe (round-9 ADVICE).
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
@@ -126,6 +179,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
     lifetime. The memoized plans pin the parquet file listing/schema from
     first read; a driver that regenerates files in-place at the same path
     must call ``clear_table_cache(spark)`` (or use a new session).
+
+    View registration is ALSO memoized: once a table name is registered
+    for an sf_dir, later calls skip ``createOrReplaceTempView``. A caller
+    that drops or replaces one of these temp views mid-session will NOT
+    have it restored by the next ``load_tables`` — SQL pass-through
+    queries would then resolve a missing/foreign view. Call
+    ``invalidate_views(spark)`` (re-register only, keeps the plan memo)
+    or ``clear_table_cache(spark)`` (drops everything) first.
     """
     # Defensive: callers (e.g. the verify driver) may pass a session we did
     # not build. Timestamps must render/compare in UTC to agree with
@@ -263,6 +324,20 @@ def clear_table_cache(spark: SparkSession) -> None:
     """Drop the memoized source plans for ``spark`` — required after
     regenerating parquet files in-place at a previously-loaded sf_dir."""
     _TABLE_CACHE.pop(spark, None)
+
+
+def invalidate_views(spark: SparkSession) -> None:
+    """Forget which temp views ``load_tables`` has registered (keeping the
+    memoized source plans): the next ``load_tables`` call re-registers
+    every requested view. Use after externally dropping/replacing one of
+    the table views mid-session (round-9 ADVICE: without this, the memo
+    makes SQL pass-through silently resolve a stale or missing view)."""
+    try:
+        cache = _TABLE_CACHE.get(spark)
+    except TypeError:
+        return
+    if cache is not None:
+        cache.pop("__views__", None)
 
 
 def _read_events(spark: SparkSession, sf_dir: str):

@@ -2762,6 +2762,17 @@ def test_graph_fast_paths_tolerate_nulls(spark):
           for r in harmonic_centrality(
               edges, seeds, max_hops=2, small_graph_limit=0).collect()}
     assert fh == sh and fh
+    # bfs_hops_labeled (round-9 ADVICE — the opt-in fast path missed the
+    # round-8 hardening): a NULL seed routes the whole call distributed;
+    # the per-source relation must agree either way.
+    from etl_wrap_spark.operators.graph import bfs_hops_labeled
+
+    fl = {(r.source, r.node, r.hops)
+          for r in bfs_hops_labeled(
+              edges, seeds, max_hops=2, small_graph_limit=1 << 20).collect()}
+    sl = {(r.source, r.node, r.hops)
+          for r in bfs_hops_labeled(edges, seeds, max_hops=2).collect()}
+    assert fl == sl and (None, None, 0) in fl
     # null-free edges + a NULL seed: pagerank's personalized fast path
     # must filter the seed exactly as the distributed semi-join does
     clean = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src LONG, dst LONG")
@@ -2842,10 +2853,12 @@ def test_flatten_hierarchy_fast_path_matches_doubling(spark):
 
 def test_fold_accents_arrow_path_matches_python(spark):
     # round-9: fold_accents_df routes through pyarrow's C++ NFD +
-    # \p{Mn}-strip kernels when the build passes the parity probe; the
+    # \p{Mn}-strip kernels when the WORKER-side parity probe passes
+    # (round-9 ADVICE moved the probe into the mapInArrow closure); the
     # two paths must agree row-for-row (incl. NULLs, empties, Hangul,
-    # multi-mark clusters). The Python path is forced by poking the
-    # probe memo.
+    # multi-mark clusters). The Python path is forced via use_arrow=False
+    # — a closure-captured value is the only driver-side switch that
+    # reaches the worker processes (poking the module memo does not).
     from etl_wrap_spark.operators import text as T
 
     docs = spark.createDataFrame(
@@ -2860,13 +2873,12 @@ def test_fold_accents_arrow_path_matches_python(spark):
     )
     assert T._arrow_nfd_strip_ok(), "this container's pyarrow must pass the probe"
     fast = {r.doc_id: r.folded
-            for r in T.fold_accents_df(docs, "text", out_col="folded").collect()}
-    old = T._ARROW_FOLD_OK
-    try:
-        T._ARROW_FOLD_OK = False
-        slow = {r.doc_id: r.folded
-                for r in T.fold_accents_df(docs, "text", out_col="folded").collect()}
-    finally:
-        T._ARROW_FOLD_OK = old
-    assert fast == slow
+            for r in T.fold_accents_df(
+                docs, "text", out_col="folded", use_arrow=True).collect()}
+    slow = {r.doc_id: r.folded
+            for r in T.fold_accents_df(
+                docs, "text", out_col="folded", use_arrow=False).collect()}
+    probed = {r.doc_id: r.folded
+              for r in T.fold_accents_df(docs, "text", out_col="folded").collect()}
+    assert fast == slow == probed
     assert fast[1] == "Muhleisen cafe no" and fast[3] is None
