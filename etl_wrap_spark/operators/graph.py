@@ -128,10 +128,19 @@ def _pinned_small_edges(
     ``as_pandas=True`` returns the Arrow pandas frame itself instead of
     a tuple list — the numpy CSR consumers index columns directly, and
     itertuples over a ~1M-row frame measured ~2 s of pure interpreter
-    work the arrays never needed (round 8)."""
+    work the arrays never needed (round 8).
+
+    The size probe is ONE limit(L+1) Arrow collect, not a count() job
+    followed by a toPandas() job (round-10: each driver job costs
+    ~0.1-0.2 s of scheduling floor at bench scale and these two were
+    the first thing every graph query paid; on a corpus-sized edge
+    list the limit also short-circuits the scan at L+1 rows where
+    count() read everything)."""
     pinned = edges.select(*cols).localCheckpoint(eager=False)
-    if small_graph_limit > 0 and pinned.count() <= small_graph_limit:
-        pdf = pinned.toPandas()
+    if small_graph_limit > 0:
+        pdf = pinned.limit(small_graph_limit + 1).toPandas()
+        if len(pdf) > small_graph_limit:
+            return pinned, None
         if pdf.isna().any().any():
             # NULL endpoints: equi-joins never match them, but a NULL
             # node still surfaces in union-distinct node sets, so the

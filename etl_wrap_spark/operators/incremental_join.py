@@ -150,11 +150,19 @@ def flatten_hierarchy(
     # through to the doubling loop (which raises / min-resolves them).
     # small_graph_limit=0 disables the fast path (the graph.py adaptive
     # convention — round-8 ADVICE), so parity tests can force the
-    # distributed doubling loop.
-    if small_graph_limit > 0 and ptr.count() <= small_graph_limit:
+    # distributed doubling loop. The size probe is one limit(L+1) Arrow
+    # collect — one driver job, short-circuiting on large inputs — and
+    # the (node, root, depth) result re-enters Spark through the Arrow
+    # createDataFrame path, not a row-pickled LocalRelation (round-10:
+    # list-of-tuples upload measured 3-4x the pandas route to execute).
+    if small_graph_limit > 0:
+        pdf = ptr.select("node", "anc").limit(small_graph_limit + 1).toPandas()
+    else:
+        pdf = None
+    if pdf is not None and len(pdf) <= small_graph_limit:
+        import pandas as pd
         from pyspark.sql import types as T
 
-        pdf = ptr.select("node", "anc").toPandas()
         kids = pdf["node"].tolist()
         pars = pdf["anc"].tolist()
         if len(set(kids)) == len(kids):
@@ -185,9 +193,14 @@ def flatten_hierarchy(
                         T.StructField("depth", T.LongType()),
                     ]
                 )
-                return edges.sparkSession.createDataFrame(
-                    [(k, memo[k][0], memo[k][1]) for k in kids], schema
+                out = pd.DataFrame(
+                    {
+                        "node": kids,
+                        "root": [memo[k][0] for k in kids],
+                        "depth": [memo[k][1] for k in kids],
+                    }
                 )
+                return edges.sparkSession.createDataFrame(out, schema)
     # ancestors that are roots (no incoming pointer) terminate the jump
     for _ in range(max_iter):
         hop = ptr.select(
@@ -239,10 +252,18 @@ def ancestor_closure(
     Small-forest fast path (round 8, the CC/PageRank adaptive
     discipline): when the pinned edge list is tiny AND each child has
     exactly ONE parent (a true forest — multi-parent DAGs keep the
-    distributed min-dist squaring), the closure is a memoized
-    parent-chain walk on the driver, guarded by an output budget
-    (Σ depths ≤ 2^22 — depth is computed O(N) first, so a pathological
-    deep chain routes distributed without generating anything).
+    distributed min-dist squaring), the PARENT MAP is collected and
+    broadcast, and the chain walk runs EXECUTOR-SIDE over the pinned
+    edges via mapInPandas — the closure rows (Σ depths, potentially ≫
+    the edge count) are never materialized on the driver nor pickled
+    into a LocalRelation (round-10: the re-upload plan cost 3.3 s to
+    execute at 41k rows where the broadcast walk is one ordinary job).
+    Guarded by an output budget (Σ depths ≤ 2^22 — depth is computed
+    O(N) first, so a pathological deep chain routes distributed
+    without generating anything). The size probe is a single
+    limit(L+1) Arrow collect, not count()-then-collect — one driver
+    job instead of two, and when the edge list is large it
+    short-circuits at L+1 rows instead of scanning everything.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -257,11 +278,18 @@ def ancestor_closure(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_prev = p.count()
+    n_prev = None
     # small_graph_limit=0 disables the fast path (graph.py convention —
     # round-8 ADVICE) so tests can pin fast == distributed directly.
-    if small_graph_limit > 0 and n_prev <= small_graph_limit:
-        pdf = p.select("node", "anc").toPandas()
+    if small_graph_limit > 0:
+        pdf = p.select("node", "anc").limit(small_graph_limit + 1).toPandas()
+        if len(pdf) > small_graph_limit:
+            pdf = None
+        else:
+            n_prev = len(pdf)
+    else:
+        pdf = None
+    if pdf is not None:
         kids = pdf["node"].tolist()
         pars = pdf["anc"].tolist()
         if len(set(kids)) == len(kids):  # forest: one parent per child
@@ -282,16 +310,7 @@ def ancestor_closure(
 
             ok = all(_depth(k) is not None for k in kids)
             if ok and sum(depth.get(k, 0) for k in kids) <= (1 << 22):
-                out = []
-                for k in kids:
-                    a = parent[k]
-                    d = 1
-                    while True:
-                        out.append((k, a, d))
-                        if a not in parent:
-                            break
-                        a = parent[a]
-                        d += 1
+                b_parent = edges.sparkSession.sparkContext.broadcast(parent)
                 id_type = p.schema[0].dataType
                 schema = T.StructType(
                     [
@@ -300,7 +319,31 @@ def ancestor_closure(
                         T.StructField("dist", T.LongType()),
                     ]
                 )
-                return edges.sparkSession.createDataFrame(out, schema)
+
+                def _walk(batches):
+                    import pandas as pd
+
+                    par = b_parent.value
+                    for bdf in batches:
+                        nodes, ancs, dists = [], [], []
+                        for k, a in zip(bdf["node"], bdf["anc"]):
+                            d = 1
+                            while True:
+                                nodes.append(k)
+                                ancs.append(a)
+                                dists.append(d)
+                                nxt = par.get(a)
+                                if nxt is None:
+                                    break
+                                a = nxt
+                                d += 1
+                        yield pd.DataFrame(
+                            {"node": nodes, "anc": ancs, "dist": dists}
+                        )
+
+                return p.select("node", "anc").mapInPandas(_walk, schema)
+    if n_prev is None:
+        n_prev = p.count()
     for _ in range(max_iter):
         hop = (
             p.alias("x")
