@@ -415,6 +415,26 @@ def main():
                 it.next().getValue().unpersist(False)
         except Exception:
             pass
+        # Driver-heap hygiene (round-10, the driver-epoch tail): shuffle
+        # and broadcast state is reclaimed by ContextCleaner only when
+        # the DRIVER JVM garbage-collects the referencing objects, and a
+        # 220-query run on an 8g heap can accumulate for minutes before
+        # ParallelGC's old gen fills — at which point a full-GC storm
+        # lands on whatever queries happen to run next (the r9 driver
+        # artifact's contiguous q129-q158 2-6x window). Nudge collection
+        # BEFORE pressure peaks: when the JVM heap is >60% used, drop
+        # Python-side py4j proxies (gc.collect) then System.gc() so the
+        # cleaner's weak references fire. The check is 3 py4j calls
+        # (~ms); the System.gc itself only runs under real pressure.
+        try:
+            rt = spark.sparkContext._jvm.Runtime.getRuntime()
+            if rt.totalMemory() - rt.freeMemory() > 0.6 * rt.maxMemory():
+                import gc as _gc
+
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 3)
     detail = {

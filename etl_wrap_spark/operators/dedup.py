@@ -1040,13 +1040,18 @@ def contamination_check(
 
 
 # ---------------------------------------------- dedup connected components
-def _driver_union_find(pinned: DataFrame) -> DataFrame:
+def _driver_union_find(pinned: DataFrame, pdf) -> DataFrame:
     """Small-graph fast path shared by both CC variants: exact
-    min-root union-find over an already-materialized (u, v) edge list.
-    Output identical to the distributed algorithms — (doc_id,
-    component = min reachable id) for every node that appears in an
-    edge. Only ever called under a caller-enforced edge-count bound
-    (driver memory ≈ 16 B/edge)."""
+    min-root union-find over an already-collected (u, v) edge frame
+    (``pdf`` — the caller's limit-probe Arrow collect; round-10: no
+    second row-based collect() job). Output identical to the
+    distributed algorithms — (doc_id, component = min reachable id)
+    for every node that appears in an edge, re-entering Spark via the
+    Arrow pandas path (a row-pickled LocalRelation measured 3-4x
+    slower to execute). Only ever called under a caller-enforced
+    edge-count bound (driver memory ≈ 16 B/edge)."""
+    import pandas as pd
+
     parent: dict = {}
 
     def find(x):
@@ -1057,7 +1062,7 @@ def _driver_union_find(pinned: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for u, v in pinned.collect():
+    for u, v in zip(pdf[pdf.columns[0]], pdf[pdf.columns[1]]):
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -1068,7 +1073,10 @@ def _driver_union_find(pinned: DataFrame) -> DataFrame:
             if rv < ru:
                 ru, rv = rv, ru
             parent[rv] = ru
-    out = [(x, find(x)) for x in parent]
+    nodes = list(parent)
+    out = pd.DataFrame(
+        {"doc_id": nodes, "component": [find(x) for x in nodes]}
+    )
     id_type = pinned.schema[0].dataType
     schema = T.StructType(
         [
@@ -1120,11 +1128,16 @@ def connected_components(
     a 100-TB near-dup graph blows the limit and takes the distributed
     path unchanged). Set 0 to always run distributed.
     """
+    from etl_wrap_spark.operators.graph import _driver_headroom_ok
+
     sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    if rounds_out is None and small_graph_limit > 0:
+    if rounds_out is None and small_graph_limit > 0 and _driver_headroom_ok():
         pinned = sym.localCheckpoint(eager=False)
-        if pinned.count() <= small_graph_limit:
-            return _driver_union_find(pinned)
+        # single limit-probe job (round-10): collects the edges it will
+        # consume anyway when small, short-circuits at L+1 when large
+        pdf = pinned.limit(small_graph_limit + 1).toPandas()
+        if len(pdf) <= small_graph_limit:
+            return _driver_union_find(pinned, pdf)
         sym = pinned  # reuse the already-materialized edge list below
     edges = (
         # NO .distinct(): every consumer is a min-aggregation (the label
@@ -1252,8 +1265,12 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
     if rounds_out is None and small_graph_limit > 0:
-        if edges.count() <= small_graph_limit:
-            return _driver_union_find(edges)
+        from etl_wrap_spark.operators.graph import _driver_headroom_ok
+
+        if _driver_headroom_ok():
+            pdf = edges.limit(small_graph_limit + 1).toPandas()
+            if len(pdf) <= small_graph_limit:
+                return _driver_union_find(edges, pdf)
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
         # large-star over the symmetric neighborhood

@@ -155,7 +155,9 @@ def flatten_hierarchy(
     # the (node, root, depth) result re-enters Spark through the Arrow
     # createDataFrame path, not a row-pickled LocalRelation (round-10:
     # list-of-tuples upload measured 3-4x the pandas route to execute).
-    if small_graph_limit > 0:
+    from etl_wrap_spark.operators.graph import _driver_headroom_ok
+
+    if small_graph_limit > 0 and _driver_headroom_ok():
         pdf = ptr.select("node", "anc").limit(small_graph_limit + 1).toPandas()
     else:
         pdf = None
@@ -278,10 +280,12 @@ def ancestor_closure(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    from etl_wrap_spark.operators.graph import _driver_headroom_ok
+
     n_prev = None
     # small_graph_limit=0 disables the fast path (graph.py convention —
     # round-8 ADVICE) so tests can pin fast == distributed directly.
-    if small_graph_limit > 0:
+    if small_graph_limit > 0 and _driver_headroom_ok():
         pdf = p.select("node", "anc").limit(small_graph_limit + 1).toPandas()
         if len(pdf) > small_graph_limit:
             pdf = None

@@ -81,6 +81,13 @@ def session_builder(
         #   arbitrates).
         b = b.config("spark.shuffle.compress", "false")
         b = b.config("spark.shuffle.spill.compress", "false")
+        # ContextCleaner reclaims shuffle files / broadcasts only after
+        # the driver JVM GCs the referencing objects; the default
+        # periodicGC.interval (30min) never fires inside a bench-length
+        # session, so hundreds of queries accumulate state until a
+        # full-GC storm (round-10: the r9 driver-epoch tail). 2min keeps
+        # single-JVM local sessions drained; clusters keep the default.
+        b = b.config("spark.cleaner.periodicGC.interval", "2min")
         tuned = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC")
         if tuned:
             # APPEND to (never replace) any spark.driver.extraJavaOptions
