@@ -232,6 +232,36 @@ _DRIVER_WINDOW_R8 = [
     "q198_ra_link_prediction",
 ]
 
+# Round-9 driver window (the final never-checked tail, was
+# tools/rotation_spec.json round:9): history for the same two reasons
+# as _DRIVER_WINDOW_R8 — after r9 every then-existing catalog query had
+# a driver row, so from round 10 on the spot-check pool is the union of
+# ALL five window sets and new windows hold only newly-added queries.
+_DRIVER_WINDOW_R9 = [
+    "q199_acf_daily_events",
+    "q200_epoch_shuffle_shards",
+    "q201_theil_sen_slopes",
+    "q202_poisson_bootstrap_ci",
+    "q203_margin_bitext_mining",
+    "q204_weighted_pagerank",
+    "q205_harmonic_centrality",
+    "q206_degree_assortativity",
+    "q207_kmv_audience_overlap",
+    "q208_rendezvous_shards",
+    "q209_load_reconciliation",
+    "q210_srm_guard",
+    "q211_cuped_ab_diff",
+    "q212_hodges_lehmann",
+    "q213_mann_whitney",
+    "q214_permutation_test",
+    "q215_ann_recall_audit",
+    "q216_ttl_readmission",
+    "q217_cusum_monitor",
+    "q218_running_totals_projection",
+    "q219_psl_domain_rollup",
+    "q220_heavy_hitters_replay",
+]
+
 
 def _seeded_spot_checks(pool: list[str], seed: str, k: int) -> list[str]:
     """Deterministic, disclosed re-draw of k prior-window queries.

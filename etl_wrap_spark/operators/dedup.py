@@ -1133,11 +1133,10 @@ def connected_components(
     sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     if rounds_out is None and small_graph_limit > 0 and _driver_headroom_ok():
         pinned = sym.localCheckpoint(eager=False)
-        # single limit-probe job (round-10): collects the edges it will
-        # consume anyway when small, short-circuits at L+1 when large
-        pdf = pinned.limit(small_graph_limit + 1).toPandas()
-        if len(pdf) <= small_graph_limit:
-            return _driver_union_find(pinned, pdf)
+        # map-side count probe (round-10: limit-based probes lose —
+        # see graph._pinned_small_edges); collect only when small
+        if pinned.count() <= small_graph_limit:
+            return _driver_union_find(pinned, pinned.toPandas())
         sym = pinned  # reuse the already-materialized edge list below
     edges = (
         # NO .distinct(): every consumer is a min-aggregation (the label
@@ -1267,10 +1266,8 @@ def connected_components_star(
     if rounds_out is None and small_graph_limit > 0:
         from etl_wrap_spark.operators.graph import _driver_headroom_ok
 
-        if _driver_headroom_ok():
-            pdf = edges.limit(small_graph_limit + 1).toPandas()
-            if len(pdf) <= small_graph_limit:
-                return _driver_union_find(edges, pdf)
+        if _driver_headroom_ok() and edges.count() <= small_graph_limit:
+            return _driver_union_find(edges, edges.toPandas())
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
         # large-star over the symmetric neighborhood

@@ -116,20 +116,52 @@ def frequent_items_sketch_df(
     partials = src.mapInPandas(
         _mg_partition, schema=f"{gb_schema}item {item_type}, cnt_lb long"
     )
+    return mg_merge_shrink(partials, k, group_by=gb)
 
-    merged = partials.groupBy(*gb, "item").agg(F.sum("cnt_lb").alias("cnt_lb"))
+
+def mg_merge_shrink(
+    partials: DataFrame,
+    k: int,
+    group_by: list[str] | None = None,
+    item_col: str = "item",
+    cnt_col: str = "cnt_lb",
+) -> DataFrame:
+    """Merge Misra-Gries partial summaries → one k-counter summary per
+    group: SUM counts per (group, item), then subtract the (k+1)-th
+    largest merged count from every counter and drop non-positive ones
+    — the MERGE operation of Agarwal et al., "Mergeable Summaries"
+    (§MG): the subtraction IS the Misra-Gries decrement in merged form,
+    and the result keeps the classic bound (every item with true count
+    > N/(k+1) survives; undercount ≤ N/(k+1)).
+
+    Public as its own operator (round-10, the q220-oracle decrement
+    ask): the production shape is per-shard / per-day summaries built
+    independently (possibly exact when a shard's distinct-item count
+    fits in k) and merged later. Deterministic whenever the input
+    partials are — exact per-shard counts make the whole pipeline
+    engine-replayable even though the shrink genuinely fires, which is
+    what lets q221 oracle-check the decrement regime that q220's exact
+    regime (k > distinct items) never reaches.
+
+    Plan: one sketch-sized SUM shuffle + one window over sketch rows —
+    never data-sized, no driver state. Ties at the k/k+1 boundary cut
+    deterministically (count desc, item asc)."""
+    from pyspark.sql.window import Window
+
+    gb = list(group_by or [])
+    merged = partials.groupBy(*gb, item_col).agg(F.sum(cnt_col).alias(cnt_col))
     # shrink to k counters per group: subtract the (k+1)-th largest count
     w = Window.partitionBy(*[F.col(g) for g in gb]) if gb else Window.partitionBy(F.lit(1))
     ranked = merged.withColumn(
-        "__rk", F.row_number().over(w.orderBy(F.col("cnt_lb").desc(), F.col("item").asc()))
+        "__rk", F.row_number().over(w.orderBy(F.col(cnt_col).desc(), F.col(item_col).asc()))
     )
     cut = ranked.withColumn(
         "__cut",
-        F.max(F.when(F.col("__rk") == kk + 1, F.col("cnt_lb"))).over(w),
+        F.max(F.when(F.col("__rk") == k + 1, F.col(cnt_col))).over(w),
     )
     return (
-        cut.withColumn("cnt_lb", F.col("cnt_lb") - F.coalesce(F.col("__cut"), F.lit(0)))
-        .where((F.col("__rk") <= kk) & (F.col("cnt_lb") > 0))
+        cut.withColumn(cnt_col, F.col(cnt_col) - F.coalesce(F.col("__cut"), F.lit(0)))
+        .where((F.col("__rk") <= k) & (F.col(cnt_col) > 0))
         .drop("__rk", "__cut")
     )
 

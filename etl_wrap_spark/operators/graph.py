@@ -159,17 +159,20 @@ def _pinned_small_edges(
     itertuples over a ~1M-row frame measured ~2 s of pure interpreter
     work the arrays never needed (round 8).
 
-    The size probe is ONE limit(L+1) Arrow collect, not a count() job
-    followed by a toPandas() job (round-10: each driver job costs
-    ~0.1-0.2 s of scheduling floor at bench scale and these two were
-    the first thing every graph query paid; on a corpus-sized edge
-    list the limit also short-circuits the scan at L+1 rows where
-    count() read everything)."""
+    The size probe is a plain map-side count() — round-10 measured the
+    two tempting "one-job" alternatives and both lose: probing with
+    limit(L+1).toPandas() collects-and-discards ~16 MB of Arrow batches
+    whenever the graph is OVER the limit (q157/q205 regressed 1.5-1.7x;
+    over-limit is the 100-TB common case), and limit(L+1).count() plans
+    a GlobalLimit whose LocalLimit feeders shuffle every partition's
+    rows to ONE task (worse than the count it replaces). count() moves
+    only per-partition longs, and on the checkpoint-pinned frame the
+    scan it pays is work the first downstream job needed anyway."""
     pinned = edges.select(*cols).localCheckpoint(eager=False)
-    if small_graph_limit > 0 and _driver_headroom_ok():
-        pdf = pinned.limit(small_graph_limit + 1).toPandas()
-        if len(pdf) > small_graph_limit:
-            return pinned, None
+    if small_graph_limit > 0 and _driver_headroom_ok() and (
+        pinned.count() <= small_graph_limit
+    ):
+        pdf = pinned.toPandas()
         if pdf.isna().any().any():
             # NULL endpoints: equi-joins never match them, but a NULL
             # node still surfaces in union-distinct node sets, so the

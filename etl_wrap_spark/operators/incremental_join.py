@@ -150,18 +150,21 @@ def flatten_hierarchy(
     # through to the doubling loop (which raises / min-resolves them).
     # small_graph_limit=0 disables the fast path (the graph.py adaptive
     # convention — round-8 ADVICE), so parity tests can force the
-    # distributed doubling loop. The size probe is one limit(L+1) Arrow
-    # collect — one driver job, short-circuiting on large inputs — and
-    # the (node, root, depth) result re-enters Spark through the Arrow
-    # createDataFrame path, not a row-pickled LocalRelation (round-10:
-    # list-of-tuples upload measured 3-4x the pandas route to execute).
+    # distributed doubling loop. The size probe is a plain map-side
+    # count, the collect runs only when proven small, and the
+    # (node, root, depth) result
+    # re-enters Spark through the Arrow createDataFrame path, not a
+    # row-pickled LocalRelation (round-10: list-of-tuples upload
+    # measured 3-4x the pandas route to execute).
     from etl_wrap_spark.operators.graph import _driver_headroom_ok
 
-    if small_graph_limit > 0 and _driver_headroom_ok():
-        pdf = ptr.select("node", "anc").limit(small_graph_limit + 1).toPandas()
-    else:
-        pdf = None
-    if pdf is not None and len(pdf) <= small_graph_limit:
+    pdf = None
+    if small_graph_limit > 0 and _driver_headroom_ok() and (
+        ptr.count() <= small_graph_limit
+    ):
+        # map-side count probe; rows move only when the forest is small
+        pdf = ptr.select("node", "anc").toPandas()
+    if pdf is not None:
         import pandas as pd
         from pyspark.sql import types as T
 
@@ -262,10 +265,10 @@ def ancestor_closure(
     execute at 41k rows where the broadcast walk is one ordinary job).
     Guarded by an output budget (Σ depths ≤ 2^22 — depth is computed
     O(N) first, so a pathological deep chain routes distributed
-    without generating anything). The size probe is a single
-    limit(L+1) Arrow collect, not count()-then-collect — one driver
-    job instead of two, and when the edge list is large it
-    short-circuits at L+1 rows instead of scanning everything.
+    without generating anything). The size probe is a plain map-side
+    count (limit-based probes lose both ways — measured in
+    graph._pinned_small_edges); the Arrow collect runs only in the
+    proven-small case.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -283,16 +286,15 @@ def ancestor_closure(
     from etl_wrap_spark.operators.graph import _driver_headroom_ok
 
     n_prev = None
+    pdf = None
     # small_graph_limit=0 disables the fast path (graph.py convention —
     # round-8 ADVICE) so tests can pin fast == distributed directly.
-    if small_graph_limit > 0 and _driver_headroom_ok():
-        pdf = p.select("node", "anc").limit(small_graph_limit + 1).toPandas()
-        if len(pdf) > small_graph_limit:
-            pdf = None
-        else:
-            n_prev = len(pdf)
-    else:
-        pdf = None
+    # Capped-count probe: rows move only when the forest is small.
+    if small_graph_limit > 0 and _driver_headroom_ok() and (
+        p.count() <= small_graph_limit
+    ):
+        pdf = p.select("node", "anc").toPandas()
+        n_prev = len(pdf)
     if pdf is not None:
         kids = pdf["node"].tolist()
         pars = pdf["anc"].tolist()

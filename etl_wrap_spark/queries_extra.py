@@ -8285,3 +8285,77 @@ def q220_heavy_hitters_replay(spark, sf_dir):
         )
         .orderBy("event_type", "item")
     )
+
+
+# --------------- Misra-Gries merge-shrink, decrement regime (q221)
+@register(
+    "q221_heavy_hitters_merge",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_seen
+      FROM c GROUP BY 1
+    ), r AS (
+      SELECT event_type, item, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, item ASC) AS rk
+      FROM c
+    ), cut AS (
+      SELECT event_type, MAX(CASE WHEN rk = 9 THEN cnt END) AS cutv
+      FROM r GROUP BY 1
+    )
+    SELECT r.event_type, r.item,
+           CAST(r.cnt - COALESCE(cut.cutv, 0) AS BIGINT) AS cnt_lb,
+           t.n_seen
+    FROM r JOIN cut USING (event_type) JOIN t USING (event_type)
+    WHERE r.rk <= 8 AND r.cnt - COALESCE(cut.cutv, 0) > 0
+    ORDER BY event_type, item
+    """,
+)
+def q221_heavy_hitters_merge(spark, sf_dir):
+    """Misra-Gries merge-shrink in the DECREMENT regime
+    (operators/frequent.py:mg_merge_shrink — the round-9 VERDICT ask
+    #3 companion to q220, whose k=16384 > distinct users means no
+    decrement ever fires there): per-(event_type, user-bucket) EXACT
+    partial summaries (32 hash buckets — the per-shard/per-day shape
+    of Agarwal et al.'s mergeable summaries, each shard exact because
+    its distinct-item count fits its summary) merged by the operator's
+    SUM + subtract-(k+1)-th shrink at k=8 ≪ distinct users, so the
+    shrink — the MG decrement in merged form — provably executes:
+    n_seen > Σ cnt_lb in every group, and survivors carry true_count −
+    cut lower bounds. Exact partials keep the whole pipeline
+    deterministic and engine-replayable, which is what lets the oracle
+    hash-check a genuinely decremented MG result. Plan: one grouped
+    count (map-side combine), one sketch-sized merge shuffle, one
+    window over ≤ distinct-items rows per group; n_seen rides a
+    broadcast totals join."""
+    from etl_wrap_spark.operators.frequent import mg_merge_shrink
+
+    t = load_tables(spark, sf_dir, ["events"])
+    partials = (
+        t["events"]
+        .select(
+            "event_type",
+            (F.col("user_id") % 32).alias("__bucket"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .groupBy("event_type", "__bucket", "item")
+        .agg(F.count(F.lit(1)).alias("cnt_lb"))
+    )
+    sk = mg_merge_shrink(partials, k=8, group_by=["event_type"])
+    totals = partials.groupBy("event_type").agg(
+        F.sum("cnt_lb").cast("bigint").alias("n_seen")
+    )
+    return (
+        sk.join(F.broadcast(totals), on="event_type")
+        .select(
+            "event_type",
+            "item",
+            F.col("cnt_lb").cast("bigint").alias("cnt_lb"),
+            "n_seen",
+        )
+        .orderBy("event_type", "item")
+    )

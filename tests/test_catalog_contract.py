@@ -99,6 +99,7 @@ def test_rotation_window_disjoint_from_all_prior_windows():
         | set(catalog._DRIVER_WINDOW_R6)
         | set(catalog._DRIVER_WINDOW_R7)
         | set(catalog._DRIVER_WINDOW_R8)
+        | set(catalog._DRIVER_WINDOW_R9)
     )
     assert not set(spec["window"]) & prior
     assert set(spec["spot_checks"]) <= prior
@@ -117,6 +118,12 @@ def test_rotation_window_disjoint_from_all_prior_windows():
         set(DRIVER_CHECKED)
         | set(catalog._DRIVER_WINDOW_R6)
         | set(catalog._DRIVER_WINDOW_R7)
+    )
+    assert not set(catalog._DRIVER_WINDOW_R9) & (
+        set(DRIVER_CHECKED)
+        | set(catalog._DRIVER_WINDOW_R6)
+        | set(catalog._DRIVER_WINDOW_R7)
+        | set(catalog._DRIVER_WINDOW_R8)
     )
 
 

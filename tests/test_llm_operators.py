@@ -1389,6 +1389,42 @@ def test_misra_gries_sketch_df_grouped_distributed(spark):
     assert sorted(lst) == sorted((r["item"], r["cnt_lb"]) for r in df_form.collect())
 
 
+def test_mg_merge_shrink_decrement_regime(spark):
+    """mg_merge_shrink (q221's operator): exact per-shard partials
+    merged at k < distinct items — the shrink (MG decrement in merged
+    form, Agarwal et al.) must provably fire (n_seen > Σ cnt_lb),
+    reproduce the Python reference bit-for-bit, and keep the classic
+    guarantee (true count > N/(k+1) ⇒ present; undercount ≤ cut)."""
+    from etl_wrap_spark.operators import frequent
+
+    rows = []
+    for grp, scale in (("a", 30), ("b", 12)):
+        for i in range(5):
+            rows += [(grp, i % 3, f"{grp}_hot{i}")] * (scale * (5 - i))
+        rows += [(grp, j % 3, f"{grp}_n{j}") for j in range(40)]
+    df = spark.createDataFrame(rows, ["grp", "shard", "item"]).repartition(8)
+    partials = df.groupBy("grp", "shard", "item").agg(
+        F.count(F.lit(1)).alias("cnt_lb")
+    )
+    k = 4
+    out = frequent.mg_merge_shrink(partials, k=k, group_by=["grp"])
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], {})[r["item"]] = r["cnt_lb"]
+    for grp in ("a", "b"):
+        grp_items = [t for g, _, t in rows if g == grp]
+        exact = {t: grp_items.count(t) for t in set(grp_items)}
+        # Python reference: sum partials == exact counts, subtract the
+        # (k+1)-th largest (count desc, item asc), keep positive top-k
+        ranked = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+        cut = ranked[k][1] if len(ranked) > k else 0
+        want = {t: c - cut for t, c in ranked[:k] if c - cut > 0}
+        assert got.get(grp, {}) == want
+        # the decrement regime genuinely executed
+        assert cut > 0
+        assert sum(exact.values()) > sum(want.values())
+
+
 def test_duplicate_spans_planted(spark):
     """Planted exact-substring duplication: two docs share a verbatim
     20-token passage (> window 15); a third doc is clean. The shared
