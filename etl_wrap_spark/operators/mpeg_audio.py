@@ -24,16 +24,19 @@ The ISO window is a TABULATED filter design (Annex B tables C/D, 512
 optimized coefficients with no closed form); reproducing them from
 memory is impossible and copying a decoder's tables is out of scope.
 This module synthesizes with the spec's exact STRUCTURE — the
-cos((16+i)(2k+1)pi/64) matrixing, the 1024-entry V FIFO, the 16-block
-windowed accumulation — but a Kaiser-windowed-sinc near-PR prototype
-(cutoff pi/64, beta 9, ~ -90 dB stopband vs the ISO design's ~ -96 dB),
-gain-calibrated at import against a DC round trip through the module's
-own analysis bank. Consequence: decoded PCM deviates from a
-libmad/ffmpeg decode by a small filterbank-mismatch term (measured
-~1e-3 RMS relative on the round-trip tests); the segment-RMS loudness
-features `decode_audio` exists to produce are unaffected at their 6th
-decimal. A parity probe against soundfile runs when that library is
-importable (env-gated skip otherwise, the live-sshd convention).
+cos((16+i)(2k+1)pi/64) matrixing, the 1024-entry V FIFO, the windowed
+16-block accumulation, the 481-sample delay — but a derived prototype
+whose target magnitude |H(w)| = cos(16w) on the transition is EXACTLY
+power-complementary between adjacent bands (closed-form inverse
+transform; see _build_prototype), gain-calibrated lazily against a
+band-center-tone round trip through the module's own analysis bank.
+Consequence: decoded PCM deviates from a libmad/ffmpeg decode by a
+small filterbank-mismatch term (analysis+synthesis noise round trip:
+1.8e-3 relative RMS, measured); the segment-RMS loudness features
+`decode_audio` exists to produce move ~0.2% relative — real envelopes,
+not approximations of them. A parity probe against soundfile runs when
+that library is importable (env-gated skip otherwise, the live-sshd
+convention).
 
 Layer III (.mp3) stays dependency-gated: its Huffman tables are
 thousands of tabulated (value, code) entries — like the prototype
@@ -208,35 +211,25 @@ def _build_prototype() -> list[float]:
         h[m] = [ sin(a(m+16))/(m+16) + sin(a(m-16))/(m-16) ] / (2*pi),
         a = pi/32
 
-    truncated to 512 taps with a light Kaiser(beta=4) taper
-    (truncation-sidelobe control; the measured compromise: composite
-    flatness ripple 5e-3, stopband 1.2e-4 — lighter tapers leak far
-    alias, heavier ones bend the transition off the complementary
-    curve). Unit-DC normalized. Deterministic, no tabulated data."""
-    beta = 4.0
-
-    def i0(x: float) -> float:
-        # modified Bessel I0 by series (converges fast for |x| <= ~20)
-        s, t, k = 1.0, 1.0, 1
-        while True:
-            t *= (x / (2.0 * k)) ** 2
-            s += t
-            if t < 1e-21 * s:
-                return s
-            k += 1
-
-    denom = i0(beta)
+    truncated to 512 taps centered at n = 256 — INTEGER center, like
+    the ISO windows: the modulation phases encode an integer group
+    delay, and a half-sample-symmetric prototype (centered 255.5, the
+    first draft) adds a half-sample phase error at every band edge
+    that dominated the residual (measured 9e-3 noise round-trip RMS
+    vs 1.8e-3 with the integer center). No taper: the cos-transition
+    impulse decays fast enough that plain truncation beats every
+    Kaiser variant tried (a taper bends the transition off the
+    complementary curve). Unit-DC normalized. Deterministic, no
+    tabulated data."""
     n_taps = 512
     a = math.pi / 32.0
     h = []
     for n in range(n_taps):
-        m = n - (n_taps - 1) / 2.0
+        m = n - 256.0
         v = 0.0
         for m0 in (m + 16.0, m - 16.0):
             v += a if abs(m0) < 1e-12 else math.sin(a * m0) / m0
-        v /= 2.0 * math.pi
-        w = i0(beta * math.sqrt(max(0.0, 1.0 - (2.0 * m / (n_taps - 1)) ** 2))) / denom
-        h.append(v * w)
+        h.append(v / (2.0 * math.pi))
     g = sum(h)
     return [v / g for v in h]
 

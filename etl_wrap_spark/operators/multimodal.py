@@ -265,7 +265,12 @@ def decode_audio(content: bytes, fake: bool = False) -> list[float]:
         digest = hashlib.sha256(content).digest()
         return [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]]
 
-    def seg_rms(samples, scale: float) -> list[float]:
+    def seg_rms(samples, scale: float, integer: bool = True) -> list[float]:
+        # integer=True: int16 samples — exact int sum-of-squares + one
+        # sqrt keeps the vector bit-deterministic. integer=False: float
+        # samples in [-1, 1] (MPEG/soundfile paths) — int() truncation
+        # here would zero every sample (round-10 fix: the soundfile
+        # branch had this latent, unreachable-in-this-container bug).
         if not len(samples):
             return [0.0] * FEATURE_DIM
         seg = max(1, len(samples) // FEATURE_DIM)
@@ -275,7 +280,11 @@ def decode_audio(content: bytes, fake: bool = False) -> list[float]:
             if not len(chunk):
                 out.append(0.0)
                 continue
-            rms = (sum(int(s) * int(s) for s in chunk) / len(chunk)) ** 0.5
+            if integer:
+                acc = sum(int(s) * int(s) for s in chunk)
+            else:
+                acc = sum(float(s) * float(s) for s in chunk)
+            rms = (acc / len(chunk)) ** 0.5
             out.append(round(rms / scale, 6))
         return out
 
@@ -287,16 +296,27 @@ def decode_audio(content: bytes, fake: bool = False) -> list[float]:
         raw = content[off : off + n * ch * 2]
         samples = struct.unpack(f"<{len(raw) // 2}h", raw[: (len(raw) // 2) * 2])
         return seg_rms(samples[::ch], 32768.0)  # first channel
+    from etl_wrap_spark.operators.mpeg_audio import decode_mpeg1_audio, mpeg_meta
+
+    mm = mpeg_meta(content)
+    if mm is not None and mm["layer"] in (1, 2):
+        # MPEG-1 Layer I/II: REAL stdlib decode (round 10 — see
+        # operators/mpeg_audio.py for the exact-vs-derived contract)
+        _rate, chans = decode_mpeg1_audio(content)
+        return seg_rms(chans[0], 1.0, integer=False)
     sf = _soundfile()
     if sf is not None:
         import io
 
         data, _rate = sf.read(io.BytesIO(content), dtype="float64")
         mono = data[:, 0] if getattr(data, "ndim", 1) > 1 else data
-        return seg_rms(mono, 1.0)
+        return seg_rms(mono, 1.0, integer=False)
     raise NotImplementedError(
-        "non-PCM-WAV audio decoding requires soundfile, which is not "
-        "importable here; pass fake=True for the deterministic test stub"
+        "mp3/ogg audio decoding requires soundfile, which is not importable "
+        "here (PCM WAV and MPEG-1 Layer I/II decode with pure stdlib; Layer "
+        "III's Huffman tables are thousands of tabulated ISO entries with no "
+        "derivable closed form); pass fake=True for the deterministic test "
+        "stub"
     )
 
 

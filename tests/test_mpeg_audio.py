@@ -1,0 +1,346 @@
+"""MPEG-1 Layer I/II decode tests — the progressive-JPEG convention:
+no reference decoder exists in this container, so a spec-derived
+TEST-SIDE ENCODER produces valid frames from known PCM and the decoder
+must reproduce the input within the quantization + filterbank bounds
+it documents (operators/mpeg_audio.py). A soundfile parity probe
+auto-skips when the library is absent (the live-sshd convention)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_wrap_spark.operators import mpeg_audio as M
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def bytes(self, pad_to: int | None = None) -> bytes:
+        bits = self.bits[:]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        if pad_to is not None:
+            out.extend(b"\x00" * (pad_to - len(out)))
+        return bytes(out)
+
+
+def _quantize(f: float, levels: int) -> int:
+    # inverse of the decoder's midpoint dequant (2c+1-levels)/levels
+    c = round((f * levels + levels - 1) / 2.0)
+    return max(0, min(levels - 1, int(c)))
+
+
+def _pick_scf(max_abs: float) -> int:
+    # smallest scalefactor VALUE >= max_abs (tightest quantization);
+    # scf values decrease with index, so take the last index that fits
+    idx = 0
+    for i, v in enumerate(M._SCALEFACTORS):
+        if v >= max_abs + 1e-12:
+            idx = i
+        else:
+            break
+    return idx
+
+
+def encode_layer2_mono(pcm: list[float], sample_rate: int = 32000,
+                       bitrate_kbps: int = 320) -> bytes:
+    """Spec-derived Layer II encoder (mono): analysis filterbank per 32
+    samples, fixed generous allocation chosen inside the frame bit
+    budget, scfsi=0 (all three scalefactors transmitted). Enough
+    fidelity (>= 1023 levels on the low subbands) that round-trip error
+    is dominated by the documented filterbank residual."""
+    M._ensure_calibrated()
+    table = M._l2_table(sample_rate, bitrate_kbps, 1)
+    sblimit = len(table)
+    # generous fixed allocation: largest levels <= 1023 per row
+    alloc_idx = []
+    for row in table:
+        want = max(i for i, lv in enumerate(row) if lv in (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023) )
+        alloc_idx.append(want)
+    nbal = [max(1, (len(row) - 1).bit_length()) for row in table]
+
+    n_frames = len(pcm) // 1152
+    a = M.Analysis()
+    out = bytearray()
+    sr_idx = M.SAMPLE_RATES.index(sample_rate)
+    b_idx = M.BITRATES_KBPS[2].index(bitrate_kbps)
+    frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
+    for fr in range(n_frames):
+        seg = pcm[fr * 1152:(fr + 1) * 1152]
+        sub = []  # 36 blocks x 32 subbands
+        for b in range(36):
+            sub.append(a.run(seg[b * 32:(b + 1) * 32]))
+        w = _BitWriter()
+        # header: sync, MPEG-1, Layer II, no CRC, bitrate, sr, no pad,
+        # mono, no copyright bits
+        w.write(0x7FF, 11)
+        w.write(3, 2)       # MPEG-1
+        w.write(2, 2)       # Layer II field (10b = layer 2)
+        w.write(1, 1)       # protection absent
+        w.write(b_idx, 4)
+        w.write(sr_idx, 2)
+        w.write(0, 1)       # padding
+        w.write(0, 1)       # private
+        w.write(3, 2)       # mode: single channel
+        w.write(0, 2)       # mode ext
+        w.write(0, 4)       # copyright/original/emphasis
+        for sb in range(sblimit):
+            w.write(alloc_idx[sb], nbal[sb])
+        for sb in range(sblimit):
+            if alloc_idx[sb]:
+                w.write(0, 2)  # scfsi 0: three scalefactors
+        scf_idx = [[0, 0, 0] for _ in range(sblimit)]
+        for sb in range(sblimit):
+            if not alloc_idx[sb]:
+                continue
+            for part in range(3):
+                mx = max(abs(sub[part * 12 + t][sb]) for t in range(12))
+                scf_idx[sb][part] = _pick_scf(mx)
+                w.write(scf_idx[sb][part], 6)
+        for gr in range(12):
+            for sb in range(sblimit):
+                ai = alloc_idx[sb]
+                if not ai:
+                    continue
+                levels = table[sb][ai]
+                cbits, grouped = M._L2_CLASS[levels]
+                scf = M._SCALEFACTORS[scf_idx[sb][gr >> 2]]
+                codes = [
+                    _quantize(sub[gr * 3 + t][sb] / scf, levels)
+                    for t in range(3)
+                ]
+                if grouped:
+                    w.write(codes[0] + levels * codes[1]
+                            + levels * levels * codes[2], cbits)
+                else:
+                    for c in codes:
+                        w.write(c, cbits)
+        frame = w.bytes(pad_to=frame_bytes)
+        assert len(frame) == frame_bytes, "encoder blew the bit budget"
+        out.extend(frame)
+    return bytes(out)
+
+
+def encode_layer1_mono(pcm: list[float], sample_rate: int = 44100,
+                       bitrate_kbps: int = 224) -> bytes:
+    """Spec-derived Layer I encoder (mono): fixed 4-bit-per-sample
+    allocation (15 levels) across all 32 subbands."""
+    M._ensure_calibrated()
+    n_frames = len(pcm) // 384
+    a = M.Analysis()
+    out = bytearray()
+    sr_idx = M.SAMPLE_RATES.index(sample_rate)
+    b_idx = M.BITRATES_KBPS[1].index(bitrate_kbps)
+    frame_bytes = (12 * bitrate_kbps * 1000 // sample_rate) * 4
+    nb = 4  # alloc = nb - 1 = 3 -> 15 levels
+    for fr in range(n_frames):
+        seg = pcm[fr * 384:(fr + 1) * 384]
+        sub = [a.run(seg[b * 32:(b + 1) * 32]) for b in range(12)]
+        w = _BitWriter()
+        w.write(0x7FF, 11)
+        w.write(3, 2)
+        w.write(3, 2)       # Layer I field (11b)
+        w.write(1, 1)
+        w.write(b_idx, 4)
+        w.write(sr_idx, 2)
+        w.write(0, 2)
+        w.write(3, 2)       # mono
+        w.write(0, 6)
+        for _sb in range(32):
+            w.write(nb - 1, 4)
+        scf_idx = []
+        for sb in range(32):
+            mx = max(abs(sub[t][sb]) for t in range(12))
+            scf_idx.append(_pick_scf(mx))
+            w.write(scf_idx[sb], 6)
+        levels = (1 << nb) - 1
+        for t in range(12):
+            for sb in range(32):
+                c = _quantize(sub[t][sb] / M._SCALEFACTORS[scf_idx[sb]], levels)
+                w.write(c, nb)
+        frame = w.bytes(pad_to=frame_bytes)
+        assert len(frame) == frame_bytes
+        out.extend(frame)
+    return bytes(out)
+
+
+def _tone_mix(n: int, sr: int) -> list[float]:
+    freqs = (440.0, 1100.0, 2700.0, 4100.0)
+    return [
+        sum(0.12 * math.sin(2 * math.pi * f * i / sr + 0.5 * j)
+            for j, f in enumerate(freqs))
+        for i in range(n)
+    ]
+
+
+def _rel_rms(y: list[float], x: list[float], lo: int, hi: int, lag: int) -> float:
+    err = [y[i + lag] - x[i] for i in range(lo, hi)]
+    rx = math.sqrt(sum(v * v for v in x[lo:hi]) / (hi - lo))
+    return math.sqrt(sum(e * e for e in err) / len(err)) / rx
+
+
+def test_mpeg_meta_header_fields():
+    pcm = _tone_mix(1152 * 2, 32000)
+    blob = encode_layer2_mono(pcm)
+    m = M.mpeg_meta(blob)
+    assert m is not None
+    assert (m["layer"], m["sample_rate"], m["bitrate_kbps"],
+            m["channels"]) == (2, 32000, 320, 1)
+    assert m["frame_bytes"] == 144 * 320000 // 32000
+    # ID3v2 tag skipped
+    tagged = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"x" * 10 + blob
+    m2 = M.mpeg_meta(tagged)
+    assert m2 is not None and m2["first_frame_offset"] == 20
+
+
+def test_layer2_roundtrip_tone_mix():
+    sr = 32000
+    pcm = _tone_mix(1152 * 4, sr)
+    blob = encode_layer2_mono(pcm, sr, 320)
+    rate, chans = M.decode_mpeg1_audio(blob)
+    assert rate == sr and len(chans) == 1
+    y = chans[0]
+    assert len(y) == 1152 * 4
+    # encoder analysis (delay 0 into subbands) + decoder synthesis:
+    # total cascade delay = 481 samples; skip warmup, stop before tail
+    r = _rel_rms(y, pcm, 600, 1152 * 4 - 600, 481)
+    # 1023-level quantization (~1e-3) + filterbank residual (~2e-3)
+    assert r < 0.02, r
+
+
+def test_layer2_bitstream_exact_vs_known_dequant():
+    """The strongest check, independent of quantizer coarseness: the
+    decoder's PCM must equal the module's synthesis run DIRECTLY on the
+    test-side quantize->dequant subband values — every bit-allocation
+    row, scfsi branch, grouped de-group, and scalefactor lookup in the
+    bitstream path must reproduce the values the encoder wrote. White
+    noise exercises every subband including the coarse grouped tail."""
+    import random
+
+    random.seed(11)
+    sr = 32000
+    pcm = [random.uniform(-0.4, 0.4) for _ in range(1152 * 3)]
+    blob = encode_layer2_mono(pcm, sr, 320)
+    _rate, chans = M.decode_mpeg1_audio(blob)
+
+    # reproduce the encoder's dequantized subbands test-side
+    table = M._l2_table(sr, 320, 1)
+    sblimit = len(table)
+    alloc_idx = [
+        max(i for i, lv in enumerate(row)
+            if lv in (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023))
+        for row in table
+    ]
+    a = M.Analysis()
+    s = M._Synth()
+    want: list[float] = []
+    for fr in range(len(pcm) // 1152):
+        seg = pcm[fr * 1152:(fr + 1) * 1152]
+        sub = [a.run(seg[b * 32:(b + 1) * 32]) for b in range(36)]
+        scf_idx = [[0, 0, 0] for _ in range(sblimit)]
+        for sb in range(sblimit):
+            if alloc_idx[sb]:
+                for part in range(3):
+                    mx = max(abs(sub[part * 12 + t][sb]) for t in range(12))
+                    scf_idx[sb][part] = _pick_scf(mx)
+        for b in range(36):
+            dq = [0.0] * 32
+            for sb in range(sblimit):
+                ai = alloc_idx[sb]
+                if not ai:
+                    continue
+                levels = table[sb][ai]
+                scf = M._SCALEFACTORS[scf_idx[sb][(b // 3) >> 2]]
+                c = _quantize(sub[b][sb] / scf, levels)
+                dq[sb] = M._dequant(c, levels) * scf
+            want.extend(s.run(dq))
+    got = chans[0]
+    assert len(got) == len(want)
+    assert max(abs(g - w) for g, w in zip(got, want)) < 1e-9
+
+
+def test_layer1_roundtrip():
+    sr = 44100
+    pcm = _tone_mix(384 * 8, sr)
+    blob = encode_layer1_mono(pcm, sr, 224)
+    rate, chans = M.decode_mpeg1_audio(blob)
+    assert rate == sr
+    # 15-level quantization is coarse: SNR ~ 26 dB per subband
+    r = _rel_rms(chans[0], pcm, 600, 384 * 8 - 600, 481)
+    assert r < 0.08, r
+
+
+def test_decode_audio_routes_layer2():
+    from etl_wrap_spark.operators.multimodal import FEATURE_DIM, decode_audio
+
+    sr = 32000
+    pcm = _tone_mix(1152 * 3, sr)
+    blob = encode_layer2_mono(pcm, sr, 320)
+    feats = decode_audio(blob)
+    assert len(feats) == FEATURE_DIM
+    # a steady tone mix: every interior segment carries real energy
+    assert all(0.0 < v < 1.0 for v in feats[1:-1])
+    # deterministic
+    assert feats == decode_audio(blob)
+
+
+def test_layer3_still_gated():
+    from etl_wrap_spark.operators.multimodal import decode_audio
+
+    # a Layer III header (field 01) with plausible bitrate/rate + junk
+    blob = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"\x00" * 400
+    with pytest.raises(NotImplementedError):
+        M.decode_mpeg1_audio(blob)
+    with pytest.raises(NotImplementedError):
+        decode_audio(blob)
+    # the fake stub still works for plumbing tests
+    v = decode_audio(blob, fake=True)
+    assert len(v) == 16
+
+
+def test_dequant_matches_cd_table_constants():
+    """The closed-form midpoint must equal the spec's C*(s'''+D) for a
+    spot-check of tabulated constants (3/5/7/9/15/65535 levels)."""
+    cd = {
+        3: (4 / 3, 1 / 2), 5: (8 / 5, 1 / 2), 9: (16 / 9, 1 / 2),
+        7: (8 / 7, 1 / 4), 15: (16 / 15, 1 / 8), 65535: (65536 / 65535, 2 / 65536),
+    }
+    for levels, (C, D) in cd.items():
+        grouped = levels in (3, 5, 9)
+        for code in range(min(levels, 40)):
+            if grouped:
+                s3 = code / (levels - 1) - 1.0
+            else:
+                nb = (levels + 1).bit_length() - 1
+                s3 = (code - (1 << (nb - 1))) / float(1 << (nb - 1))
+            want = C * (s3 + D)
+            got = M._dequant(code, levels)
+            assert abs(want - got) < 1e-12, (levels, code)
+
+
+def test_soundfile_parity_probe():
+    sf = pytest.importorskip("soundfile")  # env-gated: absent here
+    import io
+
+    sr = 32000
+    pcm = _tone_mix(1152 * 3, sr)
+    blob = encode_layer2_mono(pcm, sr, 320)
+    data, rate = sf.read(io.BytesIO(blob), dtype="float64")
+    _r, chans = M.decode_mpeg1_audio(blob)
+    n = min(len(data), len(chans[0]))
+    err = [chans[0][i] - float(data[i]) for i in range(200, n - 200)]
+    rms = math.sqrt(sum(e * e for e in err) / len(err))
+    assert rms < 0.05
