@@ -55,37 +55,37 @@ def _pick_scf(max_abs: float) -> int:
     return idx
 
 
-def encode_layer2_mono(pcm: list[float], sample_rate: int = 32000,
-                       bitrate_kbps: int = 320) -> bytes:
-    """Spec-derived Layer II encoder (mono): analysis filterbank per 32
-    samples, fixed generous allocation chosen inside the frame bit
-    budget, scfsi=0 (all three scalefactors transmitted). Enough
-    fidelity (>= 1023 levels on the low subbands) that round-trip error
-    is dominated by the documented filterbank residual."""
+def encode_layer2(chans: list[list[float]], sample_rate: int = 32000,
+                  bitrate_kbps: int = 320, max_levels: int = 1023) -> bytes:
+    """Spec-derived Layer II encoder (mono or plain stereo, mode 00 —
+    no joint coding): analysis filterbank per channel, fixed generous
+    allocation chosen inside the frame bit budget (`max_levels` caps
+    the richest class so stereo fits), scfsi=0 (all three scalefactors
+    transmitted)."""
     M._ensure_calibrated()
-    table = M._l2_table(sample_rate, bitrate_kbps, 1)
+    nch = len(chans)
+    table = M._l2_table(sample_rate, bitrate_kbps, nch)
     sblimit = len(table)
-    # generous fixed allocation: largest levels <= 1023 per row
-    alloc_idx = []
-    for row in table:
-        want = max(i for i, lv in enumerate(row) if lv in (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023) )
-        alloc_idx.append(want)
+    ok_levels = {lv for lv in (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023)
+                 if lv <= max_levels}
+    alloc_idx = [
+        max(i for i, lv in enumerate(row) if lv in ok_levels)
+        for row in table
+    ]
     nbal = [max(1, (len(row) - 1).bit_length()) for row in table]
 
-    n_frames = len(pcm) // 1152
-    a = M.Analysis()
+    n_frames = len(chans[0]) // 1152
+    an = [M.Analysis() for _ in range(nch)]
     out = bytearray()
     sr_idx = M.SAMPLE_RATES.index(sample_rate)
     b_idx = M.BITRATES_KBPS[2].index(bitrate_kbps)
     frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
     for fr in range(n_frames):
-        seg = pcm[fr * 1152:(fr + 1) * 1152]
-        sub = []  # 36 blocks x 32 subbands
-        for b in range(36):
-            sub.append(a.run(seg[b * 32:(b + 1) * 32]))
+        sub = []  # per channel: 36 blocks x 32 subbands
+        for ch in range(nch):
+            seg = chans[ch][fr * 1152:(fr + 1) * 1152]
+            sub.append([an[ch].run(seg[b * 32:(b + 1) * 32]) for b in range(36)])
         w = _BitWriter()
-        # header: sync, MPEG-1, Layer II, no CRC, bitrate, sr, no pad,
-        # mono, no copyright bits
         w.write(0x7FF, 11)
         w.write(3, 2)       # MPEG-1
         w.write(2, 2)       # Layer II field (10b = layer 2)
@@ -94,22 +94,25 @@ def encode_layer2_mono(pcm: list[float], sample_rate: int = 32000,
         w.write(sr_idx, 2)
         w.write(0, 1)       # padding
         w.write(0, 1)       # private
-        w.write(3, 2)       # mode: single channel
+        w.write(3 if nch == 1 else 0, 2)  # mono / plain stereo
         w.write(0, 2)       # mode ext
         w.write(0, 4)       # copyright/original/emphasis
         for sb in range(sblimit):
-            w.write(alloc_idx[sb], nbal[sb])
+            for _ch in range(nch):
+                w.write(alloc_idx[sb], nbal[sb])
         for sb in range(sblimit):
             if alloc_idx[sb]:
-                w.write(0, 2)  # scfsi 0: three scalefactors
-        scf_idx = [[0, 0, 0] for _ in range(sblimit)]
+                for _ch in range(nch):
+                    w.write(0, 2)  # scfsi 0: three scalefactors
+        scf_idx = [[[0, 0, 0] for _ in range(sblimit)] for _ in range(nch)]
         for sb in range(sblimit):
             if not alloc_idx[sb]:
                 continue
-            for part in range(3):
-                mx = max(abs(sub[part * 12 + t][sb]) for t in range(12))
-                scf_idx[sb][part] = _pick_scf(mx)
-                w.write(scf_idx[sb][part], 6)
+            for ch in range(nch):
+                for part in range(3):
+                    mx = max(abs(sub[ch][part * 12 + t][sb]) for t in range(12))
+                    scf_idx[ch][sb][part] = _pick_scf(mx)
+                    w.write(scf_idx[ch][sb][part], 6)
         for gr in range(12):
             for sb in range(sblimit):
                 ai = alloc_idx[sb]
@@ -117,21 +120,27 @@ def encode_layer2_mono(pcm: list[float], sample_rate: int = 32000,
                     continue
                 levels = table[sb][ai]
                 cbits, grouped = M._L2_CLASS[levels]
-                scf = M._SCALEFACTORS[scf_idx[sb][gr >> 2]]
-                codes = [
-                    _quantize(sub[gr * 3 + t][sb] / scf, levels)
-                    for t in range(3)
-                ]
-                if grouped:
-                    w.write(codes[0] + levels * codes[1]
-                            + levels * levels * codes[2], cbits)
-                else:
-                    for c in codes:
-                        w.write(c, cbits)
+                for ch in range(nch):
+                    scf = M._SCALEFACTORS[scf_idx[ch][sb][gr >> 2]]
+                    codes = [
+                        _quantize(sub[ch][gr * 3 + t][sb] / scf, levels)
+                        for t in range(3)
+                    ]
+                    if grouped:
+                        w.write(codes[0] + levels * codes[1]
+                                + levels * levels * codes[2], cbits)
+                    else:
+                        for c in codes:
+                            w.write(c, cbits)
         frame = w.bytes(pad_to=frame_bytes)
         assert len(frame) == frame_bytes, "encoder blew the bit budget"
         out.extend(frame)
     return bytes(out)
+
+
+def encode_layer2_mono(pcm: list[float], sample_rate: int = 32000,
+                       bitrate_kbps: int = 320) -> bytes:
+    return encode_layer2([pcm], sample_rate, bitrate_kbps)
 
 
 def encode_layer1_mono(pcm: list[float], sample_rate: int = 44100,
@@ -270,6 +279,27 @@ def test_layer2_bitstream_exact_vs_known_dequant():
     got = chans[0]
     assert len(got) == len(want)
     assert max(abs(g - w) for g, w in zip(got, want)) < 1e-9
+
+
+def test_layer2_stereo_roundtrip():
+    """Plain stereo (mode 00, no joint coding): per-channel allocation,
+    scalefactors, and the sb-major/channel-minor sample interleave must
+    deinterleave back to two independent channels."""
+    sr = 32000
+    n = 1152 * 3
+    left = _tone_mix(n, sr)
+    right = [0.25 * math.sin(2 * math.pi * 900.0 * i / sr) for i in range(n)]
+    blob = encode_layer2([left, right], sr, 384, max_levels=255)
+    m = M.mpeg_meta(blob)
+    assert m is not None and m["channels"] == 2 and m["mode"] == 0
+    rate, chans = M.decode_mpeg1_audio(blob)
+    assert rate == sr and len(chans) == 2
+    rl = _rel_rms(chans[0], left, 600, n - 600, 481)
+    rr = _rel_rms(chans[1], right, 600, n - 600, 481)
+    assert rl < 0.03 and rr < 0.03, (rl, rr)
+    # channels are independent: right must NOT fit left's signal
+    cross = _rel_rms(chans[1], left, 600, n - 600, 481)
+    assert cross > 0.5
 
 
 def test_layer1_roundtrip():
