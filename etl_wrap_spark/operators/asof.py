@@ -168,14 +168,24 @@ def interpolate_linear(
     for continuous quantities (sensor readings, rates) where carrying
     the last observation misstates the trend.
 
-    Same union + single-window plan shape as resample_ffill (no
-    per-grid-point join): observation and grid rows merge per key, one
-    window pass finds the surrounding observations (last/first with
-    ignorenulls over the preceding/following frames), and the grid
-    value is pv + (nv - pv) * (t - pt) / (nt - pt). The formula is the
-    SAME IEEE expression tree an independent engine writes, so results
-    are bit-identical (each double op is correctly rounded). Grid
-    points outside a key's observed span stay NULL — interpolation
+    Same union shape as resample_ffill (no per-grid-point join), but
+    ONE full-size window pass, not two (round-10, the q134 sf1 ask):
+    each observation first learns its successor via lead() over the
+    OBS-ONLY frame (the small side — observations, not observations +
+    grid), then a single preceding-frame pass over the union recovers
+    both surrounding observations for every grid row: pv/pt as before,
+    and (nv, nt) as the successor STRUCT carried by the last preceding
+    observation (a struct, so a final observation's null successor is
+    not skipped by ignorenulls — no extrapolation, exactly as before).
+    The unboundedFollowing pass this replaces ran over obs+grid and
+    measured ~35% of the query's sf1 wall. Values are IDENTICAL: for a
+    grid row between observations i and i+1, last-preceding-obs = i
+    and i's successor = i+1 = first-following-obs; coincident grid rows
+    take the pv branch before nv is consulted; grid rows before the
+    first observation have pv NULL either way. The interp formula is
+    the SAME IEEE expression tree an independent engine writes, so
+    results are bit-identical (each double op is correctly rounded).
+    Grid points outside a key's observed span stay NULL — interpolation
     never extrapolates; grid points ON an observation return it exactly
     (the numerator is zero). Bounds default per key to [min ts, max ts]
     or the explicit `start`/`end` literals.
@@ -199,21 +209,33 @@ def interpolate_linear(
         bounds = obs.groupBy(key_col).agg(
             F.min("__ts").alias("__lo"), F.max("__ts").alias("__hi")
         )
+    wobs = Window.partitionBy(key_col).orderBy("__ts")
+    obs = obs.withColumn(
+        "__nxt",
+        F.struct(
+            F.lead("__v").over(wobs).alias("nv"),
+            F.lead("__ts").over(wobs).alias("nt"),
+        ),
+    )
     grid = bounds.select(
         key_col,
         F.explode(F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))).alias("__ts"),
     ).select(
         key_col, "__ts", F.lit(None).cast("double").alias("__v"), F.lit(1).alias("__is_grid")
-    )
+    ).withColumn("__nxt", F.lit(None).cast(obs.schema["__nxt"].dataType))
     rows = obs.unionByName(grid)
     w = Window.partitionBy(key_col).orderBy("__ts", "__is_grid")
     prev_frame = w.rowsBetween(Window.unboundedPreceding, 0)
-    next_frame = w.rowsBetween(0, Window.unboundedFollowing)
     ts_of_obs = F.when(F.col("__v").isNotNull(), F.col("__ts"))
     pv = F.last("__v", ignorenulls=True).over(prev_frame)
     pt = F.last(ts_of_obs, ignorenulls=True).over(prev_frame)
-    nv = F.first("__v", ignorenulls=True).over(next_frame)
-    nt = F.first(ts_of_obs, ignorenulls=True).over(next_frame)
+    # the last preceding observation's successor struct — __nxt is NULL
+    # on grid rows (skipped by ignorenulls) and a NON-null struct on
+    # every observation row (possibly with null fields, so a final
+    # observation still yields nv = NULL → no extrapolation)
+    nxt = F.last("__nxt", ignorenulls=True).over(prev_frame)
+    nv = nxt["nv"]
+    nt = nxt["nt"]
     # exact integer MICROSECONDS (sub-second observations truncate
     # differently across engines at second granularity), differenced
     # exactly in int64 before the one double division
