@@ -321,6 +321,22 @@ def main():
     sf = float(m.group(1).rstrip(".")) if m else None
     spark = get_session("etl_wrap_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # The heap-pressure GC sweep below makes ContextCleaner reclaim
+    # finished queries' METRIC accumulators while their task-end events
+    # are still draining through the DAG event loop (actions return on
+    # the job RESULT; per-task metric updates are async). DAGScheduler
+    # then logs a full "non-existent accumulator" stack trace per
+    # event — ~7k of them in an sf1 run, pure cosmetic noise that also
+    # costs driver I/O. Mute that logger in the BENCH process only;
+    # real failures still surface as Python exceptions from the action.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass
     qs = catalog.queries()
     names = [n for n in HEADLINE if n in qs] + [n for n in sorted(qs) if n not in HEADLINE]
 
