@@ -56,22 +56,29 @@ def _pick_scf(max_abs: float) -> int:
 
 
 def encode_layer2(chans: list[list[float]], sample_rate: int = 32000,
-                  bitrate_kbps: int = 320, max_levels: int = 1023) -> bytes:
+                  bitrate_kbps: int = 320, max_levels: int = 1023,
+                  alloc_override: dict[int, int] | None = None) -> bytes:
     """Spec-derived Layer II encoder (mono or plain stereo, mode 00 —
     no joint coding): analysis filterbank per channel, fixed generous
     allocation chosen inside the frame bit budget (`max_levels` caps
     the richest class so stereo fits), scfsi=0 (all three scalefactors
-    transmitted)."""
+    transmitted). `alloc_override` pins the allocation INDEX per
+    subband (absent subbands get 0 = not transmitted) — how the
+    low-bitrate table-A/C tests fit their budgets by transmitting only
+    the subbands the test tone occupies."""
     M._ensure_calibrated()
     nch = len(chans)
     table = M._l2_table(sample_rate, bitrate_kbps, nch)
     sblimit = len(table)
     ok_levels = {lv for lv in (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023)
                  if lv <= max_levels}
-    alloc_idx = [
-        max(i for i, lv in enumerate(row) if lv in ok_levels)
-        for row in table
-    ]
+    if alloc_override is not None:
+        alloc_idx = [alloc_override.get(sb, 0) for sb in range(sblimit)]
+    else:
+        alloc_idx = [
+            max(i for i, lv in enumerate(row) if lv in ok_levels)
+            for row in table
+        ]
     nbal = [max(1, (len(row) - 1).bit_length()) for row in table]
 
     n_frames = len(chans[0]) // 1152
@@ -279,6 +286,49 @@ def test_layer2_bitstream_exact_vs_known_dequant():
     got = chans[0]
     assert len(got) == len(want)
     assert max(abs(g - w) for g, w in zip(got, want)) < 1e-9
+
+
+def test_layer2_table_a_and_c_selection_roundtrip():
+    """Allocation tables beyond B: 48 kHz @ 64 kbps mono selects table
+    A (27 subbands, the 56-80 kbps/ch row) and 44.1 kHz @ 32 kbps mono
+    selects table C (8 subbands, the low-rate rows with the 3/5/9...
+    grouped ladder). Budgets are tight at these bitrates, so only the
+    subbands the tone occupies are transmitted (alloc_override); the
+    decoder must pick the same table from the header alone and decode
+    the distinct quantization ladders of each row class."""
+    # --- table A: 48 kHz, 64 kbps, 440 Hz tone lives in subband 0
+    sr, br = 48000, 64
+    assert M._l2_table(sr, br, 1) is M._TABLE_A
+    n = 1152 * 3
+    pcm = [0.5 * math.sin(2 * math.pi * 440.0 * i / sr) for i in range(n)]
+    idx1023_hi = M._ROW_HI.index(1023)
+    blob = encode_layer2([pcm], sr, br,
+                         alloc_override={0: idx1023_hi, 1: idx1023_hi})
+    m = M.mpeg_meta(blob)
+    assert m is not None and (m["sample_rate"], m["bitrate_kbps"]) == (sr, br)
+    rate, chans = M.decode_mpeg1_audio(blob)
+    assert rate == sr
+    r = _rel_rms(chans[0], pcm, 600, n - 600, 481)
+    assert r < 0.02, r
+    # --- table C: 44.1 kHz, 32 kbps, 300 Hz tone lives in subband 0
+    sr, br = 44100, 32
+    assert M._l2_table(sr, br, 1) is M._TABLE_C
+    pcm = [0.5 * math.sin(2 * math.pi * 300.0 * i / sr) for i in range(n)]
+    idx1023_lr = M._ROW_LR0.index(1023)
+    blob = encode_layer2([pcm], sr, br, alloc_override={0: idx1023_lr})
+    rate, chans = M.decode_mpeg1_audio(blob)
+    assert rate == sr
+    r = _rel_rms(chans[0], pcm, 600, n - 600, 481)
+    assert r < 0.02, r
+    # --- table C's grouped 9-level row (index 3 in _ROW_LR) on a quiet
+    # second subband exercises base-9 de-grouping in a low-rate frame
+    pcm2 = [0.4 * math.sin(2 * math.pi * 300.0 * i / sr)
+            + 0.1 * math.sin(2 * math.pi * 900.0 * i / sr) for i in range(n)]
+    blob = encode_layer2([pcm2], sr, br,
+                         alloc_override={0: idx1023_lr, 1: 3})
+    _rate, chans = M.decode_mpeg1_audio(blob)
+    r = _rel_rms(chans[0], pcm2, 600, n - 600, 481)
+    assert r < 0.1, r
 
 
 def test_layer2_stereo_roundtrip():
