@@ -352,6 +352,85 @@ def test_layer2_stereo_roundtrip():
     assert cross > 0.5
 
 
+def test_layer2_joint_stereo_shared_subbands():
+    """Intensity/joint stereo (mode 01): above bound = (mode_ext+1)*4,
+    ONE sample code stream is shared while each channel keeps its own
+    scalefactors. Hand-assemble a frame with bound=4: subband 0 carries
+    per-channel codes, subband 4 carries shared codes; the decoder must
+    apply the shared fractions under each channel's scalefactor. Checked
+    bitstream-exactly against the directly-synthesized expectation."""
+    M._ensure_calibrated()
+    sr, br = 32000, 384  # stereo 384 -> bpc 192 -> table B
+    table = M._l2_table(sr, br, 2)
+    assert table is M._TABLE_B
+    idx1023 = M._ROW_HI.index(1023)
+    frame_bytes = 144 * br * 1000 // sr
+    w = _BitWriter()
+    w.write(0x7FF, 11); w.write(3, 2); w.write(2, 2); w.write(1, 1)
+    w.write(M.BITRATES_KBPS[2].index(br), 4)
+    w.write(M.SAMPLE_RATES.index(sr), 2); w.write(0, 2)
+    w.write(1, 2)   # mode: joint stereo
+    w.write(0, 2)   # mode_ext 0 -> bound 4
+    w.write(0, 4)
+    sblimit = len(table)
+    # allocation: sb0 per channel (below bound), sb4 shared (one field)
+    for sb in range(sblimit):
+        if sb < 4:
+            for _ch in range(2):
+                w.write(idx1023 if sb == 0 else 0, 4)
+        else:
+            row_nbal = 4 if sb < 11 else (3 if sb < 23 else 2)
+            w.write((M._ROW_MID.index(1023) if sb == 4 else 0), row_nbal)
+    # scfsi: sb0 both channels, sb4 both channels (alloc shared => both)
+    for _ in range(4):
+        w.write(0, 2)
+    # scalefactors: sb0 ch0/ch1, sb4 ch0/ch1 — DIFFERENT per channel on
+    # the shared subband (the intensity semantics under test)
+    scf0, scf1, scf4a, scf4b = 10, 14, 20, 26
+    for s in (scf0, scf1):
+        for _ in range(3):
+            w.write(s, 6)
+    for s in (scf4a, scf4b):
+        for _ in range(3):
+            w.write(s, 6)
+    # samples: 12 granules; sb0: ch0 codes then ch1 codes (4 bits? no —
+    # 1023 levels = 10 bits ungrouped, 3 codes each); sb4: ONE set
+    import random
+
+    rng = random.Random(5)
+    codes0a = [[rng.randrange(1023) for _ in range(3)] for _ in range(12)]
+    codes0b = [[rng.randrange(1023) for _ in range(3)] for _ in range(12)]
+    codes4 = [[rng.randrange(1023) for _ in range(3)] for _ in range(12)]
+    for gr in range(12):
+        for c in codes0a[gr]:
+            w.write(c, 10)
+        for c in codes0b[gr]:
+            w.write(c, 10)
+        for c in codes4[gr]:
+            w.write(c, 10)
+    blob = w.bytes(pad_to=frame_bytes)
+    rate, chans = M.decode_mpeg1_audio(blob)
+    assert rate == sr and len(chans) == 2
+
+    # directly-synthesized expectation
+    want = []
+    for ch, (c0, s0, s4) in enumerate(
+        ((codes0a, scf0, scf4a), (codes0b, scf1, scf4b))
+    ):
+        s = M._Synth()
+        pcm = []
+        for gr in range(12):
+            for t in range(3):
+                sub = [0.0] * 32
+                sub[0] = M._dequant(c0[gr][t], 1023) * M._SCALEFACTORS[s0]
+                sub[4] = M._dequant(codes4[gr][t], 1023) * M._SCALEFACTORS[s4]
+                pcm.extend(s.run(sub))
+        want.append(pcm)
+    for ch in range(2):
+        assert len(chans[ch]) == len(want[ch])
+        assert max(abs(a - b) for a, b in zip(chans[ch], want[ch])) < 1e-9
+
+
 def test_layer1_roundtrip():
     sr = 44100
     pcm = _tone_mix(384 * 8, sr)
