@@ -298,6 +298,34 @@ def strip_oracle_order_by(sql: str) -> str:
     return sql[:last]
 
 
+def _sched_floor(spark, n: int = 5) -> float:
+    """Best-of-n wall for an empty 1-task job — the container's pure
+    scheduling round trip, the epoch-quality statistic floor_profile.py
+    established (healthy ~0.17-0.21 s here; ~0.3 s+ = degraded host)."""
+    sc = spark.sparkContext
+    best = None
+    try:
+        for _ in range(n):
+            t0 = time.time()
+            sc.parallelize([], 1).count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+    except Exception:
+        return -1.0
+    return round(best, 4)
+
+
+def _mem_available_kb() -> int:
+    try:
+        with open("/proc/meminfo", encoding="ascii") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return -1
+
+
 def execute_plan(df) -> int:
     """Execute the FULL physical plan JVM-side; return the row count.
 
@@ -346,6 +374,7 @@ def main():
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").selectExpr(
         "sum(cast(l_quantity as decimal(18,4)))"
     ).collect()
+    sched_floor_start = _sched_floor(spark)
 
     do_duck = os.environ.get("SPARK_GRAFT_DUCKDB", "1") != "0"
     # INTERLEAVED mode (default): each query's oracle is timed right
@@ -452,6 +481,7 @@ def main():
         except Exception:
             pass
 
+    sched_floor_end = _sched_floor(spark)
     total = round(sum(timings.values()), 3)
     detail = {
         # Versioned name (round-3 ADVICE): the headline has been the
@@ -480,6 +510,17 @@ def main():
         # through the per-query mean
         "n_queries": len(timings),
         "mean_per_query": round(total / len(timings), 3) if timings else 0.0,
+        # Epoch-quality self-identification (round-10: run D read 2.34x
+        # on a host window where runs A-C read 1.79-1.84x with identical
+        # code — BOTH legs inflated, excess scattered). The empty-1-task
+        # scheduling floor at run start/end and MemAvailable let a
+        # reader judge the epoch from the artifact itself instead of
+        # cross-referencing committed sibling runs: a floor ~0.17-0.21 s
+        # is this container's healthy range; ~0.3 s+ marks a degraded
+        # window whose ratios carry host noise.
+        "sched_floor_start_sec": sched_floor_start,
+        "sched_floor_end_sec": sched_floor_end,
+        "mem_available_kb": _mem_available_kb(),
     }
     # Round-7 ADVICE: min-of-N is the headline (best-of, symmetric with
     # the oracle leg) but is not comparable across rounds when RUNS
@@ -611,6 +652,12 @@ def compact_line(detail: dict, timings: dict[str, float], limit: int = 1900) -> 
             compact["duckdb_total"] = detail["duckdb_total"]
         if "ratio_summary" in detail:
             compact["ratio_summary"] = detail["ratio_summary"]
+        # epoch quality rides the headline so a single recorded run can
+        # be judged without its sibling epochs (round-10 run D lesson)
+        compact["sched_floor_sec"] = [
+            detail.get("sched_floor_start_sec"),
+            detail.get("sched_floor_end_sec"),
+        ]
         return json.dumps(compact, separators=(",", ":"))
 
     line = build(None)
