@@ -199,14 +199,22 @@ def interpolate_linear(
         F.col(value_col).cast("double").alias("__v"),
         F.lit(0).alias("__is_grid"),
     )
+    # bounds come from EVERY observation row (a null-valued endpoint
+    # still anchors the grid span, as before), but the lead()/union
+    # below must see only non-null-valued observations: lead() carries
+    # the next ROW, and a null-valued successor row would make grid
+    # points before it interpolate to NULL where the previous
+    # first(ignorenulls) pass skipped it (round-10 ADVICE).
+    bounds_src = obs
+    obs = obs.where(F.col("__v").isNotNull())
     if start is not None and end is not None:
-        bounds = obs.select(key_col).distinct().select(
+        bounds = bounds_src.select(key_col).distinct().select(
             F.col(key_col),
             F.lit(start).cast("timestamp").alias("__lo"),
             F.lit(end).cast("timestamp").alias("__hi"),
         )
     else:
-        bounds = obs.groupBy(key_col).agg(
+        bounds = bounds_src.groupBy(key_col).agg(
             F.min("__ts").alias("__lo"), F.max("__ts").alias("__hi")
         )
     wobs = Window.partitionBy(key_col).orderBy("__ts")

@@ -1136,7 +1136,14 @@ def connected_components(
         # map-side count probe (round-10: limit-based probes lose —
         # see graph._pinned_small_edges); collect only when small
         if pinned.count() <= small_graph_limit:
-            return _driver_union_find(pinned, pinned.toPandas())
+            pdf = pinned.toPandas()
+            # NULL edge endpoints make Arrow render int64 ids as
+            # float64/NaN, corrupting every node id in the union-find
+            # (round-10 ADVICE; mirrors graph._pinned_small_edges) —
+            # such graphs run the distributed min-label propagation,
+            # whose equi-join semantics define NULL handling.
+            if not pdf.isna().any().any():
+                return _driver_union_find(pinned, pdf)
         sym = pinned  # reuse the already-materialized edge list below
     edges = (
         # NO .distinct(): every consumer is a min-aggregation (the label
@@ -1267,7 +1274,11 @@ def connected_components_star(
         from etl_wrap_spark.operators.graph import _driver_headroom_ok
 
         if _driver_headroom_ok() and edges.count() <= small_graph_limit:
-            return _driver_union_find(edges, edges.toPandas())
+            pdf = edges.toPandas()
+            # same NaN guard as connected_components above (round-10
+            # ADVICE): NULL endpoints → distributed star alternation
+            if not pdf.isna().any().any():
+                return _driver_union_find(edges, pdf)
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
         # large-star over the symmetric neighborhood

@@ -189,6 +189,19 @@ def mpeg_meta(content: bytes) -> dict | None:
     for i in range(off, min(len(content) - 4, off + 65536)):
         h = parse_header(content, i)
         if h is not None:
+            # One valid-looking header false-syncs on random compressed
+            # bytes at ~1e-4/offset over a 64 KiB scan (round-10
+            # ADVICE): demand a SECOND consecutive valid header with
+            # the same layer/sample-rate where the buffer has room for
+            # one, so ogg/flac payloads fall through to soundfile
+            # instead of decoding as garbage MPEG.
+            nxt = i + h["frame_bytes"]
+            if nxt + 4 <= len(content):
+                h2 = parse_header(content, nxt)
+                if h2 is None or h2["layer"] != h["layer"] or (
+                    h2["sample_rate"] != h["sample_rate"]
+                ):
+                    continue
             h["first_frame_offset"] = i
             return h
     return None

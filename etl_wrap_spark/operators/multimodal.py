@@ -301,9 +301,16 @@ def decode_audio(content: bytes, fake: bool = False) -> list[float]:
     mm = mpeg_meta(content)
     if mm is not None and mm["layer"] in (1, 2):
         # MPEG-1 Layer I/II: REAL stdlib decode (round 10 — see
-        # operators/mpeg_audio.py for the exact-vs-derived contract)
-        _rate, chans = decode_mpeg1_audio(content)
-        return seg_rms(chans[0], 1.0, integer=False)
+        # operators/mpeg_audio.py for the exact-vs-derived contract).
+        # A residual false-sync (mpeg_meta now demands two consecutive
+        # headers, but a single-frame-sized buffer can't) falls through
+        # to soundfile rather than surfacing ValueError (round-10
+        # ADVICE).
+        try:
+            _rate, chans = decode_mpeg1_audio(content)
+            return seg_rms(chans[0], 1.0, integer=False)
+        except ValueError:
+            pass
     sf = _soundfile()
     if sf is not None:
         import io

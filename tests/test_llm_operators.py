@@ -2918,3 +2918,50 @@ def test_fold_accents_arrow_path_matches_python(spark):
               for r in T.fold_accents_df(docs, "text", out_col="folded").collect()}
     assert fast == slow == probed
     assert fast[1] == "Muhleisen cafe no" and fast[3] is None
+
+
+def test_interpolate_linear_skips_null_valued_observations(spark):
+    """Round-10 ADVICE regression: a NULL-valued observation row must be
+    interpolated ACROSS (the first(ignorenulls) semantics), not carried
+    as a NULL successor by lead(); and a NULL-valued endpoint still
+    anchors the default grid bounds."""
+    from etl_wrap_spark.operators.asof import interpolate_linear
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    sec = lambda s: base + dt.timedelta(seconds=s)
+    obs = spark.createDataFrame(
+        [("k", sec(0), 10.0), ("k", sec(50), None), ("k", sec(100), 20.0),
+         ("k", sec(150), None)],
+        "key STRING, ts TIMESTAMP, v DOUBLE",
+    )
+    got = {r["ts"]: r["value_interp"] for r in interpolate_linear(
+        obs, "key", "ts", "v", step="25 seconds").collect()}
+    # null obs at t=50 bridged; null endpoint at t=150 extends the grid
+    # but never supplies a value (no extrapolation past t=100)
+    assert got[sec(0)] == 10.0 and got[sec(100)] == 20.0
+    assert got[sec(25)] == 12.5 and got[sec(50)] == 15.0 and got[sec(75)] == 17.5
+    assert got[sec(125)] is None and got[sec(150)] is None
+    assert len(got) == 7
+
+
+def test_connected_components_null_endpoint_fast_path_guard(spark):
+    """Round-10 ADVICE regression: a NULL edge endpoint makes Arrow
+    render int64 ids as float64/NaN in the driver union-find collect —
+    both CC variants must route such graphs distributed and agree with
+    the forced-distributed output instead of crashing/mislabeling."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, None), (3, 4), (None, 5)], "id_a LONG, id_b LONG"
+    )
+    want = {r["doc_id"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, small_graph_limit=0).collect()}
+    got = {r["doc_id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    star = {r["doc_id"]: r["component"]
+            for r in dedup.connected_components_star(pairs).collect()}
+    assert got == want
+    # star's u != v predicate drops NULL-endpoint edges entirely (NULL
+    # comparisons are NULL), so only the intact components surface there
+    assert star == {1: 1, 2: 1, 3: 3, 4: 3}
+    assert want[1] == want[2] == 1 and want[3] == want[4] == 3

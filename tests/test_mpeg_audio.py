@@ -503,3 +503,23 @@ def test_soundfile_parity_probe():
     err = [chans[0][i] - float(data[i]) for i in range(200, n - 200)]
     rms = math.sqrt(sum(e * e for e in err) / len(err))
     assert rms < 0.05
+
+
+def test_mpeg_meta_rejects_single_false_sync():
+    """Round-10 ADVICE regression: one valid-looking header inside random
+    bytes must NOT classify the blob as MPEG when the position where the
+    next frame header belongs holds garbage (two-consecutive-header
+    rule); a genuine single-frame blob (no room for a second header)
+    still parses."""
+    pcm = _tone_mix(1152, 32000)
+    blob = encode_layer2_mono(pcm)
+    one_frame = M.mpeg_meta(blob)
+    assert one_frame is not None and one_frame["layer"] == 2
+    # same first header, but the successor position holds zeros and the
+    # buffer has room for a second header -> rejected
+    fake = blob[:8] + b"\x00" * (one_frame["frame_bytes"] + 64)
+    assert M.mpeg_meta(fake) is None
+    # two genuine consecutive frames still parse with the rule active
+    two = encode_layer2_mono(_tone_mix(1152 * 2, 32000))
+    m2 = M.mpeg_meta(two)
+    assert m2 is not None and m2["first_frame_offset"] == 0
