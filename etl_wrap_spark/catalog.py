@@ -263,6 +263,17 @@ _DRIVER_WINDOW_R9 = [
 ]
 
 
+# Round-10 window (q221 + the three never-windowed early registrations,
+# from the archived tools/rotation_spec.json round:10): history so the
+# r11+ spot-check pool and the disjointness proof stay reproducible.
+_DRIVER_WINDOW_R10 = [
+    "q221_heavy_hitters_merge",
+    "q24_ngram_jaccard_exact",
+    "q34_session_window_batch",
+    "q47_asof_tolerance",
+]
+
+
 def _seeded_spot_checks(pool: list[str], seed: str, k: int) -> list[str]:
     """Deterministic, disclosed re-draw of k prior-window queries.
 
@@ -315,11 +326,16 @@ def _driver_window() -> list[str]:
     spec = _load_rotation_spec()
     if spec is None:
         return _DRIVER_WINDOW_R7
-    # never-checked queries + seeded re-checks of prior windows = 50
-    # driver slots (round 8: 45+5; round 9: the final 22 unchecked +
-    # 28 re-checks). Names not (yet) registered are dropped defensively;
-    # the contract test asserts the full 50 are present.
-    return [*spec["window"], *spec["spot_checks"]]
+    # never-checked queries + verdict-requested re-checks + seeded
+    # re-checks of prior windows = 50 driver slots (round 8: 45+5;
+    # round 9: the final 22 unchecked + 28 re-checks; round 11 adds the
+    # optional `requested` slot — named prior-window re-checks the
+    # VERDICT itself asked for, e.g. the r10 ask to pair both
+    # Misra-Gries regimes q220+q221 in one window; the contract test
+    # pins them to prior sets and excludes them from the seeded pool so
+    # the seeded draw stays tamper-evident). Names not (yet) registered
+    # are dropped defensively; the contract test asserts the full 50.
+    return [*spec["window"], *spec.get("requested", []), *spec["spot_checks"]]
 
 
 _DRIVER_WINDOW = _driver_window()

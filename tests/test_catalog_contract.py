@@ -85,14 +85,19 @@ def test_first_50_entries_match_current_rotation_window():
     # ask #6). The spec must exist and be what the catalog exposes.
     spec = catalog._load_rotation_spec()
     assert spec is not None, "tools/rotation_spec.json missing/invalid"
-    assert catalog._DRIVER_WINDOW == [*spec["window"], *spec["spot_checks"]]
+    assert catalog._DRIVER_WINDOW == [
+        *spec["window"], *spec.get("requested", []), *spec["spot_checks"]
+    ]
 
 
 def test_rotation_window_disjoint_from_all_prior_windows():
     # The rotation's new-coverage part (spec 'window') must be disjoint
-    # from every prior driver-checked set; the 5 'spot_checks' must be
-    # drawn FROM those prior sets via the disclosed seeded procedure, so
-    # prior-window regressions become driver-visible each round.
+    # from every prior driver-checked set; 'requested' names (verdict-
+    # asked re-checks, round 11+) must come FROM prior sets and are
+    # excluded from the seeded pool; the 'spot_checks' must be drawn
+    # from that pool via the disclosed seeded procedure, so prior-window
+    # regressions become driver-visible each round and the committed
+    # list can't be cherry-picked.
     spec = catalog._load_rotation_spec()
     prior = (
         set(DRIVER_CHECKED)
@@ -100,13 +105,19 @@ def test_rotation_window_disjoint_from_all_prior_windows():
         | set(catalog._DRIVER_WINDOW_R7)
         | set(catalog._DRIVER_WINDOW_R8)
         | set(catalog._DRIVER_WINDOW_R9)
+        | set(catalog._DRIVER_WINDOW_R10)
     )
+    requested = spec.get("requested", [])
     assert not set(spec["window"]) & prior
+    assert set(requested) <= prior
+    assert not set(requested) & set(spec["spot_checks"])
     assert set(spec["spot_checks"]) <= prior
     # re-derive the seeded selection — tampering with the committed list
     # (cherry-picking easy queries) fails here
     expected = catalog._seeded_spot_checks(
-        sorted(prior), spec["spot_check_seed"], spec["spot_check_count"]
+        sorted(prior - set(requested)),
+        spec["spot_check_seed"],
+        spec["spot_check_count"],
     )
     assert spec["spot_checks"] == expected
     # prior windows themselves were pairwise disjoint too
@@ -124,6 +135,13 @@ def test_rotation_window_disjoint_from_all_prior_windows():
         | set(catalog._DRIVER_WINDOW_R6)
         | set(catalog._DRIVER_WINDOW_R7)
         | set(catalog._DRIVER_WINDOW_R8)
+    )
+    assert not set(catalog._DRIVER_WINDOW_R10) & (
+        set(DRIVER_CHECKED)
+        | set(catalog._DRIVER_WINDOW_R6)
+        | set(catalog._DRIVER_WINDOW_R7)
+        | set(catalog._DRIVER_WINDOW_R8)
+        | set(catalog._DRIVER_WINDOW_R9)
     )
 
 
