@@ -240,6 +240,7 @@ def ancestor_closure(
     parent_col: str = "parent",
     max_iter: int = 40,
     small_graph_limit: int = 1 << 17,
+    known_small: bool = False,
 ) -> DataFrame:
     """ALL (node, anc, dist) ancestor pairs of a forest — the full
     transitive closure flatten_hierarchy's (node, root) projection
@@ -290,11 +291,21 @@ def ancestor_closure(
     # small_graph_limit=0 disables the fast path (graph.py convention —
     # round-8 ADVICE) so tests can pin fast == distributed directly.
     # Capped-count probe: rows move only when the forest is small.
+    # known_small=True is a CALLER ASSERTION that the edge list is
+    # statically bounded (e.g. q132's `c_custkey <= 4095` filter): the
+    # probe job is then redundant — the one scheduled job it saves is
+    # ~40% of such a query's total build+execute cost at bench scale
+    # (round-10 verdict ask #7). The headroom gate still applies, and
+    # the post-collect len() enforces the limit anyway (an over-limit
+    # collect falls through to the distributed squaring; the assertion
+    # being wrong costs one oversized collect, never a wrong result).
     if small_graph_limit > 0 and _driver_headroom_ok() and (
-        p.count() <= small_graph_limit
+        known_small or p.count() <= small_graph_limit
     ):
         pdf = p.select("node", "anc").toPandas()
         n_prev = len(pdf)
+        if n_prev > small_graph_limit:  # caller's bound was wrong
+            pdf = None
     if pdf is not None:
         kids = pdf["node"].tolist()
         pars = pdf["anc"].tolist()

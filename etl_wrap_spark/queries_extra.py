@@ -3048,7 +3048,10 @@ def q132_hierarchy_rollup(spark, sf_dir):
         F.col("c_custkey").alias("child"),
         (F.col("c_custkey") / 2).cast("bigint").alias("parent"),
     )
-    closure = ancestor_closure(edges)
+    # known_small: the `c_custkey <= 4095` filter statically bounds the
+    # edge list, so the closure's size-probe job is redundant (round-10
+    # verdict ask #7 — one scheduled job was ~40% of this query's build)
+    closure = ancestor_closure(edges, known_small=True)
     self_pairs = cust.select(
         F.col("c_custkey").alias("node"), F.col("c_custkey").alias("anc")
     )

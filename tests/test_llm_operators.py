@@ -2965,3 +2965,24 @@ def test_connected_components_null_endpoint_fast_path_guard(spark):
     # comparisons are NULL), so only the intact components surface there
     assert star == {1: 1, 2: 1, 3: 3, 4: 3}
     assert want[1] == want[2] == 1 and want[3] == want[4] == 3
+
+
+def test_ancestor_closure_known_small_matches_and_survives_wrong_bound(spark):
+    """known_small=True skips the size-probe job but must return the
+    identical closure; a WRONG caller bound (limit smaller than the
+    forest) must fall through to the distributed squaring, not
+    mislabel."""
+    from etl_wrap_spark.operators.incremental_join import ancestor_closure
+
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(2, 10)], ["child", "parent"]
+    )
+    want = {(r["node"], r["anc"], r["dist"])
+            for r in ancestor_closure(edges).collect()}
+    fast = {(r["node"], r["anc"], r["dist"])
+            for r in ancestor_closure(edges, known_small=True).collect()}
+    assert fast == want
+    wrong = {(r["node"], r["anc"], r["dist"])
+             for r in ancestor_closure(
+                 edges, known_small=True, small_graph_limit=2).collect()}
+    assert wrong == want
