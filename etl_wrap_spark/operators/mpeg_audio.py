@@ -186,7 +186,17 @@ def mpeg_meta(content: bytes) -> dict | None:
             ((content[6] & 0x7F) << 21) | ((content[7] & 0x7F) << 14)
             | ((content[8] & 0x7F) << 7) | (content[9] & 0x7F)
         )
-    for i in range(off, min(len(content) - 4, off + 65536)):
+    end = min(len(content) - 4, off + 65536)
+    i = off
+    while 0 <= i < end:
+        # C-speed jump between 0xFF sync candidates: the two-header rule
+        # no longer stops the scan at the first false sync, so a
+        # per-offset Python loop over the 64 KiB window cost ~2.5x on
+        # the multimodal feature pass (q28, round-11 bench) — find()
+        # visits only the ~len/256 candidate offsets of random bytes.
+        i = content.find(0xFF, i, end)
+        if i < 0:
+            break
         h = parse_header(content, i)
         if h is not None:
             # One valid-looking header false-syncs on random compressed
@@ -196,14 +206,14 @@ def mpeg_meta(content: bytes) -> dict | None:
             # one, so ogg/flac payloads fall through to soundfile
             # instead of decoding as garbage MPEG.
             nxt = i + h["frame_bytes"]
-            if nxt + 4 <= len(content):
-                h2 = parse_header(content, nxt)
-                if h2 is None or h2["layer"] != h["layer"] or (
-                    h2["sample_rate"] != h["sample_rate"]
-                ):
-                    continue
-            h["first_frame_offset"] = i
-            return h
+            if nxt + 4 > len(content) or (
+                (h2 := parse_header(content, nxt)) is not None
+                and h2["layer"] == h["layer"]
+                and h2["sample_rate"] == h["sample_rate"]
+            ):
+                h["first_frame_offset"] = i
+                return h
+        i += 1
     return None
 
 
