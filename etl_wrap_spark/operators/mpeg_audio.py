@@ -38,11 +38,16 @@ not approximations of them. A parity probe against soundfile runs when
 that library is importable (env-gated skip otherwise, the live-sshd
 convention).
 
-Layer III (.mp3) stays dependency-gated: its Huffman tables are
-thousands of tabulated (value, code) entries — like the prototype
-window they cannot be derived, and unlike it there is no structural
-stand-in that still decodes the bitstream. The gate message in
-multimodal.decode_audio says exactly that.
+Layer III (.mp3): decoded by operators/mpeg_layer3.py since round 11 —
+full spec-structured pipeline (side info, bit reservoir, scalefactors,
+requantization, short-block reorder, MS stereo, alias reduction,
+36/12-point IMDCT, this module's synthesis bank) with a documented
+HUFFMAN-TABLE SUBSET: the ISO Table B.7 code tables are ~1.5k entries
+of arbitrary tabulated data with no in-container ground truth, so only
+the confidently-reproducible small tables ship (0, 1, count1 B) and a
+stream selecting any other table raises UnsupportedMp3Feature, which
+multimodal.decode_audio's soundfile gate catches — never a silent
+wrong decode.
 """
 
 from __future__ import annotations
@@ -490,11 +495,13 @@ def decode_mpeg1_audio(content: bytes, max_frames: int | None = None):
     if meta is None:
         raise ValueError("no MPEG-1 audio sync found")
     if meta["layer"] == 3:
-        raise NotImplementedError(
-            "MPEG-1 Layer III requires the ISO Huffman code tables "
-            "(thousands of tabulated entries, not derivable); install "
-            "soundfile for mp3 decode"
-        )
+        # round 11: Layer III decodes in mpeg_layer3.py (full pipeline;
+        # huffman-table SUBSET — streams selecting unimplemented tables
+        # raise UnsupportedMp3Feature, a ValueError the caller's
+        # soundfile gate catches)
+        from etl_wrap_spark.operators.mpeg_layer3 import decode_mp3
+
+        return decode_mp3(content, max_frames=max_frames)
     off = meta["first_frame_offset"]
     nch = meta["channels"]
     synth = [_Synth() for _ in range(nch)]

@@ -299,12 +299,15 @@ def decode_audio(content: bytes, fake: bool = False) -> list[float]:
     from etl_wrap_spark.operators.mpeg_audio import decode_mpeg1_audio, mpeg_meta
 
     mm = mpeg_meta(content)
-    if mm is not None and mm["layer"] in (1, 2):
-        # MPEG-1 Layer I/II: REAL stdlib decode (round 10 — see
-        # operators/mpeg_audio.py for the exact-vs-derived contract).
-        # A residual false-sync (mpeg_meta now demands two consecutive
-        # headers, but a single-frame-sized buffer can't) falls through
-        # to soundfile rather than surfacing ValueError (round-10
+    if mm is not None and mm["layer"] in (1, 2, 3):
+        # MPEG-1 Layer I/II: REAL stdlib decode (round 10); Layer III:
+        # REAL stdlib decode for the implemented huffman-table subset
+        # (round 11 — operators/mpeg_layer3.py documents the
+        # exact-vs-subset contract). A residual false-sync (mpeg_meta
+        # demands two consecutive headers, but a single-frame-sized
+        # buffer can't) or an mp3 selecting an unimplemented huffman
+        # table (UnsupportedMp3Feature is a ValueError) falls through
+        # to soundfile rather than surfacing the error (round-10
         # ADVICE).
         try:
             _rate, chans = decode_mpeg1_audio(content)
@@ -319,11 +322,13 @@ def decode_audio(content: bytes, fake: bool = False) -> list[float]:
         mono = data[:, 0] if getattr(data, "ndim", 1) > 1 else data
         return seg_rms(mono, 1.0, integer=False)
     raise NotImplementedError(
-        "mp3/ogg audio decoding requires soundfile, which is not importable "
-        "here (PCM WAV and MPEG-1 Layer I/II decode with pure stdlib; Layer "
-        "III's Huffman tables are thousands of tabulated ISO entries with no "
-        "derivable closed form); pass fake=True for the deterministic test "
-        "stub"
+        "this audio payload needs soundfile, which is not importable here "
+        "(PCM WAV, MPEG-1 Layer I/II, and Layer III streams on the "
+        "implemented huffman-table subset decode with pure stdlib; the "
+        "remaining gate covers ogg/flac and mp3s selecting ISO huffman "
+        "tables outside that subset — tabulated data with no in-container "
+        "ground truth, see operators/mpeg_layer3.py); pass fake=True for "
+        "the deterministic test stub"
     )
 
 

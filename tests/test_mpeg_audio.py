@@ -456,12 +456,17 @@ def test_decode_audio_routes_layer2():
     assert feats == decode_audio(blob)
 
 
-def test_layer3_still_gated():
+def test_layer3_truncated_junk_falls_to_gate():
+    """Round 11: Layer III ROUTES to mpeg_layer3 (test_mpeg_layer3.py
+    covers real decode); a truncated junk blob raises ValueError from
+    the decoder and decode_audio falls through to its dependency gate
+    instead of crashing."""
     from etl_wrap_spark.operators.multimodal import decode_audio
 
     # a Layer III header (field 01) with plausible bitrate/rate + junk
+    # shorter than one frame
     blob = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"\x00" * 400
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_mpeg1_audio(blob)
     with pytest.raises(NotImplementedError):
         decode_audio(blob)
