@@ -424,7 +424,10 @@ def decode_mp3(
     frames = 0
     while off + 4 <= len(content):
         h = parse_header(content, off)
-        if h is None or h["layer"] != 3 or h["sample_rate"] != meta["sample_rate"]:
+        if h is None or h["layer"] != 3 or (
+            h["sample_rate"] != meta["sample_rate"]
+            or h["channels"] != nch  # mode switch would mis-size side info
+        ):
             break
         end = off + h["frame_bytes"]
         if end > len(content):
