@@ -87,11 +87,12 @@ def encode_granule_bits(
 def _side_info_granule(
     w: _BitWriter, part23: int, bv_pairs: int, global_gain: int,
     block_type: int, table0: int = 1, table1: int = 1, table2: int = 1,
+    scalefac_compress: int = 0, preflag: int = 0, scalefac_scale: int = 0,
 ) -> None:
     w.put(part23, 12)
     w.put(bv_pairs, 9)
     w.put(global_gain, 8)
-    w.put(0, 4)                      # scalefac_compress = 0 -> slen 0,0
+    w.put(scalefac_compress, 4)
     if block_type == 2:
         w.put(1, 1)                  # windows_switching
         w.put(2, 2)                  # block_type
@@ -107,9 +108,26 @@ def _side_info_granule(
         w.put(table2, 5)
         w.put(0, 4)                  # region0_count
         w.put(0, 3)                  # region1_count
-    w.put(0, 1)                      # preflag
-    w.put(0, 1)                      # scalefac_scale
+    w.put(preflag, 1)
+    w.put(scalefac_scale, 1)
     w.put(1, 1)                      # count1table_select = B
+
+
+def _scalefac_bits_long(
+    w: _BitWriter, scalefacs: list[int], scalefac_compress: int,
+    scfsi: list[int], granule: int,
+) -> int:
+    """Write granule long-block scalefactors honoring scfsi sharing
+    (granule 1 skips shared groups); returns bits written."""
+    slen1, slen2 = L3._SLEN[scalefac_compress]
+    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2)]
+    n0 = len(w.bits)
+    for gi, (lo, hi, slen) in enumerate(groups):
+        if granule == 1 and scfsi[gi]:
+            continue
+        for band in range(lo, hi):
+            w.put(scalefacs[band], slen)
+    return len(w.bits) - n0
 
 
 def encode_frames(
@@ -120,13 +138,19 @@ def encode_frames(
     mode: int | None = None,
     mode_ext: int = 0,
     reservoir_bytes: int = 0,
+    scfsi: list[int] | None = None,
 ) -> bytes:
     """Assemble whole MPEG-1 Layer III frames. `granules` is a list of
     frames, each frame a list of 2*nch granule dicts (gr0ch0, gr0ch1,
     gr1ch0, gr1ch1) with keys ix/bv_pairs/c1_quads/global_gain/
-    block_type. reservoir_bytes > 0 exercises the bit reservoir: each
-    frame's main data is shifted that many bytes into the PREVIOUS
-    frame's slot (main_data_begin)."""
+    block_type and optional scalefacs (21 longs)/scalefac_compress/
+    preflag/scalefac_scale. reservoir_bytes > 0 exercises the bit
+    reservoir: each frame's main data is shifted that many bytes into
+    the PREVIOUS frame's slot (main_data_begin). `scfsi` (4 flags,
+    applied to every channel) makes granule 1 share those scalefactor
+    groups with granule 0 — granule 1's dicts then must not re-specify
+    the shared bands differently."""
+    scfsi = scfsi or [0, 0, 0, 0]
     frame_bytes = 144 * bitrate * 1000 // sample_rate
     sr_idx = [44100, 48000, 32000].index(sample_rate)
     side_len = 17 if nch == 1 else 32
@@ -141,17 +165,26 @@ def encode_frames(
         side.put(begin, 9)
         side.put(0, 5 if nch == 1 else 3)       # private
         for _ in range(nch):
-            for _ in range(4):
-                side.put(0, 1)                  # scfsi
+            for s in scfsi:
+                side.put(s, 1)
         main = _BitWriter()
-        for g in frame:
-            w, part23 = encode_granule_bits(
+        for gi, g in enumerate(frame):
+            sf_bits = 0
+            if "scalefacs" in g:
+                sf_bits = _scalefac_bits_long(
+                    main, g["scalefacs"], g.get("scalefac_compress", 0),
+                    scfsi, gi // nch,
+                )
+            w, part3 = encode_granule_bits(
                 g["ix"], g["bv_pairs"], g["c1_quads"],
                 g.get("block_type", 0),
             )
             _side_info_granule(
-                side, part23, g["bv_pairs"], g["global_gain"],
+                side, sf_bits + part3, g["bv_pairs"], g["global_gain"],
                 g.get("block_type", 0),
+                scalefac_compress=g.get("scalefac_compress", 0),
+                preflag=g.get("preflag", 0),
+                scalefac_scale=g.get("scalefac_scale", 0),
             )
             main.bits.extend(w.bits)
         payloads.append(main.to_bytes())
@@ -441,3 +474,55 @@ def test_mpeg_meta_identifies_layer3():
     m = L3.mpeg_meta(blob)
     assert m is not None and m["layer"] == 3
     assert m["sample_rate"] == 32000 and m["bitrate_kbps"] == 320
+
+
+def test_scalefactors_scfsi_preflag_at_44100():
+    """Nonzero scalefactors exercise what the zero-sf tests cannot: the
+    slen1/slen2 coding (scalefac_compress=11 -> slen 3,1), the 44.1 kHz
+    long sfb EDGES (per-band requant factors differ band to band), scfsi
+    sharing (granule 1 reuses groups 0 and 3 from granule 0), preflag
+    pretab addition, and scalefac_scale=1 (full-step multiplier).
+    Spectra bit-exact; PCM vs a reference that requantizes independently
+    against the module's published band edges."""
+    rng = random.Random(43)
+    slen1, slen2 = L3._SLEN[11]
+    assert (slen1, slen2) == (3, 1)
+    sf0 = [rng.randrange(1 << slen1) if b < 11 else rng.randrange(1 << slen2)
+           for b in range(21)]
+    sf1 = list(sf0)
+    for b in range(6, 16):  # groups 1 and 2 differ; 0 and 3 shared
+        sf1[b] = rng.randrange(1 << (slen1 if b < 11 else slen2))
+    scfsi = [1, 0, 0, 1]
+    g0 = dict(ix=_rand_spectrum(rng, 40, 6), bv_pairs=40, c1_quads=6,
+              global_gain=180, scalefacs=sf0, scalefac_compress=11,
+              scalefac_scale=1)
+    g1 = dict(ix=_rand_spectrum(rng, 40, 6), bv_pairs=40, c1_quads=6,
+              global_gain=176, scalefacs=sf1, scalefac_compress=11,
+              preflag=1)
+    blob = encode_frames([[g0, g1]], sample_rate=44100, scfsi=scfsi)
+    got_spec: list = []
+    rate, chans = L3.decode_mp3(blob, spectra_out=got_spec)
+    assert rate == 44100
+    assert got_spec[0][3] == g0["ix"] and got_spec[1][3] == g1["ix"]
+
+    def requant_full(ix, gg, sf, preflag, sfs):
+        gain = 2.0 ** ((gg - 210) / 4.0)
+        mult = 0.5 * (sfs + 1)
+        edges = L3._SFB_LONG[0]
+        sfx = list(sf) + [0]
+        xr = [0.0] * 576
+        for band in range(22):
+            fac = gain * 2.0 ** (
+                -mult * (sfx[band] + preflag * L3._PRETAB[band]))
+            for i in range(edges[band], edges[band + 1]):
+                v = ix[i]
+                if v:
+                    xr[i] = math.copysign(abs(v) ** (4.0 / 3.0), v) * fac
+        return xr
+
+    ref = _reference_pcm(
+        [requant_full(g0["ix"], 180, sf0, 0, 1),
+         requant_full(g1["ix"], 176, sf1, 1, 0)],
+        0, [0, 0],
+    )
+    assert max(abs(a - b) for a, b in zip(chans[0], ref)) < 1e-9
