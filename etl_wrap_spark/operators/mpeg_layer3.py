@@ -451,25 +451,35 @@ def decode_mp3(
         bits = _Bits(data, 0)
         ms = h["mode"] == 1 and (h["mode_ext"] & 2)
         prev_sf = [None] * nch
+        truncated = False
         for gr in range(2):
             xr_ch = []
             for ch in range(nch):
                 g = si["gr"][gr][ch]
                 part_start = bits.pos
-                sf = _read_scalefactors(
-                    bits, g, si["scfsi"][ch],
-                    prev_sf[ch] if gr == 1 else None,
-                )
-                if gr == 0:
-                    prev_sf[ch] = sf
-                part3_end = part_start + g["part2_3_length"]
-                ix, _ = _decode_huffman(bits, g, sr_idx, part3_end)
+                try:
+                    sf = _read_scalefactors(
+                        bits, g, si["scfsi"][ch],
+                        prev_sf[ch] if gr == 1 else None,
+                    )
+                    if gr == 0:
+                        prev_sf[ch] = sf
+                    part3_end = part_start + g["part2_3_length"]
+                    ix, _ = _decode_huffman(bits, g, sr_idx, part3_end)
+                except IndexError:
+                    # main data ran out mid-granule (corrupt/truncated
+                    # stream) — stop at the last whole frame, the L1/L2
+                    # dirty-blob convention
+                    truncated = True
+                    break
                 if spectra_out is not None:
                     spectra_out.append((frames, gr, ch, list(ix)))
                 xr = _requantize(ix, g, sf, sr_idx)
                 if g["windows_switching"] and g["block_type"] == 2:
                     xr = _reorder_short(xr, sr_idx)
                 xr_ch.append((xr, g))
+            if truncated:
+                break
             if ms:
                 m, s = xr_ch[0][0], xr_ch[1][0]
                 for i in range(576):
@@ -486,6 +496,8 @@ def decode_mp3(
                     pcm[ch].extend(
                         synth[ch].run([ss[18 * sb + t] for sb in range(32)])
                     )
+        if truncated:
+            break
         reservoir = (reservoir + main)[-511:]
         off = end
         frames += 1

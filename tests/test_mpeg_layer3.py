@@ -526,3 +526,27 @@ def test_scalefactors_scfsi_preflag_at_44100():
         0, [0, 0],
     )
     assert max(abs(a - b) for a, b in zip(chans[0], ref)) < 1e-9
+
+
+def test_truncated_main_data_stops_at_last_whole_frame():
+    """A stream whose final frame's main data is cut mid-granule must
+    decode the preceding whole frames and stop — never IndexError out
+    of decode_audio's ValueError contract."""
+    rng = random.Random(3)
+    frames = []
+    for _f in range(3):
+        frames.append([dict(ix=_rand_spectrum(rng, 30, 4), bv_pairs=30,
+                            c1_quads=4, global_gain=170) for _ in range(2)])
+    blob = bytearray(encode_frames(frames, bitrate=64))
+    # corrupt frame 3's side info so part2_3_length demands more bits
+    # than the 64 kbps slot (288-4-17 = 267 bytes) holds: set granule
+    # 0's part2_3_length to max (4095 bits = 512 bytes)
+    frame_bytes = 144 * 64 * 1000 // 32000
+    side_bit = (2 * frame_bytes + 4) * 8 + 18  # frame 3, first granule
+    for i in range(12):
+        p = side_bit + i
+        blob[p // 8] |= (1 << (7 - p % 8))
+    rate, chans = L3.decode_mp3(bytes(blob))
+    # two whole frames survive; the corrupt frame's still-parseable
+    # leading granule may emit (valid data), the exhausted one never does
+    assert 2 * 1152 <= len(chans[0]) < 3 * 1152
