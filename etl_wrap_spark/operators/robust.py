@@ -1150,27 +1150,46 @@ def hodges_lehmann_half(
     Keeping the sums un-halved (half-units) is what keeps the whole
     estimator integer-exact and engine-replayable — (x_i+x_j)/2 would
     need fractional values; the median of doubled values is the
-    doubled median under the lower-median rule. O(m²)/group pair join
-    on the PRE-AGGREGATED series — same scale contract as
-    mann_kendall_trend/theil_sen: the heavy stage at 100 TB is the
-    upstream reduction to the per-group sample, never this join.
-    Reuses ``weighted_median`` (value-grain cumulative pass)."""
+    doubled median under the lower-median rule.
+
+    Plan (round 11 rewrite): ONE aggregate per group. The Walsh-sum
+    multiset {x_i + x_j : i ≤ j} is permutation-invariant, so it can be
+    generated from the sorted per-group array with nested JVM-side
+    array HOFs instead of a row_number window + self-join +
+    value-grain cumulative pass — two exchanges (pre-agg upstream +
+    this groupBy) replace the old five-exchange chain, and with unit
+    weights the lower weighted median is just element ceil(np/2) of
+    the sorted sums. Same scale contract as mann_kendall_trend/
+    theil_sen: the series MUST be pre-aggregated to a bounded grain
+    (periods, not events) — the per-group array holds m(m+1)/2 sums,
+    exactly the rows the old pair join materialized, but the heavy
+    stage at 100 TB is the upstream reduction to the per-group sample,
+    never this m²-on-dozens step."""
     g = F.col(group_col)
-    idx = series.select(g, F.col(value_col).cast("bigint").alias("__v")).withColumn(
-        "__i", F.row_number().over(Window.partitionBy(group_col).orderBy(F.col("__v")))
+    vs = series.groupBy(g).agg(
+        F.sort_array(F.collect_list(F.col(value_col).cast("bigint"))).alias("__vs")
     )
-    a = idx.select(g, F.col("__i").alias("__ia"), F.col("__v").alias("__va"))
-    b = idx.select(g, F.col("__i").alias("__ib"), F.col("__v").alias("__vb"))
-    pairs = (
-        a.join(b, on=group_col)
-        .where(F.col("__ia") <= F.col("__ib"))
-        .select(group_col, (F.col("__va") + F.col("__vb")).alias("__s"), F.lit(1).alias("__one"))
+    n = F.size("__vs")
+    # i is 0-based: slice start i+1 (1-based) = element i .. end, so x
+    # pairs with every y at j >= i including itself (Walsh self-pairs).
+    sums = F.array_sort(
+        F.flatten(
+            F.transform(
+                "__vs",
+                lambda x, i: F.transform(F.slice("__vs", i + 1, n - i), lambda y: x + y),
+            )
+        )
     )
-    med = weighted_median(pairs, [group_col], "__s", "__one")
-    return med.select(
+    # Bind the generated array to a named column before using it twice:
+    # a projection referencing a non-cheap expr more than once would
+    # re-run the whole nested-HOF generation per reference.
+    bound = vs.select(g, sums.alias("__sums"))
+    return bound.select(
         group_col,
-        F.col("total_w").cast("bigint").alias("n_pairs"),
-        F.col("wmedian").cast("bigint").alias("hl_half"),
+        F.size("__sums").cast("bigint").alias("n_pairs"),
+        F.element_at(
+            "__sums", F.ceil(F.size("__sums") / 2).cast("int")
+        ).cast("bigint").alias("hl_half"),
     )
 
 

@@ -7678,8 +7678,10 @@ def q212_hodges_lehmann(spark, sf_dir):
     one holiday spike cannot move it the way it owns the mean, yet it
     keeps ~96% Gaussian efficiency where the plain median keeps 64%.
     Exact half-units (un-halved Walsh sums) make the whole estimator
-    integer-replayable; the O(m²) pair join runs on the month-grain
-    series only (the mann_kendall/theil_sen scale contract)."""
+    integer-replayable; the Walsh generation runs as nested array HOFs
+    inside one aggregate over the month-grain series (two exchanges —
+    the round-11 rewrite of the old five-exchange window+join chain;
+    same mann_kendall/theil_sen bounded-series scale contract)."""
     from etl_wrap_spark.operators.robust import hodges_lehmann_half
 
     t = load_tables(spark, sf_dir, ["orders"])
