@@ -1040,17 +1040,18 @@ def contamination_check(
 
 
 # ---------------------------------------------- dedup connected components
-def _driver_union_find(pinned: DataFrame, pdf) -> DataFrame:
+def _driver_union_find(pinned: DataFrame, u_col, v_col) -> DataFrame:
     """Small-graph fast path shared by both CC variants: exact
     min-root union-find over an already-collected (u, v) edge frame
-    (``pdf`` — the caller's limit-probe Arrow collect; round-10: no
-    second row-based collect() job). Output identical to the
-    distributed algorithms — (doc_id, component = min reachable id)
-    for every node that appears in an edge, re-entering Spark via the
-    Arrow pandas path (a row-pickled LocalRelation measured 3-4x
-    slower to execute). Only ever called under a caller-enforced
-    edge-count bound (driver memory ≈ 16 B/edge)."""
-    import pandas as pd
+    (``u_col``/``v_col`` — numpy columns from the caller's limit-probe
+    Arrow collect; round-10: no second row-based collect() job).
+    Output identical to the distributed algorithms — (doc_id,
+    component = min reachable id) for every node that appears in an
+    edge, re-entering Spark as a single Arrow batch (a row-pickled
+    LocalRelation measured 3-4x slower to execute). Only ever called
+    under a caller-enforced edge-count bound (driver memory ≈
+    16 B/edge)."""
+    from etl_wrap_spark.operators.graph import _local_result_df
 
     parent: dict = {}
 
@@ -1062,7 +1063,9 @@ def _driver_union_find(pinned: DataFrame, pdf) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for u, v in zip(pdf[pdf.columns[0]], pdf[pdf.columns[1]]):
+    # .tolist() up front: plain Python ints/strs hash and compare much
+    # faster than numpy scalars in the dict-based union-find loop
+    for u, v in zip(u_col.tolist(), v_col.tolist()):
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -1074,9 +1077,6 @@ def _driver_union_find(pinned: DataFrame, pdf) -> DataFrame:
                 ru, rv = rv, ru
             parent[rv] = ru
     nodes = list(parent)
-    out = pd.DataFrame(
-        {"doc_id": nodes, "component": [find(x) for x in nodes]}
-    )
     id_type = pinned.schema[0].dataType
     schema = T.StructType(
         [
@@ -1084,7 +1084,11 @@ def _driver_union_find(pinned: DataFrame, pdf) -> DataFrame:
             T.StructField("component", id_type),
         ]
     )
-    return pinned.sparkSession.createDataFrame(out, schema)
+    return _local_result_df(
+        pinned.sparkSession,
+        {"doc_id": nodes, "component": [find(x) for x in nodes]},
+        schema,
+    )
 
 
 def connected_components(
@@ -1136,14 +1140,22 @@ def connected_components(
         # map-side count probe (round-10: limit-based probes lose —
         # see graph._pinned_small_edges); collect only when small
         if pinned.count() <= small_graph_limit:
-            pdf = pinned.toPandas()
-            # NULL edge endpoints make Arrow render int64 ids as
-            # float64/NaN, corrupting every node id in the union-find
-            # (round-10 ADVICE; mirrors graph._pinned_small_edges) —
-            # such graphs run the distributed min-label propagation,
-            # whose equi-join semantics define NULL handling.
-            if not pdf.isna().any().any():
-                return _driver_union_find(pinned, pdf)
+            from etl_wrap_spark.operators.graph import _arrow_numpy_cols
+
+            np_cols, n_rows, has_null = _arrow_numpy_cols(pinned)
+            # NULL edge endpoints would corrupt node ids in the
+            # union-find (round-10 ADVICE; mirrors
+            # graph._pinned_small_edges) — such graphs run the
+            # distributed min-label propagation, whose equi-join
+            # semantics define NULL handling.
+            if not has_null:
+                import numpy as np
+
+                cols = [
+                    c if c is not None else np.empty(0, dtype=object)
+                    for c in np_cols.values()
+                ]
+                return _driver_union_find(pinned, cols[0], cols[1])
         sym = pinned  # reuse the already-materialized edge list below
     edges = (
         # NO .distinct(): every consumer is a min-aggregation (the label
@@ -1274,11 +1286,19 @@ def connected_components_star(
         from etl_wrap_spark.operators.graph import _driver_headroom_ok
 
         if _driver_headroom_ok() and edges.count() <= small_graph_limit:
-            pdf = edges.toPandas()
-            # same NaN guard as connected_components above (round-10
+            from etl_wrap_spark.operators.graph import _arrow_numpy_cols
+
+            np_cols, n_rows, has_null = _arrow_numpy_cols(edges)
+            # same NULL guard as connected_components above (round-10
             # ADVICE): NULL endpoints → distributed star alternation
-            if not pdf.isna().any().any():
-                return _driver_union_find(edges, pdf)
+            if not has_null:
+                import numpy as np
+
+                cols = [
+                    c if c is not None else np.empty(0, dtype=object)
+                    for c in np_cols.values()
+                ]
+                return _driver_union_find(edges, cols[0], cols[1])
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
         # large-star over the symmetric neighborhood
