@@ -253,3 +253,22 @@ def test_no_unbounded_unpartitioned_window_catalog_wide(spark):
         "— use orderBy().limit(k) then rank the survivors, or justify the "
         "grain in ALLOWED_UNPARTITIONED_WINDOW"
     )
+
+
+def test_no_row_python_eval_catalog_wide(spark):
+    """No declared query's physical plan may contain a row-at-a-time
+    Python eval node (BatchEvalPython — pickled row-by-row JVM->Python
+    transfer). The only sanctioned Python boundaries in the catalog are
+    Arrow-vectorized (mapInPandas / applyInArrow / pandas UDFs) and the
+    size-gated driver fast paths, which never appear as plan nodes. At
+    100 TB a pickled row boundary dominates its whole stage; pinning
+    the absence keeps the r7-r9 UDF sweeps from regressing silently."""
+    offenders = []
+    for name, fn in sorted(queries().items()):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, (
+        "row-at-a-time Python eval nodes (replace with built-ins or an "
+        f"Arrow-vectorized kernel, guide section 4.1): {offenders}"
+    )
