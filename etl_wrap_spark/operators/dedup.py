@@ -1040,6 +1040,60 @@ def contamination_check(
 
 
 # ---------------------------------------------- dedup connected components
+def _cc_trace_start():
+    """Stage-timing trace for the CC fast paths, enabled by
+    SPARK_GRAFT_CC_TRACE=1 (diagnostic only — the round-11 q55/q59
+    session-depth watch item needs per-stage attribution inside a full
+    bench epoch, where the elevation reproduces and isolated probes
+    don't). Returns None when disabled so the hot path pays one dict
+    lookup."""
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_CC_TRACE"):
+        return None
+    import time
+
+    return {"t0": time.perf_counter(), "last": time.perf_counter(), "stages": []}
+
+
+def _cc_trace_mark(trace, stage: str) -> None:
+    if trace is None:
+        return
+    import time
+
+    now = time.perf_counter()
+    trace["stages"].append((stage, now - trace["last"]))
+    trace["last"] = now
+
+
+def _cc_trace_emit(trace, variant: str, n_edges: int, spark) -> None:
+    if trace is None:
+        return
+    import sys
+    import time
+
+    parts = " ".join(f"{s}={dt:.3f}" for s, dt in trace["stages"])
+    code_cache = ""
+    try:  # JVM JIT code-cache occupancy — the session-aging suspect
+        beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+        it = beans.iterator()
+        used = {}
+        while it.hasNext():
+            b = it.next()
+            name = b.getName()
+            if "CodeHeap" in name or "Metaspace" in name:
+                used[name] = b.getUsage().getUsed() >> 20
+        code_cache = " jit_mb=" + ",".join(f"{k}:{v}" for k, v in sorted(used.items()))
+    except Exception:
+        pass
+    print(
+        f"# cc_trace variant={variant} n_edges={n_edges} {parts} "
+        f"total={time.perf_counter() - trace['t0']:.3f}{code_cache}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
 def _driver_union_find(pinned: DataFrame, u_col, v_col) -> DataFrame:
     """Small-graph fast path shared by both CC variants: exact
     min-root union-find over an already-collected (u, v) edge frame
@@ -1136,13 +1190,17 @@ def connected_components(
 
     sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     if rounds_out is None and small_graph_limit > 0 and _driver_headroom_ok():
+        trace = _cc_trace_start()
         pinned = sym.localCheckpoint(eager=False)
         # map-side count probe (round-10: limit-based probes lose —
         # see graph._pinned_small_edges); collect only when small
-        if pinned.count() <= small_graph_limit:
+        n_edges = pinned.count()
+        _cc_trace_mark(trace, "count")
+        if n_edges <= small_graph_limit:
             from etl_wrap_spark.operators.graph import _arrow_numpy_cols
 
             np_cols, n_rows, has_null = _arrow_numpy_cols(pinned)
+            _cc_trace_mark(trace, "collect")
             # NULL edge endpoints would corrupt node ids in the
             # union-find (round-10 ADVICE; mirrors
             # graph._pinned_small_edges) — such graphs run the
@@ -1155,7 +1213,10 @@ def connected_components(
                     c if c is not None else np.empty(0, dtype=object)
                     for c in np_cols.values()
                 ]
-                return _driver_union_find(pinned, cols[0], cols[1])
+                out = _driver_union_find(pinned, cols[0], cols[1])
+                _cc_trace_mark(trace, "uf_result")
+                _cc_trace_emit(trace, "min-label", n_edges, pinned.sparkSession)
+                return out
         sym = pinned  # reuse the already-materialized edge list below
     edges = (
         # NO .distinct(): every consumer is a min-aggregation (the label
@@ -1285,20 +1346,28 @@ def connected_components_star(
     if rounds_out is None and small_graph_limit > 0:
         from etl_wrap_spark.operators.graph import _driver_headroom_ok
 
-        if _driver_headroom_ok() and edges.count() <= small_graph_limit:
-            from etl_wrap_spark.operators.graph import _arrow_numpy_cols
+        trace = _cc_trace_start()
+        if _driver_headroom_ok():
+            n_edges = edges.count()
+            _cc_trace_mark(trace, "count")
+            if n_edges <= small_graph_limit:
+                from etl_wrap_spark.operators.graph import _arrow_numpy_cols
 
-            np_cols, n_rows, has_null = _arrow_numpy_cols(edges)
-            # same NULL guard as connected_components above (round-10
-            # ADVICE): NULL endpoints → distributed star alternation
-            if not has_null:
-                import numpy as np
+                np_cols, n_rows, has_null = _arrow_numpy_cols(edges)
+                _cc_trace_mark(trace, "collect")
+                # same NULL guard as connected_components above (round-10
+                # ADVICE): NULL endpoints → distributed star alternation
+                if not has_null:
+                    import numpy as np
 
-                cols = [
-                    c if c is not None else np.empty(0, dtype=object)
-                    for c in np_cols.values()
-                ]
-                return _driver_union_find(edges, cols[0], cols[1])
+                    cols = [
+                        c if c is not None else np.empty(0, dtype=object)
+                        for c in np_cols.values()
+                    ]
+                    out = _driver_union_find(edges, cols[0], cols[1])
+                    _cc_trace_mark(trace, "uf_result")
+                    _cc_trace_emit(trace, "star", n_edges, edges.sparkSession)
+                    return out
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
         # large-star over the symmetric neighborhood
