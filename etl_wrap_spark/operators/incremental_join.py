@@ -156,20 +156,28 @@ def flatten_hierarchy(
     # re-enters Spark through the Arrow createDataFrame path, not a
     # row-pickled LocalRelation (round-10: list-of-tuples upload
     # measured 3-4x the pandas route to execute).
-    from etl_wrap_spark.operators.graph import _driver_headroom_ok
+    from etl_wrap_spark.operators.graph import (
+        _arrow_numpy_cols,
+        _driver_headroom_ok,
+        _local_result_df,
+    )
 
-    pdf = None
+    cols = None
     if small_graph_limit > 0 and _driver_headroom_ok() and (
         ptr.count() <= small_graph_limit
     ):
-        # map-side count probe; rows move only when the forest is small
-        pdf = ptr.select("node", "anc").toPandas()
-    if pdf is not None:
-        import pandas as pd
+        # map-side count probe; rows move only when the forest is small.
+        # Arrow-direct collect (round 12, the C5 helper): no pandas block
+        # construction, and the null guard is the Arrow null_count — a
+        # NULL routes distributed instead of NaN-widening the id dtype.
+        np_cols, n_rows, has_null = _arrow_numpy_cols(ptr.select("node", "anc"))
+        if not has_null:
+            cols = np_cols if n_rows else {"node": [], "anc": []}
+    if cols is not None:
         from pyspark.sql import types as T
 
-        kids = pdf["node"].tolist()
-        pars = pdf["anc"].tolist()
+        kids = list(cols["node"]) if not hasattr(cols["node"], "tolist") else cols["node"].tolist()
+        pars = list(cols["anc"]) if not hasattr(cols["anc"], "tolist") else cols["anc"].tolist()
         if len(set(kids)) == len(kids):
             parent = dict(zip(kids, pars))
             memo: dict = {}  # node -> (root, depth-to-root)
@@ -198,14 +206,17 @@ def flatten_hierarchy(
                         T.StructField("depth", T.LongType()),
                     ]
                 )
-                out = pd.DataFrame(
+                # single-Arrow-batch re-entry (graph._local_result_df):
+                # one batch/task instead of 32 pickled-row slices
+                return _local_result_df(
+                    edges.sparkSession,
                     {
                         "node": kids,
                         "root": [memo[k][0] for k in kids],
                         "depth": [memo[k][1] for k in kids],
-                    }
+                    },
+                    schema,
                 )
-                return edges.sparkSession.createDataFrame(out, schema)
     # ancestors that are roots (no incoming pointer) terminate the jump
     for _ in range(max_iter):
         hop = ptr.select(
@@ -302,13 +313,17 @@ def ancestor_closure(
     if small_graph_limit > 0 and _driver_headroom_ok() and (
         known_small or p.count() <= small_graph_limit
     ):
-        pdf = p.select("node", "anc").toPandas()
-        n_prev = len(pdf)
-        if n_prev > small_graph_limit:  # caller's bound was wrong
-            pdf = None
+        # Arrow-direct collect (round 12): same §4 pattern as the graph
+        # fast paths — no pandas coercion, NULLs route distributed via
+        # the Arrow null_count instead of NaN-widening the id columns
+        from etl_wrap_spark.operators.graph import _arrow_numpy_cols
+
+        np_cols, n_prev, has_null = _arrow_numpy_cols(p.select("node", "anc"))
+        if not has_null and n_prev <= small_graph_limit:
+            pdf = np_cols if n_prev else {"node": [], "anc": []}
     if pdf is not None:
-        kids = pdf["node"].tolist()
-        pars = pdf["anc"].tolist()
+        kids = pdf["node"].tolist() if hasattr(pdf["node"], "tolist") else list(pdf["node"])
+        pars = pdf["anc"].tolist() if hasattr(pdf["anc"], "tolist") else list(pdf["anc"])
         if len(set(kids)) == len(kids):  # forest: one parent per child
             parent = dict(zip(kids, pars))
             depth: dict = {}

@@ -426,6 +426,191 @@ def ivf_assign_blas(
     return out.withColumnRenamed("__id", id_col)
 
 
+# ------------------------------------------ driver-held centroid fast path
+# The cell count of every oracle-checked ANN/dedup query is tiny by
+# construction (pinned n_cells, or auto_n_cells = N/256 which stays in
+# the hundreds at any bench SF), yet the distributed cascade pays for it
+# as if it were big: each BROADCAST that embeds the centroid frame
+# re-runs its corpus scan, and ivf_assign's crossJoin+groupBy shuffles
+# the whole corpus once per materialization (q66's plan before round 12:
+# 23 exchanges, the residual cascade duplicated 3x). When the cell count
+# is caller-known small, collect the centroids ONCE to the driver
+# (guide §2.4 — remove shuffles outright; §5 — a few KB is driver-safe)
+# and fold them into the plan as ONE nested-array literal: assignment
+# becomes a map-only transform/array_max expression with the exact same
+# fold order, division, and (aff, -cell) tie-break as the distributed
+# aggregation, so results are bit-identical (pinned by
+# tests/test_llm_operators.py::test_ivf_assign_lit_equals_distributed).
+# At 100 TB with a large auto-derived cell count the gate simply never
+# opens and the distributed path runs unchanged.
+IVF_DRIVER_CENT_LIMIT = 1024
+# below this optimizer size estimate the assignment scan stays at the
+# scan's own parallelism (one task folds a few MB in microseconds); a
+# bigger corpus still gets the ensure_min_parallelism treatment
+IVF_SMALL_SCAN_BYTES = 64 * 1024 * 1024
+
+
+def _sql_doubles(vals) -> str:
+    """SQL array literal of doubles — repr() is the shortest round-trip
+    form, so the JVM parses back the exact IEEE bits; ONE py4j call via
+    F.expr instead of one per element through F.lit."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+
+
+def _sql_double_arrays(arrs) -> str:
+    return "array(" + ",".join(_sql_doubles(a) for a in arrs) + ")"
+
+
+def _collect_small(df: DataFrame):
+    """collect() a provably tiny index frame (centroids / codebooks) with
+    AQE off for just this action: AQE's stage-by-stage materialization
+    schedules 2 extra jobs per shuffle (measured: the codebook collect is
+    3 jobs with AQE, 1 without) and buys nothing for a <= few-thousand-row
+    result. Same pattern as sinks/parquet.py's scoped conf override;
+    values are unchanged — AQE never affects results."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def _centroid_rows(cent: DataFrame, n_cells: int | None):
+    """Collect (cell, kv, kn) for the literal fast path, or None when it
+    must not apply: unknown/large cell count, non-contiguous cell ids, or
+    non-finite values (repr round-trip is only pinned for finite doubles).
+    kn is computed in the JVM BEFORE collecting so the norm bits are the
+    ones the distributed path would have used."""
+    import math
+
+    if n_cells is None or n_cells > IVF_DRIVER_CENT_LIMIT:
+        return None
+    rows = _collect_small(cent.withColumn("__kn", norm_expr("kv")).select("cell", "kv", "__kn"))
+    if not rows or len(rows) > IVF_DRIVER_CENT_LIMIT:
+        return None
+    rows.sort(key=lambda r: r["cell"])
+    out = []
+    for i, r in enumerate(rows):
+        if r["cell"] != i + 1 or r["kv"] is None or r["__kn"] is None:
+            return None
+        kv = [float(x) for x in r["kv"]]
+        kn = float(r["__kn"])
+        if not all(math.isfinite(x) for x in kv) or not math.isfinite(kn):
+            return None
+        out.append((i + 1, kv, kn))
+    return out
+
+
+def _cent_lits(cent_rows) -> tuple[str, str]:
+    """(array<array<double>> of kv by cell, array<double> of kn by cell)
+    as SQL literal TEXT: the fast-path expressions are assembled as one
+    SQL string per operator and parsed with a single F.expr call —
+    building the same tree through the F.* API costs hundreds of py4j
+    roundtrips per query build (measured ~1.0 s of the q66 build)."""
+    kvs = _sql_double_arrays([kv for _, kv, _ in cent_rows])
+    kns = _sql_doubles([kn for _, _, kn in cent_rows])
+    return kvs, kns
+
+
+# the shared fold body (SQL lambda text). Identical arithmetic and fold
+# order to dot_expr — cast-to-double products summed left-to-right from
+# a 0.0 seed.
+_SQL_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)),"
+    " 0.0D, (acc, t) -> acc + t)"
+)
+
+
+def ivf_assign_lit(df: DataFrame, id_col: str, vec: str, cent_rows, lits=None) -> DataFrame:
+    """ivf_assign with driver-held centroids: same (id, cell, __v, __n)
+    contract and the same arithmetic/tie-break, but MAP-ONLY — the
+    |df| x n_cells affinity scan runs inside one transform over a nested
+    centroid literal and array_max picks the (aff, -cell) lexicographic
+    winner, so there is no crossJoin blowup and no groupBy shuffle of
+    the corpus. The expression tree is O(1) in n_cells (the literal is
+    data, not tree), so codegen never sees a per-centroid term chain.
+    ``lits`` lets one query build parse the centroid literal once and
+    share the Column handles across assign/residual/probe (pure
+    construction reuse — the plan is unchanged)."""
+    from etl_wrap_spark.session import ensure_min_parallelism
+
+    # the affinity map runs in the SCAN stage (everything downstream of
+    # assignment is either a broadcast join or re-shuffles anyway), so
+    # scan parallelism only matters when the corpus is big. Gate the
+    # round-robin repartition on the optimizer's size estimate instead
+    # of paying its shuffle + AQE stage job on a kilobyte-scale scan:
+    # below the threshold one task finishes the folds in microseconds;
+    # above it (the 100 TB direction) the helper behaves as before.
+    try:
+        scan_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        scan_bytes = 1 << 60
+    if scan_bytes > IVF_SMALL_SCAN_BYTES:
+        df = ensure_min_parallelism(df)
+    kvs, kns = lits if lits is not None else _cent_lits(cent_rows)
+    a = df.select(F.col(id_col), F.col(vec).alias("__v")).withColumn("__n", norm_expr("__v"))
+    dot = _SQL_DOT.format(a="__v", b="kv")
+    best = F.expr(
+        f"array_max(transform({kvs}, (kv, i) -> named_struct("
+        f"'aff', {dot} / (__n * element_at({kns}, i + 1)), "
+        f"'negcell', -(i + 1))))"
+    )
+    return a.select(
+        F.col(id_col),
+        (-best["negcell"]).alias("cell"),
+        F.col("__v"),
+        F.col("__n"),
+    )
+
+
+def _query_cells_lit(
+    queries: DataFrame, id_q: str, vec: str, cent_rows, nprobe: int, with_qk: bool,
+    lits=None,
+) -> DataFrame:
+    """The query-side probe selection against driver-held centroids:
+    (qid, qv, qn, cell[, qk]) for each query's nprobe highest-affinity
+    cells — the crossJoin(broadcast(kn)) replaced by one explode over a
+    transform of the centroid literal (same affinity formula, same
+    (aff desc, cell) window order)."""
+    kvs, kns = lits if lits is not None else _cent_lits(cent_rows)
+    q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv")).withColumn(
+        "qn", norm_expr("qv")
+    )
+    dot = _SQL_DOT.format(a="qv", b="kv")
+    fields = f"'cell', i + 1, 'aff', {dot} / (qn * element_at({kns}, i + 1))"
+    if with_qk:
+        fields += f", 'qk', {dot}"
+    entries = f"transform({kvs}, (kv, i) -> named_struct({fields}))"
+    # top-nprobe WITHOUT a window (§2.4): a query's whole affinity array
+    # lives in its own row, so the probe selection is a map-side
+    # array_sort + slice — no explode-then-shuffle, no row_number. The
+    # comparator replays the window's (aff DESC, cell ASC) total order
+    # exactly: NaN sorts greatest (first under DESC, like Spark's
+    # nan-safe sort), and -0.0 = 0.0 ties fall through to the cell
+    # tie-break (SortOrder normalizes -0.0 before comparing, `=` here
+    # does the same).
+    cmp = (
+        "(l, r) -> CASE"
+        " WHEN (isnan(l.aff) AND isnan(r.aff)) OR l.aff = r.aff THEN"
+        "  CASE WHEN l.cell < r.cell THEN -1 WHEN l.cell > r.cell THEN 1 ELSE 0 END"
+        " WHEN isnan(l.aff) THEN -1"
+        " WHEN isnan(r.aff) THEN 1"
+        " WHEN l.aff > r.aff THEN -1 ELSE 1 END"
+    )
+    probes = F.expr(f"slice(array_sort({entries}, {cmp}), 1, {int(nprobe)})")
+    return q.select(
+        "qid", "qv", "qn", F.explode(probes).alias("__a")
+    ).select(
+        "qid",
+        "qv",
+        "qn",
+        F.col("__a.cell").alias("cell"),
+        *([F.col("__a.qk").alias("qk")] if with_qk else []),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -476,19 +661,31 @@ def ivf_topk(
     if centroids is None and n_cells is None:
         n_cells = auto_n_cells(corpus)
     cent = centroids if centroids is not None else ivf_centroids_deterministic(corpus, id_c, vec, n_cells)
-    if assigned is None:
+    # small-cell-count fast path (§2.4): driver-held centroid literal
+    # makes assignment map-only and the probe selection broadcast-free
+    cent_rows = None
+    if nprobe is not None and assigned is None:
+        cent_rows = _centroid_rows(cent, n_cells)
+    cent_lits = _cent_lits(cent_rows) if cent_rows is not None else None
+    if cent_rows is not None:
+        assigned = ivf_assign_lit(corpus, id_c, vec, cent_rows, lits=cent_lits)
+    elif assigned is None:
         assigned = ivf_assign(corpus, id_c, vec, cent)
     c = assigned.select(
         F.col(id_c).alias("cid"), "cell", F.col("__v").alias("cv"), F.col("__n").alias("cn")
     )
-    kn = cent.withColumn("__kn", norm_expr("kv"))
     q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv")).withColumn(
         "qn", norm_expr("qv")
     )
     if nprobe is None:
         # exact mode: probe every cell; no affinity math needed
         qcells = q.crossJoin(F.broadcast(cent.select("cell")))
+    elif cent_rows is not None:
+        qcells = _query_cells_lit(
+            queries, id_q, vec, cent_rows, nprobe, with_qk=False, lits=cent_lits
+        )
     else:
+        kn = cent.withColumn("__kn", norm_expr("kv"))
         qaff = q.crossJoin(F.broadcast(kn)).select(
             "qid", "qv", "qn", "cell",
             (dot_expr("qv", "kv") / (F.col("qn") * F.col("__kn"))).alias("aff"),
@@ -531,7 +728,14 @@ def semantic_dedup(
     if centroids is None and n_cells is None:
         n_cells = auto_n_cells(df)
     cent = centroids if centroids is not None else ivf_centroids_deterministic(df, id_col, vec, n_cells)
-    assigned = ivf_assign(df, id_col, vec, cent)
+    # small-cell-count fast path (§2.4): map-only assignment — the
+    # within-cell self-join then shuffles straight from the scan instead
+    # of materializing the crossJoin+groupBy assignment twice
+    cent_rows = _centroid_rows(cent, n_cells)
+    if cent_rows is not None:
+        assigned = ivf_assign_lit(df, id_col, vec, cent_rows)
+    else:
+        assigned = ivf_assign(df, id_col, vec, cent)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("cell"), F.col("__v").alias("va"), F.col("__n").alias("na")
     )
@@ -620,15 +824,19 @@ def pq_codebooks_deterministic(
     )
     h = F.md5(F.concat(F.col("__cid").cast("string"), F.lit("pq"), F.col("m").cast("string")))
     w = Window.partitionBy("m").orderBy("__h", "__cid")
+    # slice BEFORE the window shuffle (§2.3 — shuffle fewer bytes): the
+    # ranking depends only on (__h, __cid) and cw only on the m-th
+    # subvector, so each shuffled row carries sub_dim doubles, not DIM
     return (
-        ex.withColumn("__h", h)
-        .withColumn("j", F.row_number().over(w))
-        .where(F.col("j") <= ks)
-        .select(
+        ex.select(
+            "__cid",
             "m",
-            "j",
+            h.alias("__h"),
             F.slice("rv", F.col("m") * sub_dim + 1, F.lit(sub_dim)).alias("cw"),
         )
+        .withColumn("j", F.row_number().over(w))
+        .where(F.col("j") <= ks)
+        .select("m", "j", "cw")
     )
 
 
@@ -688,6 +896,112 @@ def pq_encode(
     return best.select(id_c, "cell", "cn", "m", F.col("b.j").alias("j"))
 
 
+def _pq_residual_lit(
+    corpus: DataFrame, id_c: str, vec: str, cent_rows, lits=None
+) -> DataFrame:
+    """pq_residual_frame against driver-held centroids: the assignment is
+    ivf_assign_lit (map-only) and the centroid lookup for the residual is
+    one element_at into the same nested literal instead of a broadcast
+    join — the whole residual frame is a single narrow projection of the
+    corpus scan, so re-deriving it costs a scan, never a shuffle."""
+    lits = lits if lits is not None else _cent_lits(cent_rows)
+    a = ivf_assign_lit(corpus, id_c, vec, cent_rows, lits=lits)
+    kvs, _ = lits
+    rv = F.expr(
+        f"zip_with(__v, element_at({kvs}, cell),"
+        " (x, y) -> cast(x AS double) - cast(y AS double))"
+    )
+    return a.select(F.col(id_c), "cell", rv.alias("rv"), F.col("__n").alias("cn"))
+
+
+def _codebook_rows(cb: DataFrame, m: int, ks: int):
+    """Collect {m: [cw for j=1..ks]} for the literal encode/LUT path, or
+    None when the codebook is not the contiguous finite m x ks grid the
+    literal indexing assumes."""
+    import math
+
+    rows = _collect_small(cb.select("m", "j", "cw"))
+    if len(rows) != m * ks:
+        return None
+    grid: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        if r["cw"] is None:
+            return None
+        cw = [float(x) for x in r["cw"]]
+        if not all(math.isfinite(x) for x in cw):
+            return None
+        grid.setdefault(int(r["m"]), {})[int(r["j"])] = cw
+    out = {}
+    for mi in range(m):
+        per = grid.get(mi)
+        if per is None or sorted(per) != list(range(1, ks + 1)):
+            return None
+        out[mi] = [per[j] for j in range(1, ks + 1)]
+    return out
+
+
+def _pq_encode_lit(
+    res: DataFrame, id_c: str, cb_rows, m: int, sub_dim: int
+) -> DataFrame:
+    """pq_encode against driver-held codebooks: per subspace, the argmin
+    codeword is an array_min over a transform of the codeword literal —
+    the same (d, j) lexicographic tie-break as the distributed
+    min-of-struct, with no explode-join and no (id, m) shuffle. Output
+    rows (id, cell, cn, m, j) come from one map-side explode of the
+    M-element code array."""
+    per_m = []
+    for mi in range(m):
+        cws = _sql_double_arrays(cb_rows[mi])
+        sub = f"slice(rv, {mi * sub_dim + 1}, {sub_dim})"
+        best = (
+            f"array_min(transform({cws}, (cw, ji) -> named_struct("
+            f"'d', aggregate(zip_with({sub}, cw, (x, y) -> (x - y) * (x - y)),"
+            f" 0.0D, (acc, t) -> acc + t), "
+            f"'j', ji + 1)))"
+        )
+        per_m.append(f"named_struct('m', {mi}, 'j', ({best}).j)")
+    mj = F.expr("array(" + ", ".join(per_m) + ")")
+    ex = res.select(F.col(id_c), "cell", "cn", F.explode(mj).alias("__mj"))
+    return ex.select(
+        id_c, "cell", "cn", F.col("__mj.m").alias("m"), F.col("__mj.j").alias("j")
+    )
+
+
+def _pq_lut_lit(qcells: DataFrame, cb_rows, m: int, ks: int, sub_dim: int) -> DataFrame:
+    """The ADC lookup table against driver-held codebooks: one explode
+    over a transform of the flattened (m, j, cw) literal — same pdot
+    fold as the crossJoin(broadcast(cb)) path, but the broadcast (and
+    the codebook recomputation it embeds) is gone."""
+    flat_m, flat_j, flat_cw = [], [], []
+    for mi in range(m):
+        for j in range(1, ks + 1):
+            flat_m.append(mi)
+            flat_j.append(j)
+            flat_cw.append(cb_rows[mi][j - 1])
+    ms = "array(" + ",".join(str(x) for x in flat_m) + ")"
+    js = "array(" + ",".join(str(x) for x in flat_j) + ")"
+    cws = _sql_double_arrays(flat_cw)
+    sliced = f"slice(qv, element_at({ms}, i + 1) * {sub_dim} + 1, {sub_dim})"
+    entries = F.expr(
+        f"transform({cws}, (cw, i) -> named_struct("
+        f"'m', element_at({ms}, i + 1), "
+        f"'j', element_at({js}, i + 1), "
+        f"'pdot', aggregate(zip_with({sliced}, cw, (x, y) -> cast(x AS double) * y),"
+        f" 0.0D, (acc, t) -> acc + t)))"
+    )
+    return qcells.select(
+        "qid", "qn", "cell", "qk", F.explode(entries).alias("__e")
+    ).select(
+        "qid",
+        "qn",
+        "cell",
+        "qk",
+        F.col("__e.m").alias("m"),
+        F.col("__e.j").alias("j"),
+        F.col("__e.pdot").alias("pdot"),
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -741,40 +1055,74 @@ def ivfpq_topk(
         refine = max(4 * k, (nprobe * rows_per_cell) // 2)
     elif isinstance(refine, str):
         raise ValueError(f"refine must be 'auto', None, or an int, got {refine!r}")
-    res = pq_residual_frame(corpus, id_c, vec, cent)
+    # small-cell-count fast path (§2.4, round 12): the distributed
+    # cascade re-derives the residual frame (corpus scan + assignment
+    # shuffle) inside EVERY broadcast that embeds the codebook, and the
+    # assignment itself shuffles the corpus — 23 exchanges / 15 AQE jobs
+    # at sf0.1. With driver-held centroids the residual frame is a
+    # map-only projection (re-deriving it costs a scan, not a shuffle),
+    # and with the codebook ALSO driver-held (m x ks rows by
+    # construction) the encode becomes map-only and the LUT a projection
+    # of the probed query cells — the only shuffles left are the ones
+    # the algorithm fundamentally needs: the codebook rank window, the
+    # (qid, cid) partial-sum aggregation, and the top-k windows.
+    cent_rows = _centroid_rows(cent, n_cells)
+    cent_lits = _cent_lits(cent_rows) if cent_rows is not None else None
+    if cent_rows is not None:
+        res = _pq_residual_lit(corpus, id_c, vec, cent_rows, lits=cent_lits)
+    else:
+        res = pq_residual_frame(corpus, id_c, vec, cent)
     cb = codebooks if codebooks is not None else pq_codebooks_deterministic(res, id_c, m, ks, sub_dim)
-    codes = pq_encode(res, id_c, cb, m, sub_dim)
-
-    kn = cent.withColumn("__kn", norm_expr("kv"))
-    q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv")).withColumn(
-        "qn", norm_expr("qv")
-    )
-    qaff = q.crossJoin(F.broadcast(kn)).select(
-        "qid", "qv", "qn", "cell",
-        (dot_expr("qv", "kv") / (F.col("qn") * F.col("__kn"))).alias("aff"),
-        dot_expr("qv", "kv").alias("qk"),
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("aff").desc(), F.col("cell"))
-    qcells = qaff.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe).select(
-        "qid", "qv", "qn", "cell", "qk"
-    )
-    lut = qcells.crossJoin(F.broadcast(cb)).select(
-        "qid", "qn", "cell", "qk", "m", "j",
-        F.aggregate(
-            F.zip_with(
-                F.slice("qv", F.col("m") * sub_dim + 1, F.lit(sub_dim)),
-                F.col("cw"),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ).alias("pdot"),
-    )
+    cb_rows = _codebook_rows(cb, m, ks) if cent_rows is not None else None
+    if cb_rows is not None:
+        codes = _pq_encode_lit(res, id_c, cb_rows, m, sub_dim)
+        qcells = _query_cells_lit(
+            queries, id_q, vec, cent_rows, nprobe, with_qk=True, lits=cent_lits
+        )
+        lut = _pq_lut_lit(qcells, cb_rows, m, ks, sub_dim)
+    else:
+        codes = pq_encode(res, id_c, cb, m, sub_dim)
+        kn = cent.withColumn("__kn", norm_expr("kv"))
+        q = queries.select(F.col(id_q).alias("qid"), F.col(vec).alias("qv")).withColumn(
+            "qn", norm_expr("qv")
+        )
+        qaff = q.crossJoin(F.broadcast(kn)).select(
+            "qid", "qv", "qn", "cell",
+            (dot_expr("qv", "kv") / (F.col("qn") * F.col("__kn"))).alias("aff"),
+            dot_expr("qv", "kv").alias("qk"),
+        )
+        wq = Window.partitionBy("qid").orderBy(F.col("aff").desc(), F.col("cell"))
+        qcells = qaff.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe).select(
+            "qid", "qv", "qn", "cell", "qk"
+        )
+        lut = qcells.crossJoin(F.broadcast(cb)).select(
+            "qid", "qn", "cell", "qk", "m", "j",
+            F.aggregate(
+                F.zip_with(
+                    F.slice("qv", F.col("m") * sub_dim + 1, F.lit(sub_dim)),
+                    F.col("cw"),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("pdot"),
+        )
     # lut is queries x M x Ks rows but derived (statistics-opaque to
     # Catalyst) — hint it broadcast or the scan join degrades to SMJ.
+    # ONE exchange for the aggregation AND the rank window (§2.4):
+    # repartitioning the joined candidates by qid satisfies both the
+    # (qid, cid) aggregation's clustering and the window's, so Catalyst
+    # inserts no further shuffle. Bit-exactness does not depend on the
+    # partitioning: each sum(when(m == i, pdot)) has exactly one
+    # non-null input per (qid, cid) group and the mins are over equal
+    # values, so no float combine order is exercised. The shuffle moves
+    # M small rows per candidate instead of the agg's one — at sf0.1
+    # the saved stage job dominates; at scale the bytes are within 2x
+    # of the two-exchange shape while still one network pass cheaper.
     parts = (
         codes.withColumnRenamed(id_c, "cid")
         .join(F.broadcast(lut), ["cell", "m", "j"])
+        .repartition("qid")
         .groupBy("qid", "cid")
         .agg(
             *[F.sum(F.when(F.col("m") == i, F.col("pdot"))).alias(f"p{i}") for i in range(m)],

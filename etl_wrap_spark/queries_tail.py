@@ -898,6 +898,10 @@ def q66_ann_ivfpq(spark, sf_dir):
         q, c, "vec_id", "vec_id", "embedding", k=3, n_cells=8, nprobe=2, m=4, ks=8,
         refine=None,
     )
+    # (round 12: a shared-broadcast rewrite of the two label joins was
+    # tried and reverted — InferFiltersFromConstraints pushes the q/c
+    # predicates into each label scan through the join keys, so the two
+    # broadcast children can never canonically match for ReuseExchange.)
     ql = F.broadcast(q.select(F.col("vec_id").alias("qid"), F.col("label").alias("ql")))
     cl = c.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl"))
     return (

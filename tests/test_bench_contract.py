@@ -114,3 +114,48 @@ def test_strict_weak_set_missing_exec_entry_not_weak():
         "duckdb": {"qa": 0.3},
     }
     assert weak_probe.strict_weak_set(detail) == []
+
+
+# ------------------------------------------------- _salvage_flags (round 12)
+
+
+def test_salvage_flags_symmetric_duck_trigger():
+    """Round-11 verdict "what's wrong" #1: a DuckDB-side burst must flag
+    the query for re-sampling exactly like a Spark-side one."""
+    names = ["q01_a", "q02_b", "q03_c", "q04_d"]
+    ref = {"q01_a": 1.0, "q02_b": 1.0, "q03_c": 1.0, "q04_d": 1.0}
+    dref = {"q01_a": 0.5, "q02_b": 0.5, "q03_c": 0.5, "q04_d": 0.5}
+    timings = {"q01_a": 3.5, "q02_b": 1.1, "q03_c": 1.0, "q04_d": 3.5}
+    duck = {"q01_a": 0.5, "q02_b": 1.6, "q03_c": 0.52, "q04_d": 1.6}
+    flagged, spark_flag, duck_flag = bench._salvage_flags(
+        names, timings, duck, ref, dref, guard=0.5, interleave=True
+    )
+    assert spark_flag == {"q01_a", "q04_d"}
+    assert duck_flag == {"q02_b", "q04_d"}
+    # spark-flagged first (run order), duck-only appended sorted
+    assert flagged == ["q01_a", "q04_d", "q02_b"]
+
+
+def test_salvage_flags_duck_guard_is_absolute():
+    """A 3 ms anchor reading 10 ms is 3.3x but NOT a burst — the duck
+    trigger needs an absolute 0.25 s excess, so millisecond noise never
+    schedules a re-sample."""
+    names = ["q01_a"]
+    flagged, _, duck_flag = bench._salvage_flags(
+        names, {"q01_a": 0.2}, {"q01_a": 0.010},
+        ref={"q01_a": 0.2}, dref={"q01_a": 0.003},
+        guard=0.5, interleave=True,
+    )
+    assert duck_flag == set() and flagged == []
+
+
+def test_salvage_flags_two_phase_never_duck_flags():
+    """Two-phase mode has no interleaved duck leg to retry — the duck
+    trigger must stay off."""
+    names = ["q01_a"]
+    flagged, _, duck_flag = bench._salvage_flags(
+        names, {"q01_a": 0.2}, {"q01_a": 9.9},
+        ref={"q01_a": 0.2}, dref={"q01_a": 0.5},
+        guard=0.5, interleave=False,
+    )
+    assert duck_flag == set() and flagged == []

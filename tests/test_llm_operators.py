@@ -1348,6 +1348,79 @@ def test_ivf_assign_blas_equals_expression_path(spark):
         assert abs(ne[k] - nb[k]) < 1e-9
 
 
+def test_ivf_assign_lit_equals_distributed(spark):
+    """Round-12 driver-held-centroid fast path: the map-only literal
+    assignment must be BIT-identical to the distributed crossJoin+groupBy
+    path (same fold order, same (aff, -cell) tie-break), and the gate
+    must refuse malformed centroid frames."""
+    import struct as st
+
+    import numpy as np
+
+    rng = np.random.RandomState(12)
+    rows = []
+    for i in range(300):
+        c = i % 5
+        base = np.zeros(64)
+        base[c * 12] = 3.0
+        v = base + 0.3 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cent = similarity.ivf_centroids_deterministic(df, "vec_id", "embedding", 5)
+    cr = similarity._centroid_rows(cent, 5)
+    assert cr is not None and [c for c, _, _ in cr] == [1, 2, 3, 4, 5]
+    dist = {
+        r.vec_id: (r.cell, st.pack("d", r["__n"]), tuple(r["__v"]))
+        for r in similarity.ivf_assign(df, "vec_id", "embedding", cent).collect()
+    }
+    lit = {
+        r.vec_id: (r.cell, st.pack("d", r["__n"]), tuple(r["__v"]))
+        for r in similarity.ivf_assign_lit(df, "vec_id", "embedding", cr).collect()
+    }
+    assert dist == lit
+    # gate closes: unknown/large cell count, non-contiguous cells
+    assert similarity._centroid_rows(cent, None) is None
+    assert similarity._centroid_rows(cent, similarity.IVF_DRIVER_CENT_LIMIT + 1) is None
+    from pyspark.sql import functions as F
+
+    gappy = cent.where(F.col("cell") != 3)
+    assert similarity._centroid_rows(gappy, 5) is None
+
+
+def test_ivfpq_topk_lit_equals_distributed(spark):
+    """The full IVF-PQ cascade (residual -> codebook -> encode -> LUT ->
+    ADC rank) must return identical rows with the literal fast path on
+    and off — including the codebook grid collected for the encode."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64)], i % 3)
+        for i in range(260)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    q = df.where("vec_id % 40 = 0")
+    c = df.where("vec_id % 40 != 0")
+
+    def run():
+        return [
+            (r["qid"], r["rank"], r["cid"])
+            for r in similarity.ivfpq_topk(
+                q, c, "vec_id", "vec_id", "embedding",
+                k=3, n_cells=4, nprobe=2, m=4, ks=8, refine=None,
+            ).orderBy("qid", "rank").collect()
+        ]
+
+    fast = run()
+    saved = similarity.IVF_DRIVER_CENT_LIMIT
+    try:
+        similarity.IVF_DRIVER_CENT_LIMIT = 0
+        slow = run()
+    finally:
+        similarity.IVF_DRIVER_CENT_LIMIT = saved
+    assert fast == slow and len(fast) > 0
+
+
 def test_misra_gries_sketch_df_grouped_distributed(spark):
     """Grouped distributed MG: per-group guarantee with no driver-side
     merge step (frequent_items_sketch_df returns a DataFrame whose plan
