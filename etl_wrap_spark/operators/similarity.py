@@ -733,7 +733,26 @@ def semantic_dedup(
     # of materializing the crossJoin+groupBy assignment twice
     cent_rows = _centroid_rows(cent, n_cells)
     if cent_rows is not None:
-        assigned = ivf_assign_lit(df, id_col, vec, cent_rows)
+        # pin the map-only assignment by cell before the self-join
+        # (round 12): without this each join side re-runs the affinity
+        # scan — measured 2x at sf1 (11.8 vs 5.6 s, 79 cells x 20k
+        # rows). The repartition count is EXPLICIT (shuffle.partitions
+        # — conf-derived: cores locally, cluster-sized in prod) because
+        # AQE coalesces this exchange by BYTES while the downstream
+        # stage cost is per-PAIR compute AQE cannot see (the ~5.6 MB
+        # sf1 frame coalesced to ~5 tasks; pair filter 2x slower). The
+        # localCheckpoint makes both sides read ONE materialized RDD —
+        # the CC-family pinning idiom — which also sidesteps the
+        # self-join attribute-rewrite bug a bare RepartitionByExpression
+        # triggers here (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on Spark
+        # 4.1), and the preserved HashPartitioning(cell) means the join
+        # inserts no further shuffle.
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        assigned = (
+            ivf_assign_lit(df, id_col, vec, cent_rows)
+            .repartition(n_part, "cell")
+            .localCheckpoint(eager=False)
+        )
     else:
         assigned = ivf_assign(df, id_col, vec, cent)
     a = assigned.select(
